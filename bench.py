@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are fully materialized through the noop sink (no driver collect —
+measures the distributed plan, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the headline set: one per operator family, weighted toward shuffle/join/agg
+# paths that dominate at scale
+HEADLINE = [
+    "q_report_final",
+    "q_weighted_mean_by_group",
+    "q_survey_mean_se",
+    "q_groupby_count",
+    "q_bind_via_join",
+    "q_broadcast_lookup",
+    "q_rank_window",
+    "q_window_tumbling",
+    "q_asof_join",
+    "q_mspe_by_group",
+    "q_dedup_exact",
+    "q_token_count",
+    "q_ngram_jaccard",
+    "q_cosine_pairs",
+    "q_ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_integration_spark.queries import QUERIES, load_all
+    from data_integration_spark.session import get_spark
+
+    load_all()
+    spark = get_spark(app_name="bench")
+    # warm the JVM + parquet footers once (not measured per-query)
+    QUERIES["q_scan_parquet"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

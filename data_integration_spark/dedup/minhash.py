@@ -1,0 +1,112 @@
+"""MinHash + banded LSH near-duplicate detection.
+
+Pipeline (all native expressions, no Python in the hot path):
+  shingle (word n-grams) → k min-hashes via seeded xxhash64 → band the
+  signature → explode bands → groupBy (band, band_hash) buckets → candidate
+  pairs within buckets → exact Jaccard verification on candidates only.
+
+Scale: the corpus is touched twice (shingling, verification); the shuffle
+volume is k·|docs| signature entries + candidate pairs — never the O(N²)
+pair space. Band/row parameters trade recall for candidate volume exactly
+as in the standard S-curve; defaults target Jaccard ≳ 0.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingle_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """(id, shingle) long table of distinct word n-grams."""
+    concat_parts = ", ' ', ".join(f"element_at(ts, i + {j})" for j in range(n))
+    expr = (
+        f"array_distinct(transform(sequence(1, greatest(size(ts) - {n - 1}, 1)),"
+        f" i -> concat({concat_parts})))"
+    )
+    return (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ts"))
+        .select(F.col(id_col), F.explode(F.expr(expr)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_gram: int = 2,
+    k: int = 64,
+    seed: int = 1,
+) -> DataFrame:
+    """Per-doc MinHash signature: for each of k hash functions, the min of
+    ``xxhash64(shingle, salt_j)`` over the doc's shingles — one groupBy, k
+    ``min`` aggregates (map-side partials make this one narrow shuffle)."""
+    sh = shingle_df(df, id_col, text_col, n_gram)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed * 1000 + j))).alias(f"h{j}")
+        for j in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_gram: int = 2,
+    k: int = 64,
+    bands: int = 16,
+    seed: int = 1,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with exact shingle Jaccard.
+
+    Returns (d1, d2, jaccard) with jaccard ≥ verify_threshold — candidates
+    that fail exact verification are dropped, so precision is exact and only
+    recall depends on (k, bands).
+    """
+    assert k % bands == 0
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n_gram, k, seed)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+                    "bh"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    left = buckets.select(F.col(id_col).alias("d1"), "band", "bh")
+    right = buckets.select(F.col(id_col).alias("d2"), "band", "bh")
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = shingle_df(df, id_col, text_col, n_gram)
+    sizes = sh.groupBy(id_col).agg(F.countDistinct("shingle").alias("sz"))
+    s1 = sh.select(F.col(id_col).alias("d1"), F.col("shingle"))
+    s2 = sh.select(F.col(id_col).alias("d2"), F.col("shingle"))
+    inter = (
+        cand.join(s1, "d1")
+        .join(s2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))), "d1")
+        .join(F.broadcast(sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))), "d2")
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= verify_threshold)
+    )

@@ -1,0 +1,221 @@
+"""Text-analysis & dedup t2 queries over the ``documents`` table.
+
+Training-data pipeline operators (BASELINE.json north star): token counting,
+quality scoring, language-ID heuristic, document fingerprinting, exact dedup,
+n-gram Jaccard near-dup. All pure Column expressions — string ops stay
+JVM-side; the only shuffles are the groupBy/self-join the semantics require.
+
+Scale notes: exact dedup is a hash-groupBy on a fingerprint (not the raw
+text — at 100 TB you group on md5, not multi-KB strings). N-gram Jaccard
+is the quadratic exact check; at scale it runs AFTER MinHash-LSH candidate
+generation (dedup/minhash.py) — the oracle query bounds the pair space the
+same way a candidate stage would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_spark.queries import register
+from data_integration_spark.sources.catalog import Catalog
+
+
+@register(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           LEN(string_split(text, ' ')) AS n_ws_tokens,
+           LEN(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+           LENGTH(text) AS n_chars_computed
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex word tokens (BPE-ish
+    pre-tokenizer shape) + character length."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias(
+            "n_word_tokens"
+        ),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             LENGTH(text) AS nc,
+             LEN(string_split(text, ' ')) AS nt,
+             (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 6 AS n_the,
+             (LENGTH(text) - LENGTH(REPLACE(text, ' a ', ''))) / 3 AS n_a
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((nc - nt + 1.0) / nt, 6) AS avg_token_len,
+           ROUND((n_the + n_a) / nt, 6) AS stopword_ratio,
+           ROUND(1.0 / (1.0 + EXP(-(0.005 * nt + 0.2 * ((nc - nt + 1.0) / nt)
+                                    - 2.0 * ((n_the + n_a) / nt)))), 6) AS quality
+    FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length / token / stopword statistics — a
+    deterministic heuristic in the shape used by pretraining-data filters."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    nc = F.length("text")
+    nt = F.size(F.split("text", " "))
+    n_the = (nc - F.length(F.regexp_replace("text", " the ", ""))) / 6
+    # NB: regexp_replace removes ALL occurrences (DuckDB REPLACE likewise)
+    n_a = (nc - F.length(F.regexp_replace("text", " a ", ""))) / 3
+    avg_tok = (nc - nt + F.lit(1.0)) / nt
+    stop_ratio = (n_the + n_a) / nt
+    quality = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(0.005 * nt + 0.2 * avg_tok - 2.0 * stop_ratio))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 6 AS c_en,
+             (LENGTH(text) - LENGTH(REPLACE(text, ' el ', ''))) / 4 AS c_es,
+             (LENGTH(text) - LENGTH(REPLACE(text, ' le ', ''))) / 4 AS c_fr,
+             (LENGTH(text) - LENGTH(REPLACE(text, ' der ', ''))) / 5 AS c_de
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN c_en = 0 AND c_es = 0 AND c_fr = 0 AND c_de = 0 THEN 'und'
+                WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+                WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+                WHEN c_fr >= c_de THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM c
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic: argmax of per-language marker
+    counts with a deterministic tie-break order."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    nc = F.length("text")
+
+    def cnt(marker: str):
+        return (nc - F.length(F.regexp_replace("text", marker, ""))) / len(marker)
+
+    c_en, c_es, c_fr, c_de = cnt(" the "), cnt(" el "), cnt(" le "), cnt(" der ")
+    pred = (
+        F.when((c_en == 0) & (c_es == 0) & (c_fr == 0) & (c_de == 0), "und")
+        .when((c_en >= c_es) & (c_en >= c_fr) & (c_en >= c_de), "en")
+        .when((c_es >= c_fr) & (c_es >= c_de), "es")
+        .when(c_fr >= c_de, "fr")
+        .otherwise("de")
+    )
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text —
+    the content-hash used as the exact-dedup group key at scale."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fingerprint"),
+    )
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT MD5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY MD5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content hash, keep the min doc_id
+    per group. (Grouping on md5(text), never on the raw multi-KB string —
+    the 100 TB-safe form.)"""
+    docs = Catalog(spark, sf_dir)["documents"]
+    return (
+        docs.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts
+      FROM documents WHERE doc_id < 60
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS s
+      FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           ROUND(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (word-bigram) Jaccard near-dup pairs — the exact verifier that
+    follows MinHash candidate generation at scale; bounded here to
+    ``doc_id < 60`` exactly as a candidate stage would bound it."""
+    docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 60)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(element_at(split(text, ' '), i), ' ',"
+                " element_at(split(text, ' '), i + 1))))"
+            )
+        ).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))), "d1")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))), "d2")
+        .filter(jac >= 0.2)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )

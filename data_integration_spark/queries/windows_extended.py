@@ -1,0 +1,148 @@
+"""Window / grouping-set / percentile / as-of / event-time t2 queries —
+the Catalyst built-ins the reference lacks (SURVEY.md §2.5, §7.4 extension
+surface) plus the as-of join composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_integration_spark.operators.asof import asof_join
+from data_integration_spark.queries import register
+from data_integration_spark.sources.catalog import Catalog
+
+
+@register(
+    "q_rank_window",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    ) WHERE rnk <= 3
+    """,
+)
+def q_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 customers per nation by balance (deterministic
+    tie-break on key)."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        Catalog(spark, sf_dir)["customer"]
+        .select(
+            "c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "q_lag_window",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 6) AS delta
+    FROM events
+    """,
+)
+def q_lag_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-user delta vs previous event (lag)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return Catalog(spark, sf_dir)["events"].select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@register(
+    "q_cube_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: rollup subtotals (reference lacks these; Catalyst
+    built-in)."""
+    return (
+        Catalog(spark, sf_dir)["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS median_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the definition)."""
+    return (
+        Catalog(spark, sf_dir)["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias(
+                "median_price"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        )
+    )
+
+
+@register(
+    "q_window_tumbling",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M') AS bucket,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch form of the streaming
+    pipeline in streaming/windows.py — same window(), same semantics)."""
+    ev = Catalog(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest prior click's value per
+    user — composed from union + window last() (operators/asof.py), checked
+    against DuckDB's native ASOF JOIN."""
+    ev = Catalog(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, clicks, key="user_id", ts="ts", value_cols=["value"])
+    return out.select("event_id", "user_id", F.col("value_asof"))

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k with native array expressions
+(``zip_with`` + ``aggregate`` — JVM-side, no Python in the dot product).
+Scale path: random-hyperplane LSH bucketing — candidates only meet inside a
+bucket, turning the O(N·M) cross join into a per-bucket join. At 100 TB the
+bucket join shuffles on ``bucket`` (hash-partitioned, AQE handles skew);
+brute force stays available for the (small-query-set × big-corpus) shape
+where the query side is broadcast.
+
+All math is promoted to double before accumulation: float32 dot products
+accumulate ~1e-6 error which breaks cross-engine comparisons and ranking
+stability.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str, alias: str | None = None) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.transform(c, lambda x: x.cast("double"))
+    return out.alias(alias) if alias else out
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_norm(df: DataFrame, vec: str = "e", norm: str = "nrm") -> DataFrame:
+    return df.withColumn(norm, _norm(F.col(vec)))
+
+
+def cosine_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    threshold: float = 0.25,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """All (query, corpus) pairs with cosine ≥ threshold (self-pairs excluded).
+
+    The query side is broadcast — the corpus never shuffles. Cosine is
+    rounded before thresholding so the emitted set is stable across engines
+    and run-to-run reduction orders.
+    """
+    q = with_norm(queries, vec_col, "qn").select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "qn"
+    )
+    m = with_norm(corpus, vec_col, "mn").select(
+        F.col(id_col).alias("mid"), F.col(vec_col).alias("me"), "mn"
+    )
+    cos = F.round(
+        _dot(F.col("qe"), F.col("me")) / (F.col("qn") * F.col("mn")), round_decimals
+    )
+    return (
+        m.join(F.broadcast(q), F.col("qid") != F.col("mid"))
+        .select("qid", "mid", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k per query with a deterministic tie-break
+    (rounded cosine desc, then corpus id)."""
+    pairs = cosine_pairs(
+        queries, corpus, id_col=id_col, vec_col=vec_col, threshold=-2.0,
+        round_decimals=round_decimals,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("mid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "mid", "cosine", "rank")
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Random-hyperplane LSH: sign-pattern bucket id per vector.
+
+    Planes are generated driver-side from a seeded RNG (deterministic, tiny)
+    and folded into one native expression — the executors see only literal
+    coefficients, so bucketing is a narrow map (no shuffle, no Python).
+    Vectors sharing a bucket are near-duplicates candidates; join on
+    ``bucket`` for the candidate pairs.
+    """
+    import random
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+    bucket: Column = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(c) for c in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    seed: int = 7,
+) -> DataFrame:
+    """ANN pairs: bucket with random hyperplanes, join within bucket, verify
+    with exact (double) cosine. Misses across buckets are the accepted ANN
+    trade-off; raise ``n_planes`` bands for recall (multi-probe left for the
+    caller via multiple seeds)."""
+    b = hyperplane_lsh_buckets(df, dim, n_planes, seed, id_col, vec_col)
+    left = b.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("mid"), F.col(vec_col).alias("me"), "bucket"
+    )
+    qn, mn = _norm(F.col("qe")), _norm(F.col("me"))
+    cos = F.round(_dot(F.col("qe"), F.col("me")) / (qn * mn), 6)
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("qid") < F.col("mid"))
+        .select("qid", "mid", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,152 @@
+"""Unit tests for relational operators and the dedup/similarity/asof suite."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_integration_spark.dedup.exact import drop_exact_dups, exact_dedup
+from data_integration_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
+from data_integration_spark.dedup.simhash import simhash64, simhash_near_pairs
+from data_integration_spark.operators.asof import asof_join
+from data_integration_spark.operators.joins import anti_join, full_outer_fold, semi_join
+from data_integration_spark.operators.projections import add_row_id, one_hot, sanitize_name
+from data_integration_spark.similarity.ann import (
+    as_double_array,
+    cosine_pairs,
+    cosine_topk,
+    lsh_cosine_pairs,
+)
+
+
+def test_add_row_id_dense(spark):
+    df = spark.createDataFrame([Row(k="c"), Row(k="a"), Row(k="b")])
+    out = {r.k: r.ID for r in add_row_id(df, order_by="k").collect()}
+    assert out == {"a": 1, "b": 2, "c": 3}
+
+
+def test_one_hot_with_name_sanitation(spark):
+    # the reference renames 'educ4_col grad' -> 'educ4_col_grad' (Rmd:53)
+    df = spark.createDataFrame([Row(educ4="col grad"), Row(educ4="postgrad")])
+    out = one_hot(df, "educ4", ["col grad", "postgrad"])
+    assert "educ4_col_grad" in out.columns
+    rows = {r.educ4: (r.educ4_col_grad, r.educ4_postgrad) for r in out.collect()}
+    assert rows["col grad"] == (1, 0)
+    assert rows["postgrad"] == (0, 1)
+    assert sanitize_name("a b-c") == "a_b_c"
+
+
+def test_semi_anti_partition(spark):
+    left = spark.createDataFrame([Row(k=i) for i in range(10)])
+    right = spark.createDataFrame([Row(k=i) for i in range(5, 15)])
+    n_semi = semi_join(left, right, "k").count()
+    n_anti = anti_join(left, right, "k").count()
+    assert n_semi == 5 and n_anti == 5
+    assert n_semi + n_anti == left.count()
+
+
+def test_full_outer_fold_keeps_all_keys(spark):
+    a = spark.createDataFrame([Row(k=1, x=1.0)])
+    b = spark.createDataFrame([Row(k=2, y=2.0)])
+    c = spark.createDataFrame([Row(k=1, z=3.0), Row(k=3, z=4.0)])
+    out = full_outer_fold([a, b, c], on="k")
+    assert {r.k for r in out.collect()} == {1, 2, 3}
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="aa"), Row(doc_id=2, text="aa"), Row(doc_id=3, text="bb")]
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+    kept = {r.doc_id for r in drop_exact_dups(df).collect()}
+    assert kept == {1, 3}
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words describing an unrelated topic entirely here now"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=near), Row(doc_id=3, text=far)]
+    )
+    pairs = {
+        (r.d1, r.d2): r.jaccard
+        for r in minhash_lsh_pairs(df, k=64, bands=32, verify_threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p != (1, 3) and p != (2, 3) for p in pairs)
+    # verification step reports EXACT jaccard of word-bigram shingles
+    assert 0.5 < pairs[(1, 2)] < 1.0
+
+
+def test_minhash_signature_deterministic(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+    s1 = minhash_signatures(df).collect()[0]
+    s2 = minhash_signatures(df.repartition(4)).collect()[0]
+    assert s1 == s2
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta"),
+            Row(doc_id=2, text="alpha beta gamma delta"),
+            Row(doc_id=3, text="unrelated totally different content"),
+        ]
+    )
+    sig = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+    pairs = {(r.d1, r.d2): r.distance for r in simhash_near_pairs(df, 3).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_cosine_topk_and_lsh_precision(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows).select("vec_id", as_double_array("embedding", "e"))
+    topk = cosine_topk(df.filter(F.col("vec_id") == 1), df, k=1)
+    best = topk.collect()[0]
+    assert best.mid == 2 and best.rank == 1
+
+    # LSH pairs must be a subset of brute-force pairs at the same threshold
+    bf = {
+        (r.qid, r.mid)
+        for r in cosine_pairs(df, df, threshold=0.5).collect()
+        if r.qid < r.mid
+    }
+    lsh = {
+        (r.qid, r.mid) for r in lsh_cosine_pairs(df, dim=3, n_planes=4, threshold=0.5).collect()
+    }
+    assert lsh <= bf
+
+
+def test_asof_join_semantics(spark):
+    purchases = spark.createDataFrame(
+        [Row(event_id=10, user_id=1, ts=5.0), Row(event_id=11, user_id=1, ts=1.0)]
+    )
+    clicks = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=2.0, value=20.0),
+            Row(user_id=1, ts=4.0, value=40.0),
+            Row(user_id=2, ts=0.0, value=99.0),
+        ]
+    )
+    out = {
+        r.event_id: r.value_asof
+        for r in asof_join(purchases, clicks, key="user_id", ts="ts").collect()
+    }
+    assert out[10] == 40.0  # latest click at ts<=5 is ts=4
+    assert out[11] is None  # no click before ts=1
+
+
+def test_asof_join_equal_ts_included(spark):
+    left = spark.createDataFrame([Row(event_id=1, user_id=1, ts=3.0)])
+    right = spark.createDataFrame([Row(user_id=1, ts=3.0, value=7.0)])
+    out = asof_join(left, right, key="user_id", ts="ts").collect()[0]
+    assert out.value_asof == 7.0
