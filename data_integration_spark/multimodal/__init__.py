@@ -1,0 +1,13 @@
+from data_integration_spark.multimodal.binary_ops import (
+    attach_binary_metadata,
+    decode_images,
+    extract_features,
+    sample_frames,
+)
+
+__all__ = [
+    "attach_binary_metadata",
+    "decode_images",
+    "extract_features",
+    "sample_frames",
+]

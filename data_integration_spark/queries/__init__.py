@@ -43,8 +43,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every query module (side effect: registration)."""
     from data_integration_spark.queries import (  # noqa: F401
+        analytics,
+        model_queries,
+        multimodal_queries,
         relational,
         statistical,
+        streaming_queries,
         text_pipeline,
         similarity_queries,
         windows_extended,

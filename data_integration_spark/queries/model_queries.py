@@ -1,0 +1,78 @@
+"""Model-fitting t2 queries (SURVEY.md §2.10-2.11) — the EM estimator and
+GLM baseline running on a survey synthesized deterministically from the
+TPC-H-ish tables (rows-only by contract: model outputs are optimizer
+results, not SQL-expressible).
+
+The REAL statistical validation lives in tests/test_stats_*.py (parameter
+recovery on FIXTURES.md surveys); these entries prove the fitting paths run
+end-to-end inside the driver's harness."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_spark.functions.math import expit
+from data_integration_spark.functions.rng import bernoulli
+from data_integration_spark.queries import register
+from data_integration_spark.sources.catalog import Catalog
+
+AGE4 = ["18-29", "30-44", "45-64", "65+"]
+GENDER = ["female", "male"]
+RACE3 = ["black", "hispanic", "white"]
+EDUC4 = ["HS or less", "some col", "col grad", "postgrad"]
+
+
+def synth_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic survey-shaped frame from ``customer``: categorical
+    covariates from key arithmetic, area = nation, outcome simulated from a
+    known model via hash-Bernoulli."""
+    cust = Catalog(spark, sf_dir)["customer"]
+
+    def pick(options, expr):
+        arr = F.array(*[F.lit(o) for o in options])
+        return F.element_at(arr, (expr % len(options) + 1).cast("int"))
+
+    df = cust.select(
+        F.col("c_custkey").alias("ID"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("state"),
+        pick(AGE4, F.col("c_custkey")).alias("age4"),
+        pick(GENDER, F.col("c_custkey") / 4).alias("gender"),
+        pick(RACE3, F.col("c_custkey") / 8).alias("race3"),
+        pick(EDUC4, F.col("c_custkey") / 24).alias("educ4"),
+        (0.3 + 0.4 * (F.col("c_nationkey") / 25.0)).alias("obama12"),
+        F.lit(1.0).alias("weight"),
+    )
+    xb = (
+        F.lit(-0.3)
+        + 0.5 * F.when(F.col("age4") == "45-64", 1).otherwise(0)
+        + 0.3 * F.when(F.col("gender") == "female", 1).otherwise(0)
+        + 0.8 * F.when(F.col("race3") == "black", 1).otherwise(0)
+    )
+    return df.withColumn("demvote", bernoulli(expit(xb), "ID", salt=13))
+
+
+@register("q_em_fit")  # rows-only: optimizer output
+def q_em_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM GLMM fit (§2.11) end-to-end on the synthesized survey; returns the
+    single-row (β̂, σ̂, iterations) table."""
+    from data_integration_spark.stats.em import EMEstimator
+
+    fit = EMEstimator(
+        n_reps=50, tol=0.05, max_iter=10, mode="driver", seed=5
+    ).fit(synth_survey(spark, sf_dir))
+    row = {f"beta{k}": float(b) for k, b in enumerate(fit.beta_hat)}
+    row.update(sigma=float(fit.sigma_hat), n_iter=fit.n_iter)
+    return spark.createDataFrame(pd.DataFrame([row]))
+
+
+@register("q_glm_fit")  # rows-only: IRLS output
+def q_glm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib GLR binomial baseline (§2.10 M1) on the synthesized survey."""
+    from data_integration_spark.stats.glmm import FixedEffectsGLM
+
+    glm = FixedEffectsGLM().fit(synth_survey(spark, sf_dir))
+    return spark.createDataFrame(
+        pd.DataFrame([{f"beta{k}": float(b) for k, b in enumerate(glm.beta_)}])
+    )

@@ -1,0 +1,94 @@
+"""Multimodal-column t2 queries: binary payload plumbing over a synthetic
+binary column (documents.text encoded to bytes — the container has no real
+media files; the Spark-side schema/batch/UDF mechanics are the real thing).
+
+``q_multimodal_decode`` has a FULL oracle: the deterministic stub decode
+derives dims from sha256 bytes, which DuckDB reproduces with hex-digit
+arithmetic on its own sha256.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_spark.multimodal.binary_ops import (
+    attach_binary_metadata,
+    decode_images,
+    extract_features,
+    sample_frames,
+)
+from data_integration_spark.queries import register
+from data_integration_spark.sources.catalog import Catalog
+
+
+def _hexbyte_sql(h: str, i: int) -> str:
+    """SQL for byte i (0-based) of a lowercase hex digest string ``h``."""
+    c1 = f"SUBSTR({h}, {2 * i + 1}, 1)"
+    c2 = f"SUBSTR({h}, {2 * i + 2}, 1)"
+    return (
+        f"((STRPOS('0123456789abcdef', {c1}) - 1) * 16"
+        f" + STRPOS('0123456789abcdef', {c2}) - 1)"
+    )
+
+
+_DECODE_ORACLE = f"""
+WITH h AS (SELECT doc_id AS item_id, SHA256(text) AS hx FROM documents)
+SELECT item_id,
+       CAST(16 + {_hexbyte_sql('hx', 0)} % 64 AS INT) AS width,
+       CAST(16 + {_hexbyte_sql('hx', 1)} % 64 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       TRUE AS ok
+FROM h
+"""
+
+
+def _payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    return docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+@register("q_multimodal_decode", oracle=_DECODE_ORACLE)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode of a binary column (stubbed codec, real Arrow
+    plumbing) — dims reproduced by the oracle from sha256 hex digits."""
+    return decode_images(_payload_df(spark, sf_dir))
+
+
+@register(
+    "q_multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS item_id,
+           'image' AS media_type,
+           CAST(LENGTH(text) AS INT) AS n_bytes,
+           SHA256(text) AS sha256
+    FROM documents
+    """,
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed binary metadata struct (media_type, n_bytes, sha256) — computed
+    natively, no Python; flattened for the oracle compare."""
+    with_meta = attach_binary_metadata(
+        _payload_df(spark, sf_dir), "payload", "image"
+    )
+    return with_meta.select(
+        "item_id",
+        F.col("payload_meta.media_type").alias("media_type"),
+        F.col("payload_meta.n_bytes").alias("n_bytes"),
+        F.col("payload_meta.sha256").alias("sha256"),
+    )
+
+
+@register("q_multimodal_features")  # rows-only: 32-byte hash arithmetic
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction → fixed-dim array<float> (ann-ready)."""
+    return extract_features(_payload_df(spark, sf_dir))
+
+
+@register("q_multimodal_frames")  # rows-only: UDTF shape (1 row → N rows)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-shaped payloads (1 → ≤8 rows each)."""
+    return sample_frames(_payload_df(spark, sf_dir))

@@ -1,0 +1,130 @@
+"""Streaming & event-time t2 queries (SURVEY.md §2.14 extension surface).
+
+``q_streaming_tumbling`` runs a REAL Structured Streaming query
+(file source → watermarked tumbling agg → parquet sink, availableNow) and
+returns the sink contents; its oracle is the batch GROUP BY restricted to
+windows the watermark has closed (append mode emits a window once
+``watermark ≥ window_end``; with delay 0 that is ``window_end ≤ max(ts)`` —
+verified empirically). Session/sliding windows get batch oracles via
+gaps-and-islands / slide enumeration.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_spark.queries import register
+from data_integration_spark.sources.catalog import Catalog
+from data_integration_spark.streaming.windows import (
+    sessionize,
+    sliding_counts,
+    streaming_tumbling_agg,
+)
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+@register(
+    "q_streaming_tumbling",
+    oracle="""
+    WITH b AS (
+      SELECT DATE_TRUNC('hour', ts) AS ws, event_type,
+             COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT STRFTIME(ws, '%Y-%m-%d %H:%M') AS window_start, event_type, n, sum_value
+    FROM b
+    WHERE ws + INTERVAL 1 HOUR <= (SELECT MAX(ts) FROM events)
+    """,
+)
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming: events replayed through a file
+    source, watermarked tumbling aggregation, append-mode parquet sink."""
+    cat = Catalog(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"{_SCRATCH}/stream_src_{tag}"
+    out = f"{_SCRATCH}/stream_out_{tag}"
+    ck = f"{_SCRATCH}/stream_ck_{tag}"
+    for d in (src, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    cat["events"].repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = streaming_tumbling_agg(
+        spark, src, schema, ck, out, window_len="1 hour", watermark="0 seconds"
+    )
+    q.awaitTermination(300)
+    res = spark.read.parquet(out)
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+@register(
+    "q_session_window",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (gap 30 min) per user — checked against the
+    gaps-and-islands SQL formulation."""
+    out = sessionize(Catalog(spark, sf_dir)["events"], gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        F.round("session_value", 2).alias("session_value"),
+    )
+
+
+@register(
+    "q_sliding_window",
+    oracle="""
+    WITH e AS (SELECT event_type, EPOCH_US(ts) AS eu FROM events),
+    s AS (
+      SELECT event_type, eu,
+             ((eu // 900000000) - o.o) * 900000000 AS start_us
+      FROM e, (SELECT UNNEST([0, 1, 2, 3]) AS o) o
+      WHERE ((eu // 900000000) - o.o) * 900000000 <= eu
+        AND ((eu // 900000000) - o.o) * 900000000 > eu - 3600000000
+    )
+    SELECT STRFTIME(MAKE_TIMESTAMP(start_us), '%Y-%m-%d %H:%M') AS window_start,
+           event_type, COUNT(*) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 15 min slide): each event lands in 4
+    windows — oracle enumerates the slides arithmetically."""
+    out = sliding_counts(
+        Catalog(spark, sf_dir)["events"], window_len="1 hour", slide="15 minutes"
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n",
+    )
