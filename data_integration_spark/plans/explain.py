@@ -1,0 +1,50 @@
+"""Physical-plan introspection helpers.
+
+The engine's performance contract is enforced as TESTS over the plans
+Catalyst actually produces (tests/test_plans.py): filters reach the parquet
+scan (PushedFilters), projections prune the read schema (ReadSchema),
+dimension joins broadcast (BroadcastHashJoin), aggregations keep map-side
+partials. A regression that silently de-optimizes a plan fails CI, not a
+100 TB run.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across scans in the plan."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists of each parquet ReadSchema in the plan."""
+    plan = formatted_plan(df)
+    schemas: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        schemas.append(cols)
+    return schemas
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def count_shuffles(df: DataFrame) -> int:
+    # formatted output lists each node once in the tree ("(7) Exchange") and
+    # once in the details section — count tree nodes only
+    return len(re.findall(r"\(\d+\) Exchange", formatted_plan(df)))

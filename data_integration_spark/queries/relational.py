@@ -809,15 +809,24 @@ def q_report_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat["lineitem"],
     )
 
-    actual = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
-        (F.round(F.sum("c_acctbal"), 2) / F.count("*")).alias("actual")
+    # ONE aggregation pass per fact table (the reference runs a separate
+    # loop-over-states scan per statistic): customer → actual + SE stats;
+    # orders⋈customer → direct + sqrt-MSPE; lineitem⋈orders⋈customer → EBP.
+    bal = F.col("c_acctbal")
+    cust_stats = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        (F.round(F.sum(bal), 2) / F.count("*")).alias("actual"),
+        F.round(F.sum(bal), 2).alias("sy"),
+        F.round(F.sum(bal * bal), 4).alias("sy2"),
+        F.count("*").alias("n"),
     )
+    cust_map = customer.select("c_custkey", "c_nationkey")
     ord_cust = orders.select("o_orderkey", "o_custkey", "o_totalprice").join(
-        F.broadcast(customer.select("c_custkey", "c_nationkey")),
-        F.col("o_custkey") == F.col("c_custkey"),
+        F.broadcast(cust_map), F.col("o_custkey") == F.col("c_custkey")
     )
-    direct = ord_cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
-        (F.round(F.sum("o_totalprice"), 2) / F.count("*")).alias("direct")
+    d_mspe = F.col("o_totalprice") - 100000.0
+    ord_stats = ord_cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        (F.round(F.sum("o_totalprice"), 2) / F.count("*")).alias("direct"),
+        F.sqrt(F.round(F.sum(d_mspe * d_mspe), 4) / F.count("*")).alias("sqrt_mspe"),
     )
     li_nation = lineitem.select("l_orderkey", "l_extendedprice", "l_quantity").join(
         ord_cust.select(F.col("o_orderkey").alias("ok"), "c_nationkey"),
@@ -829,41 +838,25 @@ def q_report_final(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.round(F.sum("l_quantity"), 2)
         ).alias("ebp")
     )
-    comp_data = (
+    m = F.col("sy") / F.col("n")
+    ss = F.col("sy2") - F.lit(2.0) * m * F.col("sy") + m * m * F.col("n")
+
+    return (
         nation.select(
             F.col("n_nationkey").alias("nationkey"), F.col("n_name").alias("name")
         )
-        .join(F.broadcast(actual), "nationkey", "left")
-        .join(F.broadcast(direct), "nationkey", "left")
+        .join(F.broadcast(cust_stats), "nationkey", "left")
+        .join(F.broadcast(ord_stats), "nationkey", "left")
         .join(F.broadcast(ebp), "nationkey", "left")
-    )
-    d_mspe = F.col("o_totalprice") - 100000.0
-    final_mspe = ord_cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
-        F.sqrt(F.round(F.sum(d_mspe * d_mspe), 4) / F.count("*")).alias("sqrt_mspe")
-    )
-    bal = F.col("c_acctbal")
-    se_stats = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
-        F.round(F.sum(bal), 2).alias("sy"),
-        F.round(F.sum(bal * bal), 4).alias("sy2"),
-        F.count("*").alias("n"),
-    )
-    m = F.col("sy") / F.col("n")
-    ss = F.col("sy2") - F.lit(2.0) * m * F.col("sy") + m * m * F.col("n")
-    direct_se = se_stats.select(
-        "nationkey",
-        (F.sqrt(F.greatest(ss, F.lit(0.0))) / F.col("n")).alias("se"),
-    )
-
-    return (
-        comp_data.join(F.broadcast(final_mspe), "nationkey", "left")
-        .join(F.broadcast(direct_se), "nationkey", "left")
         .select(
             "nationkey",
             "name",
             F.col("actual").alias("actual_val"),
             F.col("direct").alias("direct_est"),
             F.col("ebp").alias("ebp_est"),
-            (F.lit(100.0) * F.col("se")).alias("direct_se"),
+            (F.lit(100.0) * (F.sqrt(F.greatest(ss, F.lit(0.0))) / F.col("n"))).alias(
+                "direct_se"
+            ),
             F.col("sqrt_mspe").alias("ebp_se"),
         )
     )

@@ -1,0 +1,90 @@
+"""Physical-plan contract tests: the optimizations the 100 TB design relies
+on must be visible in the plans Catalyst produces (SURVEY.md §4.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_spark.plans.explain import (
+    count_shuffles,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from data_integration_spark.queries import QUERIES, load_all
+
+load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["q_filter_eq"](spark, SF)
+    filters = " ".join(pushed_filters(df))
+    assert "l_returnflag" in filters, f"filter not pushed: {filters}"
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = QUERIES["q_scan_parquet"](spark, SF)
+    schemas = read_schema_columns(df)
+    assert schemas, "no parquet scan found"
+    assert set(schemas[0]) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+    }, f"scan reads extra columns: {schemas[0]}"
+
+
+def test_dimension_join_broadcasts(spark):
+    assert has_broadcast_join(QUERIES["q_broadcast_lookup"](spark, SF))
+
+
+def test_report_final_broadcasts_dimensions(spark):
+    plan = formatted_plan(QUERIES["q_report_final"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # per-area (≤25-row) result joins must never sort-merge
+    assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_semi_anti_join_physical_type(spark):
+    for q in ("q_semi_join", "q_anti_join"):
+        plan = formatted_plan(QUERIES[q](spark, SF))
+        assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_weighted_mean_has_partial_aggregation(spark):
+    plan = formatted_plan(QUERIES["q_weighted_mean_by_group"](spark, SF))
+    # partial_ marks map-side combine before the exchange
+    assert "partial_sum" in plan, plan
+
+
+def test_grouped_agg_single_shuffle(spark):
+    df = QUERIES["q_weighted_mean_by_group"](spark, SF)
+    assert count_shuffles(df) <= 1, formatted_plan(df)
+
+
+def test_ebp_scoring_single_shuffle_chain(spark):
+    """EBP on cells: collapse shuffle + final area agg — the draw join must
+    broadcast, adding no shuffle (stats/ebp.py scale contract)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.stats.ebp import ebp_estimates
+    from data_integration_spark.stats.fixtures import make_fixtures
+
+    fx = make_fixtures(n_states=6, big_per_state=(50, 80))
+    spark_big = spark.createDataFrame(fx["survey_big"])
+    draws = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "state": [s for s in fx["truth"]["v_state"] for _ in range(5)],
+                "r": list(range(5)) * len(fx["truth"]["v_state"]),
+                "v_tilde": 0.1,
+            }
+        )
+    )
+    df = ebp_estimates(spark_big, [0.0] * 8, draws)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert count_shuffles(df) <= 3, plan
