@@ -47,6 +47,7 @@ def load_all() -> None:
         model_queries,
         multimodal_queries,
         relational,
+        relational_extra,
         statistical,
         streaming_queries,
         text_pipeline,

@@ -1,0 +1,261 @@
+"""Second-wave relational t2 queries: remaining source/sink formats, set
+ops, pivot/cube, string & datetime scalar surface, vectorized pandas UDF,
+range join, skew-mitigation (salted) aggregation, partitioned sink with
+partition pruning."""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from data_integration_spark.queries import register
+from data_integration_spark.sources.catalog import Catalog
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+@register(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT n_nationkey AS nationkey, n_name AS nation_name, n_regionkey AS regionkey
+    FROM nation
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 CSV sink (``write.csv``, ``Rmd:473,752-753``) + schema-preserving
+    re-read: header + explicit schema (CSV is typeless on disk)."""
+    out = Catalog(spark, sf_dir)["nation"].select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation_name"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    path = os.path.join(_SCRATCH, "csv_roundtrip")
+    out.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.option("header", "true").schema(
+        "nationkey int, nation_name string, regionkey int"
+    ).csv(path)
+
+
+@register(
+    "q_partitioned_sink",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet write + partition-pruned read: the
+    filter on the partition column prunes directories, not rows (the layout
+    choice that makes 100 TB scans selective)."""
+    path = os.path.join(_SCRATCH, "orders_by_status")
+    shutil.rmtree(path, ignore_errors=True)
+    Catalog(spark, sf_dir)["orders"].write.partitionBy("o_orderstatus").mode(
+        "overwrite"
+    ).parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@register(
+    "q_intersect_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'both' AS which FROM customer
+    INTERSECT SELECT s_nationkey, 'both' FROM supplier
+    UNION ALL
+    (SELECT c_nationkey, 'customer_only' FROM customer
+     EXCEPT SELECT s_nationkey, 'customer_only' FROM supplier)
+    """,
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent from the reference; Catalyst built-ins)."""
+    cat = Catalog(spark, sf_dir)
+    c = cat["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = cat["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("which", F.lit("both"))
+    # subtract == SQL EXCEPT (distinct semantics); exceptAll would keep
+    # per-row multiplicities and leak keys present on both sides
+    only = c.subtract(s).withColumn("which", F.lit("customer_only"))
+    return both.unionByName(only)
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide-form grouped aggregate) with an explicit category list —
+    semantically conditional aggregation, which is the oracle's spelling."""
+    return (
+        Catalog(spark, sf_dir)["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2^k subtotal combinations)."""
+    return (
+        Catalog(spark, sf_dir)["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           LENGTH(c_name) AS name_len,
+           c_name || '/' || c_mktsegment AS name_seg,
+           REPLACE(c_name, 'Customer', 'C') AS name_short,
+           CASE WHEN c_name LIKE '%0' THEN 1 ELSE 0 END AS ends_zero
+    FROM customer
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (X4 generalized): case, substring, length,
+    concat, replace, LIKE."""
+    return Catalog(spark, sf_dir)["customer"].select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.regexp_replace("c_name", "Customer", "C").alias("name_short"),
+        F.when(F.col("c_name").like("%0"), 1).otherwise(0).alias("ends_zero"),
+    )
+
+
+@register(
+    "q_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow,
+           STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01 00:00:00', o_orderdate) AS INT)
+             AS days_since_y24
+    FROM orders
+    """,
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar surface (absent as data ops in the reference —
+    extension): extract, interval arithmetic, date difference.
+    NB: DuckDB ``dow`` is 0=Sunday; Spark ``dayofweek`` is 1=Sunday."""
+    o = Catalog(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("2024-01-01").cast("date")
+        ).alias("days_since_y24"),
+    )
+
+
+@register(
+    "q_pandas_udf",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(1.0 / (1.0 + EXP(-(c_acctbal / 2000.0))), 6) AS score
+    FROM customer
+    """,
+)
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's user-UDF surface (SURVEY.md §2.13): an Arrow-vectorized
+    ``pandas_udf`` (never row-at-a-time Python) — verified against the same
+    math in SQL. Built-ins remain the default; this query certifies the
+    escape hatch."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def sigmoid_score(bal: pd.Series) -> pd.Series:
+        z = bal.to_numpy(float) / 2000.0
+        return pd.Series(np.round(1.0 / (1.0 + np.exp(-z)), 6))
+
+    return Catalog(spark, sf_dir)["customer"].select(
+        "c_custkey", sigmoid_score("c_acctbal").alias("score")
+    )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    WITH buckets AS (
+      SELECT * FROM (VALUES
+        (0, CAST(0.0 AS DOUBLE), CAST(50.0 AS DOUBLE)),
+        (1, CAST(50.0 AS DOUBLE), CAST(150.0 AS DOUBLE)),
+        (2, CAST(150.0 AS DOUBLE), CAST(300.0 AS DOUBLE)),
+        (3, CAST(300.0 AS DOUBLE), CAST(1000.0 AS DOUBLE))
+      ) AS t(bucket_id, lo, hi)
+    )
+    SELECT e.event_id, b.bucket_id
+    FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join of a fact against interval buckets — broadcast
+    nested-loop on the tiny interval side (the right physical choice; an
+    O(N·B) scan with B≈4, not a shuffle)."""
+    ev = Catalog(spark, sf_dir)["events"]
+    buckets = ev.sparkSession.createDataFrame(
+        [(0, 0.0, 50.0), (1, 50.0, 150.0), (2, 150.0, 300.0), (3, 300.0, 1000.0)],
+        "bucket_id int, lo double, hi double",
+    )
+    return ev.join(
+        F.broadcast(buckets),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    ).select("event_id", "bucket_id")
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew mitigation: two-stage salted aggregation — stage 1 groups on
+    (key, salt) spreading a hot key over 16 partitions, stage 2 merges the
+    partials. Result is EXACTLY the plain groupBy (the oracle); the shape is
+    what survives a 100 TB hot key when AQE's skew handling isn't enough
+    (3-key groupBys like this one are the canonical worst case)."""
+    li = Catalog(spark, sf_dir)["lineitem"].withColumn(
+        "_salt", (F.xxhash64("l_orderkey", "l_linenumber") % 16).cast("int")
+    )
+    partial = li.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("pn"), F.sum("l_quantity").alias("pq")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("pq"), 2).alias("sum_qty")
+    )
