@@ -97,6 +97,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs(emb, dim=64, n_planes=8, threshold=0.25)
 
 
+@register("q_ann_ivf")  # rows-only: k-means centroids are engine-internal
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: MLlib k-means coarse quantizer + nprobe cell probing + exact
+    cosine within probed cells (similarity/ivf.py). Recall vs the exact
+    top-k baseline is asserted in pytest."""
+    from data_integration_spark.similarity.ivf import IVFIndex
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    index = IVFIndex(n_cells=8, seed=11).fit(emb)
+    return index.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
+
+
 @register("q_dedup_minhash")  # rows-only: xxhash64 not expressible in DuckDB
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs verified by exact shingle Jaccard.

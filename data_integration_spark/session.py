@@ -52,6 +52,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # static config — must be set before session start (bucketed tables)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/root/repo/.scratch/spark-warehouse"
+            ),
+        )
         # testdata's events.ts is TIMESTAMP(NANOS) which the vectorized parquet
         # reader rejects; read as long and convert in the catalog (µs truncation,
         # matching DuckDB's nanos→micros narrowing).

@@ -1,0 +1,94 @@
+"""IVF (inverted-file) approximate nearest neighbour over embeddings.
+
+The classic two-stage ANN: a k-means coarse quantizer (MLlib KMeans,
+JVM-side Lloyd iterations) partitions the corpus into nlist cells; queries
+probe only the nprobe nearest cells. Recall/latency trades on nprobe exactly
+as in FAISS-style IVF-Flat.
+
+Scale shape: the corpus is scanned once to assign cells (narrow map after
+broadcast of nlist×dim centroids), then searched per (query, probed-cell)
+via a join on cell id — candidate volume is |corpus|·nprobe/nlist instead
+of |corpus| per query. Centroids are tiny and always broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_integration_spark.similarity.ann import _dot, _norm
+
+
+class IVFIndex:
+    """Build once over a corpus (vec col must be array<double>), then
+    ``search`` with any query subset."""
+
+    def __init__(self, n_cells: int = 16, seed: int = 11):
+        self.n_cells = n_cells
+        self.seed = seed
+        self.assigned: DataFrame | None = None
+        self.centroids: DataFrame | None = None
+
+    def fit(self, corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "e"):
+        spark = corpus.sparkSession
+        with_vec = corpus.withColumn("_v", array_to_vector(F.col(vec_col)))
+        km = KMeans(
+            k=self.n_cells, seed=self.seed, featuresCol="_v", predictionCol="cell"
+        ).fit(with_vec)
+        self.assigned = km.transform(with_vec).select(
+            F.col(id_col).alias("mid"),
+            F.col(vec_col).alias("me"),
+            "cell",
+        )
+        self.centroids = spark.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(km.clusterCenters())
+            ],
+            "cell int, ce array<double>",
+        )
+        return self
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "e",
+    ) -> DataFrame:
+        """Top-k per query among the nprobe nearest cells (cosine,
+        deterministic tie-break on rounded cosine then id)."""
+        assert self.assigned is not None, "fit first"
+        q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+        # stage 1: rank cells per query by centroid distance (tiny cross join)
+        qc = q.crossJoin(F.broadcast(self.centroids)).withColumn(
+            "cdist",
+            F.aggregate(
+                F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        wc = Window.partitionBy("qid").orderBy(F.col("cdist"), F.col("cell"))
+        probed = (
+            qc.withColumn("crank", F.row_number().over(wc))
+            .filter(F.col("crank") <= nprobe)
+            .select("qid", "qe", "cell")
+        )
+        # stage 2: exact cosine within probed cells only
+        cand = probed.join(self.assigned, "cell").filter(F.col("qid") != F.col("mid"))
+        cos = F.round(
+            _dot(F.col("qe"), F.col("me"))
+            / (_norm(F.col("qe")) * _norm(F.col("me"))),
+            6,
+        )
+        scored = cand.select("qid", "mid", cos.alias("cosine"))
+        w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("mid"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "mid", "cosine", "rank")
+        )
