@@ -238,6 +238,53 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, 0.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c WHERE c.c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM updates
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert ETL primitive (operators/merge.py): an updates feed
+    (every 10th customer zeroed) merged into the target by key."""
+    from data_integration_spark.operators.merge import merge_upsert
+
+    cust = Catalog(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.lit(0.0)
+    )
+    return merge_upsert(cust, updates, keys="c_custkey")
+
+
+@register(
+    "q_json_source",
+    oracle="""
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source format (S1 extension): events exported to JSONL,
+    re-read with an explicit schema, filtered — content equals the parquet
+    path, proving the format adapter is lossless for these types."""
+    ev = Catalog(spark, sf_dir)["events"].select("event_id", "event_type", "value")
+    path = os.path.join(_SCRATCH, "events_jsonl")
+    ev.write.mode("overwrite").json(path)
+    return (
+        spark.read.schema("event_id long, event_type string, value double")
+        .json(path)
+        .filter(F.col("event_type") == "purchase")
+    )
+
+
+@register(
     "q_salted_agg",
     oracle="""
     SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty

@@ -34,8 +34,15 @@ def test_partitioned_sink_prunes_partitions(spark):
 def test_bucketed_join_avoids_shuffle(spark):
     """Pre-bucketed co-located join: bucketing both sides on the join key
     removes BOTH Exchanges (the 100 TB answer to repeated fact-fact joins)."""
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # in-memory catalog forgets tables across sessions but the warehouse
+    # directories persist — DROP alone leaves LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/b_orders", ignore_errors=True)
+    shutil.rmtree(f"{wh}/b_lineitem", ignore_errors=True)
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
     orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
