@@ -49,6 +49,47 @@ def q_ebp_scoring_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_survey_pipeline")  # rows-only: full model pipeline output
+def q_survey_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference pipeline end-to-end (``Rmd`` entire file): synthetic
+    PEW/CPS/actuals fixtures → EM (adjusted ML) → EBP → direct estimates →
+    comparison → bootstrap MSPE → final report — returned as the report
+    table (state, name, actual_val, direct_est, EBP_est, direct_SE, EBP_SE).
+
+    Deterministic end-to-end (hash RNG), but optimizer outputs are not
+    SQL-expressible → rows-only. Statistical correctness is pinned by
+    tests/test_stats_pipeline.py (parameter recovery, EBP-beats-direct,
+    golden report)."""
+    import os
+
+    from data_integration_spark.stats.em import EMEstimator
+    from data_integration_spark.stats.fixtures import make_fixtures
+    from data_integration_spark.stats.pipeline import run_pipeline
+
+    base = "/root/repo/.scratch/survey_fixtures"
+    if not os.path.exists(os.path.join(base, "survey_small.parquet")):
+        fx = make_fixtures()
+        os.makedirs(base, exist_ok=True)
+        for name in ("survey_small", "survey_big", "actual_result"):
+            spark.createDataFrame(fx[name]).write.mode("overwrite").parquet(
+                os.path.join(base, f"{name}.parquet")
+            )
+    small = spark.read.parquet(os.path.join(base, "survey_small.parquet"))
+    big = spark.read.parquet(os.path.join(base, "survey_big.parquet"))
+    actuals = spark.read.parquet(os.path.join(base, "actual_result.parquet"))
+    res = run_pipeline(
+        spark,
+        small,
+        big,
+        actuals,
+        em=EMEstimator(n_reps=200, tol=0.02, max_iter=40, seed=42),
+        ebp_draws=100,
+        bootstrap_reps=2,
+        bootstrap_em=EMEstimator(n_reps=80, tol=0.05, max_iter=10, seed=43),
+    )
+    return res.report
+
+
 @register("q_bootstrap_skeleton")  # rows-only: contains seeded draws
 def q_bootstrap_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 parametric-bootstrap skeleton (``Rmd:557-733``): per (rep, area)
