@@ -125,6 +125,37 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_at,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (stream-stream-shaped) join: clicks within 1 h before each
+    purchase per user — the batch form of streaming/joins.py's attribution
+    join (stream/batch equivalence is pinned in tests)."""
+    from data_integration_spark.streaming.joins import clicks_before_purchase
+
+    ev = Catalog(spark, sf_dir)["events"]
+    out = clicks_before_purchase(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+        "click_value",
+    )
+
+
+@register(
     "q_asof_join",
     oracle="""
     SELECT p.event_id, p.user_id, c.value AS value_asof
