@@ -61,9 +61,16 @@ def survey_mean_se(
         SE  = sqrt( Σ (w_i (y_i − ŷ_w))² ) / Σ w_i
     Expanded to sufficient statistics so one aggregation pass suffices:
         Σ w²(y−ŷ)² = Σ w²y² − 2 ŷ Σ w²y + ŷ² Σ w²
+
+    NULL semantics = ``svymean(na.rm=TRUE)``: rows with NULL y are dropped
+    ENTIRELY (their weights too) — every sum below conditions on y being
+    non-null. This differs from the reference's manual weighted mean (A1,
+    ``sum(y*w, na.rm)/sum(w)``) which keeps NULL rows' weights in the
+    denominator; weighted_mean_by_group implements that convention.
     """
     group = [group] if isinstance(group, str) else list(group)
-    v, w = _c(value), _c(weight)
+    v = _c(value)
+    w = F.when(v.isNotNull(), _c(weight))  # drop NA rows' weights entirely
     agg = df.groupBy(*group).agg(
         F.sum(w).alias("_sw"),
         F.sum(w * v).alias("_swy"),
