@@ -165,6 +165,32 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_levenshtein",
+    oracle="""
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           LEVENSHTEIN(SUBSTR(a.text, 1, 40), SUBSTR(b.text, 1, 40)) AS distance
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 15 AND b.doc_id < 15
+    """,
+)
+def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup measure (native ``levenshtein``, JVM-side) on
+    bounded prefixes/pairs — the character-level complement to token-level
+    Jaccard."""
+    docs = (
+        Catalog(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") < 15)
+        .select("doc_id", F.substring("text", 1, 40).alias("prefix"))
+    )
+    a = docs.select(F.col("doc_id").alias("d1"), F.col("prefix").alias("p1"))
+    b = docs.select(F.col("doc_id").alias("d2"), F.col("prefix").alias("p2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.levenshtein("p1", "p2").alias("distance"))
+    )
+
+
+@register(
     "q_ngram_jaccard",
     oracle="""
     WITH tok AS (

@@ -125,6 +125,68 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_running_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS moving_avg3
+    FROM orders
+    """,
+)
+def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec analytics: running total (unbounded preceding) + 3-row
+    moving average per customer — the window frames the reference never
+    needed (SURVEY §2.5), Catalyst-native.
+
+    Float note: each frame aggregates ≤ a few 2-dp values in a DETERMINISTIC
+    order (the frame's), so round(…,2)/round(…,6) are exact-grid stable."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return Catalog(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.round(
+            F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 6
+        ).alias("moving_avg3"),
+    )
+
+
+@register(
+    "q_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderpriority = '5-LOW')
+    """,
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL entry point — Catalyst
+    decorrelates to semi/anti joins (same IR as the DataFrame API, the
+    property the reference's dual dplyr/SQLite stack lacks; SURVEY §3.2)."""
+    from data_integration_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderpriority = '5-LOW')
+        """
+    )
+
+
+@register(
     "q_interval_join",
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id,
