@@ -237,6 +237,45 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "bucket_id")
 
 
+_H4 = (
+    "((STRPOS('0123456789abcdef', SUBSTR(h, 1, 1)) - 1) * 4096"
+    " + (STRPOS('0123456789abcdef', SUBSTR(h, 2, 1)) - 1) * 256"
+    " + (STRPOS('0123456789abcdef', SUBSTR(h, 3, 1)) - 1) * 16"
+    " + STRPOS('0123456789abcdef', SUBSTR(h, 4, 1)) - 1)"
+)
+
+
+@register(
+    "q_hash_sample",
+    oracle=f"""
+    WITH k AS (
+      SELECT l_orderkey, l_linenumber,
+             MD5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))
+               AS h
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber FROM k WHERE {_H4} < 6554
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via content hashing (md5 of the key →
+    16-bit bucket < 6554/65536). Unlike ``df.sample`` (partition-dependent
+    RNG), a hash sample is reproducible across runs, partitionings, and
+    engines — the only defensible sampling at 100 TB, and it composes with
+    incremental reruns (same rows stay sampled)."""
+    li = Catalog(spark, sf_dir)["lineitem"]
+    h = F.md5(
+        F.concat_ws(":", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"))
+    )
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+    return (
+        li.withColumn("_b", bucket)
+        .filter(F.col("_b") < 6554)
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
 @register(
     "q_merge_upsert",
     oracle="""

@@ -165,6 +165,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_normalized",
+    oracle="""
+    SELECT MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup: normalization (lowercase, whitespace collapse)
+    before fingerprinting — catches trivially-reformatted duplicates exact
+    dedup misses (dedup/exact.py with normalized=True)."""
+    from data_integration_spark.dedup.exact import exact_dedup
+
+    return exact_dedup(
+        Catalog(spark, sf_dir)["documents"], normalized=True
+    )
+
+
+@register(
     "q_levenshtein",
     oracle="""
     SELECT a.doc_id AS d1, b.doc_id AS d2,
