@@ -23,9 +23,13 @@ def mc_replicates(
 ) -> DataFrame:
     """Cross each row with replicate ids 1..R; optionally attach draw columns
     (e.g. ``seeded_normal(key, rep_col)``) evaluated per (row, rep)."""
+    # sequence over long bounds → array<bigint> → explode emits bigint
+    # (a cast around explode is illegal: generators must be top-level)
     out = df.select(
         "*",
-        F.explode(F.sequence(F.lit(1), F.lit(int(n_reps)))).alias(rep_col),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.lit(int(n_reps)).cast("long"))
+        ).alias(rep_col),
     )
     for name, expr in (draw_exprs or {}).items():
         out = out.withColumn(name, expr)

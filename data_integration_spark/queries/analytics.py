@@ -80,7 +80,7 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
     return (
-        rev.withColumn("rnk", F.row_number().over(w))
+        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 10)
         .select("o_orderkey", "revenue", "rnk")
     )
@@ -139,7 +139,7 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.transform("embedding", lambda x: x.cast("double"))
     return emb.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(
             F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x), 6
         ).alias("sq_norm"),

@@ -143,7 +143,7 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
         F.regexp_replace("c_name", "Customer", "C").alias("name_short"),
         F.when(F.col("c_name").like("%0"), 1).otherwise(0).alias("ends_zero"),

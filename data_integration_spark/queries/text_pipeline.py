@@ -37,11 +37,11 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir)["documents"]
     return docs.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
-        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias(
-            "n_word_tokens"
-        ),
-        F.length("text").alias("n_chars_computed"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
     )
 
 
@@ -206,7 +206,7 @@ def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(F.col("doc_id").alias("d2"), F.col("prefix").alias("p2"))
     return (
         a.join(b, F.col("d1") < F.col("d2"))
-        .select("d1", "d2", F.levenshtein("p1", "p2").alias("distance"))
+        .select("d1", "d2", F.levenshtein("p1", "p2").cast("long").alias("distance"))
     )
 
 

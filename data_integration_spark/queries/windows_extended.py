@@ -33,7 +33,10 @@ def q_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         Catalog(spark, sf_dir)["customer"]
         .select(
-            "c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rnk")
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rnk"),
         )
         .filter(F.col("rnk") <= 3)
     )

@@ -87,7 +87,7 @@ def cosine_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("mid"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("qid", "mid", "cosine", "rank")
     )

@@ -88,7 +88,7 @@ class IVFIndex:
         scored = cand.select("qid", "mid", cos.alias("cosine"))
         w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("mid"))
         return (
-            scored.withColumn("rank", F.row_number().over(w))
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("qid", "mid", "cosine", "rank")
         )

@@ -49,10 +49,35 @@ def _row_multiset(rows, col_order):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+_DUCK_TO_SPARK_TYPE = {
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp",
+    "DATE": "date",
+    "HUGEINT": "decimal(38,0)",
+}
+
+
+def _duck_schema(con, sql: str) -> dict[str, str]:
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    out = {}
+    for r in rows:
+        t = r[1].upper()
+        out[r[0].lower()] = _DUCK_TO_SPARK_TYPE.get(t, t.lower())
+    return out
+
+
 def compare(spark_df, con, sql: str, name: str) -> list[str]:
     """Returns a list of mismatch descriptions (empty = pass)."""
     errors: list[str] = []
     s_cols = [c.lower() for c in spark_df.columns]
+    s_types = {c.lower(): t for c, t in spark_df.dtypes}
     s_rows = [tuple(r) for r in spark_df.collect()]
     d = con.execute(sql)
     d_cols = [c[0].lower() for c in d.description]
@@ -60,6 +85,16 @@ def compare(spark_df, con, sql: str, name: str) -> list[str]:
 
     if sorted(s_cols) != sorted(d_cols):
         errors.append(f"{name}: column mismatch spark={s_cols} duck={d_cols}")
+        return errors
+    # declared-type parity (the driver checks schema, not just values)
+    d_types = _duck_schema(con, sql)
+    for c in s_cols:
+        if s_types[c] != d_types.get(c):
+            errors.append(
+                f"{name}: type mismatch on '{c}': spark={s_types[c]} "
+                f"duck={d_types.get(c)}"
+            )
+    if errors:
         return errors
     if len(s_rows) != len(d_rows):
         errors.append(f"{name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
