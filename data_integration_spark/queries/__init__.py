@@ -48,6 +48,7 @@ def load_all() -> None:
         multimodal_queries,
         relational,
         relational_extra,
+        scalar_surface,
         statistical,
         streaming_queries,
         text_pipeline,

@@ -1,0 +1,157 @@
+"""Nested-type and statistical-aggregate scalar surface: structs, array
+explode with position, arg-min/max aggregates, correlation/covariance,
+NULL-handling functions (reference F5 generalized)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_spark.queries import register
+from data_integration_spark.sources.catalog import Catalog
+
+
+@register(
+    "q_struct_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           ROUND(o_totalprice * 0.5, 6) AS half_price
+    FROM orders
+    """,
+)
+def q_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct create + field access (nested types the reference lacks):
+    pack columns into a struct, project fields back out — the round-trip
+    must be lossless."""
+    o = Catalog(spark, sf_dir)["orders"]
+    packed = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            (F.col("o_totalprice") * 0.5).alias("half_price"),
+        ).alias("info"),
+    )
+    return packed.select(
+        "o_orderkey",
+        F.col("info.status").alias("status"),
+        F.round("info.half_price", 6).alias("half_price"),
+    )
+
+
+@register(
+    "q_explode_tokens",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+                 FROM documents WHERE doc_id < 20)
+    SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, ts[u.i] AS token
+    FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts))) AS u(i)
+    """,
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → (row, position, element) — the UNNEST/flatten
+    shape every tokenization pipeline starts with."""
+    docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+@register(
+    "q_minby_maxby",
+    oracle="""
+    SELECT o_custkey,
+           ARG_MIN(o_orderkey, o_totalprice) AS cheapest_order,
+           ARG_MAX(o_orderkey, o_totalprice) AS priciest_order,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/arg-max aggregates (min_by/max_by): 'which row achieves the
+    extreme' without a self-join or window. Ties: o_totalprice values are
+    2-dp doubles over ≤ dozens of orders per customer — distinct in this
+    data; both engines pick the unique achiever."""
+    return (
+        Catalog(spark, sf_dir)["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "q_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / stddev aggregates — second-moment
+    statistics (irrational values → round-6/4 is engine-stable)."""
+    return (
+        Catalog(spark, sf_dir)["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        )
+    )
+
+
+@register(
+    "q_null_functions",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_custkey, c.c_acctbal, o.n_orders
+      FROM customer c
+      LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                 FROM orders GROUP BY o_custkey) o
+        ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_custkey,
+           COALESCE(n_orders, 0) AS n_orders_filled,
+           CAST(n_orders IS NULL AS INT) AS is_inactive,
+           NULLIF(COALESCE(n_orders, 0), 0) AS n_orders_or_null,
+           CASE WHEN n_orders IS NOT NULL THEN ROUND(c_acctbal / n_orders, 6) END
+             AS bal_per_order
+    FROM j
+    """,
+)
+def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface (reference F5 generalized): coalesce, IS NULL
+    indicators, nullif, and NULL-propagating arithmetic after an outer
+    join — the exact semantics the comparison table relies on."""
+    cat = Catalog(spark, sf_dir)
+    per_cust = (
+        cat["orders"].groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    )
+    j = cat["customer"].join(
+        per_cust, F.col("c_custkey") == F.col("o_custkey"), "left"
+    )
+    return j.select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders_filled"),
+        F.col("n_orders").isNull().cast("int").alias("is_inactive"),
+        F.nullif(F.coalesce("n_orders", F.lit(0)), F.lit(0)).alias(
+            "n_orders_or_null"
+        ),
+        F.when(
+            F.col("n_orders").isNotNull(),
+            F.round(F.col("c_acctbal") / F.col("n_orders"), 6),
+        ).alias("bal_per_order"),
+    )
