@@ -93,6 +93,59 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    queries_pd,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Brute-force top-k with the query block as a NumPy matrix inside a
+    ``mapInPandas`` closure: each Arrow batch of the corpus computes ALL
+    query cosines as one matrix multiply (BLAS), emitting (qid, mid, cosine)
+    rows; the top-k window runs engine-side.
+
+    This is the scale shape for (small query set × huge corpus): the query
+    matrix broadcasts via closure capture, the corpus streams through in
+    batches, and Python cost is one GEMM per batch instead of one HOF
+    evaluation per pair. Results are bit-compatible with ``cosine_topk``
+    (double math, same rounding).
+
+    ``queries_pd``: pandas DataFrame with columns (id_col, vec_col).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_ids = queries_pd[id_col].to_numpy()
+    Q = np.stack(queries_pd[vec_col].to_numpy()).astype(float)  # (nq, d)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            M = np.stack(pdf[vec_col].to_numpy()).astype(float)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            cos = np.round(Mn @ Qn.T, round_decimals)  # (nm, nq)
+            nm, nq = cos.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.tile(q_ids, nm),
+                    "mid": np.repeat(pdf[id_col].to_numpy(), nq),
+                    "cosine": cos.ravel(),
+                }
+            )
+
+    pairs = corpus.select(id_col, vec_col).mapInPandas(
+        score, "qid long, mid long, cosine double"
+    ).filter(F.col("qid") != F.col("mid"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("mid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "mid", "cosine", "rank")
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     dim: int,
