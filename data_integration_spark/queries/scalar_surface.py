@@ -113,6 +113,51 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_approx_distinct")  # rows-only: HLL sketch is engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts — the sketch that replaces
+    exact countDistinct at 100 TB (no giant distinct shuffle). Accuracy vs
+    exact is pinned in pytest (±5%); the sketch value itself is
+    engine-specific → rows-only."""
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+    )
+
+
+@register(
+    "q_map_functions",
+    oracle="""
+    SELECT o_orderkey,
+           'priority:' || o_orderpriority || ',status:' || o_orderstatus AS props_str,
+           o_orderstatus AS status_val
+    FROM orders
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: build a map column, access by key, flatten entries
+    to a canonical string (sorted keys) — the oracle recomputes the string
+    from base columns, proving the map round-trip is lossless."""
+    o = Catalog(spark, sf_dir)["orders"]
+    m = F.create_map(
+        F.lit("priority"), F.col("o_orderpriority"),
+        F.lit("status"), F.col("o_orderstatus"),
+    )
+    packed = o.select("o_orderkey", m.alias("props"))
+    entries = F.array_sort(
+        F.transform(
+            F.map_entries("props"),
+            lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+        )
+    )
+    return packed.select(
+        "o_orderkey",
+        F.concat_ws(",", entries).alias("props_str"),
+        F.element_at("props", "status").alias("status_val"),
+    )
+
+
 @register(
     "q_null_functions",
     oracle="""

@@ -128,3 +128,27 @@ def test_survey_mean_se_matches_numpy(spark_session_holder, data):
 @pytest.fixture(scope="module")
 def spark_session_holder(spark):
     return spark
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ approx counts within ±5% of exact (sketch accuracy contract)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: (r.p, r.s)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("p"),
+            F.countDistinct("l_suppkey").alias("s"),
+        )
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: (r.approx_parts, r.approx_supps)
+        for r in QUERIES["q_approx_distinct"](spark, SF).collect()
+    }
+    for k, (p, s) in exact.items():
+        ap, asu = approx[k]
+        assert abs(ap - p) <= max(2, 0.05 * p)
+        assert abs(asu - s) <= max(2, 0.05 * s)
