@@ -21,7 +21,9 @@ def shingle_df(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
 ) -> DataFrame:
     """(id, shingle) long table of distinct word n-grams."""
-    concat_parts = ", ' ', ".join(f"element_at(ts, i + {j})" for j in range(n))
+    # try_element_at: docs shorter than n tokens must yield NULL (filtered
+    # below), not an ANSI out-of-bounds error that kills the job
+    concat_parts = ", ' ', ".join(f"try_element_at(ts, i + {j})" for j in range(n))
     expr = (
         f"array_distinct(transform(sequence(1, greatest(size(ts) - {n - 1}, 1)),"
         f" i -> concat({concat_parts})))"
@@ -29,6 +31,9 @@ def shingle_df(
     return (
         df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ts"))
         .select(F.col(id_col), F.explode(F.expr(expr)).alias("shingle"))
+        # docs with fewer than n tokens produce NULL shingles (element_at
+        # past the end) — drop them rather than hashing NULL
+        .filter(F.col("shingle").isNotNull())
     )
 
 

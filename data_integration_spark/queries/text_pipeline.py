@@ -244,12 +244,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "array_distinct(transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> concat(element_at(split(text, ' '), i), ' ',"
-                " element_at(split(text, ' '), i + 1))))"
+                "array_distinct(transform("
+                " sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+                " i -> concat(try_element_at(split(text, ' '), i), ' ',"
+                " try_element_at(split(text, ' '), i + 1))))"
             )
         ).alias("s"),
-    )
+    ).filter(F.col("s").isNotNull())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
