@@ -277,6 +277,61 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stratified_sample",
+    oracle=f"""
+    WITH k AS (
+      SELECT o_orderkey, o_orderpriority,
+             MD5(CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority FROM k
+    WHERE {_H4} < CASE o_orderpriority
+                    WHEN '1-URGENT' THEN 32768 ELSE 6554 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum rates (50% of urgent
+    orders, 10% otherwise) via the same content-hash bucketing as
+    q_hash_sample — reproducible, engine-independent, and rerun-stable
+    (the sampling every curriculum/eval split pipeline needs)."""
+    o = Catalog(spark, sf_dir)["orders"]
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    rate = F.when(F.col("o_orderpriority") == "1-URGENT", 32768).otherwise(6554)
+    return (
+        o.withColumn("_b", bucket)
+        .filter(F.col("_b") < rate)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@register(
+    "q_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+             AS discounted_value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clauses / count_if): several
+    predicated statistics in ONE scan instead of one scan per predicate."""
+    li = Catalog(spark, sf_dir)["lineitem"]
+    disc = F.col("l_discount") > 0.05
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(disc).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        F.round(F.sum(F.when(disc, F.col("l_extendedprice"))), 2).alias(
+            "discounted_value"
+        ),
+    )
+
+
+@register(
     "q_merge_upsert",
     oracle="""
     WITH updates AS (

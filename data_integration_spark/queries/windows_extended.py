@@ -128,6 +128,27 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ntile_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: quartile assignment (ntile) + percent_rank over
+    a deterministic total order (balance, key tie-break)."""
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return Catalog(spark, sf_dir)["customer"].select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
     "q_running_window",
     oracle="""
     SELECT o_orderkey, o_custkey,

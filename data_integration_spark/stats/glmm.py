@@ -25,9 +25,15 @@ from data_integration_spark.stats.design import X_COLS, prep_design, x_beta_col
 class FixedEffectsGLM:
     """Binomial/logit GLM over the reference design (intercept + x1..x7)."""
 
-    def __init__(self, reg_param: float = 0.0, max_iter: int = 50):
+    def __init__(
+        self,
+        reg_param: float = 0.0,
+        max_iter: int = 50,
+        weight_col: str | None = None,
+    ):
         self.reg_param = reg_param
         self.max_iter = max_iter
+        self.weight_col = weight_col  # survey-weighted fit (svyglm analog)
         self.beta_: np.ndarray | None = None
 
     def fit(self, survey: DataFrame) -> "FixedEffectsGLM":
@@ -42,6 +48,7 @@ class FixedEffectsGLM:
             featuresCol="features",
             regParam=self.reg_param,
             maxIter=self.max_iter,
+            **({"weightCol": self.weight_col} if self.weight_col else {}),
         )
         model = glr.fit(assembled)
         self.beta_ = np.concatenate(

@@ -67,3 +67,17 @@ def test_em_modes_agree(spark, fixtures):
     assert fit_d.n_iter == fit_s.n_iter
     np.testing.assert_allclose(fit_d.beta_hat, fit_s.beta_hat, atol=1e-6)
     assert abs(fit_d.sigma_hat - fit_s.sigma_hat) < 1e-8
+
+
+def test_weighted_glm_equals_duplicated_rows(spark, fixtures):
+    """svyglm analog: integer case-weights must equal physically duplicated
+    rows (the defining property of a weighted likelihood fit)."""
+    import pandas as pd
+
+    pdf = fixtures["survey_small"]
+    sub = pdf[pdf["state"].isin(sorted(pdf["state"].unique())[:6])].copy()
+    sub["w2"] = (sub["ID"] % 3 + 1).astype("double")
+    weighted = FixedEffectsGLM(weight_col="w2").fit(spark.createDataFrame(sub))
+    dup = sub.loc[sub.index.repeat(sub["w2"].astype(int))]
+    duplicated = FixedEffectsGLM().fit(spark.createDataFrame(dup))
+    assert np.abs(weighted.beta_ - duplicated.beta_).max() < 1e-5
