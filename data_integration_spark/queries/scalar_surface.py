@@ -113,6 +113,63 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_array_ops",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+               FROM documents WHERE doc_id < 30)
+    SELECT doc_id,
+           ts[1] AS first_token,
+           ts[2:4] AS head_slice,
+           CAST(LIST_CONTAINS(ts, 'the') AS INT) AS has_the,
+           LIST_SORT(LIST_DISTINCT(ts[1:5]))::VARCHAR[] AS head_vocab
+    FROM t
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-operator surface: element access, slice, containment, distinct
+    + sort — over token arrays (bounded subset). DuckDB list slicing is
+    1-based inclusive: ts[2:4] == Spark slice(ts, 2, 3)."""
+    docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 30)
+    ts = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.try_element_at(ts, F.lit(1)).alias("first_token"),
+        F.slice(ts, 2, 3).alias("head_slice"),
+        F.array_contains(ts, "the").cast("int").alias("has_the"),
+        F.array_sort(F.array_distinct(F.slice(ts, 1, 5))).alias("head_vocab"),
+    )
+
+
+@register(
+    "q_regexp_functions",
+    oracle="""
+    SELECT doc_id,
+           REGEXP_EXTRACT(text, '([a-z]+) ([a-z]+)', 1) AS first_word,
+           CAST(REGEXP_MATCHES(text, 'value.*table|table.*value') AS INT)
+             AS has_value_table,
+           LEN(REGEXP_EXTRACT_ALL(text, 'scan')) AS n_scan,
+           REGEXP_REPLACE(text, '[0-9]+', '#', 'g') AS no_digits
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar surface: extract (group), boolean match, match count,
+    global replace — same RE2-compatible patterns on both engines."""
+    docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 40)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 1).alias("first_word"),
+        F.col("text").rlike("value.*table|table.*value").cast("int").alias(
+            "has_value_table"
+        ),
+        F.size(F.expr("regexp_extract_all(text, 'scan', 0)"))
+        .cast("long")
+        .alias("n_scan"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("no_digits"),
+    )
+
+
 @register("q_approx_distinct")  # rows-only: HLL sketch is engine-specific
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts — the sketch that replaces

@@ -69,7 +69,11 @@ def _duck_schema(con, sql: str) -> dict[str, str]:
     out = {}
     for r in rows:
         t = r[1].upper()
-        out[r[0].lower()] = _DUCK_TO_SPARK_TYPE.get(t, t.lower())
+        if t.endswith("[]"):  # list type → spark array<...>
+            inner = _DUCK_TO_SPARK_TYPE.get(t[:-2], t[:-2].lower())
+            out[r[0].lower()] = f"array<{inner}>"
+        else:
+            out[r[0].lower()] = _DUCK_TO_SPARK_TYPE.get(t, t.lower())
     return out
 
 
