@@ -56,9 +56,10 @@ def survey_mean_se(
     """Hájek weighted mean + Taylor-linearized SE per group (reference A8,
     ``svydesign`` + ``svyby(..., svymean)``, ``Rmd:459-462``).
 
-    SE for an element-sampling design with weights w_i:
+    SE for an element-sampling design with weights w_i (R's ``svymean`` for
+    an ``ids=~1`` design, INCLUDING its n/(n−1) finite-sample factor):
         ŷ_w = Σ w_i y_i / Σ w_i
-        SE  = sqrt( Σ (w_i (y_i − ŷ_w))² ) / Σ w_i
+        SE  = sqrt( n/(n−1) · Σ (w_i (y_i − ŷ_w))² ) / Σ w_i
     Expanded to sufficient statistics so one aggregation pass suffices:
         Σ w²(y−ŷ)² = Σ w²y² − 2 ŷ Σ w²y + ŷ² Σ w²
 
@@ -67,6 +68,8 @@ def survey_mean_se(
     non-null. This differs from the reference's manual weighted mean (A1,
     ``sum(y*w, na.rm)/sum(w)``) which keeps NULL rows' weights in the
     denominator; weighted_mean_by_group implements that convention.
+    Single-observation groups report SE = 0 (the n/(n−1) factor is skipped
+    to avoid 0/0; svymean would return NaN there).
     """
     group = [group] if isinstance(group, str) else list(group)
     v = _c(value)
@@ -77,11 +80,14 @@ def survey_mean_se(
         F.sum(w * w).alias("_sw2"),
         F.sum(w * w * v).alias("_sw2y"),
         F.sum(w * w * v * v).alias("_sw2y2"),
+        F.count(w).alias("_n"),
     )
     mean = F.col("_swy") / F.col("_sw")
     ss = F.col("_sw2y2") - 2.0 * mean * F.col("_sw2y") + mean * mean * F.col("_sw2")
+    n = F.col("_n")
+    fs = F.when(n > 1, n / (n - F.lit(1))).otherwise(F.lit(1.0))
     # numeric guard: ss can be ~ -1e-18 from cancellation
-    se = F.sqrt(F.greatest(ss, F.lit(0.0))) / F.col("_sw")
+    se = F.sqrt(fs * F.greatest(ss, F.lit(0.0))) / F.col("_sw")
     return agg.select(
         *group, mean.alias(mean_alias), se.alias(se_alias)
     )

@@ -32,11 +32,15 @@ def asof_join(
         c for c in right.columns if c not in (key, ts)
     ]
     lhs = left.withColumn("_side", F.lit(1))
+    # the right row's values ride as ONE struct so last(ignorenulls) attaches
+    # the latest right row ATOMICALLY — per-column last() would let a NULL
+    # field fall back to an OLDER right row's non-NULL value, mixing fields
+    # from different right rows in one output row.
     rhs = right.select(
         key,
         ts,
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_asof_row"),
     )
     tagged = lhs.unionByName(rhs, allowMissingColumns=True)
     # right rows (_side=0) sort before left rows at equal ts → equal-ts rights
@@ -46,16 +50,10 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = tagged.select(
-        "*",
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True)
-            .over(w)
-            .alias(f"_f_{c}")
-            for c in value_cols
-        ],
+    filled = tagged.withColumn(
+        "_f", F.last(F.col("_asof_row"), ignorenulls=True).over(w)
     )
-    out = filled.filter(F.col("_side") == 1).drop("_side")
-    for c in value_cols:
-        out = out.drop(f"{c}{suffix}").withColumnRenamed(f"_f_{c}", f"{c}{suffix}")
-    return out
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("_f").getField(c).alias(f"{c}{suffix}") for c in value_cols],
+    )

@@ -82,10 +82,45 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_features")  # rows-only: 32-byte hash arithmetic
+# Each feature element j is (byte[2j] + byte[2j+1]) / 2 / 255 of the payload's
+# sha256 (binary_ops.extract_features), so round(feature[j]*510) recovers the
+# exact integer byte-pair sum — DuckDB reproduces it with hex-digit arithmetic.
+_FEATURES_ORACLE = f"""
+WITH h AS (SELECT doc_id AS item_id, SHA256(text) AS hx FROM documents)
+SELECT item_id,
+       CAST(16 AS INT) AS dim,
+       CAST({' + '.join(_hexbyte_sql('hx', i) for i in range(32))}
+            AS BIGINT) AS byte_sum,
+       CAST({_hexbyte_sql('hx', 0)} + {_hexbyte_sql('hx', 1)}
+            AS BIGINT) AS first_pair
+FROM h
+"""
+
+
+@register("q_multimodal_features", oracle=_FEATURES_ORACLE)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction → fixed-dim array<float> (ann-ready)."""
-    return extract_features(_payload_df(spark, sf_dir))
+    """mapInPandas feature extraction → fixed-dim array<float> (ann-ready),
+    projected to a canonical scalar form for the cross-engine compare: the
+    driver's canonicalizer cannot hash raw list columns (round-1 failure),
+    so the registered query emits (dim, exact integer checksums) instead.
+    ``extract_features`` keeps the raw ``array<float>`` output for
+    programmatic use (similarity/ann.py consumes it directly).
+
+    The checksum is exact, not approximate: float32 holds each element with
+    ≤3e-5 absolute error after the ×510 rescale, so ``round`` recovers the
+    integer byte-pair sums bit-identically on both engines."""
+    feats = extract_features(_payload_df(spark, sf_dir))
+    ints = F.transform(
+        "feature", lambda x: F.round(x.cast("double") * 510.0).cast("long")
+    )
+    return feats.select(
+        "item_id",
+        F.size("feature").alias("dim"),
+        F.aggregate(ints, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "byte_sum"
+        ),
+        F.element_at(ints, 1).alias("first_pair"),
+    )
 
 
 @register("q_multimodal_frames")  # rows-only: UDTF shape (1 row → N rows)

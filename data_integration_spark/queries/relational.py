@@ -602,13 +602,15 @@ def q_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(SUM(l_quantity * l_quantity), 2) AS sw2,
              ROUND(SUM(l_quantity * l_quantity * l_extendedprice), 2) AS sw2y,
              ROUND(SUM(l_quantity * l_quantity * l_extendedprice * l_extendedprice), 4)
-               AS sw2y2
+               AS sw2y2,
+             COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
            swy / sw AS mean,
-           SQRT(GREATEST(sw2y2 - 2.0 * (swy / sw) * sw2y
-                         + (swy / sw) * (swy / sw) * sw2, 0.0)) / sw AS se
+           SQRT((CAST(n AS DOUBLE) / (n - 1))
+                * GREATEST(sw2y2 - 2.0 * (swy / sw) * sw2y
+                           + (swy / sw) * (swy / sw) * sw2, 0.0)) / sw AS se
     FROM s
     """,
 )
@@ -626,6 +628,7 @@ def q_survey_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(w * w), 2).alias("sw2"),
         F.round(F.sum(w * w * y), 2).alias("sw2y"),
         F.round(F.sum(w * w * y * y), 4).alias("sw2y2"),
+        F.count("*").alias("n"),
     )
     mean = F.col("swy") / F.col("sw")
     ss = (
@@ -633,10 +636,11 @@ def q_survey_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(2.0) * mean * F.col("sw2y")
         + mean * mean * F.col("sw2")
     )
+    fs = F.col("n").cast("double") / (F.col("n") - F.lit(1))
     return s.select(
         "l_returnflag",
         mean.alias("mean"),
-        (F.sqrt(F.greatest(ss, F.lit(0.0))) / F.col("sw")).alias("se"),
+        (F.sqrt(fs * F.greatest(ss, F.lit(0.0))) / F.col("sw")).alias("se"),
     )
 
 

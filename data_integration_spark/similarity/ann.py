@@ -191,24 +191,43 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "e",
     seed: int = 7,
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN pairs: bucket with random hyperplanes, join within bucket, verify
-    with exact (double) cosine. Misses across buckets are the accepted ANN
-    trade-off; raise ``n_planes`` bands for recall (multi-probe left for the
-    caller via multiple seeds)."""
-    b = hyperplane_lsh_buckets(df, dim, n_planes, seed, id_col, vec_col)
-    left = b.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "bucket"
+    with exact (double) cosine.
+
+    ``n_tables`` > 1 is the OR-construction (multi-probe): independent
+    seeded plane sets, each an (table, bucket) partition of the corpus; a
+    pair is a candidate if it collides in ANY table — the same band
+    structure ``dedup/minhash.py`` uses for Jaccard. Recall after L tables
+    with p = 1 − θ/π per plane is 1 − (1 − p^k)^L, so 4×8-plane tables
+    recover most of what a single 8-plane table misses, while the per-table
+    bucket join keeps candidate generation bucketed (never all-pairs) and
+    dense buckets stay split k-bits fine. Pair dedup happens BEFORE the
+    exact-cosine verify so each candidate is scored once."""
+    tables = []
+    for t in range(n_tables):
+        b = hyperplane_lsh_buckets(
+            df, dim, n_planes, seed + 7919 * t, id_col, vec_col
+        )
+        tables.append(b.withColumn("tbl", F.lit(t)))
+    allb = tables[0]
+    for b in tables[1:]:
+        allb = allb.unionByName(b)
+    left = allb.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "tbl", "bucket"
     )
-    right = b.select(
-        F.col(id_col).alias("mid"), F.col(vec_col).alias("me"), "bucket"
+    right = allb.select(
+        F.col(id_col).alias("mid"), F.col(vec_col).alias("me"), "tbl", "bucket"
+    )
+    cand = (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("qid") < F.col("mid"))
+        .dropDuplicates(["qid", "mid"])  # collapse multi-table collisions
     )
     qn, mn = _norm(F.col("qe")), _norm(F.col("me"))
     cos = F.round(_dot(F.col("qe"), F.col("me")) / (qn * mn), 6)
     return (
-        left.join(right, "bucket")
-        .filter(F.col("qid") < F.col("mid"))
-        .select("qid", "mid", cos.alias("cosine"))
+        cand.select("qid", "mid", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .distinct()
     )

@@ -42,14 +42,24 @@ def simulate_outcome(
     rep: int,
     id_col: str = "ID",
     seed: int = 99,
+    survey_tag: str = "",
 ) -> DataFrame:
     """Attach a simulated Bernoulli outcome under the fitted GLMM: distinct
-    v_b per (rep, area), distinct Bernoulli draw per (rep, unit)."""
+    v_b per (rep, area), distinct Bernoulli draw per (rep, unit).
+
+    ``survey_tag`` enters the Bernoulli hash key so the SMALL and BIG surveys
+    draw independent unit-level noise even when they share ID values — only
+    the area effect v_b (keyed by (state, rep) alone) is intentionally shared
+    between the two, matching the reference's independent ``rbinom`` calls
+    under a common v_b (``Rmd:569-579, 687-696``)."""
     prepped = prep_design(survey, with_outcome=False)
     v_b = seeded_normal("state", F.lit(rep), mean=0.0, sd=float(sigma), salt=seed)
     theta = expit(x_beta_col(beta) + v_b)
     return prepped.withColumn(
-        "demvote", bernoulli(theta, F.col(id_col), F.lit(rep), salt=seed + 1)
+        "demvote",
+        bernoulli(
+            theta, F.lit(survey_tag), F.col(id_col), F.lit(rep), salt=seed + 1
+        ),
     )
 
 
@@ -76,7 +86,9 @@ def parametric_bootstrap(
     parts: list[DataFrame] = []
     em_rows: list[dict] = []
     for b in range(1, n_reps + 1):
-        sim_small = simulate_outcome(small_survey, beta_fit, sigma_fit, b, seed=seed)
+        sim_small = simulate_outcome(
+            small_survey, beta_fit, sigma_fit, b, seed=seed, survey_tag="small"
+        )
         fit_b = em.fit(sim_small)
         em_rows.append(
             {"rep": b, "sigma": fit_b.sigma_hat,
@@ -88,7 +100,9 @@ def parametric_bootstrap(
         )
         est_b = _area_weighted_mean(scored, "y_ebp", "est")
         # step 4: simulated truth under the same v_b (Rmd:687-696)
-        sim_big = simulate_outcome(big_survey, beta_fit, sigma_fit, b, seed=seed)
+        sim_big = simulate_outcome(
+            big_survey, beta_fit, sigma_fit, b, seed=seed, survey_tag="big"
+        )
         true_b = _area_weighted_mean(sim_big, "demvote", "true")
         parts.append(
             est_b.join(true_b, "state").withColumn("rep", F.lit(b))

@@ -100,16 +100,30 @@ def error_summary(
     comp: DataFrame, actual_col: str, est_cols: Sequence[str]
 ) -> pd.DataFrame:
     """ASD/RASD/AAD per estimator against the actuals (``Rmd:481-507``),
-    NULL-skipping like the reference's ``na.rm=TRUE``."""
-    rows = []
-    for est in est_cols:
+    NULL-skipping like the reference's ``na.rm=TRUE``.
+
+    All estimators' aggregates run in ONE ``agg()`` pass (one Spark job
+    regardless of ``len(est_cols)``) — a per-estimator job loop would be the
+    per-group-scan shape SURVEY §4.1 criticizes in the reference."""
+    import math
+
+    aggs = []
+    for i, est in enumerate(est_cols):
         d = F.col(est) - F.col(actual_col)
-        r = comp.agg(
-            F.avg(d * d).alias("asd"),
-            F.sqrt(F.avg(d * d)).alias("rasd"),
-            F.avg(F.abs(d)).alias("aad"),
-        ).collect()[0]
-        rows.append({"estimator": est, "asd": r.asd, "rasd": r.rasd, "aad": r.aad})
+        aggs.append(F.avg(d * d).alias(f"_asd_{i}"))
+        aggs.append(F.avg(F.abs(d)).alias(f"_aad_{i}"))
+    r = comp.agg(*aggs).collect()[0]
+    rows = []
+    for i, est in enumerate(est_cols):
+        asd = r[f"_asd_{i}"]
+        rows.append(
+            {
+                "estimator": est,
+                "asd": asd,
+                "rasd": None if asd is None else math.sqrt(asd),
+                "aad": r[f"_aad_{i}"],
+            }
+        )
     return pd.DataFrame(rows)
 
 

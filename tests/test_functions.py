@@ -65,11 +65,13 @@ def test_weighted_mean_by_group(spark):
 
 
 def test_survey_mean_se_hand_computed(spark):
-    # y=[1,2], w=[1,1]: mean=1.5 ; SE = sqrt((1*(1-1.5))^2 + (1*(2-1.5))^2)/2
+    # y=[1,2], w=[1,1]: mean=1.5 ;
+    # SE = sqrt(n/(n-1) * ((1*(1-1.5))^2 + (1*(2-1.5))^2))/2 (svymean's
+    # finite-sample factor, n=2)
     df = spark.createDataFrame([Row(g="a", y=1.0, w=1.0), Row(g="a", y=2.0, w=1.0)])
     r = survey_mean_se(df, "g", "y", "w").collect()[0]
     assert abs(r["mean"] - 1.5) < 1e-12
-    assert abs(r["se"] - math.sqrt(0.25 + 0.25) / 2) < 1e-12
+    assert abs(r["se"] - math.sqrt(2.0 * (0.25 + 0.25)) / 2) < 1e-12
 
 
 def test_error_measures_hand_computed(spark):

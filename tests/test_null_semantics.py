@@ -50,7 +50,8 @@ def test_survey_se_with_nulls(spark):
     # svymean(na.rm=TRUE) semantics: the NULL row is dropped entirely,
     # weight included — mean over the 2 observed rows
     assert abs(r["mean"] - 1.5) < 1e-12
-    se_expected = math.sqrt((1 - 1.5) ** 2 + (2 - 1.5) ** 2) / 2.0
+    # n counts only the 2 observed rows → finite-sample factor n/(n-1) = 2
+    se_expected = math.sqrt(2.0 * ((1 - 1.5) ** 2 + (2 - 1.5) ** 2)) / 2.0
     assert abs(r["se"] - se_expected) < 1e-12
 
 

@@ -126,6 +126,48 @@ def test_cosine_topk_and_lsh_precision(spark):
     assert lsh <= bf
 
 
+def test_lsh_multiprobe_recall_improves(spark):
+    """OR-construction recall: 4 tables must recover ≥ the single-table
+    candidate pairs (superset property) and reach high absolute recall vs
+    the exact brute-force pairs on a clustered synthetic corpus."""
+    import math as _math
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    # 12 cluster centers × 5 jittered members → many true near pairs
+    for c in range(12):
+        center = [rng.gauss(0, 1) for _ in range(8)]
+        nc = _math.sqrt(sum(x * x for x in center))
+        center = [x / nc for x in center]
+        for m in range(5):
+            v = [x + rng.gauss(0, 0.05) for x in center]
+            rows.append(Row(vec_id=c * 5 + m, embedding=v))
+    df = spark.createDataFrame(rows).select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    bf = {
+        (r.qid, r.mid)
+        for r in cosine_pairs(df, df, threshold=0.9).collect()
+        if r.qid < r.mid
+    }
+    single = {
+        (r.qid, r.mid)
+        for r in lsh_cosine_pairs(
+            df, dim=8, n_planes=6, threshold=0.9, n_tables=1
+        ).collect()
+    }
+    multi = {
+        (r.qid, r.mid)
+        for r in lsh_cosine_pairs(
+            df, dim=8, n_planes=6, threshold=0.9, n_tables=4
+        ).collect()
+    }
+    assert single <= multi <= bf  # precision stays exact, recall only grows
+    assert len(multi) > len(single)  # strictly better on this corpus
+    assert len(multi) >= 0.9 * len(bf)  # high absolute recall with 4 tables
+
+
 def test_asof_join_semantics(spark):
     purchases = spark.createDataFrame(
         [Row(event_id=10, user_id=1, ts=5.0), Row(event_id=11, user_id=1, ts=1.0)]

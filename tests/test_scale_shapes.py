@@ -120,7 +120,10 @@ def test_survey_mean_se_matches_numpy(spark_session_holder, data):
     y = np.array([d[0] for d in data])
     w = np.array([d[1] for d in data])
     mean = float((w * y).sum() / w.sum())
-    se = float(math.sqrt(((w * (y - mean)) ** 2).sum()) / w.sum())
+    n = len(data)
+    se = float(
+        math.sqrt((n / (n - 1)) * ((w * (y - mean)) ** 2).sum()) / w.sum()
+    )
     assert abs(r["mean"] - mean) < 1e-8 * max(1, abs(mean))
     assert abs(r["se"] - se) < 1e-8 * max(1, abs(se))
 
