@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 
 from data_integration_spark.queries import register
 from data_integration_spark.sources.catalog import Catalog
+from data_integration_spark.streaming.joins import (
+    clicks_before_purchase,
+    dedupe_events,
+)
 from data_integration_spark.streaming.windows import (
     sessionize,
     sliding_counts,
@@ -26,6 +30,18 @@ from data_integration_spark.streaming.windows import (
 )
 
 _SCRATCH = "/root/repo/.scratch"
+
+
+def _replay_dir(spark: SparkSession, sf_dir: str, name: str, df, copies: int = 1):
+    """Write a batch frame to a scratch dir for file-source replay; returns
+    (src_path, schema)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"{_SCRATCH}/{name}_{tag}"
+    shutil.rmtree(src, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    for _ in range(copies - 1):
+        df.coalesce(1).write.mode("append").parquet(src)
+    return src, spark.read.parquet(src).schema
 
 
 @register(
@@ -127,4 +143,84 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
         "event_type",
         "n",
+    )
+
+
+@register(
+    "q_streaming_dedup",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: every event delivered TWICE through a
+    file source, ``dropDuplicatesWithinWatermark(event_id)`` emits each
+    exactly once — the deduped stream equals the original events table
+    (streaming/joins.py::dedupe_events; batch/stream equivalence also in
+    tests/test_streaming_joins.py)."""
+    ev = Catalog(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    src, schema = _replay_dir(spark, sf_dir, "dedup_src", ev, copies=2)
+    stream_in = spark.readStream.schema(schema).parquet(src)
+    q = (
+        dedupe_events(stream_in)
+        .select("event_id", "event_type")
+        .writeStream.format("memory")
+        .queryName("t2_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql("SELECT event_id, event_type FROM t2_dedup_stream")
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+           ROUND(c.value, 2) AS click_value
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (attribution shape): clicks within 1 h
+    before each purchase, both sides replayed through a file source with
+    watermarks. A single availableNow batch holds both sides' state fully,
+    so the emitted inner-join pairs equal the batch join exactly — the
+    incremental-replay variant (maxFilesPerTrigger=1, state eviction
+    between batches) is certified separately in
+    tests/test_streaming_joins.py."""
+    ev = Catalog(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    src, schema = _replay_dir(spark, sf_dir, "ssjoin_src", ev)
+    stream_in = spark.readStream.schema(schema).parquet(src)
+    clicks = stream_in.filter(F.col("event_type") == "click")
+    purchases = stream_in.filter(F.col("event_type") == "purchase")
+    q = (
+        clicks_before_purchase(clicks, purchases, lookback="1 hour")
+        .writeStream.format("memory")
+        .queryName("t2_ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        """
+        SELECT purchase_id, user_id,
+               DATE_FORMAT(p_ts, 'yyyy-MM-dd HH:mm:ss') AS p_ts,
+               DATE_FORMAT(c_ts, 'yyyy-MM-dd HH:mm:ss') AS c_ts,
+               ROUND(click_value, 2) AS click_value
+        FROM t2_ss_join
+        """
     )

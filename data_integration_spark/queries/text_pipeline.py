@@ -232,13 +232,14 @@ def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes s1 ON s1.doc_id = d1
     JOIN sizes s2 ON s2.doc_id = d2
-    WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.2
+    WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.05
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram (word-bigram) Jaccard near-dup pairs — the exact verifier that
     follows MinHash candidate generation at scale; bounded here to
-    ``doc_id < 60`` exactly as a candidate stage would bound it."""
+    ``doc_id < 60`` exactly as a candidate stage would bound it (threshold
+    0.05 so the check set is non-empty at every test SF)."""
     docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 60)
     sh = docs.select(
         "doc_id",
@@ -263,6 +264,6 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(F.broadcast(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))), "d1")
         .join(F.broadcast(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))), "d2")
-        .filter(jac >= 0.2)
+        .filter(jac >= 0.05)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )

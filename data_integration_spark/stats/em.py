@@ -155,18 +155,24 @@ class EMEstimator:
 
         # standard-normal draw table (r, state, z): generated ONCE in Spark
         # with hash seeding → identical in both modes and any partitioning.
-        draws_pd = self._draws_df(spark, states).toPandas()
-        self._z_base = np.zeros((self.n_reps, len(states)))
-        self._z_base[
-            draws_pd["r"].to_numpy() - 1,
-            draws_pd["state"].map(s_idx).to_numpy(),
-        ] = draws_pd["z"].to_numpy()
-
+        # Driver mode collects it (cells fit on the driver by definition of
+        # the mode); distributed mode NEVER materializes the R×S table on
+        # the driver — E2/E3 moments run as Spark aggregations over the
+        # cached draw table, and E4 over the cells×draws skeleton.
+        draws_sp = self._draws_df(spark, states)
         skeleton = None
         if mode == "distributed":
-            draws_sp = spark.createDataFrame(draws_pd)
+            self._z_base = None
+            draws_sp = draws_sp.cache()
             skeleton = cells_df.join(F.broadcast(draws_sp), "state").cache()
             skeleton.count()
+        else:
+            draws_pd = draws_sp.toPandas()
+            self._z_base = np.zeros((self.n_reps, len(states)))
+            self._z_base[
+                draws_pd["r"].to_numpy() - 1,
+                draws_pd["state"].map(s_idx).to_numpy(),
+            ] = draws_pd["z"].to_numpy()
 
         history: list[dict] = []
         converged = False
@@ -194,10 +200,21 @@ class EMEstimator:
             # reference's fresh rnorm per call (Rmd:283), the MC objective is
             # then a fixed function and the outer loop converges monotonically
             # instead of rattling inside MC noise. Documented deviation.
-            v_tilde = v_hat[None, :] + np.sqrt(tau_sq)[None, :] * self._z_base
-            # E3: closed-form σ M-step (exact optimum of Rmd:301-310)
-            n_v_sq = (v_tilde * v_tilde) @ ni  # per-replicate Σ ni·v²
-            sigma_sq = float(np.mean(n_v_sq)) / max(n_total - 2.0, 1.0)
+            # E3: closed-form σ M-step (exact optimum of Rmd:301-310):
+            # σ̂² = mean_r(Σ_s ni_s·v²_{r,s}) / (n−2). Driver mode: NumPy on
+            # the collected z matrix. Distributed mode: ONE Spark sum over
+            # the (r, state, z) draw table — v_tilde and the ni lookup are
+            # map-literal expressions, nothing R×S touches the driver.
+            if mode == "distributed":
+                mean_nvsq = self._mean_nvsq_spark(
+                    draws_sp, states, ni, v_hat, tau_sq
+                )
+            else:
+                v_tilde = (
+                    v_hat[None, :] + np.sqrt(tau_sq)[None, :] * self._z_base
+                )
+                mean_nvsq = float(np.mean((v_tilde * v_tilde) @ ni))
+            sigma_sq = mean_nvsq / max(n_total - 2.0, 1.0)
             sigma_new = math.sqrt(
                 min(max(sigma_sq, self.sigma_sq_bounds[0]), self.sigma_sq_bounds[1])
             )
@@ -222,6 +239,7 @@ class EMEstimator:
         cells_df.unpersist()
         if skeleton is not None:
             skeleton.unpersist()
+            draws_sp.unpersist()
 
         v_hat_pd = pd.DataFrame(
             {"state": states, "ni": ni.astype("int64"), "v_hat": v_hat,
@@ -237,6 +255,44 @@ class EMEstimator:
             "state",
             F.explode(F.sequence(F.lit(1), F.lit(self.n_reps))).alias("r"),
         ).withColumn("z", seeded_normal("state", "r", salt=self.seed))
+
+    def _mean_nvsq_spark(
+        self,
+        draws_sp: DataFrame,
+        states: list[str],
+        ni: np.ndarray,
+        v_hat: np.ndarray,
+        tau_sq: np.ndarray,
+    ) -> float:
+        """E2+E3 moment as one Spark aggregation over the (r, state, z)
+        draw table: mean_r Σ_s ni_s·(v̂_s + τ̂_s·z)². The per-state scalars
+        ride as map literals (≤51 entries) — no join, no driver R×S table."""
+        vh = F.create_map(
+            *[
+                x
+                for i, s in enumerate(states)
+                for x in (F.lit(s), F.lit(float(v_hat[i])))
+            ]
+        )
+        th = F.create_map(
+            *[
+                x
+                for i, s in enumerate(states)
+                for x in (F.lit(s), F.lit(float(math.sqrt(tau_sq[i]))))
+            ]
+        )
+        nim = F.create_map(
+            *[
+                x
+                for i, s in enumerate(states)
+                for x in (F.lit(s), F.lit(float(ni[i])))
+            ]
+        )
+        v_t = vh[F.col("state")] + th[F.col("state")] * F.col("z")
+        total = draws_sp.agg(
+            F.sum(nim[F.col("state")] * v_t * v_t).alias("t")
+        ).collect()[0]["t"]
+        return float(total) / float(self.n_reps)
 
     def _laplace_spark(
         self,
