@@ -167,6 +167,26 @@ class Engine:
             )
         return final_report(self.spark, comp, mspe)
 
+    def save_maps(self, out_dir: str, columns: tuple[str, ...] = ()) -> list[str]:
+        """S4 choropleth sinks (``Rmd:513-549``: ``plot_usmap`` of actual /
+        direct / EBP): one SVG tile-grid map per estimator column of the
+        comparison table, written to ``out_dir``. Defaults to every non-key
+        column present."""
+        import os
+
+        from data_integration_spark.viz import save_choropleth
+
+        comp = self.comparison()
+        cols = list(columns) or [c for c in comp.columns if c != "state"]
+        os.makedirs(out_dir, exist_ok=True)
+        return [
+            save_choropleth(
+                comp, os.path.join(out_dir, f"map_{c}.svg"),
+                value_col=c, title=c,
+            )
+            for c in cols
+        ]
+
 
 def em_on_simulated(
     spark: SparkSession,

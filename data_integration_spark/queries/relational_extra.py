@@ -400,3 +400,39 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n"), F.round(F.sum("pq"), 2).alias("sum_qty")
     )
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 columnar-format breadth: ORC write + re-read (native Spark ORC
+    datasource, same predicate-pushdown/column-pruning machinery as
+    parquet). The oracle recomputes from the base table — the roundtrip
+    must be lossless."""
+    out = Catalog(spark, sf_dir)["supplier"].select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+    path = os.path.join(_SCRATCH, "orc_roundtrip")
+    out.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register(
+    "q_jsonl_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 JSON-lines sink + schema'd re-read (the interchange format LLM
+    data pipelines actually move documents in)."""
+    out = Catalog(spark, sf_dir)["region"].select("r_regionkey", "r_name")
+    path = os.path.join(_SCRATCH, "jsonl_roundtrip")
+    out.write.mode("overwrite").json(path)
+    return spark.read.schema("r_regionkey int, r_name string").json(path)
