@@ -144,3 +144,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 64-bit SimHash fingerprints (near-dup pairing in pytest)."""
     docs = Catalog(spark, sf_dir)["documents"]
     return simhash64(docs)
+
+
+@register("q_ann_lsh_topk")  # rows-only: probed-set ranks, seeds internal
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 per query via multi-table LSH bucket probing +
+    exact re-rank of the probed set (similarity/ann.py::lsh_topk) — the
+    scale path when the query set is itself too large to broadcast. Recall
+    vs exact top-k is pinned in tests/test_operators.py."""
+    from data_integration_spark.similarity.ann import lsh_topk
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    return lsh_topk(
+        emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5, n_tables=4
+    )

@@ -224,3 +224,44 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t2_ss_join
         """
     )
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    SELECT o.o_orderkey, c.c_nationkey,
+           ROUND(o.o_totalprice, 2) AS totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 150000
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: an orders stream (file-source replay)
+    joined to the static customer dimension — the dimension side is a plain
+    batch frame Spark broadcasts to every micro-batch, the canonical
+    stream-enrichment shape. Inner stream-static joins emit immediately
+    (no watermark needed), so availableNow replay equals the batch join
+    exactly → full oracle."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    src, schema = _replay_dir(spark, sf_dir, "ssta_src", orders)
+    stream_in = spark.readStream.schema(schema).parquet(src)
+    dim = cat["customer"].select("c_custkey", "c_nationkey")
+    joined = (
+        stream_in.filter(F.col("o_totalprice") > 150000)
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            "c_nationkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t2_ss_static")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql("SELECT * FROM t2_ss_static")

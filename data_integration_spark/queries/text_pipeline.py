@@ -267,3 +267,125 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.05)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "q_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.t AS term
+      FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts
+            FROM documents WHERE doc_id < 100),
+           UNNEST(ts) AS u(t)
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    )
+    SELECT doc_id, term, tf, rnk
+    FROM (SELECT doc_id, term, tf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tf DESC, term) AS rnk
+          FROM tf)
+    WHERE rnk <= 3
+    """,
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k terms by frequency (deterministic tie-break on the
+    term) — the vocabulary-inspection shape of corpus curation. explode →
+    two-level agg → windowed top-k, all engine-side; the window partitions
+    by doc so no global sort ever happens."""
+    docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias(
+            "term"
+        ),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        tf.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "rnk")
+    )
+
+
+@register(
+    "q_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, u.t AS term
+      FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts
+            FROM documents),
+           UNNEST(ts) AS u(t)
+    ),
+    tf AS (
+      SELECT doc_id, u.t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts
+            FROM documents),
+           UNNEST(ts) AS u(t)
+      GROUP BY doc_id, u.t
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * LN((1.0 + n.n_docs) / (1.0 + df.df)), 6) AS tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    WHERE tf.doc_id < 40
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the corpus (smoothed idf = ln((1+N)/(1+df))): term
+    frequencies per doc, document frequencies across the corpus, joined on
+    the term. At 100 TB the df table is vocabulary-sized (≪ corpus) and
+    broadcast; the tf side shuffles once on (doc, term) — no row ever
+    carries the raw text past tokenization. Output restricted to
+    doc_id < 40 to keep the t2 check small; the full frame is the
+    library-level result."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias(
+            "term"
+        ),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tok.dropDuplicates(["doc_id", "term"]).groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df")))
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+@register("q_stratified_sample")  # rows-only: xxhash64 has no DuckDB twin
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample + leakage-safe train/test split over
+    documents (operators/sampling.py): per-language fractions, membership a
+    pure function of doc_id — identical on any partitioning/cluster.
+    Determinism, proportions, and split-exclusivity are pinned in
+    tests/test_sampling.py."""
+    from data_integration_spark.operators.sampling import (
+        stratified_sample,
+        train_test_split,
+    )
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    lang = F.when(F.col("doc_id") % 3 == 0, "en").otherwise("other")
+    tagged = docs.withColumn("lang", lang)
+    sampled = stratified_sample(
+        tagged, "lang", {"en": 0.5, "other": 0.2}, key_cols=["doc_id"], salt=11
+    )
+    return train_test_split(
+        sampled, 0.25, key_cols=["doc_id"], salt=12
+    ).select("doc_id", "lang", "split")

@@ -231,3 +231,66 @@ def lsh_cosine_pairs(
         cand.select("qid", "mid", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    seed: int = 7,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Approximate top-k search: queries and corpus are bucketed by the SAME
+    multi-table hyperplane LSH (OR-construction); a query only scores
+    corpus vectors sharing a bucket in ≥1 table, then an exact-cosine
+    window takes the top-k of the probed set.
+
+    This is the query-time shape of the multi-probe index: per table the
+    probe is a bucket-equi-join (shuffle on (tbl, bucket), AQE-skew-safe),
+    candidates dedup on (qid, mid) before scoring, and the final window
+    partitions by query. Corpus vectors never cross-join queries. Ranks are
+    relative to the PROBED set — recall vs the exact top-k is the measured
+    trade (tests/test_operators.py pins it ≥0.8 with 4 tables on clustered
+    data)."""
+    q_b, c_b = [], []
+    for t in range(n_tables):
+        qb = hyperplane_lsh_buckets(
+            queries, dim, n_planes, seed + 7919 * t, id_col, vec_col
+        ).withColumn("tbl", F.lit(t))
+        cb = hyperplane_lsh_buckets(
+            corpus, dim, n_planes, seed + 7919 * t, id_col, vec_col
+        ).withColumn("tbl", F.lit(t))
+        q_b.append(qb)
+        c_b.append(cb)
+    qall, call = q_b[0], c_b[0]
+    for b in q_b[1:]:
+        qall = qall.unionByName(b)
+    for b in c_b[1:]:
+        call = call.unionByName(b)
+    left = qall.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "tbl", "bucket"
+    )
+    right = call.select(
+        F.col(id_col).alias("mid"), F.col(vec_col).alias("me"), "tbl", "bucket"
+    )
+    cand = (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("mid"))
+        .dropDuplicates(["qid", "mid"])
+    )
+    qn, mn = _norm(F.col("qe")), _norm(F.col("me"))
+    cos = F.round(
+        _dot(F.col("qe"), F.col("me")) / (qn * mn), round_decimals
+    )
+    scored = cand.select("qid", "mid", cos.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("mid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "mid", "cosine", "rank")
+    )

@@ -192,3 +192,35 @@ def test_asof_join_equal_ts_included(spark):
     right = spark.createDataFrame([Row(user_id=1, ts=3.0, value=7.0)])
     out = asof_join(left, right, key="user_id", ts="ts").collect()[0]
     assert out.value_asof == 7.0
+
+
+def test_lsh_topk_recall_on_clustered_corpus(spark):
+    """lsh_topk recall vs the exact brute-force top-k: ≥0.8 with 4 tables
+    on clustered vectors (the regime LSH exists for)."""
+    import math as _math
+    import random
+
+    from data_integration_spark.similarity.ann import cosine_topk, lsh_topk
+
+    rng = random.Random(17)
+    rows = []
+    for c in range(10):
+        center = [rng.gauss(0, 1) for _ in range(8)]
+        nc = _math.sqrt(sum(x * x for x in center))
+        center = [x / nc for x in center]
+        for m in range(8):
+            v = [x + rng.gauss(0, 0.08) for x in center]
+            rows.append(Row(vec_id=c * 8 + m, embedding=v))
+    df = spark.createDataFrame(rows).select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    q = df.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.qid, r.mid) for r in cosine_topk(q, df, k=3).collect()
+    }
+    approx = {
+        (r.qid, r.mid)
+        for r in lsh_topk(q, df, dim=8, k=3, n_planes=6, n_tables=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8
