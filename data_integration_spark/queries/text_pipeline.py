@@ -368,11 +368,13 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stratified_sample")  # rows-only: xxhash64 has no DuckDB twin
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q_train_test_split")  # rows-only: xxhash64 has no DuckDB twin
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample + leakage-safe train/test split over
     documents (operators/sampling.py): per-language fractions, membership a
-    pure function of doc_id — identical on any partitioning/cluster.
+    pure function of doc_id — identical on any partitioning/cluster (the
+    md5-bucket variant with a full oracle is q_stratified_sample in
+    relational_extra.py; this one exercises the xxhash64 operator API).
     Determinism, proportions, and split-exclusivity are pinned in
     tests/test_sampling.py."""
     from data_integration_spark.operators.sampling import (
