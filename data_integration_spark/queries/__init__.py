@@ -32,6 +32,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     or not SQL-expressible — the driver contract's escape hatch)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:  # a silent shadow would drop a query + oracle
+            raise ValueError(
+                f"duplicate t2 query name {name!r}: already registered by "
+                f"{QUERIES[name].__module__}"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -265,3 +265,46 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.sql("SELECT * FROM t2_ss_static")
+
+
+@register(
+    "q_stateful_stream",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS total,
+           ROUND(ROUND(SUM(value), 2) / COUNT(*), 6) AS mean
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    (n, total, mean) folded in the state store. Replayed availableNow in
+    one batch, each user's single update-mode emission IS the final state,
+    which must equal the batch GROUP BY — a stream/batch equivalence the
+    oracle checks directly. The evicting (ProcessingTimeTimeout) variant is
+    certified in tests/test_stateful_streaming.py."""
+    from data_integration_spark.streaming.stateful import (
+        running_user_stats_replay,
+    )
+
+    ev = Catalog(spark, sf_dir)["events"].select("user_id", "ts", "value")
+    src, schema = _replay_dir(spark, sf_dir, "stateful_src", ev)
+    stream_in = spark.readStream.schema(schema).parquet(src)
+    q = (
+        running_user_stats_replay(stream_in)
+        .writeStream.format("memory")
+        .queryName("t2_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # grid-round the float total (reduction orders differ across engines),
+    # derive the mean from the rounded total so both engines do identical
+    # IEEE ops
+    return spark.sql(
+        """
+        SELECT user_id, n, ROUND(total, 2) AS total,
+               ROUND(ROUND(total, 2) / n, 6) AS mean
+        FROM t2_stateful
+        """
+    )

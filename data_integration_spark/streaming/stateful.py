@@ -61,3 +61,42 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def _update_running_stats_no_timeout(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Timeout-free fold (replay/backfill flavor): same state math, no
+    eviction timer — an availableNow replay terminates as soon as the data
+    is drained (ProcessingTimeTimeout needs extra timer batches and keeps
+    the query alive; see tests/test_stateful_streaming.py)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n": [n],
+            "total": [total],
+            "mean": [total / n if n else 0.0],
+        }
+    )
+
+
+def running_user_stats_replay(events: DataFrame) -> DataFrame:
+    """``running_user_stats`` without eviction — the bounded-replay variant
+    whose final per-user emission equals the batch groupBy exactly."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_running_stats_no_timeout,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

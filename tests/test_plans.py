@@ -88,3 +88,46 @@ def test_ebp_scoring_single_shuffle_chain(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert count_shuffles(df) <= 3, plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew handling: a join keyed 90% on one value must show
+    skew-handled SMJ partitions (skew=true) in the executed plan once the
+    skew thresholds are in range — the mechanism that saves the 100 TB
+    join when one customer/domain dominates."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 150k rows on key 0 (with a fat payload), 100 rows elsewhere
+        left = spark.range(150_000).select(
+            F.when(F.col("id") < 149_900, 0).otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        joined = left.join(right, "k")
+        # collect through THIS DataFrame: .count() would build a new
+        # Dataset whose execution never finalizes joined's adaptive plan
+        assert len(joined.collect()) == 150_000
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
