@@ -436,3 +436,58 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_SCRATCH, "jsonl_roundtrip")
     out.write.mode("overwrite").json(path)
     return spark.read.schema("r_regionkey int, r_name string").json(path)
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT n_nationkey AS nationkey, m.metric, m.val
+    FROM nation,
+         LATERAL (VALUES ('regionkey', CAST(n_regionkey AS DOUBLE)),
+                         ('name_len', CAST(LENGTH(n_name) AS DOUBLE)))
+           AS m(metric, val)
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) via native ``unpivot`` — the inverse of
+    q_pivot; long form is the shuffle-friendly shape for per-metric
+    aggregation at scale (no per-metric column explosion)."""
+    n = Catalog(spark, sf_dir)["nation"].select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_regionkey").cast("double").alias("regionkey"),
+        F.length("n_name").cast("double").alias("name_len"),
+    )
+    return n.unpivot(
+        ids=["nationkey"],
+        values=["regionkey", "name_len"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    SELECT r_regionkey,
+           CASE WHEN r_regionkey >= 3 THEN 'new' ELSE NULL END AS batch_tag
+    FROM region
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches with different
+    schemas (a column added later) merged by ``mergeSchema=true`` — old
+    rows surface NULL for the new column. The lake-ingest reality every
+    long-lived 100 TB table hits; without mergeSchema the scan would pin
+    whichever footer it sampled."""
+    path = os.path.join(_SCRATCH, "schema_evolution")
+    shutil.rmtree(path, ignore_errors=True)
+    region = Catalog(spark, sf_dir)["region"]
+    region.filter(F.col("r_regionkey") < 3).select("r_regionkey").write.mode(
+        "overwrite"
+    ).parquet(path)
+    region.filter(F.col("r_regionkey") >= 3).select(
+        "r_regionkey", F.lit("new").alias("batch_tag")
+    ).write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path).select(
+        "r_regionkey", "batch_tag"
+    )
