@@ -15,8 +15,56 @@ tables are exposed lazily — no eager materialization.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+_PYFILE_SHIPPED: set[str] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    The external driver loads ``__spark_entry__.py`` by file path from an
+    arbitrary cwd and patches only the DRIVER process's ``sys.path``;
+    executor Python workers inherit neither, so any closure that references
+    a module-level symbol (mapInPandas decoders, applyInPandasWithState
+    folds, the Laplace solver) dies with ModuleNotFoundError unless the
+    package travels with the job. A zip of the package is (re)built under
+    ``.scratch`` when stale and added once per SparkContext — executors
+    zipimport it on their next task."""
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _PYFILE_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(pkg_dir)
+    scratch = os.path.join(repo, ".scratch")
+    os.makedirs(scratch, exist_ok=True)
+    zip_path = os.path.join(scratch, "data_integration_spark_pkg.zip")
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    newest = max(os.path.getmtime(p) for p in sources)
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for p in sorted(sources):
+                z.write(p, os.path.relpath(p, repo))
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    # right-size shuffles for the local test scale, but ONLY when the
+    # session still carries Spark's out-of-the-box default — a deliberate
+    # driver/user setting is never overridden
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
+    _PYFILE_SHIPPED.add(app)
+
 
 TPCH_TABLES = (
     "region",
@@ -46,6 +94,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # defensive: the harness may hand us a session built without this conf —
     # it is runtime-settable and required to read TIMESTAMP(NANOS) parquet
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # defensive: executor workers must be able to import this package even
+    # when the driver session/cwd is foreign (see ensure_worker_imports)
+    ensure_worker_imports(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
