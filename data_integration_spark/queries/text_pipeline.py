@@ -391,3 +391,64 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_test_split(
         sampled, 0.25, key_cols=["doc_id"], salt=12
     ).select("doc_id", "lang", "split")
+
+
+# shared edge definition for the dedup-clustering query: word-bigram
+# Jaccard >= 0.05 pairs on doc_id < 60 (same bounds as q_ngram_jaccard)
+_NGRAM_PAIRS_SQL = """
+    tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts
+      FROM documents WHERE doc_id < 60
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS s
+      FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.05
+    )
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_NGRAM_PAIRS_SQL},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION ALL
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d
+    LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components (iterative min-label
+    propagation, dedup/components.py) over the word-bigram Jaccard pair
+    edges — the step that turns pairwise near-dup hits into duplicate
+    clusters with a canonical representative (min doc_id). The oracle
+    computes the same transitive closure with a recursive CTE — an
+    iterative distributed algorithm checked value-for-value against SQL."""
+    from data_integration_spark.dedup.components import dedup_clusters
+
+    docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 60)
+    pairs = q_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    return dedup_clusters(docs, pairs)

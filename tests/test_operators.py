@@ -224,3 +224,29 @@ def test_lsh_topk_recall_on_clustered_corpus(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from data_integration_spark.dedup.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2-3-4 (diameter 3) + pair 10-11; node 99 isolated
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=3, dst=4),
+         Row(src=10, dst=11)]
+    )
+    comp = {r.node: r.cluster for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i) for i in (1, 2, 3, 4, 10, 11, 99)]
+    )
+    pairs = edges.select(F.col("src").alias("d1"), F.col("dst").alias("d2"))
+    clusters = {r.doc_id: r.cluster for r in dedup_clusters(docs, pairs).collect()}
+    assert clusters[99] == 99  # isolated doc keeps its own id
+    assert clusters[4] == 1 and clusters[11] == 10
+    # canonical representatives: exactly one kept doc per cluster
+    kept = [d for d, c in clusters.items() if d == c]
+    assert sorted(kept) == [1, 10, 99]

@@ -1,0 +1,46 @@
+"""Foreign-session regression: executor Python workers must import this
+package even when the driver session was built elsewhere with a foreign cwd
+(exactly how the external driver runs __spark_entry__.py)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCRIPT = """
+import importlib.util
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", "%(repo)s/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[2]").appName("wimp").getOrCreate()
+# q_multimodal_decode runs a mapInPandas closure whose helper lives at
+# module level -> workers MUST import the package (died with
+# ModuleNotFoundError before the addPyFile shipping fix)
+n = mod.queries()["q_multimodal_decode"](spark, "/root/testdata/sf0.001").count()
+assert n == 500, n
+print("WORKER_IMPORT_OK", n)
+spark.stop()
+"""
+
+
+def test_vanilla_session_foreign_cwd_worker_imports():
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH",)  # nothing may leak the repo path
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", _SCRIPT % {"repo": REPO}],
+        cwd="/tmp",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "WORKER_IMPORT_OK 500" in out.stdout, (
+        out.stdout[-2000:] + out.stderr[-2000:]
+    )
