@@ -257,3 +257,74 @@ def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c_acctbal") / F.col("n_orders"), 6),
         ).alias("bal_per_order"),
     )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(props::JSON ->> 'k' AS INT) AS k,
+           CAST(props::JSON ->> 'k' AS VARCHAR) AS k_str,
+           CAST(props::JSON ->> 'missing' AS VARCHAR) AS missing
+    FROM events
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: ``parse_json`` into a variant column, typed
+    field extraction with ``variant_get`` — the semi-structured path that
+    replaces repeated get_json_object string re-parsing (the variant is
+    parsed once, fields decode from its binary encoding)."""
+    ev = Catalog(spark, sf_dir)["events"]
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.expr("variant_get(v, '$.k', 'string')").alias("k_str"),
+        F.expr("variant_get(v, '$.missing', 'string')").alias("missing"),
+    )
+
+
+_SYNTH_WORDS_SQL = (
+    "['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel',"
+    "'india','juliet','kilo','lima','mike','november','oscar','papa',"
+    "'quebec','romeo','sierra','tango']"
+)
+
+
+@register(
+    "q_python_datasource",
+    oracle=f"""
+    WITH d AS (SELECT UNNEST(GENERATE_SERIES(0, 59)) AS doc_id),
+    tok AS (
+      SELECT d.doc_id, j.j,
+             ({_SYNTH_WORDS_SQL})[((d.doc_id * 31 + j.j * 17) % 20) + 1] AS word
+      FROM d, UNNEST(GENERATE_SERIES(0, 4 + d.doc_id % 7)) AS j(j)
+    ),
+    t AS (
+      SELECT doc_id, STRING_AGG(word, ' ' ORDER BY j) AS text
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, text, CAST(LENGTH(text) AS INT) AS n_chars FROM t
+    """,
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API: a custom ``synthetic_docs`` format
+    whose partitions generate their id ranges executor-side (no driver
+    materialization) — the synthetic/augmented-corpus ingestion shape. The
+    oracle regenerates the same deterministic text arithmetically."""
+    from data_integration_spark.sources.catalog import ensure_worker_imports
+    from data_integration_spark.sources.python_datasource import (
+        _HAS_PYDS,
+        SyntheticDocs,
+    )
+
+    if not _HAS_PYDS:  # pragma: no cover — pyspark<4 fallback, not this env
+        raise RuntimeError("pyspark.sql.datasource unavailable")
+    ensure_worker_imports(spark)  # workers unpickle the DataSource class
+    spark.dataSource.register(SyntheticDocs)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 60)
+        .option("n_partitions", 4)
+        .load()
+    )

@@ -263,3 +263,29 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = asof_join(purchases, clicks, key="user_id", ts="ts", value_cols=["value"])
     return out.select("event_id", "user_id", F.col("value_asof"))
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under cube/rollup): three
+    grouping combinations in ONE pass over the fact table — Catalyst
+    expands to a single Expand + aggregate, not three scans."""
+    Catalog(spark, sf_dir)["orders"].createOrReplaceTempView("t2_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM t2_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )

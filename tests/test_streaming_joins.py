@@ -85,3 +85,43 @@ def test_streaming_dedup(spark):
     assert len({r.event_id for r in out}) == 500
     # batch path
     assert dedupe_events(spark.read.parquet(src)).count() == 500
+
+
+def test_streaming_dedup_with_rocksdb_state_store(spark):
+    """The scale-grade state backend: RocksDB state store (spillable,
+    incremental checkpoints) must produce the same dedup result as the
+    default HDFS-backed in-memory store — at 100 TB the state for
+    watermarked dedup/joins does not fit a JVM heap."""
+    ev = _events(spark).limit(300)
+    src = f"{SCRATCH}/rocks"
+    shutil.rmtree(src, ignore_errors=True)
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream_in = spark.readStream.schema(schema).parquet(src)
+        q = (
+            dedupe_events(stream_in)
+            .writeStream.format("memory")
+            .queryName("rocks_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.sql("SELECT event_id FROM rocks_dedup").collect()
+        assert len(out) == 300
+        assert len({r.event_id for r in out}) == 300
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
