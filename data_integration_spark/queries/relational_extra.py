@@ -491,3 +491,27 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path).select(
         "r_regionkey", "batch_tag"
     )
+
+
+@register(
+    "q_compaction",
+    oracle="""
+    SELECT p_partkey, p_name, ROUND(p_retailprice, 2) AS price
+    FROM part
+    """,
+)
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sources/maintenance.py): a deliberately
+    fragmented 40-file write rewritten to right-sized files via an atomic
+    temp-dir swap — content must round-trip exactly. The layout-decay
+    maintenance pass incremental ingest needs at 100 TB."""
+    from data_integration_spark.sources.maintenance import compact_parquet
+
+    out = Catalog(spark, sf_dir)["part"].select(
+        "p_partkey", "p_name", F.round("p_retailprice", 2).alias("price")
+    )
+    path = os.path.join(_SCRATCH, "compaction_t2")
+    shutil.rmtree(path, ignore_errors=True)
+    out.repartition(40).write.parquet(path)
+    compact_parquet(spark, path, target_rows_per_file=100_000)
+    return spark.read.parquet(path)
