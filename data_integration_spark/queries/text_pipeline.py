@@ -452,3 +452,172 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 60)
     pairs = q_ngram_jaccard(spark, sf_dir).select("d1", "d2")
     return dedup_clusters(docs, pairs)
+
+
+@register(
+    "q_paragraph_dedup",
+    oracle="""
+    WITH para AS (
+      SELECT doc_id, u.p AS paragraph
+      FROM (SELECT doc_id, string_split(text, '. ') AS ps FROM documents),
+           UNNEST(ps) AS u(p)
+      WHERE LENGTH(u.p) > 0
+    )
+    SELECT MD5(paragraph) AS para_hash,
+           MIN(doc_id) AS keep_doc,
+           COUNT(*) AS n_occurrences
+    FROM para GROUP BY MD5(paragraph)
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity dedup: boilerplate (headers, licenses, nav
+    text) repeats across documents that are NOT near-duplicates as wholes —
+    pretraining pipelines dedup at the paragraph level for exactly this.
+    Explode sentences/paragraphs → fingerprint → group; only the 16-byte
+    hash shuffles."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    para = docs.select(
+        "doc_id",
+        F.explode(F.split("text", r"\. ")).alias("paragraph"),
+    ).filter(F.length("paragraph") > 0)
+    return (
+        para.groupBy(F.md5("paragraph").alias("para_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+@register(
+    "q_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(text || ' contact: u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1-555-000-'
+                            || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email + phone patterns replaced with typed tokens —
+    the redaction pass every compliant training corpus needs. Synthetic
+    PII is appended deterministically so the redactor provably fires on
+    every row (both engines build and scrub the same strings); pure
+    regexp_replace, JVM-side."""
+    docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact: u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-000-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            with_pii,
+            r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "<EMAIL>",
+        ),
+        r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+        "<PHONE>",
+    )
+    return docs.select("doc_id", redacted.alias("redacted"))
+
+
+@register(
+    "q_decontaminate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+               || ' ' || ts[i+4] AS g
+      FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts) - 4)) AS u(i)
+    ),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+    hits AS (
+      SELECT DISTINCT c.doc_id
+      FROM grams c JOIN eval_grams e ON c.g = e.g
+      WHERE c.doc_id >= 5
+    )
+    SELECT doc_id FROM hits
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word 5-gram
+    with the eval set (doc_id < 5 stands in for the benchmark) are flagged
+    for removal — the contamination check every training corpus runs
+    against its eval suites. The eval-side gram set is benchmark-sized →
+    broadcast; the corpus side streams through one hash join, no shuffle
+    of the corpus."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    ts = F.split("text", " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text,' ')) - 4, 0)),"
+                " i -> concat_ws(' ', slice(split(text,' '), i, 5)))"
+            )
+        ).alias("g"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") < 5).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(eval_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+@register(
+    "q_repetition_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS u(i)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(DISTINCT g) AS n_distinct,
+           ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
+             AS repetition
+    FROM grams GROUP BY doc_id
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter: 1 − distinct/total word-3-grams per doc —
+    high values flag the degenerate looping text quality filters drop.
+    One explode + one two-aggregate groupBy per doc; nothing leaves the
+    doc's partition except the (doc, counts) row."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
+                " i -> concat_ws(' ', slice(split(text,' '), i, 3)))"
+            )
+        ).alias("g"),
+    )
+    return grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("g").cast("double") / F.count("*"), 6
+        ).alias("repetition"),
+    )
