@@ -59,11 +59,11 @@ def load_all() -> None:
     from data_integration_spark.queries import (  # noqa: F401
         multimodal_queries,
         similarity_queries,
+        streaming_queries,
         text_pipeline,
         windows_extended,
-        scalar_surface,
-        streaming_queries,
         statistical,
+        scalar_surface,
         relational_extra,
         analytics,
         relational,

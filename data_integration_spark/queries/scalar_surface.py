@@ -328,3 +328,56 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_partitions", 4)
         .load()
     )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram for data profiling: bucket arithmetic is a
+    narrow map, counts are one partial-agg shuffle — the profile pass that
+    sizes salting/bucketing decisions before a big job."""
+    o = Catalog(spark, sf_dir)["orders"]
+    b = F.floor(F.col("o_totalprice") / 50000.0).cast("int")
+    return o.groupBy(b.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register(
+    "q_profile_stats",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           COUNT(o_totalprice) AS n_non_null,
+           COUNT(*) - COUNT(o_totalprice) AS n_null,
+           ROUND(SUM(o_totalprice), 2) / COUNT(o_totalprice) AS mean,
+           ROUND(MIN(o_totalprice), 2) AS min_v,
+           ROUND(MAX(o_totalprice), 2) AS max_v,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS std
+    FROM orders
+    """,
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (describe-shape): null counts, mean on the rounded
+    sum grid, min/max, sample stddev — ONE aggregation pass; the
+    ingest-time profile every quality dashboard starts from."""
+    o = Catalog(spark, sf_dir)["orders"]
+    v = F.col("o_totalprice")
+    return o.agg(
+        F.lit("o_totalprice").alias("col"),
+        F.count(v).alias("n_non_null"),
+        (F.count("*") - F.count(v)).alias("n_null"),
+        (F.round(F.sum(v), 2) / F.count(v)).alias("mean"),
+        F.round(F.min(v), 2).alias("min_v"),
+        F.round(F.max(v), 2).alias("max_v"),
+        F.round(F.stddev_samp(v), 4).alias("std"),
+    )
