@@ -123,7 +123,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_frames")  # rows-only: UDTF shape (1 row → N rows)
+# payload text is pure ASCII in the testdata (byte == char), so DuckDB can
+# reproduce the byte slicing with SUBSTR and hash each frame chunk itself
+_FRAMES_ORACLE = """
+SELECT doc_id AS item_id,
+       CAST(u.i AS INT) AS frame_index,
+       SUBSTR(SHA256(SUBSTR(text, u.i * 64 + 1, 64)), 1, 16) AS frame_sha
+FROM documents,
+     UNNEST(GENERATE_SERIES(
+       0, LEAST(8, GREATEST(1, LENGTH(text) // 64)) - 1)) AS u(i)
+"""
+
+
+@register("q_multimodal_frames", oracle=_FRAMES_ORACLE)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over video-shaped payloads (1 → ≤8 rows each)."""
-    return sample_frames(_payload_df(spark, sf_dir))
+    """Frame sampling over video-shaped payloads — the mapInPandas UDTF
+    shape (1 input row → ≤8 frame rows). 64-byte frames so the testdata
+    actually fans out (1–8 frames per doc); the oracle re-slices and
+    re-hashes the same chunks in SQL."""
+    return sample_frames(_payload_df(spark, sf_dir), every_n_bytes=64)
