@@ -308,3 +308,40 @@ def q_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t2_stateful
         """
     )
+
+
+@register(
+    "q_streaming_upsert",
+    oracle="""
+    SELECT k, event_id, value FROM (
+      SELECT event_id % 100 AS k, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_id % 100
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch-maintained keyed table: the stream upserts a parquet
+    table with per-key latest-wins semantics (streaming/sinks.py) — the
+    CDC/materialized-table pattern on plain files. After an availableNow
+    replay the table must equal the batch per-key argmax — checked by the
+    oracle. Multi-batch convergence is certified in
+    tests/test_streaming_joins.py."""
+    from data_integration_spark.streaming.sinks import streaming_upsert_sink
+
+    ev = Catalog(spark, sf_dir)["events"].select(
+        (F.col("event_id") % 100).alias("k"), "event_id", "value"
+    )
+    src, schema = _replay_dir(spark, sf_dir, "upsert_src", ev)
+    table = f"{_SCRATCH}/upsert_table_{os.path.basename(sf_dir.rstrip('/'))}"
+    ck = f"{_SCRATCH}/upsert_ck_{os.path.basename(sf_dir.rstrip('/'))}"
+    for d in (table, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    stream_in = spark.readStream.schema(schema).parquet(src)
+    q = streaming_upsert_sink(
+        stream_in, table, keys=["k"], checkpoint=ck, latest_by="event_id",
+        query_name="t2_upsert",
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(table)

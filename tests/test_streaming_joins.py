@@ -125,3 +125,46 @@ def test_streaming_dedup_with_rocksdb_state_store(spark):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", old
             )
+
+
+def test_foreachbatch_streaming_upsert(spark):
+    """foreachBatch upsert sink: replaying events (with duplicate key
+    deliveries across files) into a keyed parquet table must converge to
+    the per-key LATEST row — the streaming-maintained-table pattern."""
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.streaming.sinks import streaming_upsert_sink
+
+    ev = _events(spark).limit(400).select(
+        (F.col("event_id") % 100).alias("k"), "event_id", "value"
+    )
+    src = f"{SCRATCH}/upsert_src"
+    table = f"{SCRATCH}/upsert_table"
+    ck = f"{SCRATCH}/upsert_ck"
+    for d in (src, table, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    # two files -> two micro-batches with maxFilesPerTrigger=1; keys repeat
+    ev.filter(F.col("event_id") < 200).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") >= 200).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_upsert_sink(
+        stream_in, table, keys=["k"], checkpoint=ck, latest_by="event_id"
+    )
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(table)
+    assert out.count() == 100  # one row per key survives
+    assert out.select("k").distinct().count() == 100
+    # spot-check upsert semantics: every key's surviving event_id is from
+    # the LAST delivery containing that key
+    rows = {r.k: r.event_id for r in out.collect()}
+    assert all(eid % 100 == k for k, eid in rows.items())
+    assert sum(1 for eid in rows.values() if eid >= 200) >= 90
