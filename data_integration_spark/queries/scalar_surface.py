@@ -381,3 +381,84 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(v), 2).alias("max_v"),
         F.round(F.stddev_samp(v), 4).alias("std"),
     )
+
+
+@register(
+    "q_python_udtf",
+    oracle="""
+    SELECT doc_id, u.t AS token, CAST(LENGTH(u.t) AS INT) AS token_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS ts
+          FROM documents WHERE doc_id < 30),
+         UNNEST(ts) AS u(t)
+    WHERE LENGTH(u.t) > 0
+    """,
+)
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF: a table function (one input row → N output
+    rows) registered and invoked FROM SQL with a LATERAL join — the
+    user-extensible tokenizer shape. Distinct from mapInPandas: the UDTF
+    composes inside SQL text, so analysts call it like a built-in."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, token_len int")
+    class Tokenize:
+        def eval(self, text: str):
+            for t in (text or "").split(" "):
+                if t:
+                    yield t, len(t)
+
+    spark.udtf.register("t2_tokenize", Tokenize)
+    Catalog(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 30
+    ).createOrReplaceTempView("t2_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.token_len
+        FROM t2_docs_udtf d, LATERAL t2_tokenize(d.text) t
+        """
+    )
+
+
+@register(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INT) AS dim,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm
+    FROM embeddings
+    """,
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy Arrow RecordBatch path (one step below
+    mapInPandas — no pandas conversion at all). Squared norms computed
+    with numpy over the Arrow buffers; double math so the oracle matches
+    at 6 decimals."""
+    import numpy as np
+    import pyarrow as pa
+
+    def sq_norms(batches):
+        for batch in batches:
+            d = batch.to_pydict()
+            ids = d["vec_id"]
+            embs = d["embedding"]
+            dims = [len(e) for e in embs]
+            sq = [
+                round(float(np.square(np.asarray(e, dtype=np.float64)).sum()), 6)
+                for e in embs
+            ]
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": ids, "dim": dims, "sq_norm": sq},
+                schema=pa.schema(
+                    [
+                        ("vec_id", pa.int64()),
+                        ("dim", pa.int32()),
+                        ("sq_norm", pa.float64()),
+                    ]
+                ),
+            )
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    return emb.mapInArrow(
+        sq_norms, "vec_id bigint, dim int, sq_norm double"
+    )

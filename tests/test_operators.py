@@ -250,3 +250,19 @@ def test_connected_components_chain_and_singletons(spark):
     # canonical representatives: exactly one kept doc per cluster
     kept = [d for d, c in clusters.items() if d == c]
     assert sorted(kept) == [1, 10, 99]
+
+
+def test_asof_join_attaches_matched_row_atomically(spark):
+    """ADVICE r1 regression: a NULL field in the MATCHED (latest) right row
+    must stay NULL — per-column last(ignorenulls) used to backfill it from
+    an older right row, mixing fields of different rows."""
+    left = spark.createDataFrame([Row(event_id=1, user_id=1, ts=10.0)])
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=1.0, price=100.0, qty=5.0),
+            Row(user_id=1, ts=9.0, price=200.0, qty=None),  # the match
+        ]
+    )
+    out = asof_join(left, right, key="user_id", ts="ts").collect()[0]
+    assert out.price_asof == 200.0
+    assert out.qty_asof is None  # NOT 5.0 from the ts=1 row
