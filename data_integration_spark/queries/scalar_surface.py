@@ -462,3 +462,33 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(
         sq_norms, "vec_id bigint, dim int, sq_norm double"
     )
+
+
+@register(
+    "q_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN (o_orderkey % 5) = 0 THEN NULL
+                ELSE CAST(o_totalprice / (o_orderkey % 5) AS DOUBLE)
+           END AS safe_div,
+           TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+           TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS prio_num
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety surface: Spark 4 runs with ANSI ON, so /0 and bad
+    casts THROW by default — ``try_divide`` / ``try_cast`` are the
+    explicit NULL-on-error escape hatches pipelines must use for dirty
+    data. The oracle mirrors with CASE/TRY_CAST."""
+    o = Catalog(spark, sf_dir)["orders"].filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 5).cast("double")
+        ).alias("safe_div"),
+        F.expr("try_cast(o_orderpriority AS int)").alias("bad_cast"),
+        F.expr(
+            "try_cast(substring(o_orderpriority, 1, 1) AS int)"
+        ).alias("prio_num"),
+    )

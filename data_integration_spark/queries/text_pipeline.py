@@ -621,3 +621,112 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct("g").cast("double") / F.count("*"), 6
         ).alias("repetition"),
     )
+
+
+@register(
+    "q_curation_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, LEN(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    quality AS (  -- stage 1: length filter
+      SELECT * FROM base WHERE n_tok >= 20
+    ),
+    dedup AS (    -- stage 2: exact dedup on normalized fingerprint
+      SELECT MIN(doc_id) AS doc_id
+      FROM quality
+      GROUP BY MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))
+    ),
+    kept1 AS (
+      SELECT q.* FROM quality q JOIN dedup d ON q.doc_id = d.doc_id
+    ),
+    grams AS (    -- stage 3: decontamination vs eval set (doc_id < 5)
+      SELECT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+               || ' ' || ts[i+4] AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM base),
+           UNNEST(GENERATE_SERIES(1, LEN(ts) - 4)) AS u(i)
+    ),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM grams c JOIN (SELECT DISTINCT g FROM grams WHERE doc_id < 5) e
+        ON c.g = e.g
+      WHERE c.doc_id >= 5
+    ),
+    kept2 AS (
+      SELECT k.* FROM kept1 k
+      WHERE k.doc_id >= 5
+        AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    sampled AS (  -- stage 4: deterministic 50% hash sample
+      SELECT * FROM kept2
+      WHERE ((STRPOS('0123456789abcdef',
+                     SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + STRPOS('0123456789abcdef',
+                      SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 128
+    )
+    SELECT COUNT(*) AS n_docs,               -- stage 5: corpus stats
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM sampled
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the LLM-pipeline flagship, composing
+    the library operators exactly as a production cleanup would:
+
+      quality filter (≥20 tokens) → exact dedup on normalized fingerprint
+      → benchmark decontamination (shared word-5-gram vs the eval set)
+      → deterministic 50% hash sample → corpus statistics.
+
+    Every stage is engine-side and deterministic, so the WHOLE pipeline is
+    value-checked against one DuckDB query. Scale shape: filters are
+    narrow; dedup shuffles 16-byte fingerprints; the eval gram set
+    broadcasts; the sample is a filter; the stats are one aggregation."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    base = docs.select(
+        "doc_id", "text", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    quality = base.filter(F.col("n_tok") >= 20)
+    # exact dedup: min doc_id per normalized fingerprint
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    keep = quality.groupBy(fp.alias("f")).agg(F.min("doc_id").alias("doc_id"))
+    kept1 = quality.join(keep.select("doc_id"), "doc_id")
+    # decontamination: any shared 5-gram with the eval docs
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text,' ')) - 4, 0)),"
+                " i -> concat_ws(' ', slice(split(text,' '), i, 5)))"
+            )
+        ).alias("g"),
+    )
+    eval_grams = grams.filter(F.col("doc_id") < 5).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(eval_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    kept2 = (
+        kept1.filter(F.col("doc_id") >= 5)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    # deterministic 50% sample via md5 first-byte bucket (engine-portable)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    sampled = kept2.filter(bucket < 128)
+    return sampled.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("n_tok").cast("double") / F.count("*"), 6).alias(
+            "mean_tokens"
+        ),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
