@@ -54,3 +54,48 @@ def test_asof_join_matches_bruteforce(spark_holder, lefts, rights):
             tied = {rv for rt, rv in cands if rt == best_ts}
             assert got[i] in tied
     assert len(got) == len(lefts)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark_holder, edges):
+    """Property: distributed min-label propagation equals a driver-side
+    union-find on arbitrary random graphs (self-loops included)."""
+    from data_integration_spark.dedup.components import connected_components
+
+    spark = spark_holder
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges]
+    )
+    got = {r.node: r.cluster for r in connected_components(df).collect()}
+
+    # reference union-find
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    # canonical label = min member of the component on both sides
+    comp_min: dict[int, int] = {}
+    for n, root in want.items():
+        comp_min[root] = min(comp_min.get(root, n), n)
+    want_labels = {n: comp_min[find(n)] for n in parent}
+    assert got == want_labels
