@@ -131,3 +131,26 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_curation_pipeline_plan_shape(spark):
+    """The curation flagship's scale contracts: the decontamination gram
+    set joins as a broadcast (corpus side never shuffles for it), and the
+    whole multi-stage pipeline is one Catalyst plan — no driver-side
+    materialization between stages."""
+    df = QUERIES["q_curation_pipeline"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan  # eval-gram + dedup-keep joins
+    assert "CollectLimit" not in plan
+    # the 50% sample is a FILTER on a hash expression, not a Sample node
+    # (deterministic membership, pushdown-compatible)
+    assert "Sample" not in plan
+
+
+def test_tfidf_filter_pushed_through_aggregation(spark):
+    """Catalyst pushes the doc_id bound through the tf aggregation into
+    the scan on the tf branch (the df/idf branch must still read all
+    docs — semantically required)."""
+    df = QUERIES["q_tfidf"](spark, SF)
+    filters = " ".join(pushed_filters(df))
+    assert "doc_id" in filters
