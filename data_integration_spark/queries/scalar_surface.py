@@ -492,3 +492,54 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "try_cast(substring(o_orderpriority, 1, 1) AS int)"
         ).alias("prio_num"),
     )
+
+
+@register(
+    "q_explode_outer",
+    oracle="""
+    SELECT doc_id, u.t AS token
+    FROM (SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN []
+                      ELSE string_split(text, ' ')[1:3] END AS ts
+          FROM documents WHERE doc_id < 50),
+         (SELECT 1) dummy
+    LEFT JOIN LATERAL UNNEST(ts) AS u(t) ON TRUE
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-preserving explode (``explode_outer``): rows with empty arrays
+    survive as (id, NULL) instead of vanishing — the difference between an
+    inner and outer lateral view, and the one that silently loses
+    documents in tokenization pipelines."""
+    docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 50)
+    ts = F.when(
+        F.col("doc_id") % 10 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(F.split("text", " "), 1, 3))
+    return docs.select(
+        "doc_id", F.explode_outer(ts).alias("token")
+    )
+
+
+@register(
+    "q_bitwise_ops",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id >> 8 AS high_bits,
+           XOR(event_id, 12345) AS xored,
+           CAST(BIT_COUNT(CAST(event_id AS BIGINT)) AS INT) AS popcount
+    FROM events WHERE event_id < 5000
+    """,
+)
+def q_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (&, >>, xor, popcount) — flag packing and
+    bucket arithmetic primitives."""
+    ev = Catalog(spark, sf_dir)["events"].filter(F.col("event_id") < 5000)
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.expr("shiftright(event_id, 8)").alias("high_bits"),
+        e.bitwiseXOR(F.lit(12345)).alias("xored"),
+        F.bit_count(e.cast("bigint")).alias("popcount"),
+    )

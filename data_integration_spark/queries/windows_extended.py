@@ -289,3 +289,40 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus, o_orderpriority))
         """
     )
+
+
+@register(
+    "q_first_last_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(LAST_VALUE(o_totalprice) OVER w, 2) AS last_price,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST/LAST/NTH_VALUE over an explicit unbounded frame — the frame
+    spec matters: LAST_VALUE over the DEFAULT frame (up to current row)
+    is a classic silent-wrong-answer; the explicit unbounded frame is the
+    semantics users almost always mean."""
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir)["orders"].filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias(
+            "second_price"
+        ),
+    )
