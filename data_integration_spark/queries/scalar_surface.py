@@ -543,3 +543,36 @@ def q_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.bitwiseXOR(F.lit(12345)).alias("xored"),
         F.bit_count(e.cast("bigint")).alias("popcount"),
     )
+
+
+@register("q_approx_quantile")  # rows-only: KLL-sketch values are
+# engine-specific; pytest pins accuracy vs the exact percentiles
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (``percentile_approx``, KLL-style sketch):
+    the single-pass mergeable-sketch path for percentiles over data too
+    large to sort — relative error bounded by the accuracy parameter
+    (pytest asserts vs exact percentile_cont)."""
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return li.agg(
+        *[
+            F.percentile_approx(
+                "l_extendedprice", q, accuracy=10_000
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75, 0.95)
+        ]
+    )
+
+
+@register("q_freq_items")  # rows-only: sketch contents are
+# order/implementation-specific; pytest plants and finds a heavy hitter
+def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (``freqItems``, Karp et al. misra-gries
+    style): the dominant-key detector for skew diagnosis and
+    dominant-domain analysis — single pass, fixed memory."""
+    o = Catalog(spark, sf_dir)["orders"]
+    out = o.select("o_orderpriority").freqItems(
+        ["o_orderpriority"], support=0.1
+    )
+    return out.select(
+        F.explode("o_orderpriority_freqItems").alias("frequent_value")
+    )

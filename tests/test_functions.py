@@ -142,3 +142,30 @@ def test_bernoulli_rate(spark):
         .collect()[0][0]
     )
     assert abs(rate - 0.3) < 0.02
+
+
+def test_approx_quantile_within_tolerance(spark):
+    """percentile_approx at accuracy=10000 lands within 1% relative of the
+    exact percentile on 50k skewed values."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(50_000).select(
+        (F.col("id") * F.col("id") % 9973).cast("double").alias("v")
+    )
+    approx = df.agg(
+        F.percentile_approx("v", 0.5, accuracy=10_000).alias("m")
+    ).collect()[0]["m"]
+    exact = df.agg(F.expr("percentile(v, 0.5)").alias("m")).collect()[0]["m"]
+    assert abs(approx - exact) <= 0.01 * max(1.0, abs(exact))
+
+
+def test_freq_items_finds_planted_heavy_hitter(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 3 != 0, F.lit("dominant"))
+        .otherwise(F.concat(F.lit("rare_"), F.col("id").cast("string")))
+        .alias("k")
+    )
+    hits = df.freqItems(["k"], support=0.5).collect()[0]["k_freqItems"]
+    assert "dominant" in hits
