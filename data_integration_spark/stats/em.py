@@ -139,19 +139,36 @@ class EMEstimator:
         if mode == "auto":
             mode = "driver" if n_cells <= self.driver_cells_limit else "distributed"
 
-        # cells to driver (both modes need states/ni; driver mode needs all)
-        cells_pd = cells_df.toPandas().sort_values(["state", *X_COLS, "y"])
-        states = sorted(cells_pd["state"].unique())
-        s_idx = {s: i for i, s in enumerate(states)}
-        X = np.column_stack(
-            [np.ones(len(cells_pd)), cells_pd[X_COLS].to_numpy(float)]
-        )
-        y = cells_pd["y"].to_numpy(float)
-        m = cells_pd["m"].to_numpy(float)
-        cell_state = cells_pd["state"].map(s_idx).to_numpy()
-        ni = np.zeros(len(states))
-        np.add.at(ni, cell_state, m)
-        n_total = float(m.sum())
+        # Driver metadata: both modes need (states, ni, n_total). Driver
+        # mode collects the full cell table (bounded at ≤ areas×patterns by
+        # the covariate collapse AND gated by driver_cells_limit);
+        # distributed mode derives the per-area totals from ONE ≤areas-row
+        # aggregation — the driver never holds the cell table there.
+        X = y = m = cell_state = None
+        if mode == "driver":
+            cells_pd = cells_df.toPandas().sort_values(["state", *X_COLS, "y"])
+            states = sorted(cells_pd["state"].unique())
+            s_idx = {s: i for i, s in enumerate(states)}
+            X = np.column_stack(
+                [np.ones(len(cells_pd)), cells_pd[X_COLS].to_numpy(float)]
+            )
+            y = cells_pd["y"].to_numpy(float)
+            m = cells_pd["m"].to_numpy(float)
+            cell_state = cells_pd["state"].map(s_idx).to_numpy()
+            ni = np.zeros(len(states))
+            np.add.at(ni, cell_state, m)
+            n_total = float(m.sum())
+        else:
+            ni_pd = (
+                cells_df.groupBy("state")
+                .agg(F.sum("m").alias("ni"))
+                .toPandas()
+                .sort_values("state")
+            )
+            states = list(ni_pd["state"])
+            s_idx = {s: i for i, s in enumerate(states)}
+            ni = ni_pd["ni"].to_numpy(float)
+            n_total = float(ni.sum())
 
         # standard-normal draw table (r, state, z): generated ONCE in Spark
         # with hash seeding → identical in both modes and any partitioning.
@@ -178,7 +195,6 @@ class EMEstimator:
         converged = False
         it = 0
         for it in range(1, self.max_iter + 1):
-            xb = X @ beta
             # E1: per-area Laplace. Driver mode: NumPy loop over areas
             # (cells are tiny). Distributed mode: groupBy(state).applyInPandas
             # with the same NumPy optimizer inside — areas solved in parallel
@@ -188,6 +204,7 @@ class EMEstimator:
                     cells_df, states, beta, sigma
                 )
             else:
+                xb = X @ beta
                 v_hat = np.zeros(len(states))
                 tau_sq = np.zeros(len(states))
                 for si in range(len(states)):
