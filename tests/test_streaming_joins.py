@@ -168,3 +168,47 @@ def test_foreachbatch_streaming_upsert(spark):
     rows = {r.k: r.event_id for r in out.collect()}
     assert all(eid % 100 == k for k, eid in rows.items())
     assert sum(1 for eid in rows.values() if eid >= 200) >= 90
+
+
+def test_checkpoint_recovery_exactly_once_across_restarts(spark):
+    """Restart semantics: a file-sink streaming agg stopped after batch 1
+    and RESTARTED with the same checkpoint must process only the new
+    files and end with exactly the batch answer — no duplicates, no loss.
+    This is the recovery contract a 100 TB ingest leans on after executor
+    or driver failure."""
+    from pyspark.sql import functions as F
+
+    src = f"{SCRATCH}/ckpt_src"
+    out = f"{SCRATCH}/ckpt_out"
+    ck = f"{SCRATCH}/ckpt_ck"
+    for d in (src, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = _events(spark).select("event_id", "event_type", "value")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream_in = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_in.withColumn("flag", F.lit(1))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()  # processes the even half
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint: must pick up ONLY the new file
+
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()  # no loss, no duplicates
+    assert got.select("event_id").distinct().count() == ev.count()
