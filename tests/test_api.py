@@ -49,3 +49,15 @@ def test_em_on_simulated_helper(spark, engine):
         seed=3,
     )
     assert len(fit.beta_hat) == 8 and fit.sigma_hat > 0
+
+
+def test_save_maps_writes_one_svg_per_estimator(engine, tmp_path):
+    """S4 through the facade: one choropleth SVG per estimator column of
+    the comparison table (the reference's three plot_usmap outputs)."""
+    eng, _ = engine
+    paths = eng.save_maps(str(tmp_path), columns=("actual", "EM_est"))
+    assert len(paths) == 2
+    for p in paths:
+        svg = open(p).read()
+        assert svg.startswith("<svg") and svg.rstrip().endswith("</svg>")
+        assert svg.count("<rect") >= 12  # every fixture area drawn
