@@ -44,3 +44,21 @@ def test_vanilla_session_foreign_cwd_worker_imports():
     assert "WORKER_IMPORT_OK 500" in out.stdout, (
         out.stdout[-2000:] + out.stderr[-2000:]
     )
+
+
+def test_query_index_is_current():
+    """QUERIES.md must match the live registry (regenerate with
+    tools/gen_query_index.py when adding queries)."""
+    import re
+
+    from data_integration_spark.queries import ORACLES, QUERIES, load_all
+
+    load_all()
+    text = open(os.path.join(REPO, "QUERIES.md")).read()
+    m = re.search(r"\*\*(\d+) queries — (\d+) oracle-checked", text)
+    assert m, "summary line missing from QUERIES.md"
+    assert int(m.group(1)) == len(QUERIES), "QUERIES.md is stale: rerun tools/gen_query_index.py"
+    assert int(m.group(2)) == len(ORACLES), "QUERIES.md is stale: rerun tools/gen_query_index.py"
+    # every registered name appears in the index
+    missing = [n for n in QUERIES if f"`{n}`" not in text]
+    assert not missing, f"missing from QUERIES.md: {missing[:5]}"
