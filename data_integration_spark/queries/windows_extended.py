@@ -326,3 +326,30 @@ def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_price"
         ),
     )
+
+
+@register(
+    "q_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(CUME_DIST() OVER w, 6) AS cd,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST alongside PERCENT_RANK — the two normalized rank
+    definitions differ at the edges (cume_dist ∈ (0,1], percent_rank ∈
+    [0,1)); both in one window pass."""
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir)["orders"].filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
