@@ -160,3 +160,51 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(
         emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5, n_tables=4
     )
+
+
+@register(
+    "q_semantic_dedup_clusters",
+    oracle=_COS_ORACLE_BODY.replace("WITH e AS", "WITH RECURSIVE e AS")
+    .replace("q.vec_id < 20", "q.vec_id < 200")
+    .replace("FROM embeddings", "FROM embeddings WHERE vec_id < 200")
+    + """
+    , pairs2 AS (
+      SELECT qid AS d1, mid AS d2 FROM cos
+      WHERE cosine >= 0.92 AND qid < mid
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs2
+      UNION ALL SELECT d2, d1 FROM pairs2
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node)
+    SELECT v.vec_id, COALESCE(c.cluster, v.vec_id) AS cluster
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 200) v
+    LEFT JOIN comp c ON c.node = v.vec_id
+    """,
+)
+def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs
+    (≥0.92, bounded corpus slice) → connected components → per-vector
+    cluster id with min-id canonical representative — the
+    embedding-space analogue of the text near-dup clustering
+    (q_dedup_clusters), value-checked against a recursive-CTE closure
+    over SQL-computed cosines. At scale the pair stage swaps to the LSH
+    path (same downstream components)."""
+    from data_integration_spark.dedup.components import dedup_clusters
+
+    emb = Catalog(spark, sf_dir)["embeddings"].filter(
+        F.col("vec_id") < 200
+    ).select("vec_id", as_double_array("embedding", "e"))
+    pairs = (
+        cosine_pairs(emb, emb, threshold=0.92)
+        .filter(F.col("qid") < F.col("mid"))
+        .select(F.col("qid").alias("d1"), F.col("mid").alias("d2"))
+    )
+    return dedup_clusters(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    ).withColumnRenamed("vec_id", "vec_id")
