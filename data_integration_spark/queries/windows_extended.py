@@ -353,3 +353,96 @@ def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      COUNT(t_view) AS viewed,
+      COUNT(CASE WHEN t_click > t_view THEN 1 END) AS clicked_after_view,
+      COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+        AS full_funnel
+    FROM steps
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per-user first
+    timestamps per step via conditional MIN aggregation, then ordered-step
+    counts — ONE shuffle on user_id, no self-joins, no window sort; the
+    funnel shape that stays one aggregation at any user count."""
+    ev = Catalog(spark, sf_dir)["events"]
+
+    def first_ts(step: str):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts")))
+
+    steps = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return steps.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("viewed"),
+        F.count(
+            F.when(F.col("t_click") > F.col("t_view"), 1)
+        ).alias("clicked_after_view"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("full_funnel"),
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             DATE_DIFF('week', f.cohort, DATE_TRUNC('week', e.ts)) AS week_n
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT STRFTIME(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(week_n AS INT) AS week_n,
+           COUNT(*) AS active_users
+    FROM activity GROUP BY cohort, week_n
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, counted
+    in each subsequent activity week — first-seen is a broadcast-sized
+    per-user table joined back to the event stream; the matrix is one
+    distinct + one aggregation."""
+    ev = Catalog(spark, sf_dir)["events"].select("user_id", "ts")
+    wk = F.date_trunc("week", F.col("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(wk.cast("date"), F.col("cohort").cast("date")) / 7
+            ).cast("int").alias("week_n"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"), "week_n"
+    ).agg(F.count("*").alias("active_users"))
+
