@@ -446,3 +446,37 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"), "week_n"
     ).agg(F.count("*").alias("active_users"))
 
+
+
+@register(
+    "q_range_frame_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER w AS n_in_band,
+           CAST(SUM(o_orderkey) OVER w AS BIGINT) AS key_band_sum
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based (RANGE) window frame: peers within 1000 order-key units
+    behind the current row — distinct semantics from ROWS frames (the
+    band is defined by the ORDER BY VALUE, so ties and gaps behave
+    differently); the moving-band aggregation shape of sliding value
+    windows without a join."""
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir)["orders"].filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("n_in_band"),
+        F.sum("o_orderkey").over(w).alias("key_band_sum"),
+    )
