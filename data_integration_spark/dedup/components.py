@@ -18,8 +18,22 @@ rounds is typical). ``max_iter`` bounds pathological chains.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut the iterative plan's lineage. Prefers a RELIABLE ``checkpoint()``
+    when the context has a checkpoint dir configured (cluster setting:
+    ``localCheckpoint`` blocks are executor-local, so an executor loss
+    mid-loop kills the job); falls back to ``localCheckpoint`` otherwise
+    (local mode / tests, where there is no executor to lose)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
 
 
 def connected_components(
@@ -27,16 +41,24 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Label every node of the undirected edge set with its component's
     minimum node id. Returns (node, cluster). Isolated nodes (absent from
     ``edges``) are the caller's concern — a dedup pipeline left-joins the
-    result back and coalesces to the node's own id."""
+    result back and coalesces to the node's own id.
+
+    Convergence is verified: if the label fixpoint is not reached within
+    ``max_iter`` rounds (graph diameter > max_iter — a pathological chain),
+    ``strict=True`` raises rather than silently returning split clusters;
+    ``strict=False`` downgrades to a warning (mirrors the EM estimator's
+    converged-flag contract)."""
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    labels = _truncate_lineage(nodes.withColumn("label", F.col("node")))
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -51,8 +73,8 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()  # truncate lineage: each round is one join
         )
+        new_labels = _truncate_lineage(new_labels)  # each round is one join
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -61,7 +83,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds the bound); labels would be "
+            "split clusters. Raise max_iter."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("node", F.col("label").alias("cluster"))
 
 

@@ -608,7 +608,8 @@ def q_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            swy / sw AS mean,
-           SQRT((CAST(n AS DOUBLE) / (n - 1))
+           SQRT((CASE WHEN n > 1 THEN CAST(n AS DOUBLE) / (n - 1)
+                      ELSE 1.0 END)
                 * GREATEST(sw2y2 - 2.0 * (swy / sw) * sw2y
                            + (swy / sw) * (swy / sw) * sw2, 0.0)) / sw AS se
     FROM s
@@ -636,7 +637,11 @@ def q_survey_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(2.0) * mean * F.col("sw2y")
         + mean * mean * F.col("sw2")
     )
-    fs = F.col("n").cast("double") / (F.col("n") - F.lit(1))
+    # n > 1 guard: a single-row group would hit ANSI DIVIDE_BY_ZERO (matches
+    # functions/stats.py::survey_mean_se, which has had the guard all along)
+    fs = F.when(
+        F.col("n") > 1, F.col("n").cast("double") / (F.col("n") - F.lit(1))
+    ).otherwise(F.lit(1.0))
     return s.select(
         "l_returnflag",
         mean.alias("mean"),

@@ -21,6 +21,23 @@ from data_integration_spark.queries import register
 from data_integration_spark.sources.catalog import Catalog
 
 
+def _word_grams_expr(n: int) -> str:
+    """Word n-grams of ``text`` as ``array<string>``; EMPTY for documents
+    with fewer than ``n`` whitespace tokens. The guard is load-bearing:
+    under Spark 4 ANSI semantics ``sequence(1, 0)`` is the *descending*
+    array ``[1, 0]`` and the resulting ``slice(ts, 0, n)`` throws
+    INVALID_PARAMETER_VALUE.START — and even without the throw, a partial
+    gram at i=1 would diverge from SQL ``GENERATE_SERIES(1, 0)`` (empty).
+    """
+    ts = f"split(text, ' ')"
+    return (
+        f"CASE WHEN size({ts}) >= {n} THEN "
+        f"transform(sequence(1, size({ts}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({ts}, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
 @register(
     "q_token_count",
     oracle="""
@@ -564,10 +581,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(split(text,' ')) - 4, 0)),"
-                " i -> concat_ws(' ', slice(split(text,' '), i, 5)))"
-            )
+            F.expr(_word_grams_expr(5))
         ).alias("g"),
     )
     eval_grams = (
@@ -608,10 +622,7 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
-                " i -> concat_ws(' ', slice(split(text,' '), i, 3)))"
-            )
+            F.expr(_word_grams_expr(3))
         ).alias("g"),
     )
     return grams.groupBy("doc_id").agg(
@@ -699,10 +710,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = base.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(split(text,' ')) - 4, 0)),"
-                " i -> concat_ws(' ', slice(split(text,' '), i, 5)))"
-            )
+            F.expr(_word_grams_expr(5))
         ).alias("g"),
     )
     eval_grams = grams.filter(F.col("doc_id") < 5).select("g").distinct()

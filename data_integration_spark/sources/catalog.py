@@ -14,7 +14,9 @@ tables are exposed lazily — no eager materialization.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
 import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,15 +43,25 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     repo = os.path.dirname(pkg_dir)
     scratch = os.path.join(repo, ".scratch")
     os.makedirs(scratch, exist_ok=True)
-    zip_path = os.path.join(scratch, "data_integration_spark_pkg.zip")
     sources = []
     for root, _dirs, files in os.walk(pkg_dir):
         for f in files:
             if f.endswith(".py"):
                 sources.append(os.path.join(root, f))
-    newest = max(os.path.getmtime(p) for p in sources)
-    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
-        tmp = zip_path + ".tmp"
+    # Staleness key = hash of the sorted (path, mtime, size) manifest, baked
+    # into the zip NAME. A bare max-mtime check misses deletes/renames (max
+    # mtime unchanged → executors keep importing the removed module), and a
+    # content-addressed name means concurrent processes either agree on the
+    # file or write distinct ones — no shared .tmp to corrupt.
+    manifest = "\n".join(
+        f"{os.path.relpath(p, repo)}\t{os.path.getmtime(p)}\t{os.path.getsize(p)}"
+        for p in sorted(sources)
+    )
+    digest = hashlib.sha256(manifest.encode()).hexdigest()[:16]
+    zip_path = os.path.join(scratch, f"data_integration_spark_pkg_{digest}.zip")
+    if not os.path.exists(zip_path):
+        fd, tmp = tempfile.mkstemp(dir=scratch, suffix=".zip.tmp")
+        os.close(fd)
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
             for p in sorted(sources):
                 z.write(p, os.path.relpath(p, repo))

@@ -16,11 +16,12 @@ min/max pruning. These operators are the periodic maintenance pass:
 
 from __future__ import annotations
 
-import os
-import shutil
+import os  # noqa: F401  (kept: path checks in callers/tests)
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from data_integration_spark.sources.atomic import atomic_replace_dir, recover_dir
 
 
 def compact_parquet(
@@ -32,13 +33,13 @@ def compact_parquet(
     file count. The rewrite goes to a sibling temp dir first and replaces
     the original only after success — a crashed compaction never destroys
     the table."""
+    recover_dir(path)  # restore the table if a prior compaction crashed
     df = spark.read.parquet(path)
     n = df.count()
     n_files = max(1, -(-n // target_rows_per_file))
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    atomic_replace_dir(tmp, path)
     return n_files
 
 

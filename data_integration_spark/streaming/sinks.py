@@ -16,12 +16,12 @@ the TABLE, not the stream — nothing accumulates in the state store.
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from data_integration_spark.operators.merge import merge_upsert
+from data_integration_spark.sources.atomic import atomic_replace_dir, recover_dir
 
 
 def streaming_upsert_sink(
@@ -58,6 +58,7 @@ def streaming_upsert_sink(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
+        recover_dir(table_path)  # restore the table if a prior merge crashed
         if os.path.exists(table_path):
             target = spark.read.parquet(table_path)
             merged = merge_upsert(target, batch_df, keys)
@@ -65,9 +66,7 @@ def streaming_upsert_sink(
             merged = batch_df
         tmp = f"{table_path}__m{batch_id}_{uuid.uuid4().hex[:6]}"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(table_path):
-            shutil.rmtree(table_path)
-        os.rename(tmp, table_path)
+        atomic_replace_dir(tmp, table_path)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

@@ -1,0 +1,149 @@
+"""Round-3 hardening regressions: short-document n-grams, crash-safe
+directory swaps, connected-components convergence contract."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- n-grams
+def _short_doc_corpus(spark, tmp_path) -> str:
+    """documents table whose first rows have 0..4 whitespace tokens — the
+    regime where an unguarded sequence(1, size-4) is the DESCENDING [1, 0]
+    and slice(..., 0, 5) throws under ANSI mode."""
+    long_a = " ".join(f"tok{i % 7}" for i in range(30))
+    long_b = " ".join(f"w{i}" for i in range(25))
+    texts = [
+        "",                       # 1 token after split ("")
+        "one",
+        "one two",
+        "one two three",
+        "one two three four",     # 4 tokens: the 5-gram boundary case
+        long_a,
+        long_b,
+        long_a,                   # exact duplicate for the dedup stage
+        "alpha beta gamma " + long_b,   # shares 5-grams with doc 6? no: offset
+        "five token doc here now",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_short_documents_match_oracle(spark, tmp_path):
+    """q_decontaminate / q_repetition_score / q_curation_pipeline on docs
+    with <5 (even <2) tokens: no ANSI INVALID_PARAMETER_VALUE.START throw,
+    and values equal the DuckDB oracle's GENERATE_SERIES(1, 0)=empty
+    semantics (ADVICE r2, medium)."""
+    from data_integration_spark.queries import ORACLES, QUERIES, load_all
+    from tests.oracle_harness import compare
+
+    load_all()
+    sf_dir = _short_doc_corpus(spark, tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    for name in ("q_decontaminate", "q_repetition_score", "q_curation_pipeline"):
+        errs = compare(QUERIES[name](spark, sf_dir), con, ORACLES[name], name)
+        assert not errs, errs
+
+
+def test_word_grams_expr_empty_below_n(spark):
+    from data_integration_spark.queries.text_pipeline import _word_grams_expr
+
+    df = spark.createDataFrame(
+        [Row(text="a b c d"), Row(text="a b c d e"), Row(text="")]
+    ).select(F.expr(_word_grams_expr(5)).alias("g"))
+    rows = [r.g for r in df.collect()]
+    assert rows[0] == []                    # 4 tokens < n=5 → empty, no throw
+    assert rows[1] == ["a b c d e"]
+    assert rows[2] == []
+
+
+# ------------------------------------------------------- atomic dir swaps
+def test_atomic_replace_and_recover(tmp_path):
+    from data_integration_spark.sources.atomic import (
+        atomic_replace_dir,
+        recover_dir,
+    )
+
+    target = str(tmp_path / "table")
+    os.makedirs(target)
+    open(os.path.join(target, "old.parquet"), "w").write("old")
+    tmp = str(tmp_path / "tmp_new")
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "new.parquet"), "w").write("new")
+
+    atomic_replace_dir(tmp, target)
+    assert os.listdir(target) == ["new.parquet"]
+    assert not os.path.exists(tmp)
+
+    # crash window 1: target renamed aside, new never arrived → recover
+    os.rename(target, target + "__aside__deadbeef")
+    assert recover_dir(target) is True
+    assert os.listdir(target) == ["new.parquet"]
+
+    # crash window 2: new table in place, stale aside left → cleaned up
+    os.makedirs(target + "__aside__cafe0000")
+    assert recover_dir(target) is False
+    assert not os.path.exists(target + "__aside__cafe0000")
+    assert os.listdir(target) == ["new.parquet"]
+
+
+def test_compaction_recovers_from_crashed_swap(spark, tmp_path):
+    from data_integration_spark.sources.maintenance import compact_parquet
+
+    p = str(tmp_path / "t")
+    spark.range(1000).write.parquet(p)
+    # simulate a crash that happened between the two renames of a previous
+    # maintenance run: the table exists only under the aside name
+    os.rename(p, p + "__aside__01234567")
+    compact_parquet(spark, p, target_rows_per_file=500)
+    assert spark.read.parquet(p).count() == 1000
+
+
+# ------------------------------------------- components convergence contract
+def test_connected_components_nonconvergence_raises(spark):
+    from data_integration_spark.dedup.components import connected_components
+
+    # path graph 0-1-2-...-9: diameter 9, cannot converge in 2 rounds
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(9)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(edges, max_iter=2, strict=False).collect()
+    # and with enough rounds it converges to one component, no warning
+    comp = {r.node: r.cluster for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
+    """With a checkpoint dir configured the loop must use reliable
+    checkpoint() (cluster-survivable) and still produce correct labels."""
+    from data_integration_spark.dedup.components import connected_components
+
+    sc = spark.sparkContext
+    # NB: a SparkContext checkpoint dir cannot be unset; it stays for the
+    # session (pytest tmp_path dirs outlive the test), which is harmless —
+    # reliable checkpoints are valid anywhere localCheckpoint is.
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=10, dst=11)]
+    )
+    comp = {r.node: r.cluster for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert any(os.scandir(str(tmp_path / "ckpt")))  # reliable path was used
