@@ -109,9 +109,12 @@ def minhash_lsh_pairs(
         .agg(F.count("*").alias("i"))
     )
     jac = F.col("i").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("i"))
+    # sizes is one row per DOCUMENT — no broadcast hint (a forced hint would
+    # driver-collect a corpus-sized table at scale; AQE broadcasts only
+    # while it genuinely fits)
     return (
-        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))), "d1")
-        .join(F.broadcast(sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))), "d2")
+        inter.join(sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2")), "d2")
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= verify_threshold)
     )

@@ -107,7 +107,9 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat["lineitem"]
         .join(cat["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(cat["customer"].select("c_custkey", "c_nationkey")),
+            # customer grows with the data — no forced broadcast (AQE decides);
+            # nation/region below are genuinely bounded dims and keep the hint
+            cat["customer"].select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(F.broadcast(cat["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))

@@ -829,8 +829,11 @@ def q_report_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
     )
     cust_map = customer.select("c_custkey", "c_nationkey")
+    # no broadcast hint: cust_map is one row per CUSTOMER (data-proportional);
+    # a forced hint would collect a fact-sized table to the driver at 100×.
+    # AQE broadcasts it while it is actually small and shuffles when not.
     ord_cust = orders.select("o_orderkey", "o_custkey", "o_totalprice").join(
-        F.broadcast(cust_map), F.col("o_custkey") == F.col("c_custkey")
+        cust_map, F.col("o_custkey") == F.col("c_custkey")
     )
     d_mspe = F.col("o_totalprice") - 100000.0
     ord_stats = ord_cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(

@@ -249,7 +249,10 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = cat["customer"].select("c_custkey", "c_nationkey")
     joined = (
         stream_in.filter(F.col("o_totalprice") > 150000)
-        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        # no forced broadcast: customer is data-proportional; Spark's own
+        # size-based planning broadcasts the static side per micro-batch
+        # while it fits and degrades to a shuffle join when it doesn't
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "o_orderkey",
             "c_nationkey",

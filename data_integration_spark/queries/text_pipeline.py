@@ -279,8 +279,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("i").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("i"))
     return (
-        inter.join(F.broadcast(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))), "d1")
-        .join(F.broadcast(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))), "d2")
+        # per-doc sizes: data-proportional, so no forced broadcast hint
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
         .filter(jac >= 0.05)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )

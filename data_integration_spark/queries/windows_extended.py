@@ -425,19 +425,22 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by first-seen week, counted
-    in each subsequent activity week — first-seen is a broadcast-sized
-    per-user table joined back to the event stream; the matrix is one
-    distinct + one aggregation."""
+    in each subsequent activity week. First-seen is a MIN window over
+    user_id — one shuffle on the events table, no per-user side table to
+    join (the r2 version broadcast a users-sized frame, which is
+    data-proportional and dies at 100×)."""
     ev = Catalog(spark, sf_dir)["events"].select("user_id", "ts")
     wk = F.date_trunc("week", F.col("ts"))
-    first_seen = ev.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    w = Window.partitionBy("user_id")
     activity = (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.select("user_id", wk.alias("wk"))
+        .withColumn("cohort", F.min("wk").over(w))
         .select(
             "user_id",
             "cohort",
             (
-                F.datediff(wk.cast("date"), F.col("cohort").cast("date")) / 7
+                F.datediff(F.col("wk").cast("date"), F.col("cohort").cast("date"))
+                / 7
             ).cast("int").alias("week_n"),
         )
         .distinct()

@@ -154,3 +154,26 @@ def test_tfidf_filter_pushed_through_aggregation(spark):
     df = QUERIES["q_tfidf"](spark, SF)
     filters = " ".join(pushed_filters(df))
     assert "doc_id" in filters
+
+
+def test_no_data_proportional_broadcast_hints(spark):
+    """Forced broadcast hints must only wrap BOUNDED frames (static dims,
+    per-group aggregates) — never tables that grow with the data. A hint
+    overrides Catalyst's size check, so a data-proportional hint
+    driver-collects a fact-sized table at 100× (VERDICT r2). The expected
+    counts pin exactly the bounded hints each query is allowed to keep."""
+    expected_hints = {
+        "q_revenue_by_nation": 2,   # nation + region dims; customer un-hinted
+        "q_retention_cohorts": 0,   # cohort via MIN window — no join at all
+        "q_ngram_jaccard": 0,       # per-doc sizes joins left to AQE
+        "q_report_final": 3,        # three per-NATION aggregate frames only
+        "q_dedup_minhash": 0,       # per-doc sizes joins left to AQE
+    }
+    for name, n in expected_hints.items():
+        analyzed = (
+            QUERIES[name](spark, SF)._jdf.queryExecution().analyzed().toString()
+        )
+        assert analyzed.count("ResolvedHint") == n, (
+            f"{name}: expected {n} broadcast hints, plan has "
+            f"{analyzed.count('ResolvedHint')}"
+        )
