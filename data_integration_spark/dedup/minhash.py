@@ -65,13 +65,25 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 1,
     verify_threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact shingle Jaccard.
 
     Returns (d1, d2, jaccard) with jaccard ≥ verify_threshold — candidates
     that fail exact verification are dropped, so precision is exact and only
     recall depends on (k, bands).
-    """
+
+    ``max_bucket_size`` caps the candidate blow-up of degenerate buckets
+    (e.g. thousands of near-empty or identical docs landing in one band
+    bucket, whose pair space is quadratic in the bucket size): buckets over
+    the cap are SPLIT into ceil(size/cap) salted sub-buckets, bounding
+    candidates at O(size·cap) instead of O(size²). The salt is a
+    deterministic per-doc hash (the same split in every band — a
+    band-varying salt would restore near-quadratic volume across bands when
+    every band is degenerate). Recall trade: pairs across sub-buckets of a
+    degenerate bucket are lost; that regime is overwhelmingly identical /
+    near-empty documents, which the exact-dedup stage (run first in the
+    curation pipeline) already collapses. ``None`` disables the cap."""
     assert k % bands == 0
     rows = k // bands
     sig = minhash_signatures(df, id_col, text_col, n_gram, k, seed)
@@ -89,10 +101,22 @@ def minhash_lsh_pairs(
     buckets = sig.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    left = buckets.select(F.col(id_col).alias("d1"), "band", "bh")
-    right = buckets.select(F.col(id_col).alias("d2"), "band", "bh")
+    join_keys = ["band", "bh"]
+    if max_bucket_size is not None:
+        sizes_b = buckets.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
+        n_sub = F.ceil(F.col("_bsz") / F.lit(max_bucket_size)).cast("long")
+        buckets = (
+            buckets.join(sizes_b, ["band", "bh"])
+            .withColumn(
+                "sub", F.pmod(F.xxhash64(F.col(id_col)), n_sub)
+            )
+            .drop("_bsz")
+        )
+        join_keys = ["band", "bh", "sub"]
+    left = buckets.select(F.col(id_col).alias("d1"), *join_keys)
+    right = buckets.select(F.col(id_col).alias("d2"), *join_keys)
     cand = (
-        left.join(right, ["band", "bh"])
+        left.join(right, join_keys)
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()

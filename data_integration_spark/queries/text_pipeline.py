@@ -234,9 +234,13 @@ def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(text, ' ') AS ts
       FROM documents WHERE doc_id < 60
     ),
-    sh AS (
+    sh_raw AS (
       SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS s
       FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS u(i)
+    ),
+    sh AS (  -- document-frequency cap: drop stopword-grade hot shingles
+      SELECT * FROM sh_raw
+      WHERE s IN (SELECT s FROM sh_raw GROUP BY s HAVING COUNT(*) <= 45)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
@@ -256,9 +260,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram (word-bigram) Jaccard near-dup pairs — the exact verifier that
     follows MinHash candidate generation at scale; bounded here to
     ``doc_id < 60`` exactly as a candidate stage would bound it (threshold
-    0.05 so the check set is non-empty at every test SF)."""
+    0.05 so the check set is non-empty at every test SF).
+
+    The shingle self-join carries a DOCUMENT-FREQUENCY CAP (shingles in
+    >45 docs are dropped from the sets, both engines): a stopword-grade
+    shingle ("of the") otherwise pairs every pair of docs containing it,
+    making the join near-quadratic on hot keys. Jaccard is then computed
+    over the capped sets — the standard bounded-recall trade; at 100 TB the
+    cap is what keeps the exact verifier's pair space proportional to true
+    near-dup density rather than stopword density."""
     docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 60)
-    sh = docs.select(
+    sh_raw = docs.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -269,6 +281,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).filter(F.col("s").isNotNull())
+    # document-frequency cap (mirrors the oracle's HAVING COUNT(*) <= 45)
+    keep_sh = (
+        sh_raw.groupBy("s").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= 45)
+        .select("s")
+    )
+    sh = sh_raw.join(keep_sh, "s")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -71,6 +71,12 @@ def cosine_pairs(
     )
 
 
+#: Brute force materializes |queries|·|corpus| pairs before ranking — the
+#: exact baseline is only sane for a bounded query side. Beyond this, use
+#: lsh_topk / ivf_topk (candidate generation bounds the pair space).
+MAX_BRUTE_FORCE_QUERIES = 10_000
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -78,9 +84,23 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "e",
     round_decimals: int = 6,
+    max_queries: int = MAX_BRUTE_FORCE_QUERIES,
 ) -> DataFrame:
     """Brute-force cosine top-k per query with a deterministic tie-break
-    (rounded cosine desc, then corpus id)."""
+    (rounded cosine desc, then corpus id).
+
+    Refuses (ValueError) when the query side exceeds ``max_queries`` —
+    N·M pair materialization on an unbounded query side is the scale
+    failure the LSH/IVF paths exist to avoid. ``max_queries=None``
+    disables the guard for deliberate offline exact sweeps."""
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"cosine_topk query side exceeds {max_queries} rows; "
+                "brute force would materialize |Q|x|corpus| pairs - use "
+                "lsh_topk/ivf_topk, or pass max_queries=None deliberately"
+            )
     pairs = cosine_pairs(
         queries, corpus, id_col=id_col, vec_col=vec_col, threshold=-2.0,
         round_decimals=round_decimals,

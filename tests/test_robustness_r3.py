@@ -147,3 +147,58 @@ def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
     comp = {r.node: r.cluster for r in connected_components(edges).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert any(os.scandir(str(tmp_path / "ckpt")))  # reliable path was used
+
+
+# --------------------------------------------------- LSH degenerate buckets
+def test_lsh_bucket_cap_bounds_adversarial_candidates(spark):
+    """500 identical docs put all 500 in ONE bucket of every band: uncapped
+    that is C(500,2)=124,750 candidate pairs per band. With the cap the
+    pair space is O(size*cap) and the job stays tractable; recall within
+    sub-buckets is preserved (every doc still pairs with cap-mates)."""
+    from data_integration_spark.dedup.minhash import minhash_lsh_pairs
+
+    text = " ".join(f"tok{i % 11} word{i % 7}" for i in range(20))
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=text) for i in range(500)],
+        "doc_id bigint, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, max_bucket_size=50).collect()
+    n = len(pairs)
+    # 10 sub-buckets of ~50 -> ~10 * C(50,2) = 12,250 pairs, not 124,750
+    assert 0 < n < 20_000, n
+    # every doc keeps near-dup partners (sub-bucket-local recall)
+    docs_in_pairs = {r.d1 for r in pairs} | {r.d2 for r in pairs}
+    assert len(docs_in_pairs) == 500
+    assert all(r.jaccard == 1.0 for r in pairs)
+
+
+def test_lsh_bucket_cap_no_effect_below_threshold(spark):
+    """On a normal corpus (all buckets under the cap) capped and uncapped
+    runs return identical pairs."""
+    from data_integration_spark.dedup.minhash import minhash_lsh_pairs
+
+    base = " ".join(f"w{i * 13 % 101} t{i * 7 % 89}" for i in range(40))
+    rows = [Row(doc_id=i, text=f"{base} uniq{i}") for i in range(30)]
+    rows += [Row(doc_id=100 + i, text=" ".join(f"z{j * i}" for j in range(40)))
+             for i in range(1, 10)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    capped = sorted((r.d1, r.d2) for r in
+                    minhash_lsh_pairs(docs, max_bucket_size=1000).collect())
+    uncapped = sorted((r.d1, r.d2) for r in
+                      minhash_lsh_pairs(docs, max_bucket_size=None).collect())
+    assert capped == uncapped and capped
+
+
+# ----------------------------------------------- brute-force top-k guard
+def test_cosine_topk_refuses_unbounded_query_side(spark):
+    from data_integration_spark.similarity.ann import cosine_topk
+
+    vecs = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("e"),
+    )
+    with pytest.raises(ValueError, match="query side exceeds"):
+        cosine_topk(vecs, vecs, k=3, max_queries=10)
+    # under the bound (or explicitly disabled) it runs
+    out = cosine_topk(vecs.limit(5), vecs, k=3, max_queries=10)
+    assert out.count() == 15
