@@ -50,18 +50,21 @@ def main() -> None:
     ).save()
 
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         # one untimed warm run (plan compilation + code-gen + broadcast build),
-        # then TWO timed steady-state runs, reporting the min — the second
-        # timed pass removes residual JIT/GC noise from the comparison
-        # across rounds (same methodology every round)
+        # then THREE timed steady-state runs, reporting the min — the box
+        # swings ±20% under load, so min-of-3 plus the observed per-query
+        # spread (max−min of the timed passes) lets a reader separate real
+        # regressions from scheduler noise (same methodology every round)
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
+        passes = []
+        for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            passes.append(time.perf_counter() - t0)
+        times[name] = round(min(passes), 3)
+        spreads[name] = round(max(passes) - min(passes), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -71,6 +74,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
