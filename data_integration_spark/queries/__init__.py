@@ -102,6 +102,9 @@ _SIGN_PRIORITY: list[str] = [
     "q_schema_evolution",
     "q_compaction",
     # round-3 additions (unsigned by definition) fill the 50-window remainder
+    "q_tpch_q3",
+    "q_referential_integrity",
+    "q_bucketed_join",
 ]
 
 

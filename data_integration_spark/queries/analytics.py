@@ -147,3 +147,137 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sq_norm"),
         F.round(F.element_at(e, 1), 6).alias("first_val"),
     )
+
+
+@register(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) on the testdata schema: selective
+    segment/date filters pushed to all three scans, fact-fact shuffle join,
+    grouped revenue, global top-10.
+
+    Scale shape: both date filters reach the parquet scans (row-group
+    pruning at 100 TB); the customer side reduces to one segment before the
+    join so AQE sizes it for broadcast when it fits; top-10 is a
+    TakeOrderedAndProject, never a full sort."""
+    cat = Catalog(spark, sf_dir)
+    cutoff = "1995-03-15"
+    return (
+        cat["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(
+            cat["orders"].filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            cat["lineitem"].filter(
+                F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+
+
+@register(
+    "q_referential_integrity",
+    oracle="""
+    SELECT 'orders_orphan_custkey' AS check_name,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS violations
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'customer_orphan_nationkey',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'orders_null_keys',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey IS NULL OR o_custkey IS NULL)
+    """,
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: orphan-foreign-key and null-key counts across the
+    fact/dim graph — the pre-flight check a 100 TB ingest runs before
+    training-data jobs trust the join keys.
+
+    Scale shape: each check is a LEFT ANTI join (map-side when the dim
+    side broadcasts, shuffle otherwise) reduced to a scalar count; the
+    four scalars union into a 4-row report, so nothing fact-sized ever
+    reaches the driver."""
+    cat = Catalog(spark, sf_dir)
+    orders, customer = cat["orders"], cat["customer"]
+    lineitem, nation = cat["lineitem"], cat["nation"]
+
+    def count_scalar(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("violations"),
+        )
+
+    checks = [
+        count_scalar(
+            "orders_orphan_custkey",
+            orders.join(
+                customer, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+            ),
+        ),
+        count_scalar(
+            "lineitem_orphan_orderkey",
+            lineitem.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"
+            ),
+        ),
+        count_scalar(
+            "customer_orphan_nationkey",
+            customer.join(
+                nation, F.col("c_nationkey") == F.col("n_nationkey"), "left_anti"
+            ),
+        ),
+        count_scalar(
+            "orders_null_keys",
+            orders.filter(
+                F.col("o_orderkey").isNull() | F.col("o_custkey").isNull()
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

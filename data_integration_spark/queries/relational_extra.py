@@ -515,3 +515,46 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.repartition(40).write.parquet(path)
     compact_parquet(spark, path, target_rows_per_file=100_000)
     return spark.read.parquet(path)
+
+
+@register(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written ``bucketBy(8, custkey)``
+    + ``sortBy`` into a managed warehouse pinned under ``.scratch``, then
+    sort-merge-joined with ZERO exchanges — each bucket pair joins where it
+    sits, the layout that replaces the fact-fact shuffle at 100 TB when one
+    join key dominates the workload (write once bucketed, join forever
+    shuffle-free). ``test_plans.py`` pins the no-Exchange property."""
+    cat = Catalog(spark, sf_dir)
+    db = "graft_bucketed"
+    loc = os.path.join(_SCRATCH, "bucketed_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    for t in ("orders_b", "customer_b"):
+        # DROP handles a same-session rerun; the rmtree handles a PREVIOUS
+        # session's leftover dir (in-memory catalog forgets the table but the
+        # managed location persists -> LOCATION_ALREADY_EXISTS otherwise)
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        shutil.rmtree(os.path.join(loc, t), ignore_errors=True)
+    cat["orders"].write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable(f"{db}.orders_b")
+    cat["customer"].write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+        "overwrite"
+    ).saveAsTable(f"{db}.customer_b")
+    o = spark.table(f"{db}.orders_b").filter(F.col("o_totalprice") > 400000)
+    c = spark.table(f"{db}.customer_b")
+    # merge hint: demonstrate the bucket-aligned SMJ rather than letting the
+    # small test-scale side broadcast (either is correct; the point here is
+    # the exchange-free co-located plan)
+    return (
+        o.hint("merge")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )

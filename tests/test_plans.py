@@ -177,3 +177,11 @@ def test_no_data_proportional_broadcast_hints(spark):
             f"{name}: expected {n} broadcast hints, plan has "
             f"{analyzed.count('ResolvedHint')}"
         )
+
+
+def test_bucketed_join_query_is_exchange_free(spark):
+    """q_bucketed_join writes both sides bucketed on the join key, so the
+    sort-merge join must run with ZERO Exchanges — the co-located layout
+    that replaces the repeated fact-fact shuffle at 100 TB."""
+    df = QUERIES["q_bucketed_join"](spark, SF)
+    assert count_shuffles(df) == 0, formatted_plan(df)
