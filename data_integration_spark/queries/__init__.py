@@ -105,7 +105,10 @@ _SIGN_PRIORITY: list[str] = [
     "q_tpch_q3",
     "q_referential_integrity",
     "q_bucketed_join",
-]
+    "q_sessionization",
+    "q_tpch_q5",
+    "q_keep_latest",
+]  # 50 exactly — the driver's per-round window; new names go to r4's block
 
 
 def load_all() -> None:

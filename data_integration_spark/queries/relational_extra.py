@@ -10,7 +10,7 @@ import shutil
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -557,4 +557,44 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.hint("merge")
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
+@register(
+    "q_keep_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+           value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-by-key: compact an append-only event/CDC log to the
+    current snapshot — the canonical 'latest record per key' op every
+    large-scale ingest runs before joining a mutable entity.
+
+    Scale shape: one shuffle on the key; Spark 4 rewrites the rn=1 filter
+    into WindowGroupLimit, so each map task keeps only its per-key leader
+    before the shuffle (a top-1 partial aggregate, not a full sort of the
+    log). Deterministic via the (ts, event_id) total order."""
+    ev = Catalog(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+            "value",
+        )
     )

@@ -483,3 +483,80 @@ def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_in_band"),
         F.sum("o_orderkey").over(w).alias("key_band_sum"),
     )
+
+
+@register(
+    "q_sessionization",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, EPOCH_US(ts) AS ts_us,
+             LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM seq
+    ),
+    numbered AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MAX(ts_us) - MIN(ts_us) AS dur_us
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           ROUND(CAST(SUM(dur_us) AS BIGINT) / 1000000.0 / COUNT(*), 6)
+             AS avg_session_sec
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (30-min inactivity gap): per-user
+    session ids via lag + running sum, then per-session and per-user stats.
+
+    Scale shape: ONE shuffle total — the lag window hash-partitions on
+    user_id, the running-sum window reuses that sort, and BOTH downstream
+    groupBys ((user_id, session_id), then user_id) are satisfied by the
+    same user_id partitioning, so Catalyst adds no further Exchange. Gaps
+    are integer microseconds (exact); only the final avg divides.
+
+    The streaming analogue is q_session_window (session_window +
+    watermark); this is the batch/backfill form of SURVEY.md's event-time
+    surface."""
+    ev = Catalog(spark, sf_dir)["events"].select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts_us")
+    gapped = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w_seq).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w_seq) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = gapped.withColumn(
+        "session_id",
+        F.sum("new_s").over(w_seq.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(
+            F.sum("dur_us") / F.lit(1000000.0) / F.count("*"), 6
+        ).alias("avg_session_sec"),
+    )

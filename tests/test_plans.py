@@ -185,3 +185,27 @@ def test_bucketed_join_query_is_exchange_free(spark):
     that replaces the repeated fact-fact shuffle at 100 TB."""
     df = QUERIES["q_bucketed_join"](spark, SF)
     assert count_shuffles(df) == 0, formatted_plan(df)
+
+
+def test_sessionization_single_shuffle(spark):
+    """Gap-sessionization: the lag window, running-sum window, and both
+    downstream groupBys all ride ONE user_id exchange."""
+    df = QUERIES["q_sessionization"](spark, SF)
+    assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_keep_latest_uses_window_group_limit(spark):
+    """rn=1 over (key ORDER BY ts DESC) must run as WindowGroupLimit —
+    per-key top-1 partial before the shuffle, never a full log sort."""
+    df = QUERIES["q_keep_latest"](spark, SF)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert count_shuffles(df) == 1, plan
+
+
+def test_tpch_q5_date_filter_pushed(spark):
+    """Q5's order-date range must reach the orders parquet scan (row-group
+    pruning is the 100 TB lever on the widest fact join)."""
+    df = QUERIES["q_tpch_q5"](spark, SF)
+    filters = " ".join(pushed_filters(df))
+    assert "o_orderdate" in filters, filters
