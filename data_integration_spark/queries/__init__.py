@@ -133,6 +133,7 @@ def load_all() -> None:
         analytics,
         relational,
         model_queries,
+        pipeline_extra,
     )
 
     front = [n for n in _SIGN_PRIORITY if n in QUERIES]

@@ -209,3 +209,21 @@ def test_tpch_q5_date_filter_pushed(spark):
     df = QUERIES["q_tpch_q5"](spark, SF)
     filters = " ".join(pushed_filters(df))
     assert "o_orderdate" in filters, filters
+
+
+def test_quota_sample_uses_window_group_limit(spark):
+    """Per-stratum cap must run as WindowGroupLimit (top-10 heaps), not a
+    full per-group sort of the corpus."""
+    df = QUERIES["q_quota_sample"](spark, SF)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert count_shuffles(df) == 1, plan
+
+
+def test_zscore_probe_side_never_shuffles(spark):
+    """The per-type stats frame broadcasts back onto the fact probe; the
+    only exchange is the tiny stats aggregation itself."""
+    df = QUERIES["q_zscore_outliers"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert count_shuffles(df) == 1, plan
