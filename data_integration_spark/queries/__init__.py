@@ -134,6 +134,7 @@ def load_all() -> None:
         relational,
         model_queries,
         pipeline_extra,
+        relational_sql,
     )
 
     front = [n for n in _SIGN_PRIORITY if n in QUERIES]

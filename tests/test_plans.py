@@ -227,3 +227,25 @@ def test_zscore_probe_side_never_shuffles(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert count_shuffles(df) == 1, plan
+
+
+def test_q17_correlated_subquery_is_decorrelated(spark):
+    """Catalyst must rewrite the per-part AVG correlated subquery into an
+    aggregate-plus-join — a physical plan still carrying a per-row
+    Subquery would re-scan lineitem per row."""
+    plan = formatted_plan(QUERIES["q_tpch_q17"](spark, SF))
+    assert "Subquery" not in plan, plan
+
+
+def test_not_in_plans_anti_join(spark):
+    """NOT IN must plan as a (null-aware) LeftAnti join, not a nested-loop
+    filter."""
+    plan = formatted_plan(QUERIES["q_not_in_subquery"](spark, SF))
+    assert "LeftAnti" in plan, plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """The LATERAL per-nation LIMIT must rewrite to window machinery, not
+    a correlated re-execution per outer row."""
+    plan = formatted_plan(QUERIES["q_lateral_topk"](spark, SF))
+    assert "Window" in plan, plan
