@@ -266,3 +266,146 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), "\\s+")).alias("token_count"),
     )
     return pack_documents(docs, budget=256, n_shards=8)
+
+
+@register(
+    "q_ewma",
+    oracle="""
+    WITH series AS (
+      SELECT user_id,
+             LIST(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(LEN(xs) AS BIGINT) AS n,
+           ROUND(LIST_REDUCE(xs, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+             AS ewma
+    FROM series
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (alpha=0.3), the
+    time-series smoothing op: an inherently SEQUENTIAL recurrence
+    expressed as a higher-order fold — collect the ordered series per
+    key, then F.aggregate (Catalyst's fold expression, JVM-side, no
+    Python) runs s_t = a*x_t + (1-a)*s_{t-1} left-to-right.
+
+    Scale shape: one shuffle on the key; the fold is a Column expression
+    inside codegen. Both engines fold the identically-ordered list with
+    identical IEEE ops, so the result is bit-stable before the final
+    round. Per-key series must fit a row (fine for per-entity event
+    counts; a million-event key would move to applyInPandas)."""
+    ev = Catalog(spark, sf_dir)["events"]
+    xs = F.array_sort(
+        F.collect_list(
+            F.struct("ts", "event_id", F.col("value").cast("double").alias("value"))
+        )
+    )
+    vals = F.transform(xs, lambda s: s.getField("value"))
+    return (
+        ev.groupBy("user_id")
+        .agg(vals.alias("vals"))
+        .select(
+            "user_id",
+            F.size("vals").cast("long").alias("n"),
+            F.round(
+                F.aggregate(
+                    F.slice(F.col("vals"), 2, F.size("vals") - 1),
+                    F.element_at(F.col("vals"), 1),
+                    lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+                ),
+                6,
+            ).alias("ewma"),
+        )
+    )
+
+
+@register(
+    "q_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS filled
+    FROM events
+    """,
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): error events'
+    values are treated as missing and inherit the user's last good
+    reading — the gap-repair pass of sensor/time-series cleaning.
+
+    Scale shape: one shuffle on the key; last_value(ignoreNulls) over a
+    running frame is a single window pass, no self-join, no Python."""
+    ev = Catalog(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(good, ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+@register("q_hll_mergeable")  # rows-only: estimates are engine-specific
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (Datasketches HLL, Spark 3.5+):
+    per-nation customer sketches built in one pass, then UNIONED into a
+    global sketch — the 100 TB distinct-count pattern where per-partition
+    /per-day sketches are tiny, mergeable, and reusable, unlike an exact
+    COUNT(DISTINCT) re-shuffle per question asked.
+
+    Rows-only by contract (the binary sketch and its estimate are
+    engine-specific); tests/test_sketches.py bounds the estimates against
+    exact counts."""
+    cust = Catalog(spark, sf_dir)["customer"]
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count_distinct("c_custkey").alias("exact"),
+    )
+    return per_nation.agg(
+        F.count("*").alias("n_nations"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("global_estimate"),
+        F.sum("exact").alias("global_exact"),
+    )
+
+
+@register(
+    "q_minmax_scale",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(CASE WHEN b.hi = b.lo THEN 0.5
+                 ELSE (e.value - b.lo) / (b.hi - b.lo) END, 6) AS scaled
+    FROM events e JOIN b ON e.event_type = b.event_type
+    """,
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling to [0,1] (constant groups pin to
+    0.5) — the normalization step before numeric features feed a model.
+
+    Scale shape: same broadcast-stats-back-onto-probe shape as
+    q_zscore_outliers — the per-type (min,max) frame is rows-per-group
+    sized, AQE broadcasts it, the probe never shuffles; min/max are exact
+    on the 2dp grid so the division is bit-identical cross-engine."""
+    ev = Catalog(spark, sf_dir)["events"]
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0.5)).otherwise(
+        (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    )
+    return ev.join(bounds, "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(scaled, 6).alias("scaled"),
+    )
