@@ -409,3 +409,138 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(scaled, 6).alias("scaled"),
     )
+
+
+@register(
+    "q_ab_test",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(value) AS m,
+             VAR_SAMP(value) AS v
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = 'click' THEN m END) AS m1,
+        MAX(CASE WHEN event_type = 'view' THEN m END) AS m2,
+        MAX(CASE WHEN event_type = 'click' THEN v END) AS v1,
+        MAX(CASE WHEN event_type = 'view' THEN v END) AS v2
+      FROM g
+    )
+    SELECT n1, n2,
+           ROUND(m1 - m2, 6) AS mean_diff,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(POW(v1 / n1 + v2 / n2, 2)
+                 / (POW(v1 / n1, 2) / (n1 - 1) + POW(v2 / n2, 2) / (n2 - 1)),
+                 6) AS welch_df
+    FROM w
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t-test (click vs view event values): group
+    moments in ONE aggregation pass, then the t statistic and
+    Welch–Satterthwaite degrees of freedom as scalar arithmetic — the
+    experiment-analysis primitive, computed without SciPy.
+
+    Scale shape: a 2-group aggregate (map-side partials) pivoted to one
+    row; nothing data-sized leaves the executors. Transcendental-free
+    except sqrt/pow, rounded to 6dp on both engines (NOTES.md rule)."""
+    ev = Catalog(spark, sf_dir)["events"].filter(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))
+    w = g.agg(
+        pick("click", "n").alias("n1"),
+        pick("view", "n").alias("n2"),
+        pick("click", "m").alias("m1"),
+        pick("view", "m").alias("m2"),
+        pick("click", "v").alias("v1"),
+        pick("view", "v").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return w.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             GREATEST(
+               (('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT)
+                 / 4294967296.0,
+               1e-12) AS u
+      FROM documents
+    )
+    SELECT doc_id, n_chars FROM k
+    ORDER BY LN(u) / n_chars DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    rank by ln(u)/w with a CONTENT-HASH uniform, take the top-k — longer
+    documents are proportionally more likely, yet the draw is
+    reproducible across runs, partitionings, and engines (no RNG state,
+    same property as q_hash_sample).
+
+    Scale shape: the ranking key is a map-side expression; top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort). One
+    distributed pass regardless of corpus size."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    u = F.greatest(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0),
+        F.lit(1e-12),
+    )
+    return (
+        docs.select("doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_chars")
+    )
+
+
+@register("q_pca_project")  # rows-only: eigendecomposition is not SQL
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (similarity/pca.py): d×d second-moment partials via
+    mapInPandas (one BLAS GEMM per Arrow batch), driver-side eigh of the
+    64×64 covariance, components broadcast back for a vectorized
+    projection pass — dimensionality reduction for embedding visualization
+    / clustering without ever collecting a data row.
+
+    Rows-only by contract; tests/test_pca.py carries the semantics
+    (variance ordering, orthonormal components, partition invariance,
+    centering)."""
+    from data_integration_spark.similarity.pca import pca_fit, pca_project
+
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    mu, comps, _ = pca_fit(emb, col="embedding", k=2)
+    proj = pca_project(emb, mu, comps, col="embedding", id_col="vec_id")
+    return proj.select(
+        "vec_id", F.round("pc1", 6).alias("pc1"), F.round("pc2", 6).alias("pc2")
+    )

@@ -348,3 +348,55 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.read.parquet(table)
+
+
+try:  # transformWithStateInPandas needs protobuf (absent in this container)
+    # — gate the registration so the operator surfaces wherever the dep
+    # exists; streaming/stateful.py::UserExtremes is the implementation
+    # either way and tests/test_stateful_streaming.py skips without it.
+    import google.protobuf  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+if _HAS_PROTOBUF:
+
+    @register(
+        "q_transform_with_state",
+        oracle="""
+        SELECT user_id, COUNT(*) AS n,
+               MIN(value) AS lo, MAX(value) AS hi
+        FROM events GROUP BY user_id
+        """,
+    )
+    def q_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Spark 4 transformWithStateInPandas: per-user running value
+        extremes kept in a named ValueState
+        (streaming/stateful.py::UserExtremes) — the new arbitrary-state
+        API that supersedes applyInPandasWithState (named Value/List/Map
+        state variables, store-managed TTL, timers).
+
+        Replayed availableNow in one batch, each user's single update-mode
+        emission IS its final state, which must equal the batch GROUP BY —
+        the same stream/batch equivalence contract as q_stateful_stream."""
+        from data_integration_spark.streaming.stateful import (
+            user_extremes_stream,
+        )
+
+        ev = Catalog(spark, sf_dir)["events"].select("user_id", "value")
+        src, schema = _replay_dir(spark, sf_dir, "tws_src", ev)
+        stream_in = spark.readStream.schema(schema).parquet(src)
+        ck = f"{_SCRATCH}/tws_ck_{os.path.basename(sf_dir.rstrip('/'))}"
+        shutil.rmtree(ck, ignore_errors=True)
+        q = (
+            user_extremes_stream(stream_in)
+            .writeStream.format("memory")
+            .queryName("t2_tws")
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.sql("SELECT user_id, n, lo, hi FROM t2_tws")

@@ -17,6 +17,10 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 STATE_SCHEMA = "n long, total double"
 OUTPUT_SCHEMA = "user_id long, n long, total double, mean double"
@@ -99,4 +103,46 @@ def running_user_stats_replay(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+class UserExtremes(StatefulProcessor):
+    """transformWithStateInPandas processor (Spark 4 arbitrary-state API):
+    per-user running (n, lo, hi) kept in a ValueState; each invocation
+    folds the arriving rows and emits the updated extremes.
+
+    Versus applyInPandasWithState: named state variables (Value/List/Map),
+    TTL handled by the store, and the same processor binds to both the
+    pandas and Row variants — this is the forward-looking API for custom
+    stateful operators."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("extremes", "n long, lo double, hi double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n, lo, hi = self._state.get()
+        else:
+            n, lo, hi = 0, float("inf"), float("-inf")
+        for pdf in rows:
+            n += len(pdf)
+            lo = min(lo, float(pdf["value"].min()))
+            hi = max(hi, float(pdf["value"].max()))
+        self._state.update((n, lo, hi))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "lo": [lo], "hi": [hi]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_extremes_stream(events: DataFrame) -> DataFrame:
+    """Per-user running value extremes via the Spark 4 transformWithState
+    API (update mode, processing-time)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserExtremes(),
+        outputStructType="user_id long, n long, lo double, hi double",
+        outputMode="Update",
+        timeMode="None",
     )

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_integration_spark.sources.catalog import load_table
@@ -80,3 +82,23 @@ def test_running_stats_stateful(spark):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_requires_protobuf(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) needs
+    protobuf; the q_transform_with_state registration is gated on it.
+    Where the dep exists, the query must satisfy the batch-equivalence
+    oracle like every other streaming entry."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        from data_integration_spark.queries import QUERIES, load_all
+
+        load_all()
+        assert "q_transform_with_state" not in QUERIES
+        pytest.skip("protobuf absent: transformWithState gated off")
+    from data_integration_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["q_transform_with_state"](spark, SF).collect()
+    assert len(out) > 0
