@@ -544,3 +544,179 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "vec_id", F.round("pc1", 6).alias("pc1"), F.round("pc2", 6).alias("pc2")
     )
+
+
+@register(
+    "q_bm25",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tk
+      FROM documents,
+           UNNEST(STRING_SPLIT_REGEX(LOWER(text), '[^a-z]+')) AS t(tk)
+      WHERE t.tk <> ''
+    ),
+    doclen AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n,
+             (SELECT AVG(dl) FROM doclen) AS avgdl
+    ),
+    tf AS (
+      SELECT doc_id, tk, COUNT(*) AS tf FROM tok
+      WHERE tk IN ('join', 'vector', 'stream') GROUP BY doc_id, tk
+    ),
+    df AS (
+      SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tok
+      WHERE tk IN ('join', 'vector', 'stream') GROUP BY tk
+    )
+    SELECT tf.doc_id AS doc_id,
+           ROUND(SUM(
+             LN((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / s.avgdl))
+           ), 6) AS score
+    FROM tf
+    JOIN df ON tf.tk = df.tk
+    JOIN doclen ON tf.doc_id = doclen.doc_id
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id LIMIT 15
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for the query terms
+    {join, vector, stream}: per-doc term frequencies for the query tokens
+    only, document-frequency idf, length normalization against the global
+    average — the ranking function a retrieval/eval pipeline runs over a
+    curated corpus. Top-15 by score.
+
+    Scale shape: the corpus tokenizes once; tf touches only rows whose
+    token is in the (tiny, broadcast) query set; df and the global
+    (N, avgdl) scalars are bytes-sized frames broadcast into the score
+    expression; top-15 is TakeOrderedAndProject. One corpus-sized shuffle
+    (the per-doc tf/doclen aggregation) regardless of query count."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    terms = ["join", "vector", "stream"]
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tk"),
+    ).filter(F.col("tk") != "")
+    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = docs.count()  # scalar, one job
+    avgdl_row = doclen.agg(F.avg("dl").alias("avgdl"))
+    tf = (
+        tok.filter(F.col("tk").isin(terms))
+        .groupBy("doc_id", "tk")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = (
+        tok.filter(F.col("tk").isin(terms))
+        .groupBy("tk")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "tk")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(avgdl_row))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+@register(
+    "q_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    pairs AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY src), 6) AS p
+    FROM pairs
+    """,
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the per-user event
+    sequence: LEAD pairs consecutive events, counts become row-normalized
+    transition probabilities — the session-flow / funnel-adjacent model of
+    behavioral analytics.
+
+    Scale shape: one shuffle on user_id for the sequencing window; the
+    (src, dst) count space is |event_types|² (tiny), so the normalizing
+    window costs nothing."""
+    ev = Catalog(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    w_src = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_src), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "q_entropy_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, SUM(n) AS tot, CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM c GROUP BY user_id
+    )
+    SELECT c.user_id, t.n_types,
+           ROUND(-SUM((CAST(c.n AS DOUBLE) / t.tot)
+                      * LN(CAST(c.n AS DOUBLE) / t.tot)), 6) AS entropy
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id, t.n_types
+    """,
+)
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy (Shannon, over the event-type
+    distribution): low entropy = single-minded sessions, high = diverse —
+    the diversity/balance metric data-mix profiling runs per source or
+    stratum.
+
+    Scale shape: two aggregations riding ONE user_id exchange (the second
+    groupBy's keys are a superset of the first's partitioning), then a
+    groups-sized join — nothing fact-sized moves twice."""
+    ev = Catalog(spark, sf_dir)["events"]
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("user_id").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("n_types")
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "n_types")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
