@@ -135,6 +135,7 @@ def load_all() -> None:
         model_queries,
         pipeline_extra,
         relational_sql,
+        tpch_extra,
     )
 
     front = [n for n in _SIGN_PRIORITY if n in QUERIES]
