@@ -429,3 +429,331 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.lit(100.0) * promo / total, 6).alias("promo_revenue_pct"))
     )
+
+
+@register(
+    "q_tpch_q2",
+    oracle="""
+    WITH ps AS (  -- partsupp stand-in: distinct (part, supplier) pairs traded
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem
+    ),
+    costed AS (
+      SELECT ps.ps_partkey, s.s_suppkey, s.s_name, s.s_acctbal,
+             n.n_name AS nation
+      FROM ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT c.s_acctbal, c.s_name, c.nation, c.ps_partkey AS p_partkey,
+           p.p_brand, p.p_size
+    FROM costed c
+    JOIN part p ON c.ps_partkey = p.p_partkey
+    WHERE p.p_size = 15
+      AND c.s_acctbal = (SELECT MIN(c2.s_acctbal) FROM costed c2
+                         WHERE c2.ps_partkey = c.ps_partkey)
+    ORDER BY c.s_acctbal, c.ps_partkey, c.s_suppkey
+    LIMIT 25
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: no ``partsupp`` table, so
+    the supplied-parts relation is the distinct (l_partkey, l_suppkey)
+    pairs actually traded, and ``ps_supplycost`` is stood in by
+    ``s_acctbal`` (min-per-part correlated subquery preserved — the
+    query's defining shape).
+
+    Scale shape: the correlated MIN becomes a min_by window over
+    ps_partkey — one shuffle on the already-region-filtered pair set; the
+    size-15 part filter broadcasts; top-25 is TakeOrderedAndProject."""
+    cat = Catalog(spark, sf_dir)
+    ps = (
+        cat["lineitem"]
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    costed = (
+        ps.join(
+            cat["supplier"], F.col("ps_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(cat["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "ps_partkey", "s_suppkey", "s_name", "s_acctbal",
+            F.col("n_name").alias("nation"),
+        )
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = costed.withColumn("min_bal", F.min("s_acctbal").over(w)).filter(
+        F.col("s_acctbal") == F.col("min_bal")
+    )
+    return (
+        best.join(
+            F.broadcast(
+                cat["part"].filter(F.col("p_size") == 15).select(
+                    "p_partkey", "p_brand", "p_size"
+                )
+            ),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal", "s_name", "nation",
+            F.col("ps_partkey").alias("p_partkey"), "p_brand", "p_size",
+        )
+        .orderBy("s_acctbal", "p_partkey", "s_suppkey")
+        .limit(25)
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "p_brand", "p_size")
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p.p_size IN (1, 5, 15, 25, 35, 45)
+      AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 30
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: partsupp = the
+    distinct traded (part, supplier) pairs; the "complaints" NOT IN
+    subquery excludes negative-balance suppliers instead (the column that
+    exists). Brand/type/size predicates and the COUNT DISTINCT shape are
+    verbatim.
+
+    Scale shape: the NOT IN becomes a LEFT ANTI join against a tiny
+    filtered supplier set (broadcast); part predicates broadcast into the
+    pair set; one (brand,type,size) agg with a distinct count."""
+    cat = Catalog(spark, sf_dir)
+    ps = (
+        cat["lineitem"]
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    bad_supp = cat["supplier"].filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_key")
+    )
+    parts = cat["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").isin("PROMO", "ECONOMY")
+        & F.col("p_size").isin(1, 5, 15, 25, 35, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(
+            F.broadcast(bad_supp),
+            F.col("ps_suppkey") == F.col("bad_key"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(30)
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 5 AND 20
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 15 AND 40
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    brand/size/quantity conjunct groups OR-ed together — the classic test
+    that an optimizer pushes a disjunction's common join key through
+    rather than falling back to a cartesian filter. (shipmode/shipinstruct
+    conjuncts dropped — columns absent.)
+
+    Scale shape: part side broadcasts; the OR predicate evaluates post-join
+    inside the same codegen stage; a single scalar agg."""
+    cat = Catalog(spark, sf_dir)
+    p = cat["part"].select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(5, 20)
+           & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(15, 40)
+           & F.col("l_quantity").between(20, 35))
+    )
+    return (
+        cat["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    promo_parts AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    heavy AS (
+      SELECT DISTINCT s.l_suppkey
+      FROM shipped s
+      JOIN promo_parts p ON s.l_partkey = p.p_partkey
+      WHERE s.qty > (SELECT 0.5 * AVG(qty) FROM shipped)
+    )
+    SELECT sup.s_name, sup.s_acctbal, n.n_name AS nation
+    FROM supplier sup
+    JOIN nation n ON sup.s_nationkey = n.n_nationkey
+    WHERE sup.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY sup.s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: no partsupp, so
+    "has excess stock" becomes "shipped more than half the average
+    per-(supplier,part) PROMO quantity in 1996" — the nested IN(IN(agg >
+    scalar-subquery)) pyramid is preserved.
+
+    Scale shape: the year filter prunes lineitem; one (supp, part) agg;
+    the global avg is a scalar broadcast into the filter; supplier
+    resolution is a SEMI join; nation broadcasts."""
+    cat = Catalog(spark, sf_dir)
+    shipped = (
+        cat["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    promo = cat["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    half_avg = shipped.agg(
+        (F.lit(0.5) * F.avg("qty")).alias("threshold")
+    )
+    heavy = (
+        shipped.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(half_avg))
+        .filter(F.col("qty") > F.col("threshold"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        cat["supplier"]
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(cat["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "s_acctbal", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+    WITH order_ship AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    order_stats AS (
+      SELECT l_orderkey, MAX(supp_last) AS order_last,
+             COUNT(*) AS n_suppliers
+      FROM order_ship GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM order_ship os
+    JOIN order_stats st ON os.l_orderkey = st.l_orderkey
+    JOIN orders o ON o.o_orderkey = os.l_orderkey
+    JOIN supplier s ON s.s_suppkey = os.l_suppkey
+    WHERE o.o_orderstatus = 'F'
+      AND st.n_suppliers >= 2
+      AND os.supp_last = st.order_last
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: without
+    commit/receipt dates, "kept waiting" = this supplier shipped LAST on a
+    multi-supplier finalized order (EXISTS another supplier ∧ NOT EXISTS a
+    later one — collapsed to the equivalent max-comparison).
+
+    Scale shape: the EXISTS/NOT-EXISTS pair over lineitem becomes ONE
+    (order, supplier) agg + ONE order-level re-agg riding the same
+    l_orderkey partitioning (no second lineitem shuffle); orders prunes to
+    'F' at the scan; supplier broadcasts; top-20 is
+    TakeOrderedAndProject."""
+    cat = Catalog(spark, sf_dir)
+    order_ship = (
+        cat["lineitem"]
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_last"))
+    )
+    order_stats = order_ship.groupBy("l_orderkey").agg(
+        F.max("supp_last").alias("order_last"),
+        F.count("*").alias("n_suppliers"),
+    )
+    f_orders = cat["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    return (
+        order_ship.join(order_stats, "l_orderkey")
+        .filter(
+            (F.col("n_suppliers") >= 2)
+            & (F.col("supp_last") == F.col("order_last"))
+        )
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(
+            F.broadcast(cat["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
