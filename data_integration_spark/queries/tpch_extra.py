@@ -757,3 +757,149 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "q_tpch_q6",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-aggregate —
+    the canonical predicate-pushdown benchmark; every conjunct must reach
+    the parquet scan as a PushedFilter (asserted for this family in
+    tests/test_plans.py).
+
+    Scale shape: no join, no shuffle beyond the final scalar combine; at
+    100 TB this is the query where row-group min/max pruning on
+    l_shipdate does all the work."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle="""
+    WITH value_by_part AS (
+      SELECT l.l_partkey AS partkey,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT partkey, value FROM value_by_part
+    WHERE value > (SELECT 0.01 * SUM(value) FROM value_by_part)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: partsupp value
+    (ps_supplycost * ps_availqty) is stood in by traded lineitem revenue
+    through NATION_7 suppliers — the HAVING > scalar-fraction-of-total
+    subquery shape is verbatim.
+
+    Scale shape: nation-filtered supplier set broadcasts into the lineitem
+    scan; one partkey agg; the global total is a scalar crossed back in —
+    the per-part frame never re-shuffles."""
+    cat = Catalog(spark, sf_dir)
+    nation7 = (
+        cat["supplier"]
+        .join(
+            F.broadcast(
+                cat["nation"].filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    value_by_part = (
+        cat["lineitem"]
+        .join(F.broadcast(nation7), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("value")
+        )
+    )
+    threshold = value_by_part.agg(
+        (F.lit(0.01) * F.sum("value")).alias("threshold")
+    )
+    return (
+        value_by_part.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("partkey", "value")
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue view + max-equality subquery
+    — the reference formulation's CREATE VIEW becomes a shared DataFrame
+    subplan referenced twice (Catalyst dedups the scan via exchange
+    reuse).
+
+    Scale shape: quarter filter prunes the scan; one suppkey agg; the MAX
+    is a scalar broadcast; ties all surface (the spec's semantics) rather
+    than an arbitrary limit-1."""
+    cat = Catalog(spark, sf_dir)
+    revenue = (
+        cat["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        cat["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
