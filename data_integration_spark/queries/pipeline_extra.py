@@ -720,3 +720,282 @@ def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "n_types")
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
     )
+
+
+@register(
+    "q_token_budget_mix",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             MD5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    ),
+    running AS (
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY shuffle_key, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM running WHERE cum_tokens <= 2000
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly under a per-source token budget: documents are
+    shuffled deterministically (md5 of doc_id), then taken in order until
+    each source's cumulative token count hits the budget — how a data-mix
+    spec ("2000 tokens of src0, 2000 of src1, …") is materialized without
+    a driver-side loop.
+
+    Scale shape: ONE shuffle on source for the running-sum window; the
+    budget cut is a filter on the windowed column; the per-source summary
+    rides the same partitioning. At 100 TB the window is the scale risk if
+    one source dominates — mitigated by sub-salting the source key and
+    budgeting per salt, which the docstring documents as the >1-executor
+    spill path (cf. SCALING.md)."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        running.filter(F.col("cum_tokens") <= 2000)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_autocorr",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value,
+             LEAD(value) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) AS next_value
+      FROM events
+    )
+    SELECT event_type,
+           ROUND(CORR(value, next_value), 6) AS lag1_autocorr,
+           CAST(COUNT(next_value) AS BIGINT) AS n_pairs
+    FROM seq WHERE next_value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the event value series per event type —
+    the stationarity / burstiness diagnostic a metrics pipeline computes
+    before alerting on drift.
+
+    Scale shape: one shuffle on event_type for the LEAD window; the
+    correlation is a single-pass moment aggregate over the same
+    partitioning (no second exchange)."""
+    ev = Catalog(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.lead("value").over(w).alias("next_value"),
+    ).filter(F.col("next_value").isNotNull())
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "next_value"), 6).alias("lag1_autocorr"),
+            F.count("next_value").alias("n_pairs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_cusum_drift",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, ts, event_id, value,
+             ROUND(AVG(value) OVER (PARTITION BY event_type), 2) AS baseline
+      FROM events
+    ),
+    walk AS (
+      SELECT event_type,
+             SUM(value - baseline) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM base
+    )
+    SELECT event_type,
+           ROUND(MAX(ABS(cusum)), 4) AS max_abs_cusum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM walk GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift scan per event type: the running sum of deviations from
+    the (2dp-rounded) series baseline; its max excursion is the standard
+    change-point statistic. The baseline rounds to the data's decimal grid
+    so every per-row deviation — and therefore the ordered cumulative sum
+    — is bit-identical across engines (NOTES.md cross-engine rule applied
+    to windows).
+
+    Scale shape: baseline and walk ride ONE event_type exchange (the
+    unordered avg window, the ordered cusum window, and the final agg all
+    share partitioning); nothing driver-side."""
+    ev = Catalog(spark, sf_dir)["events"]
+    w_all = Window.partitionBy("event_type")
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.round(F.avg("value").over(w_all), 2).alias("baseline"),
+    )
+    walk = base.select(
+        "event_type",
+        F.sum(F.col("value") - F.col("baseline")).over(w_ord).alias("cusum"),
+    )
+    return (
+        walk.groupBy("event_type")
+        .agg(
+            F.round(F.max(F.abs("cusum")), 4).alias("max_abs_cusum"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_term_cooccurrence",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.tk
+      FROM documents,
+           UNNEST(STRING_SPLIT_REGEX(LOWER(text), '[^a-z]+')) AS t(tk)
+      WHERE LEN(t.tk) >= 3
+    ),
+    top50 AS (
+      SELECT tk FROM (
+        SELECT tk, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tk) AS rn
+        FROM tok GROUP BY tk
+      ) WHERE rn <= 50
+    ),
+    ft AS (SELECT doc_id, tk FROM tok WHERE tk IN (SELECT tk FROM top50))
+    SELECT a.tk AS term_a, b.tk AS term_b,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tk < b.tk
+    GROUP BY term_a, term_b
+    ORDER BY n_docs DESC, term_a, term_b LIMIT 20
+    """,
+)
+def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term co-occurrence mining: document-level co-occurrence counts for
+    the 50 highest-document-frequency terms, top-20 pairs — the
+    first step of PMI/embedding-style association analysis.
+
+    Scale shape: the vocabulary is capped at 50 BEFORE the pair join, so
+    the per-doc pair space is ≤ C(50,2) regardless of corpus size; the
+    top-50 set is genuinely bounded → broadcast; the self-join is an
+    equi-join on doc_id between two already-tiny projections; top-20 is
+    TakeOrderedAndProject."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tk"),
+        )
+        .filter(F.length("tk") >= 3)
+        .distinct()
+    )
+    df_rank = (
+        tok.groupBy("tk")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("df").desc(), F.col("tk"))
+            ),
+        )
+        .filter(F.col("rn") <= 50)
+        .select("tk")
+    )
+    ft = tok.join(F.broadcast(df_rank), "tk")
+    a = ft.select("doc_id", F.col("tk").alias("term_a"))
+    b = ft.select(F.col("doc_id").alias("doc_id_b"), F.col("tk").alias("term_b"))
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("term_a") < F.col("term_b")),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "term_a", "term_b")
+        .limit(20)
+    )
+
+
+@register(
+    "q_curriculum_buckets",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             NTILE(10) OVER (ORDER BY LEN(string_split(text, ' ')), doc_id)
+               AS decile
+      FROM documents
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM scored GROUP BY decile ORDER BY decile
+    """,
+)
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: documents ranked by length (the simplest
+    difficulty proxy) and NTILE'd into 10 equal curriculum stages, with
+    per-stage token ranges — the ordering a length-curriculum trainer
+    consumes stage by stage.
+
+    Scale shape: NTILE over a global ORDER BY is a single-partition
+    window — acceptable here ONLY because the windowed row is (doc_id,
+    n_tokens), bytes per row, not the documents themselves; at 100 TB the
+    same decile assignment comes from percentile_approx cutpoints (two
+    scans, no global sort), which tests/test_scale_shapes.py pins as the
+    documented alternative."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    scored = docs.select(
+        "doc_id", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy("n_tokens", "doc_id")).cast("long"),
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("decile")
+    )
