@@ -999,3 +999,187 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "q_pagerank",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    trans AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    sym AS (
+      SELECT src, dst, SUM(n) AS n FROM (
+        SELECT src, dst, n FROM trans
+        UNION ALL
+        SELECT dst AS src, src AS dst, n FROM trans
+      ) GROUP BY src, dst
+    ),
+    e AS (
+      SELECT src, dst,
+             CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS p
+      FROM sym
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n_nodes FROM e),
+    pr(iter, node, rank) AS (
+      SELECT 0, src, 1.0 / (SELECT n_nodes FROM nn)
+      FROM (SELECT DISTINCT src FROM e) s
+      UNION ALL
+      SELECT p.iter + 1, e.dst,
+             0.15 / (SELECT n_nodes FROM nn) + 0.85 * SUM(p.rank * e.p)
+      FROM pr p JOIN e ON e.src = p.node
+      WHERE p.iter < 10
+      GROUP BY p.iter + 1, e.dst
+    )
+    SELECT node AS event_type, ROUND(rank, 6) AS pagerank
+    FROM pr WHERE iter = 10 ORDER BY event_type
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of event types in the (symmetrized) behavioral
+    transition graph — 10 power iterations, damping 0.85, via the generic
+    distributed ``operators/graph.py::pagerank``. Symmetrization
+    guarantees every node has in- AND out-edges, so no dangling-mass term
+    is needed and rank mass is conserved (the operator's documented
+    contract).
+
+    Scale shape: the transition-graph build is one user_id window + one
+    tiny (|types|²) agg; each PageRank iteration is ONE shuffle with the
+    node-sized rank frame broadcast into the edge join; lineage truncates
+    every 5 iterations (same mechanism as connected components)."""
+    from data_integration_spark.operators.graph import pagerank
+
+    ev = Catalog(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    sym = (
+        trans.select("src", "dst", "n")
+        .unionAll(
+            trans.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "n"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("n").alias("weight"))
+    )
+    ranks = pagerank(sym, n_iter=10, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        F.round("rank", 6).alias("pagerank"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_days
+      FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id, MAX(streak_days) AS longest_streak
+    FROM streaks GROUP BY user_id
+    ORDER BY longest_streak DESC, user_id LIMIT 15
+    """,
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of consecutive active
+    calendar days (the retention/engagement streak metric). The island key
+    is the classic ``date − row_number`` trick — consecutive days share
+    it, any gap starts a new island.
+
+    Scale shape: ONE shuffle on user_id carries the distinct-days dedup,
+    the row_number window, and both aggregations (all share the
+    partitioning); top-15 is TakeOrderedAndProject."""
+    ev = Catalog(spark, sf_dir)["events"]
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "island", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_days")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(F.max("streak_days").alias("longest_streak"))
+        .orderBy(F.col("longest_streak").desc(), "user_id")
+        .limit(15)
+    )
+
+
+@register(
+    "q_percentile_bands",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_acctbal,
+             PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS pr,
+             CUME_DIST() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal) AS cd
+      FROM customer
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(SUM(CASE WHEN pr >= 0.99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS top1pct_n,
+           MIN(CASE WHEN pr >= 0.99 THEN c_acctbal END) AS top1pct_cutoff,
+           CAST(SUM(CASE WHEN cd <= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bottom_half_n
+    FROM ranked GROUP BY segment ORDER BY segment
+    """,
+)
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution banding per market segment via the two rank-normalizing
+    window functions: percent_rank (top-1% membership + its account-balance
+    cutoff) and cume_dist (bottom-half population) — the segmentation
+    shape behind tiered pricing / cohort banding.
+
+    Scale shape: one shuffle on c_mktsegment; both windows and the band
+    aggregation share it. percent_rank's ORDER BY carries c_custkey as a
+    total-order tiebreak so the 0.99 boundary is engine-independent."""
+    cust = Catalog(spark, sf_dir)["customer"]
+    w_pr = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_cd = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w_pr).alias("pr"),
+        F.cume_dist().over(w_cd).alias("cd"),
+    )
+    return (
+        ranked.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.when(F.col("pr") >= 0.99, 1).otherwise(0)).alias(
+                "top1pct_n"
+            ),
+            F.min(
+                F.when(F.col("pr") >= 0.99, F.col("c_acctbal"))
+            ).alias("top1pct_cutoff"),
+            F.sum(F.when(F.col("cd") <= 0.5, 1).otherwise(0)).alias(
+                "bottom_half_n"
+            ),
+        )
+        .orderBy("segment")
+    )
