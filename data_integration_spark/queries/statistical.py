@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_integration_spark.functions.math import expit
 from data_integration_spark.functions.rng import seeded_normal
@@ -106,4 +107,206 @@ def q_bootstrap_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_custkey",
         theta.alias("theta"),
+    )
+
+
+@register(
+    "q_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, dow
+    ),
+    tot AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(o) OVER (PARTITION BY dow) AS col_tot,
+             SUM(o) OVER () AS n
+      FROM obs
+    )
+    SELECT ROUND(SUM((o - CAST(row_tot * col_tot AS DOUBLE) / n)
+                     * (o - CAST(row_tot * col_tot AS DOUBLE) / n)
+                     / (CAST(row_tot * col_tot AS DOUBLE) / n)), 6)
+             AS chi2_stat,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof
+    FROM tot
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    day-of-week — the categorical-association screen of the statistical
+    extension block (same family as the Welch A/B test, ``q_ab_test``).
+    Expected counts come from the margin products; the statistic and
+    degrees of freedom are returned (p-value needs an incomplete-gamma,
+    deliberately out of scope without SciPy).
+
+    Scale shape: the contingency table is |types|×7 — the windows and the
+    final reduction run over a cells-sized frame; only the initial count
+    touches the fact table (one shuffle)."""
+    ev = Catalog(spark, sf_dir)["events"]
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    tot = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(w_row).alias("row_tot"),
+        F.sum("o").over(w_col).alias("col_tot"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n")
+    return tot.agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias(
+            "chi2_stat"
+        ),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("dow") - 1)
+        ).alias("dof"),
+    )
+
+
+@register(
+    "q_mann_whitney",
+    oracle="""
+    WITH pooled AS (
+      SELECT value, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    ranked AS (
+      SELECT event_type,
+             RANK() OVER (ORDER BY value)
+               + (CAST(COUNT(*) OVER (PARTITION BY value) AS DOUBLE) - 1) / 2
+               AS midrank
+      FROM pooled
+    ),
+    stats AS (
+      SELECT
+        SUM(CASE WHEN event_type = 'click' THEN midrank END) AS r_a,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM ranked
+    )
+    SELECT n_a, n_b,
+           ROUND(r_a - CAST(n_a * (n_a + 1) AS DOUBLE) / 2, 2) AS u_stat,
+           ROUND((r_a - CAST(n_a * (n_a + 1) AS DOUBLE) / 2)
+                 / (CAST(n_a AS DOUBLE) * n_b), 6) AS auc
+    FROM stats
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test comparing the value distribution of
+    'click' vs 'view' events, with midranks for ties; also reports
+    U/(n_a·n_b) — the nonparametric effect size (= AUC). The
+    distribution-free alternative to the Welch test when normality is
+    off the table.
+
+    Scale shape: the global RANK is a single-partition window over a
+    (value, type) projection — the documented small-frame exception; at
+    100 TB the same midranks come from a two-pass sort-merge (count below
+    + tie count), which SCALING.md records as the swap-in. Ranks and tie
+    counts are integers (+ halves), so the statistic is grid-exact across
+    engines."""
+    ev = Catalog(spark, sf_dir)["events"]
+    pooled = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "value", "event_type"
+    )
+    w_rank = Window.orderBy("value")
+    w_tie = Window.partitionBy("value")
+    ranked = pooled.select(
+        "event_type",
+        (
+            F.rank().over(w_rank)
+            + (F.count("*").over(w_tie).cast("double") - 1) / 2
+        ).alias("midrank"),
+    )
+    is_a = F.col("event_type") == "click"
+    stats = ranked.agg(
+        F.sum(F.when(is_a, F.col("midrank"))).alias("r_a"),
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
+    )
+    u = F.col("r_a") - (F.col("n_a") * (F.col("n_a") + 1)).cast("double") / 2
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.round(u, 2).alias("u_stat"),
+        F.round(
+            u / (F.col("n_a").cast("double") * F.col("n_b")), 6
+        ).alias("auc"),
+    )
+
+
+@register(
+    "q_ks_test",
+    oracle="""
+    WITH pooled AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END AS in_b
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    cum AS (
+      SELECT value,
+             SUM(SUM(in_a)) OVER (ORDER BY value) AS ca,
+             SUM(SUM(in_b)) OVER (ORDER BY value) AS cb,
+             (SELECT SUM(in_a) FROM pooled) AS n_a,
+             (SELECT SUM(in_b) FROM pooled) AS n_b
+      FROM pooled GROUP BY value
+    )
+    SELECT ROUND(MAX(ABS(CAST(ca AS DOUBLE) / n_a
+                         - CAST(cb AS DOUBLE) / n_b)), 6) AS ks_stat,
+           CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b
+    FROM cum
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic ('click' vs 'view' value
+    distributions): the max ECDF gap, evaluated at every distinct value —
+    the drift detector data-quality monitors run between a reference and
+    a live sample. Counts are exact integers and each ECDF is one
+    integer-ratio division, so the statistic is bit-stable across
+    engines.
+
+    Scale shape: one shuffle groups by value (collapsing duplicates
+    FIRST, so the ordered cumulative window runs over distinct values
+    only); the global-order window is the documented small-frame
+    exception, swappable for range-partitioned prefix sums at 100 TB."""
+    ev = Catalog(spark, sf_dir)["events"]
+    pooled = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("in_a"),
+        F.when(F.col("event_type") != "click", 1).otherwise(0).alias("in_b"),
+    )
+    per_val = pooled.groupBy("value").agg(
+        F.sum("in_a").alias("a_cnt"), F.sum("in_b").alias("b_cnt")
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = per_val.select(
+        F.sum("a_cnt").over(w).alias("ca"),
+        F.sum("b_cnt").over(w).alias("cb"),
+        F.sum("a_cnt").over(w_all).alias("n_a"),
+        F.sum("b_cnt").over(w_all).alias("n_b"),
+    )
+    return cum.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("n_a")
+                    - F.col("cb").cast("double") / F.col("n_b")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
     )
