@@ -1183,3 +1183,177 @@ def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+    WITH per_price AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ),
+    cum AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(w) OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS total
+      FROM per_price
+    )
+    SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median_price
+    FROM cum WHERE 2 * cw >= total
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the 50% point of
+    the weight-CDF — the robust center estimate survey and pricing
+    pipelines use when rows carry unequal mass. All weights are integral
+    (quantities), so the cumulative CDF is exact integer arithmetic and
+    the crossing point is engine-independent (2·cum ≥ total avoids the
+    half-grid entirely).
+
+    Scale shape: one shuffle on (flag, price) for the weight collapse,
+    then the ordered window and both aggs ride the flag partitioning;
+    nothing global."""
+    li = Catalog(spark, sf_dir)["lineitem"]
+    per_price = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("w")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = per_price.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_robust_means",
+    oracle="""
+    WITH cuts AS (
+      SELECT l_returnflag,
+             QUANTILE_CONT(l_extendedprice, 0.1) AS lo,
+             QUANTILE_CONT(l_extendedprice, 0.9) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    trimmed AS (
+      SELECT l.l_returnflag,
+             ROUND(SUM(l.l_extendedprice), 2) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+      WHERE l.l_extendedprice >= c.lo AND l.l_extendedprice <= c.hi
+      GROUP BY l.l_returnflag
+    ),
+    logs AS (
+      SELECT l_returnflag,
+             ROUND(EXP(AVG(LN(l_extendedprice))), 4) AS geometric_mean,
+             ROUND(CAST(COUNT(*) AS DOUBLE)
+                   / SUM(1.0 / l_extendedprice), 4) AS harmonic_mean
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT t.l_returnflag,
+           ROUND(t.s / t.n, 6) AS trimmed_mean,
+           g.geometric_mean, g.harmonic_mean
+    FROM trimmed t JOIN logs g ON t.l_returnflag = g.l_returnflag
+    ORDER BY t.l_returnflag
+    """,
+)
+def q_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust center estimates per return flag: 10%-trimmed mean (exact
+    percentile cutoffs), geometric mean (exp∘avg∘ln), harmonic mean —
+    the outlier-resistant summary battery for skewed monetary columns.
+    The trimmed sum rounds to the 2dp data grid before dividing
+    (NOTES.md); the transcendental means round to 4 (libm accumulation at
+    ~5e4 magnitudes exceeds the 6dp grid).
+
+    Scale shape: two passes over the fact table (cutoffs, then the
+    filtered agg) — inherent to exact trimming; cutoffs are a
+    groups-sized broadcast; the transcendental means ride the second
+    pass's shuffle."""
+    li = Catalog(spark, sf_dir)["lineitem"]
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.1)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("hi"),
+    )
+    trimmed = (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .filter(
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") <= F.col("hi"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    logs = li.groupBy("l_returnflag").agg(
+        F.round(F.exp(F.avg(F.log("l_extendedprice"))), 4).alias(
+            "geometric_mean"
+        ),
+        F.round(
+            F.count("*").cast("double") / F.sum(1.0 / F.col("l_extendedprice")),
+            4,
+        ).alias("harmonic_mean"),
+    )
+    return (
+        trimmed.join(logs, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round(F.col("s") / F.col("n"), 6).alias("trimmed_mean"),
+            "geometric_mean",
+            "harmonic_mean",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_regression_by_group",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (price on quantity): slope, intercept,
+    R² via the one-pass regression aggregates — the grouped trend-fit a
+    metrics warehouse runs per segment without ever leaving SQL (and
+    without an iterative optimizer).
+
+    Scale shape: single aggregation pass, moment accumulators only —
+    the textbook partial-aggregate (map-side combine) case; no second
+    exchange, no driver math."""
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.regr_slope("l_extendedprice", "l_quantity"), 6
+            ).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 4
+            ).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
