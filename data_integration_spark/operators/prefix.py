@@ -1,0 +1,81 @@
+"""Range-partitioned prefix sums — the scale path for global cumulative
+windows.
+
+A global ``Window.orderBy(...)`` cumsum moves every row through ONE task
+(Spark warns "No Partition Defined"), which is fine for groups-sized
+frames but a wall for fact-sized ones. The classic distributed prefix sum
+replaces it:
+
+1. ``repartitionByRange(order_col)`` — rows land in sorted, disjoint
+   key ranges;
+2. per-partition totals (one tiny job, #partitions rows) → exclusive
+   offsets on the driver;
+3. a cumsum window WITHIN each partition plus the partition's offset.
+
+The only driver materialization is #partitions scalars, and the only
+full-data movement is the range exchange — the same cost the global sort
+would pay, minus the single-task bottleneck. Used as the documented
+swap-in for q_ks_test / q_mann_whitney / q_curriculum_buckets-style
+global windows (SCALING.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def range_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive prefix sum of ``value_col`` in ``order_col`` order,
+    computed without a single-partition window.
+
+    ``order_col`` must be a total order (unique values) for the result to
+    be well-defined row-by-row; with duplicate keys the intra-tie order —
+    like any SQL cumsum over a non-unique ORDER BY — is unspecified.
+
+    The range partitioning is materialized once (`cache`) so the offsets
+    job and the output job see the SAME partition boundaries (Spark's
+    range partitioner samples; recomputation could legally re-sample).
+    Callers should ``unpersist()`` the result's lineage when done, or let
+    the context evict it.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    # tiny: one row per partition
+    totals = {
+        r["_pid"]: r["t"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    }
+    offsets, running = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid]
+    offset_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("_pid"),
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn(
+            out_col, F.sum(value_col).over(w) + offset_col
+        ).drop("_pid")
+    )

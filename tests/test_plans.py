@@ -249,3 +249,29 @@ def test_lateral_topk_decorrelates_to_window(spark):
     a correlated re-execution per outer row."""
     plan = formatted_plan(QUERIES["q_lateral_topk"](spark, SF))
     assert "Window" in plan, plan
+
+
+def test_tpch_q6_all_filters_pushed(spark):
+    """Q6 is pure scan-filter-aggregate: every conjunct must reach the
+    parquet scan, and the only exchange is the scalar-agg combine."""
+    df = QUERIES["q_tpch_q6"](spark, SF)
+    filters = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters, f"{col} not pushed: {filters}"
+    assert count_shuffles(df) <= 1
+
+
+def test_tpch_q19_broadcasts_part_single_shuffle(spark):
+    """Q19's disjunctive predicate must not defeat the broadcast join on
+    the common partkey."""
+    df = QUERIES["q_tpch_q19"](spark, SF)
+    assert has_broadcast_join(df)
+    assert count_shuffles(df) <= 1
+
+
+def test_tpch_q21_reuses_orderkey_partitioning(spark):
+    """Q21's per-(order,supplier) agg and its order-level re-agg must ride
+    the same l_orderkey exchange — the whole query stays under 4 shuffles
+    (fact agg, re-agg join, supplier-name agg, top-k)."""
+    df = QUERIES["q_tpch_q21"](spark, SF)
+    assert count_shuffles(df) <= 4

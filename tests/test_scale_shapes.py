@@ -155,3 +155,109 @@ def test_approx_distinct_within_tolerance(spark):
         ap, asu = approx[k]
         assert abs(ap - p) <= max(2, 0.05 * p)
         assert abs(asu - s) <= max(2, 0.05 * s)
+
+
+def test_range_prefix_sum_matches_global_window(spark):
+    """operators/prefix.py is the documented swap-in for single-partition
+    cumulative windows (q_ks_test / q_mann_whitney / token-budget shapes):
+    it must agree exactly with the global-window cumsum."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_integration_spark.operators.prefix import range_prefix_sum
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 97).cast("long").alias("v"),
+    )
+    got = range_prefix_sum(df, "k", "v", "ps", num_partitions=8)
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("ps", F.sum("v").over(w))
+    assert got.count() == 5000
+    diff = (
+        got.alias("g")
+        .join(want.alias("w"), "k")
+        .filter(F.col("g.ps") != F.col("w.ps"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_decile_cutpoints_via_approx_percentile(spark):
+    """The scale alternative to q_curriculum_buckets' global NTILE:
+    percentile_approx cutpoints (two scans, no global sort) must assign
+    ≈10% of documents per decile at high sketch accuracy."""
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.sources.catalog import Catalog
+
+    docs = Catalog(spark, "/root/testdata/sf0.001")["documents"]
+    scored = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    cuts = scored.agg(
+        F.percentile_approx(
+            "n_tokens", [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("cuts")
+    ).collect()[0]["cuts"]
+    n = scored.count()
+    assigned = scored.select(
+        sum(
+            (F.col("n_tokens") > F.lit(c)).cast("int") for c in cuts
+        ).alias("decile")
+    )
+    counts = {
+        r["decile"]: r["c"]
+        for r in assigned.groupBy("decile").agg(F.count("*").alias("c")).collect()
+    }
+    assert len(counts) == 10
+    for d, c in counts.items():
+        # ±60% slack: token counts are coarsely discrete, so cutpoint ties
+        # make deciles uneven even with an exact sketch
+        assert 0.4 * n / 10 <= c <= 1.6 * n / 10, (d, c, n)
+
+
+def test_midranks_without_global_window(spark):
+    """Two-pass midranks (count-below + tie-size aggregate join) — the
+    q_mann_whitney scale path — must equal the RANK-window midranks."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_integration_spark.sources.catalog import Catalog
+
+    ev = (
+        Catalog(spark, "/root/testdata/sf0.001")["events"]
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("event_id", "value")
+    )
+    # window path
+    w_rank = Window.orderBy("value")
+    w_tie = Window.partitionBy("value")
+    windowed = ev.select(
+        "event_id",
+        (
+            F.rank().over(w_rank)
+            + (F.count("*").over(w_tie).cast("double") - 1) / 2
+        ).alias("midrank"),
+    )
+    # scale path: per-value tie sizes, prefix-summed counts
+    per_val = ev.groupBy("value").agg(F.count("*").alias("ties"))
+    w_below = (
+        Window.orderBy("value").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    ranks = per_val.select(
+        "value",
+        (
+            F.sum("ties").over(w_below)
+            - F.col("ties")
+            + 1
+            + (F.col("ties").cast("double") - 1) / 2
+        ).alias("midrank2"),
+    )
+    joined = ev.join(ranks, "value").join(windowed, "event_id")
+    bad = joined.filter(F.col("midrank") != F.col("midrank2")).count()
+    assert bad == 0
