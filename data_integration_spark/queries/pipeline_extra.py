@@ -1357,3 +1357,89 @@ def q_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_binaryfile_source",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           LOWER(SHA256(text)) AS sha
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` datasource: documents are materialized as one blob
+    file each (the layout image/audio corpora actually arrive in), read
+    back through Spark's binary-file source, and fingerprinted. The oracle
+    recomputes length + sha256 from the base table — the file roundtrip
+    must be byte-lossless.
+
+    Scale shape: binaryFile scans parallelize per-file (each a split);
+    the doc_id is recovered from the file path, not file content, so the
+    plumbing works for opaque blobs. Writing one-file-per-doc is the
+    ingest layout, not the processing layout — q_compaction is the
+    documented consolidation step."""
+    import os
+    import shutil
+
+    from data_integration_spark.queries.relational_extra import _SCRATCH
+
+    docs = (
+        Catalog(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    blob_dir = os.path.join(_SCRATCH, "binaryfile_source")
+    shutil.rmtree(blob_dir, ignore_errors=True)
+    os.makedirs(blob_dir, exist_ok=True)
+    # one blob per document, named by id (ingest layout; driver-side write
+    # is test-scale plumbing — a real ingest lands the files externally)
+    for row in docs.collect():
+        with open(os.path.join(blob_dir, f"{row['doc_id']}.bin"), "wb") as f:
+            f.write(row["text"].encode("utf-8"))
+    bins = spark.read.format("binaryFile").load(blob_dir)
+    return bins.select(
+        F.regexp_extract(
+            F.col("path"), r"(\d+)\.bin$", 1
+        ).cast("long").alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.lower(F.sha2("content", 256)).alias("sha"),
+    )
+
+
+@register(
+    "q_vector_lambda_ops",
+    oracle="""
+    SELECT vec_id,
+           ROUND(LIST_SUM(LIST_TRANSFORM(
+             LIST_ZIP(embedding, LIST_REVERSE(embedding)),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6)
+             AS sym_dot,
+           LEN(LIST_FILTER(embedding, x -> x > 0.5)) > 0 AS has_strong,
+           LEN(LIST_FILTER(embedding, x -> x < -1.0 OR x > 1.0)) = 0
+             AS is_bounded
+    FROM embeddings
+    """,
+)
+def q_vector_lambda_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function surface over vector columns: ``zip_with``
+    (element-wise product against the reversed vector — a palindromic
+    self-similarity), ``exists`` (any strong activation), ``forall``
+    (bounds check) — all JVM-side lambda expressions, zero Python.
+
+    Scale shape: pure narrow map over the embeddings scan; whole-stage
+    codegen, no shuffle, no UDF."""
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    sym_dot = F.aggregate(
+        F.zip_with(e, F.reverse(e), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(sym_dot, 6).alias("sym_dot"),
+        F.exists(e, lambda x: x > 0.5).alias("has_strong"),
+        F.forall(e, lambda x: (x >= -1.0) & (x <= 1.0)).alias("is_bounded"),
+    )
