@@ -1443,3 +1443,161 @@ def q_vector_lambda_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(e, lambda x: x > 0.5).alias("has_strong"),
         F.forall(e, lambda x: (x >= -1.0) & (x <= 1.0)).alias("is_bounded"),
     )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p.p_retailprice, p.p_partkey
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (cheaper price, larger size). The oracle states the semantics as the
+    quadratic NOT EXISTS self-join; the Spark plan is the O(n log n)
+    rewrite — per-price best size, then a running-max over the sorted
+    distinct prices — proving the correlated definition decorrelates to
+    two windows.
+
+    Scale shape: one shuffle groups to distinct prices (cardinality ≪
+    rows); the ordered running-max window runs over that collapsed frame;
+    the final join probes parts against a frontier-sized (tiny) set that
+    AQE broadcasts."""
+    part = Catalog(spark, sf_dir)["part"]
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("best_size")
+    )
+    w_prev = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_prices = (
+        per_price.withColumn(
+            "prev_best", F.max("best_size").over(w_prev)
+        )
+        .filter(
+            F.col("prev_best").isNull()
+            | (F.col("best_size") > F.col("prev_best"))
+        )
+        .select("p_retailprice", "best_size")
+    )
+    frontier = frontier_prices.select(
+        F.col("p_retailprice").alias("f_price"),
+        F.col("best_size").alias("f_size"),
+    )
+    return (
+        part.join(
+            F.broadcast(frontier),
+            (F.col("p_retailprice") == F.col("f_price"))
+            & (F.col("p_size") == F.col("f_size")),
+        )
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+@register(
+    "q_interval_overlap",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+             MIN(EPOCH_US(ts)) AS t0, MAX(EPOCH_US(ts)) AS t1
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id, d, event_type
+    )
+    SELECT a.user_id, STRFTIME(a.d, '%Y-%m-%d') AS day,
+           CAST(LEAST(a.t1, b.t1) - GREATEST(a.t0, b.t0) AS BIGINT)
+             AS overlap_us
+    FROM spans a JOIN spans b
+      ON a.user_id = b.user_id AND a.d = b.d
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+    WHERE LEAST(a.t1, b.t1) > GREATEST(a.t0, b.t0)
+    ORDER BY a.user_id, day
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each user-day's click activity span vs its
+    purchase span, emitting the temporal overlap — the interval-join
+    shape behind attribution and co-activity analysis, here with the
+    (user, day) equi-key carrying the join so the non-equi part is only
+    the post-join overlap predicate (no range explosion).
+
+    Scale shape: one shuffle builds the per-(user, day, type) spans; the
+    self-join re-uses the same (user, day) partitioning; microsecond
+    arithmetic is exact integers."""
+    ev = Catalog(spark, sf_dir)["events"].filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    spans = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    a = spans.filter(F.col("event_type") == "click").select(
+        "user_id", "d", F.col("t0").alias("a0"), F.col("t1").alias("a1")
+    )
+    b = spans.filter(F.col("event_type") == "purchase").select(
+        "user_id", "d", F.col("t0").alias("b0"), F.col("t1").alias("b1")
+    )
+    ov_start = F.greatest("a0", "b0")
+    ov_end = F.least("a1", "b1")
+    return (
+        a.join(b, ["user_id", "d"])
+        .filter(ov_end > ov_start)
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            (ov_end - ov_start).alias("overlap_us"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@register(
+    "q_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY month
+    )
+    SELECT month, revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month), 6) AS mom_growth
+    FROM monthly ORDER BY month
+    """,
+)
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: monthly revenue with month-over-month
+    growth rate — aggregate first, THEN window over the months-sized
+    series (never a window over the fact table). The revenue sum rounds
+    to the 2dp grid before the ratio (NOTES.md).
+
+    Scale shape: one fact shuffle to ~80 month groups; the lag window
+    runs over the tiny aggregated frame (single partition is correct
+    there — it IS months-sized)."""
+    orders = Catalog(spark, sf_dir)["orders"]
+    monthly = orders.groupBy(
+        F.date_format(
+            F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+        ).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    ).orderBy("month")
