@@ -1601,3 +1601,110 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
     ).orderBy("month")
+
+
+@register(
+    "q_fuzzy_match",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, LEFT(text, 40) AS pfx FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LEVENSHTEIN(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE LEVENSHTEIN(a.pfx, b.pfx) <= 25
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-duplicate pairing by edit distance on a 40-char prefix,
+    blocked by source — the Levenshtein complement to the
+    minhash/simhash family (catches small in-place edits that shingle
+    methods dilute). Blocking carries the join; the quadratic distance
+    only runs within blocks.
+
+    Scale shape: equi-join on the block key; at 100 TB the block must be
+    finer (source × length-band × first-token — same recipe as
+    dedup/minhash.py's banding) so per-block pair counts stay bounded;
+    prefix truncation caps the per-pair distance cost at O(40²)."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    d = docs.select(
+        "doc_id", "source", F.substring("text", 1, 40).alias("pfx")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "source",
+        F.col("pfx").alias("pfx_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        "source",
+        F.col("pfx").alias("pfx_b"),
+    )
+    dist = F.levenshtein("pfx_a", "pfx_b")
+    return (
+        a.join(b, "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= 25)
+        .select(
+            "doc_a", "doc_b", dist.cast("long").alias("edit_dist")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(LEFT(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(COUNT(*)) OVER () AS total
+      FROM digits GROUP BY d
+    )
+    SELECT d, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+           ROUND(LOG10(1.0 + 1.0 / d), 6) AS benford_p,
+           ROUND(ABS(CAST(n AS DOUBLE) / total - LOG10(1.0 + 1.0 / d)), 6)
+             AS abs_dev
+    FROM obs ORDER BY d
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals: observed leading-digit
+    frequencies vs log10(1+1/d) — the classic anomaly/fabrication check a
+    data-quality suite runs over monetary columns. Counts are exact; the
+    two probabilities round at 6.
+
+    Scale shape: the digit extraction is a narrow map; one 9-group
+    aggregation; the total is a window over 9 rows."""
+    orders = Catalog(spark, sf_dir)["orders"].filter(
+        F.col("o_totalprice") >= 1
+    )
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy()
+    total = F.sum("n").over(w_all)
+    p = F.col("n").cast("double") / total
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        obs.select(
+            "d",
+            "n",
+            F.round(p, 6).alias("observed_p"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round(F.abs(p - benford), 6).alias("abs_dev"),
+        )
+        .orderBy("d")
+    )
