@@ -1,0 +1,215 @@
+"""Round-4 block, continued: training-data curation depth — rule-based
+quality gates (Gopher-style), embedding quantization, and overlapping
+context-window chunking.
+
+These register AFTER the 50-query sign window (see queries/__init__.py
+_SIGN_PRIORITY); a future round rotates them to the front.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_spark.queries import register
+from data_integration_spark.sources.catalog import Catalog
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             STRING_SPLIT(text, ' ') AS words,
+             CAST(LENGTH(text) AS DOUBLE) AS n_chars_d,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g'))
+                  AS DOUBLE) AS n_sym
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(words) AS BIGINT) AS n_words,
+           ROUND(CAST(LIST_SUM(LIST_TRANSFORM(words, w -> LENGTH(w)))
+                      AS DOUBLE) / LEN(words), 6) AS mean_word_len,
+           ROUND(n_sym / NULLIF(n_chars_d, 0), 6) AS symbol_ratio,
+           ROUND(CAST(LEN(LIST_FILTER(words, w -> w IN ({_STOP_SQL})))
+                      AS DOUBLE) / LEN(words), 6) AS stopword_frac,
+           (LEN(words) BETWEEN 10 AND 5000
+            AND CAST(LIST_SUM(LIST_TRANSFORM(words, w -> LENGTH(w)))
+                     AS DOUBLE) / LEN(words) BETWEEN 2 AND 12
+            AND CAST(LEN(LIST_FILTER(words, w -> w IN ({_STOP_SQL})))
+                     AS DOUBLE) / LEN(words) >= 0.05) AS passes
+    FROM t
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1 shape):
+    word-count bounds, mean-word-length band, symbol-to-char ratio, and
+    stopword fraction, plus the combined pass/fail flag. The reference has
+    no text layer; this is the standard pre-training corpus filter.
+
+    Scale shape: a pure narrow map over the documents scan — every rule is
+    a JVM-side higher-order-function expression (no UDF, no shuffle), so
+    the filter runs inside whole-stage codegen at scan speed and composes
+    with predicate pushdown when used as a WHERE clause."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_words_d = n_words.cast("double")
+    total_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = total_len.cast("double") / n_words_d
+    n_sym = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast(
+        "double"
+    )
+    symbol_ratio = n_sym / F.nullif(
+        F.length("text").cast("double"), F.lit(0.0)
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stopword_frac = (
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast(
+            "double"
+        )
+        / n_words_d
+    )
+    passes = (
+        n_words.between(10, 5000)
+        & mean_word_len.between(2.0, 12.0)
+        & (stopword_frac >= 0.05)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(stopword_frac, 6).alias("stopword_frac"),
+        passes.alias("passes"),
+    )
+
+
+@register(
+    "q_int8_quantize",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))) / 127.0 AS scale
+      FROM t
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(
+             e, x -> POW(x - ROUND(x / scale) * scale, 2))) / LEN(e)), 6)
+             AS rmse,
+           CAST(LIST_MAX(LIST_TRANSFORM(e, x -> ABS(ROUND(x / scale))))
+                AS BIGINT) AS max_q
+    FROM s
+    """,
+)
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    scale = max|x|/127, plus the reconstruction RMSE and the max
+    quantized magnitude (must be <= 127 — symmetric scaling never clips).
+    This is the storage/serving compression step of an embedding pipeline
+    (4x smaller than float32 before any index build).
+
+    Scale shape: a narrow map over the embeddings scan — per-row lambda
+    folds only, no shuffle, no UDF; at 100 TB this pipelines with the scan
+    and writes straight back out."""
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    max_abs = F.aggregate(
+        e, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = max_abs / F.lit(127.0)
+    sq_err = F.aggregate(
+        e,
+        F.lit(0.0),
+        lambda acc, x: acc + F.pow(x - F.round(x / scale, 0) * scale, 2),
+    )
+    rmse = F.sqrt(sq_err / F.size(F.col("embedding")).cast("double"))
+    max_q = F.aggregate(
+        e, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(F.round(x / scale, 0)))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        F.round(rmse, 6).alias("rmse"),
+        max_q.cast("bigint").alias("max_q"),
+    )
+
+
+_CHUNK_W = 40  # tokens per chunk (context window)
+_CHUNK_S = 30  # stride (W - S = 10 tokens of overlap)
+
+
+@register(
+    "q_doc_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS words,
+             LEN(STRING_SPLIT(text, ' ')) AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, words, n,
+             CAST(1 + CEIL(CAST(GREATEST(n - {_CHUNK_W}, 0) AS DOUBLE)
+                           / {_CHUNK_S}) AS BIGINT) AS nc
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(g.i AS BIGINT) AS chunk_id,
+           CAST(LEN(words[g.i * {_CHUNK_S} + 1 :
+                          g.i * {_CHUNK_S} + {_CHUNK_W}]) AS BIGINT)
+             AS n_tokens,
+           ARRAY_TO_STRING(words[g.i * {_CHUNK_S} + 1 :
+                                 g.i * {_CHUNK_S} + {_CHUNK_W}], ' ')
+             AS chunk_text
+    FROM c, UNNEST(GENERATE_SERIES(0, nc - 1)) AS g(i)
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking: split each document into
+    40-token chunks with stride 30 (10-token overlap), the context-window
+    preparation step before tokenization/embedding. The final chunk is the
+    ragged tail; every token lands in at least one chunk because the
+    stride is smaller than the window.
+
+    Scale shape: narrow map + explode — output rows ~ n/stride per doc,
+    produced executor-side with no shuffle; chunk boundaries depend only
+    on the row, so the op is embarrassingly parallel at any scale."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    n = F.size(words)
+    nc = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - F.lit(_CHUNK_W), F.lit(0)).cast("double")
+            / F.lit(_CHUNK_S)
+        )
+    ).cast("bigint")
+    exploded = docs.select(
+        "doc_id",
+        words.alias("words"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), nc - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    chunk = F.slice(
+        F.col("words"),
+        (F.col("chunk_id") * _CHUNK_S + 1).cast("int"),
+        _CHUNK_W,
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
