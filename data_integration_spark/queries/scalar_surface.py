@@ -120,24 +120,29 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents WHERE doc_id < 30)
     SELECT doc_id,
            ts[1] AS first_token,
-           ts[2:4] AS head_slice,
+           ARRAY_TO_STRING(ts[2:4], ' ') AS head_slice,
            CAST(LIST_CONTAINS(ts, 'the') AS INT) AS has_the,
-           LIST_SORT(LIST_DISTINCT(ts[1:5]))::VARCHAR[] AS head_vocab
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(ts[1:5])), ' ') AS head_vocab
     FROM t
     """,
 )
 def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-operator surface: element access, slice, containment, distinct
     + sort — over token arrays (bounded subset). DuckDB list slicing is
-    1-based inclusive: ts[2:4] == Spark slice(ts, 2, 3)."""
+    1-based inclusive: ts[2:4] == Spark slice(ts, 2, 3). Array outputs are
+    serialized to strings on BOTH sides (registry convention, same as
+    timestamps) — the driver's canonicalizer sorts columns via pandas and
+    cannot hash raw lists."""
     docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 30)
     ts = F.split("text", " ")
     return docs.select(
         "doc_id",
         F.try_element_at(ts, F.lit(1)).alias("first_token"),
-        F.slice(ts, 2, 3).alias("head_slice"),
+        F.array_join(F.slice(ts, 2, 3), " ").alias("head_slice"),
         F.array_contains(ts, "the").cast("int").alias("has_the"),
-        F.array_sort(F.array_distinct(F.slice(ts, 1, 5))).alias("head_vocab"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.slice(ts, 1, 5))), " "
+        ).alias("head_vocab"),
     )
 
 

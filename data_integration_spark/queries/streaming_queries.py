@@ -32,6 +32,25 @@ from data_integration_spark.streaming.windows import (
 _SCRATCH = "/root/repo/.scratch"
 
 
+def _ltz_schema(schema):
+    """Rewrite TIMESTAMP_NTZ fields to TIMESTAMP in a StructType so the
+    file-source stream exposes a watermark-eligible event-time column under
+    any session config (same boundary rule as catalog.normalize_timestamps)."""
+    from pyspark.sql.types import StructField, StructType, TimestampNTZType, TimestampType
+
+    return StructType(
+        [
+            StructField(
+                f.name,
+                TimestampType() if isinstance(f.dataType, TimestampNTZType) else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )
+
+
 def _replay_dir(spark: SparkSession, sf_dir: str, name: str, df, copies: int = 1):
     """Write a batch frame to a scratch dir for file-source replay; returns
     (src_path, schema)."""
@@ -41,7 +60,7 @@ def _replay_dir(spark: SparkSession, sf_dir: str, name: str, df, copies: int = 1
     df.coalesce(1).write.mode("overwrite").parquet(src)
     for _ in range(copies - 1):
         df.coalesce(1).write.mode("append").parquet(src)
-    return src, spark.read.parquet(src).schema
+    return src, _ltz_schema(spark.read.parquet(src).schema)
 
 
 @register(
@@ -68,7 +87,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (src, out, ck):
         shutil.rmtree(d, ignore_errors=True)
     cat["events"].repartition(4).write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
+    schema = _ltz_schema(spark.read.parquet(src).schema)
     q = streaming_tumbling_agg(
         spark, src, schema, ck, out, window_len="1 hour", watermark="0 seconds"
     )

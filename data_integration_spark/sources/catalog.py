@@ -92,6 +92,25 @@ TPCH_TABLES = (
 )
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Coerce top-level ``TIMESTAMP_NTZ`` columns to true ``TIMESTAMP``.
+
+    Parquet ``timestamp[us]`` without the isAdjustedToUTC annotation resolves
+    as ``TIMESTAMP_NTZ`` under some session configs; every event-time
+    operator downstream (``unix_micros``, ``withWatermark``, window joins)
+    requires the LTZ type. Normalizing once at the catalog boundary keeps the
+    rest of the engine session-config-independent. The cast is a wall-clock
+    reinterpretation under the session UTC timezone — values are unchanged
+    and match DuckDB's naive-timestamp reading."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy Parquet scan of one table (reference S1, ``Rmd:41-42``).
 
@@ -106,13 +125,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # defensive: the harness may hand us a session built without this conf —
     # it is runtime-settable and required to read TIMESTAMP(NANOS) parquet
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # prefer inferring un-annotated parquet timestamps as LTZ at the scan;
+    # runtime-settable, best-effort (normalize_timestamps is the backstop)
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     # defensive: executor workers must be able to import this package even
     # when the driver session/cwd is foreign (see ensure_worker_imports)
     ensure_worker_imports(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_timestamps(df)
 
 
 class Catalog:
