@@ -1468,8 +1468,9 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle groups to distinct prices (cardinality ≪
     rows); the ordered running-max window runs over that collapsed frame;
-    the final join probes parts against a frontier-sized (tiny) set that
-    AQE broadcasts."""
+    the final join probes parts against the frontier with NO forced hint —
+    the frontier is bounded only by #distinct prices (worst case
+    data-proportional), so AQE decides broadcast vs shuffle at runtime."""
     part = Catalog(spark, sf_dir)["part"]
     per_price = part.groupBy("p_retailprice").agg(
         F.max("p_size").alias("best_size")
@@ -1494,7 +1495,7 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         part.join(
-            F.broadcast(frontier),
+            frontier,
             (F.col("p_retailprice") == F.col("f_price"))
             & (F.col("p_size") == F.col("f_size")),
         )

@@ -203,11 +203,11 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     flat = (
         cat["lineitem"]
-        .join(F.broadcast(std_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(std_parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(cat["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             volume.alias("volume"),
@@ -270,8 +270,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("l_quantity")
     return (
         cat["lineitem"]
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             cat["orders"].select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -424,7 +424,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.round(F.sum(rev), 4)
     return (
         l.join(
-            F.broadcast(cat["part"].select("p_partkey", "p_type")),
+            cat["part"].select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .agg(F.round(F.lit(100.0) * promo / total, 6).alias("promo_revenue_pct"))
@@ -500,10 +500,8 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         best.join(
-            F.broadcast(
-                cat["part"].filter(F.col("p_size") == 15).select(
-                    "p_partkey", "p_brand", "p_size"
-                )
+            cat["part"].filter(F.col("p_size") == 15).select(
+                "p_partkey", "p_brand", "p_size"
             ),
             F.col("ps_partkey") == F.col("p_partkey"),
         )
@@ -567,11 +565,11 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
         ps.join(
-            F.broadcast(bad_supp),
+            bad_supp,
             F.col("ps_suppkey") == F.col("bad_key"),
             "left_anti",
         )
-        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("ps_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -616,7 +614,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cat["lineitem"]
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
             F.round(
@@ -674,7 +672,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * F.avg("qty")).alias("threshold")
     )
     heavy = (
-        shipped.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        shipped.join(promo, F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(half_avg))
         .filter(F.col("qty") > F.col("threshold"))
         .select("l_suppkey")
@@ -749,7 +747,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .join(
-            F.broadcast(cat["supplier"].select("s_suppkey", "s_name")),
+            cat["supplier"].select("s_suppkey", "s_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
@@ -834,7 +832,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     value_by_part = (
         cat["lineitem"]
-        .join(F.broadcast(nation7), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(nation7, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
             F.round(
