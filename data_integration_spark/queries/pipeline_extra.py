@@ -1604,48 +1604,72 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("month")
 
 
+def fuzzy_block_key(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the composite fuzzy-match blocking key: source ×
+    32-char-length-band × first-token. A single hot `source` value no
+    longer produces an all-pairs block — near-identical docs (the pairs
+    Levenshtein is meant to catch) share length band and opening token,
+    so recall on true near-dups survives while per-block cardinality
+    drops by the product of the two extra keys' selectivities."""
+    return df.select(
+        "doc_id",
+        "source",
+        (F.floor(F.length(text_col) / F.lit(32))).alias("len_band"),
+        F.substring_index(text_col, " ", 1).alias("tok0"),
+        F.substring(text_col, 1, 40).alias("pfx"),
+    )
+
+
 @register(
     "q_fuzzy_match",
     oracle="""
     WITH d AS (
-      SELECT doc_id, source, LEFT(text, 40) AS pfx FROM documents
+      SELECT doc_id, source,
+             CAST(FLOOR(LENGTH(text) / 32) AS BIGINT) AS len_band,
+             SPLIT_PART(text, ' ', 1) AS tok0,
+             LEFT(text, 40) AS pfx
+      FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(LEVENSHTEIN(a.pfx, b.pfx) AS BIGINT) AS edit_dist
     FROM d a JOIN d b
-      ON a.source = b.source AND a.doc_id < b.doc_id
+      ON a.source = b.source AND a.len_band = b.len_band
+     AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id
     WHERE LEVENSHTEIN(a.pfx, b.pfx) <= 25
     ORDER BY doc_a, doc_b
     """,
 )
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy near-duplicate pairing by edit distance on a 40-char prefix,
-    blocked by source — the Levenshtein complement to the
-    minhash/simhash family (catches small in-place edits that shingle
-    methods dilute). Blocking carries the join; the quadratic distance
-    only runs within blocks.
+    blocked by source × length-band × first-token — the Levenshtein
+    complement to the minhash/simhash family (catches small in-place
+    edits that shingle methods dilute). Blocking carries the join; the
+    quadratic distance only runs within blocks.
 
-    Scale shape: equi-join on the block key; at 100 TB the block must be
-    finer (source × length-band × first-token — same recipe as
-    dedup/minhash.py's banding) so per-block pair counts stay bounded;
+    Scale shape: equi-join on the composite block key (the finer key the
+    r3 verdict required — `source` alone has a handful of values, making
+    within-block pairing all-pairs); per-block pair counts are pinned by
+    tests/test_fuzzy_blocking.py on an adversarial single-source corpus;
     prefix truncation caps the per-pair distance cost at O(40²)."""
     docs = Catalog(spark, sf_dir)["documents"]
-    d = docs.select(
-        "doc_id", "source", F.substring("text", 1, 40).alias("pfx")
-    )
+    d = fuzzy_block_key(docs)
     a = d.select(
         F.col("doc_id").alias("doc_a"),
         "source",
+        "len_band",
+        "tok0",
         F.col("pfx").alias("pfx_a"),
     )
     b = d.select(
         F.col("doc_id").alias("doc_b"),
         "source",
+        "len_band",
+        "tok0",
         F.col("pfx").alias("pfx_b"),
     )
     dist = F.levenshtein("pfx_a", "pfx_b")
     return (
-        a.join(b, "source")
+        a.join(b, ["source", "len_band", "tok0"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(dist <= 25)
         .select(
