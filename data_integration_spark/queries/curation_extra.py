@@ -2,8 +2,9 @@
 quality gates (Gopher-style), embedding quantization, and overlapping
 context-window chunking.
 
-These register AFTER the 50-query sign window (see queries/__init__.py
-_SIGN_PRIORITY); a future round rotates them to the front.
+Wired into ``load_all()`` since r4 (the r3 advisor caught that the module
+was never imported); the names sit at the tail of ``_SIGN_PRIORITY``'s
+unsigned backlog.
 """
 
 from __future__ import annotations
@@ -101,7 +102,8 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), s AS (
       SELECT vec_id, e,
-             LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))) / 127.0 AS scale
+             NULLIF(LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))), 0) / 127.0
+               AS scale
       FROM t
     )
     SELECT vec_id,
@@ -121,6 +123,11 @@ def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the storage/serving compression step of an embedding pipeline
     (4x smaller than float32 before any index build).
 
+    An all-zero vector makes max|x| = 0; under Spark 4's default ANSI mode
+    the unguarded x/scale raises DIVIDE_BY_ZERO (ADVICE r3), so the scale
+    divisor is NULLIF-guarded — both engines emit NULL scale/rmse/max_q
+    for degenerate vectors instead of diverging (crash vs inf).
+
     Scale shape: a narrow map over the embeddings scan — per-row lambda
     folds only, no shuffle, no UDF; at 100 TB this pipelines with the scan
     and writes straight back out."""
@@ -129,7 +136,7 @@ def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_abs = F.aggregate(
         e, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
     )
-    scale = max_abs / F.lit(127.0)
+    scale = F.nullif(max_abs, F.lit(0.0)) / F.lit(127.0)
     sq_err = F.aggregate(
         e,
         F.lit(0.0),
@@ -143,7 +150,12 @@ def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(scale, 9).alias("scale"),
         F.round(rmse, 6).alias("rmse"),
-        max_q.cast("bigint").alias("max_q"),
+        # greatest() IGNORES nulls, so the fold would yield 0.0 (not NULL)
+        # for a degenerate vector — force the NULL the oracle produces
+        F.when(scale.isNull(), F.lit(None))
+        .otherwise(max_q)
+        .cast("bigint")
+        .alias("max_q"),
     )
 
 

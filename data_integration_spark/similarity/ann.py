@@ -123,14 +123,18 @@ def cosine_topk_vectorized(
 ) -> DataFrame:
     """Brute-force top-k with the query block as a NumPy matrix inside a
     ``mapInPandas`` closure: each Arrow batch of the corpus computes ALL
-    query cosines as one matrix multiply (BLAS), emitting (qid, mid, cosine)
-    rows; the top-k window runs engine-side.
+    query cosines as one matrix multiply (BLAS), keeps only the batch-local
+    top-k per query (exact partial top-k — every global top-k element is by
+    definition inside its own batch's top-k), and the engine-side window
+    merges the per-batch survivors.
 
     This is the scale shape for (small query set × huge corpus): the query
     matrix broadcasts via closure capture, the corpus streams through in
-    batches, and Python cost is one GEMM per batch instead of one HOF
-    evaluation per pair. Results are bit-compatible with ``cosine_topk``
-    (double math, same rounding).
+    batches, Python cost is one GEMM per batch, and the ranking shuffle
+    receives nq×k×n_batches rows instead of nq×|corpus| — the map-side
+    combine that keeps the final exchange constant-sized as the corpus
+    grows. Results are bit-identical to ``cosine_topk`` (double math, same
+    rounding, same (−cosine, mid) tie-break).
 
     ``queries_pd``: pandas DataFrame with columns (id_col, vec_col).
     """
@@ -146,18 +150,33 @@ def cosine_topk_vectorized(
             M = np.stack(pdf[vec_col].to_numpy()).astype(float)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             cos = np.round(Mn @ Qn.T, round_decimals)  # (nm, nq)
+            mids = pdf[id_col].to_numpy()
             nm, nq = cos.shape
+            # self-pairs must lose before the local cut, or a query's own
+            # vector could evict a genuine global-top-k candidate
+            cos = np.where(mids[:, None] == q_ids[None, :], -np.inf, cos)
+            kk = min(k, nm)
+            # per-query local top-k under the EXACT global total order
+            # (−cos, mid) — a partition-only cut could break boundary ties
+            # differently from the engine-side window's tie-break
+            out_q, out_m, out_c = [], [], []
+            for j in range(nq):
+                sel = np.lexsort((mids, -cos[:, j]))[:kk]
+                sel = sel[cos[sel, j] != -np.inf]
+                out_q.append(np.full(len(sel), q_ids[j]))
+                out_m.append(mids[sel])
+                out_c.append(cos[sel, j])
             yield pd.DataFrame(
                 {
-                    "qid": np.tile(q_ids, nm),
-                    "mid": np.repeat(pdf[id_col].to_numpy(), nq),
-                    "cosine": cos.ravel(),
+                    "qid": np.concatenate(out_q),
+                    "mid": np.concatenate(out_m),
+                    "cosine": np.concatenate(out_c),
                 }
             )
 
     pairs = corpus.select(id_col, vec_col).mapInPandas(
         score, "qid long, mid long, cosine double"
-    ).filter(F.col("qid") != F.col("mid"))
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("mid"))
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))

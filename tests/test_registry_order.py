@@ -44,8 +44,13 @@ def test_unsigned_queries_fit_driver_window():
             f"queries/__init__.py: {outside}"
         )
     else:
-        # more unsigned than slots: every slot must at least go to one
-        assert all(n in set(unsigned) for n in names[:DRIVER_WINDOW])
+        # more unsigned than slots: every slot must go to a name that is
+        # unsigned OR a declared re-sign (prior row errored / invalidated)
+        eligible = set(unsigned) | Q._RESIGN
+        wasted = [n for n in names[:DRIVER_WINDOW] if n not in eligible]
+        assert not wasted, (
+            f"window slots wasted on already-signed queries: {wasted}"
+        )
 
 
 def test_registries_stay_aligned_after_rotation():

@@ -202,3 +202,28 @@ def test_cosine_topk_refuses_unbounded_query_side(spark):
     # under the bound (or explicitly disabled) it runs
     out = cosine_topk(vecs.limit(5), vecs, k=3, max_queries=10)
     assert out.count() == 15
+
+
+# ----------------------------------------------- int8 quantize zero guard
+def test_int8_quantize_all_zero_vector_yields_nulls(spark, tmp_path):
+    """An all-zero embedding makes scale = max|x|/127 = 0; the unguarded
+    x/scale raises DIVIDE_BY_ZERO under ANSI mode (ADVICE r3). The guarded
+    query must return NULL scale/rmse/max_q for that row — same as the
+    DuckDB oracle's NULLIF path — and normal values for the others."""
+    import pandas as pd
+
+    from data_integration_spark.queries.curation_extra import q_int8_quantize
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "vec_id": [0, 1],
+            "embedding": [[0.0, 0.0, 0.0], [1.0, -2.0, 0.5]],
+        }
+    ).to_parquet(f"{sf}/embeddings.parquet")
+    out = {r.vec_id: r for r in q_int8_quantize(spark, sf).collect()}
+    assert out[0].scale is None
+    assert out[0].rmse is None
+    assert out[0].max_q is None
+    assert out[1].scale == pytest.approx(2.0 / 127.0, abs=1e-9)
+    assert out[1].max_q == 127
