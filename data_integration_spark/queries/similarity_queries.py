@@ -60,13 +60,24 @@ cos AS (
 )
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: queries (vec_id < 20) against the
-    whole corpus, threshold 0.25 — query side broadcast, corpus unshuffled."""
+    whole corpus, threshold 0.25. Vectorized scorer (query block as a
+    NumPy matrix in mapInPandas, one GEMM per Arrow batch) — same emitted
+    set as the pure-expression ``cosine_pairs`` (kept for unbounded query
+    sides, e.g. q_semantic_dedup_clusters); corpus never shuffles."""
+    from data_integration_spark.similarity.ann import cosine_pairs_vectorized
+
     emb = Catalog(spark, sf_dir)["embeddings"].select(
         "vec_id", as_double_array("embedding", "e")
     )
-    return cosine_pairs(
-        emb.filter(F.col("vec_id") < 20), emb, threshold=0.25
+    q_pd = (
+        emb.filter(F.col("vec_id") < 20)
+        .limit(_MAX_VECTORIZED_QUERIES + 1)
+        .toPandas()
     )
+    assert len(q_pd) <= _MAX_VECTORIZED_QUERIES, (
+        f"query set exceeds {_MAX_VECTORIZED_QUERIES}; use cosine_pairs/LSH"
+    )
+    return cosine_pairs_vectorized(q_pd, emb, threshold=0.25)
 
 
 @register(

@@ -185,6 +185,55 @@ def cosine_topk_vectorized(
     )
 
 
+def cosine_pairs_vectorized(
+    queries_pd,
+    corpus: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Thresholded cosine pairs with the query block as a NumPy matrix
+    inside ``mapInPandas`` — the vectorized sibling of ``cosine_pairs``
+    (same rounding, same self-pair exclusion, same emitted set). One GEMM
+    per Arrow batch replaces |Q| higher-order-function dot products per
+    corpus row; only pairs meeting the threshold leave Python, so the
+    operator's output — not its pair space — sizes the downstream plan.
+
+    Scale shape: identical to ``cosine_topk_vectorized`` — the bounded
+    query matrix rides the closure, the corpus streams through in batches
+    and never shuffles.
+
+    ``queries_pd``: pandas DataFrame with columns (id_col, vec_col).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_ids = queries_pd[id_col].to_numpy()
+    Q = np.stack(queries_pd[vec_col].to_numpy()).astype(float)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            M = np.stack(pdf[vec_col].to_numpy()).astype(float)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            cos = np.round(Mn @ Qn.T, round_decimals)  # (nm, nq)
+            mids = pdf[id_col].to_numpy()
+            keep = (cos >= threshold) & (mids[:, None] != q_ids[None, :])
+            mi, qi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "qid": q_ids[qi],
+                    "mid": mids[mi],
+                    "cosine": cos[mi, qi],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, "qid long, mid long, cosine double"
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     dim: int,
