@@ -514,7 +514,7 @@ def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_sessions,
            CAST(SUM(n_events) AS BIGINT) AS n_events,
            CAST(MAX(n_events) AS BIGINT) AS max_session_events,
-           ROUND(CAST(SUM(dur_us) AS BIGINT) / 1000000.0 / COUNT(*), 6)
+           ROUND((CAST(SUM(dur_us) AS BIGINT) // COUNT(*)) / 1000000.0, 6)
              AS avg_session_sec
     FROM per_session GROUP BY user_id
     """,
@@ -527,7 +527,11 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id, the running-sum window reuses that sort, and BOTH downstream
     groupBys ((user_id, session_id), then user_id) are satisfied by the
     same user_id partitioning, so Catalyst adds no further Exchange. Gaps
-    are integer microseconds (exact); only the final avg divides.
+    are integer microseconds (exact); the per-user mean truncates to whole
+    microseconds (`div`) BEFORE the /1e6 — the raw double mean can land on
+    an exact 6th-decimal half where Spark HALF_UP and DuckDB diverge
+    (observed at sf0.1), while a µs-grid value has a zero 7th decimal and
+    rounds identically everywhere.
 
     The streaming analogue is q_session_window (session_window +
     watermark); this is the batch/backfill form of SURVEY.md's event-time
@@ -552,11 +556,21 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
     )
-    return per_session.groupBy("user_id").agg(
-        F.count("*").alias("n_sessions"),
-        F.sum("n_events").alias("n_events"),
-        F.max("n_events").alias("max_session_events"),
-        F.round(
-            F.sum("dur_us") / F.lit(1000000.0) / F.count("*"), 6
-        ).alias("avg_session_sec"),
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("dur_us").alias("dur_total_us"),
+        )
+        .select(
+            "user_id",
+            "n_sessions",
+            "n_events",
+            "max_session_events",
+            F.round(
+                F.expr("dur_total_us div n_sessions") / F.lit(1000000.0), 6
+            ).alias("avg_session_sec"),
+        )
     )

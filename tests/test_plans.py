@@ -293,6 +293,23 @@ def test_tpch_q19_degrades_gracefully_without_part_hint(spark):
     assert has_broadcast_join(df)  # size-based election, not a hint
 
 
+def test_fuzzy_match_blocking_carries_equi_join(spark):
+    """The composite block key must plan as an EQUI join — a nested-loop
+    or cartesian here means the blocking key fell out of the join
+    condition and the Levenshtein comparison went all-pairs."""
+    df = QUERIES["q_fuzzy_match"](spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cosine_pairs_corpus_never_shuffles(spark):
+    """Vectorized pair scoring: the corpus streams straight from the scan
+    into mapInPandas; the only rows that move are emitted matches."""
+    df = QUERIES["q_cosine_pairs"](spark, SF)
+    assert count_shuffles(df) == 0, formatted_plan(df)
+
+
 def test_tpch_q21_reuses_orderkey_partitioning(spark):
     """Q21's per-(order,supplier) agg and its order-level re-agg must ride
     the same l_orderkey exchange — the whole query stays under 4 shuffles
