@@ -14,7 +14,7 @@ same way a candidate stage would.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_integration_spark.queries import register
@@ -281,7 +281,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).filter(F.col("s").isNotNull())
-    # document-frequency cap (mirrors the oracle's HAVING COUNT(*) <= 45)
+    # document-frequency cap (mirrors the oracle's HAVING COUNT(*) <= 45).
+    # Deliberately groupBy+join, NOT count-over-window: the window variant
+    # saves ~0.3 s at sf0.1 (one fewer exchange) but materializes every
+    # occurrence of a hot shingle in ONE task (windows cannot be
+    # skew-split), while the groupBy counts hot keys with map-side partial
+    # aggregation and drops them BEFORE any join sees them — the only
+    # formulation that survives a stopword-grade shingle at 100 TB.
     keep_sh = (
         sh_raw.groupBy("s").agg(F.count("*").alias("_df"))
         .filter(F.col("_df") <= 45)
