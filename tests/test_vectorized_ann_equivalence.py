@@ -1,0 +1,85 @@
+"""The vectorized ANN scorers claim bit-identical results to the
+pure-expression paths (same double math, same rounding, same tie-break).
+These tests pin that claim — including the r4 batch-local partial top-k
+(lossless cut) — on clustered random data with deliberate duplicate
+vectors so cosine TIES exercise the (−cosine, mid) tie-break across batch
+boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_spark.similarity.ann import (
+    as_double_array,
+    cosine_pairs,
+    cosine_pairs_vectorized,
+    cosine_topk,
+    cosine_topk_vectorized,
+)
+
+
+def _corpus_pd(n=400, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(5, d))
+    vecs = centers[np.arange(n) % 5] + 0.05 * rng.normal(size=(n, d))
+    # duplicate vectors → exact cosine ties that must break on mid
+    vecs[50] = vecs[10]
+    vecs[51] = vecs[10]
+    if n > 200:
+        vecs[200] = vecs[120]
+    return pd.DataFrame({"vec_id": range(n), "e": [list(map(float, v)) for v in vecs]})
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = _corpus_pd()
+    df = spark.createDataFrame(pdf).select(
+        "vec_id", as_double_array("e", "e")
+    )
+    # multiple partitions → the partial top-k cut happens per batch and the
+    # engine-side window must merge across batches
+    return df.repartition(7).cache()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_topk_vectorized_matches_expression_path(spark, corpus):
+    q_pd = _corpus_pd().iloc[:15]
+    expr = cosine_topk(
+        corpus.filter(F.col("vec_id") < 15), corpus, k=5, max_queries=None
+    )
+    vec = cosine_topk_vectorized(q_pd, corpus, k=5)
+    assert _rows(expr) == _rows(vec)
+
+
+def test_pairs_vectorized_matches_expression_path(spark, corpus):
+    q_pd = _corpus_pd().iloc[:15]
+    expr = cosine_pairs(
+        corpus.filter(F.col("vec_id") < 15), corpus, threshold=0.25
+    )
+    vec = cosine_pairs_vectorized(q_pd, corpus, threshold=0.25)
+    assert _rows(expr) == _rows(vec)
+
+
+def test_topk_partial_cut_is_lossless_with_tiny_batches(spark):
+    """Force many tiny Arrow batches so the per-batch cut is exercised hard:
+    every batch holds fewer rows than k, and the duplicate-vector ties span
+    batches."""
+    pdf = _corpus_pd(n=60)
+    df = (
+        spark.createDataFrame(pdf)
+        .select("vec_id", as_double_array("e", "e"))
+        .repartition(20)
+    )
+    q_pd = pdf.iloc[:8]
+    expr = cosine_topk(
+        df.filter(F.col("vec_id") < 8), df, k=5, max_queries=None
+    )
+    vec = cosine_topk_vectorized(q_pd, df, k=5)
+    assert _rows(expr) == _rows(vec)
