@@ -310,6 +310,38 @@ def test_cosine_pairs_corpus_never_shuffles(spark):
     assert count_shuffles(df) == 0, formatted_plan(df)
 
 
+#: Queries ALLOWED to plan a BroadcastNestedLoopJoin — each has a bounded
+#: build side by construction (1-row scalar aggregates, a 4-row static
+#: bucket table, broadcast k-means centroids, an explicit doc_id<15 pair
+#: bound). Anything else planning a BNLJ/Cartesian is a scale bug.
+_BNLJ_ALLOWED = {
+    "q_ann_ivf",      # broadcast centroids × corpus (k×N by design)
+    "q_bm25",         # 1-row avgdl scalar cross
+    "q_levenshtein",  # all-pairs on an explicit doc_id<15 bound
+    "q_range_join",   # 4-row static interval table
+    "q_tpch_q11",     # 1-row threshold aggregate cross
+    "q_tpch_q20",     # 1-row half-avg aggregate cross
+    "q_tpch_q22",     # 1-row avg-acctbal scalar cross
+}
+
+
+def test_no_unexpected_nested_loop_joins(spark):
+    """Registry-wide plan lint: a CartesianProduct anywhere, or a
+    BroadcastNestedLoopJoin outside the bounded-by-construction allowlist,
+    is an all-pairs scale bug waiting for 100×."""
+    failures = []
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            plan = formatted_plan(fn(spark, SF))
+        except Exception:  # noqa: BLE001 — runtime errors belong to parity tests
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            failures.append(f"{name}: BroadcastNestedLoopJoin not allowlisted")
+    assert not failures, failures
+
+
 def test_tpch_q21_reuses_orderkey_partitioning(spark):
     """Q21's per-(order,supplier) agg and its order-level re-agg must ride
     the same l_orderkey exchange — the whole query stays under 4 shuffles
