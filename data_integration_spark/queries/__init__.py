@@ -53,68 +53,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # ever shrinks. Maintained per round: names signed in CORRECTNESS_r{N} leave,
 # new queries join at the tail of the front block.
 _SIGN_PRIORITY: list[str] = [
-    # --- r4 window, slots 1-50 ---------------------------------------
-    # broken-in-r3, fixed-in-r4 — fresh signatures prove the fixes under
-    # the driver's own session (NTZ boundary fix, array serialization,
-    # finer fuzzy blocking, skyline hint drop)
-    "q_array_ops",
-    "q_sessionization",
-    "q_interval_overlap",
-    "q_streaming_tumbling",   # r2-signed, but under a session where the
-    "q_streaming_dedup",      # NTZ schema made them fail — re-prove post-fix
-    "q_stream_stream_join",
-    "q_fuzzy_match",
-    "q_skyline",
-    # TPC-H suite (r3 additions, never driver-signed; hints re-audited r4)
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_not_in_subquery",
-    "q_lateral_topk",
-    "q_recursive_cte",
-    # curation trio (first registered r4 — the r3 advisor found the module
-    # was never imported)
-    "q_gopher_rules",
-    "q_int8_quantize",
-    "q_doc_chunking",
-    # stats battery
-    "q_ab_test",
-    "q_chi_square",
-    "q_mann_whitney",
-    "q_ks_test",
-    "q_robust_means",
-    "q_regression_by_group",
-    "q_weighted_median",
-    "q_zscore_outliers",
-    "q_quota_sample",
-    "q_weighted_sample",
-    # time-series
-    "q_ewma",
-    "q_forward_fill",
-    "q_autocorr",
-    "q_cusum_drift",
-    "q_mom_growth",
-    "q_activity_streaks",
-    "q_pagerank",
-    # --- slots 51+: r5 queue (driver window is 50; these are the lowest-
-    # value unsigned — rows-only ops with pytest property coverage, plus
-    # text/maintenance extras whose semantics pytest already pins) -------
+    # --- r5 window, slots 1-17: the full remaining backlog — every name
+    # with NO driver CORRECTNESS row in any prior round (r4 signed all 50
+    # of its window green, so nothing carries over). After these sign, the
+    # registry is driver-verified 208/208.
     "q_transition_matrix",
     "q_snapshot_diff",
     "q_scd2_build",
@@ -132,21 +74,16 @@ _SIGN_PRIORITY: list[str] = [
     "q_doc_packing",
     "q_hll_mergeable",
     "q_pca_project",
-]  # first 50 = the driver's r4 window; the tail is the ordered r5 backlog
+    # --- slots 18+: new r5 surface joins HERE (inside the window, BEHIND
+    # the backlog — it never displaces a never-signed name, and gets its
+    # first signature the same round it is registered) ------------------
+]  # the driver's r5 window = first 50 registered; 33 slots remain free
 
-# Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway:
-# errored rows (q_array_ops contract crash, q_sessionization NTZ) and the
-# streaming trio whose r2-green rows predate the environment where they
-# broke (VERDICT r3 item 7). Window slots spent on these are deliberate.
-_RESIGN: frozenset[str] = frozenset(
-    {
-        "q_array_ops",
-        "q_sessionization",
-        "q_streaming_tumbling",
-        "q_streaming_dedup",
-        "q_stream_stream_join",
-    }
-)
+# Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
+# (errored/invalidated rows only — see tests/test_registry_order.py).
+# Empty for r5: every r4-window row came back green (rows+schema+hash) and
+# no catalog/timestamp change since invalidated a prior signature.
+_RESIGN: frozenset[str] = frozenset()
 
 
 def load_all() -> None:
