@@ -19,6 +19,7 @@ per-batch, not per-partition. Feature extraction emits fixed-size
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import numpy as np
@@ -26,7 +27,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_HAS_CODECS = False  # real decoders (PIL / pyav / soundfile) absent here
+try:  # real decoders are optional — absent in this container
+    from PIL import Image as _PIL_Image  # type: ignore[import-not-found]
+
+    _HAS_CODECS = True
+except ImportError:  # pragma: no cover — the shipped environment
+    _PIL_Image = None
+    _HAS_CODECS = False
 
 DECODED_SCHEMA = (
     "item_id long, width int, height int, n_channels int, ok boolean"
@@ -54,10 +61,15 @@ def attach_binary_metadata(
 
 
 def _decode_bytes(payload: bytes) -> tuple[int, int, int]:
-    """Decode stub: deterministic fake (width, height, channels) from the
-    byte content. Replace with PIL.Image.open when codecs are available."""
-    if _HAS_CODECS:  # pragma: no cover
-        raise NotImplementedError("wire the real codec here")
+    """Decode one payload to (width, height, channels).
+
+    Uses the real codec (PIL) when it is importable; otherwise a
+    deterministic byte-hash fake with the same shape and failure modes
+    (corrupt bytes raise inside the codec → callers map to ``ok=False``).
+    """
+    if _HAS_CODECS and _PIL_Image is not None:
+        with _PIL_Image.open(io.BytesIO(payload)) as im:
+            return int(im.width), int(im.height), len(im.getbands())
     h = hashlib.sha256(payload).digest()
     return 16 + h[0] % 64, 16 + h[1] % 64, 3
 

@@ -74,9 +74,10 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_MAX_VECTORIZED_QUERIES + 1)
         .toPandas()
     )
-    assert len(q_pd) <= _MAX_VECTORIZED_QUERIES, (
-        f"query set exceeds {_MAX_VECTORIZED_QUERIES}; use cosine_pairs/LSH"
-    )
+    if len(q_pd) > _MAX_VECTORIZED_QUERIES:  # not assert: survives python -O
+        raise ValueError(
+            f"query set exceeds {_MAX_VECTORIZED_QUERIES}; use cosine_pairs/LSH"
+        )
     return cosine_pairs_vectorized(q_pd, emb, threshold=0.25)
 
 
@@ -108,9 +109,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query set must use the pure-expression cosine_topk or the LSH path.
     q_df = emb.filter(F.col("vec_id") < 20)
     q_pd = q_df.limit(_MAX_VECTORIZED_QUERIES + 1).toPandas()
-    assert len(q_pd) <= _MAX_VECTORIZED_QUERIES, (
-        f"query set exceeds {_MAX_VECTORIZED_QUERIES}; use cosine_topk/LSH"
-    )
+    if len(q_pd) > _MAX_VECTORIZED_QUERIES:  # not assert: survives python -O
+        raise ValueError(
+            f"query set exceeds {_MAX_VECTORIZED_QUERIES}; use cosine_topk/LSH"
+        )
     return cosine_topk_vectorized(q_pd, emb, k=5)
 
 

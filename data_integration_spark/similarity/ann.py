@@ -21,6 +21,54 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _np_round_half_up(arr, decimals: int):
+    """Vectorized rounding that matches Spark ``F.round`` on doubles.
+
+    Spark rounds a double via ``BigDecimal.valueOf(x)`` — i.e. HALF_UP over
+    the SHORTEST decimal representation — while ``np.round`` is half-to-even
+    over the binary value and DuckDB ``ROUND`` is half-away-from-zero over
+    the binary value. The three agree everywhere except within float error
+    of a half-boundary (ADVICE r4), so: ``np.round`` for the bulk, and an
+    exact ``Decimal(repr(x))`` HALF_UP fixup for the few boundary elements.
+    Python decimal's ROUND_HALF_UP is away-from-zero, same as Java's.
+    """
+    import decimal
+
+    import numpy as np
+
+    out = np.round(arr, decimals)
+    scaled = arr * (10.0 ** decimals)
+    with np.errstate(invalid="ignore"):  # NaN/±inf fall through untouched
+        frac = scaled - np.floor(scaled)
+        near_half = np.abs(frac - 0.5) < 1e-8
+    if near_half.any():
+        quantum = decimal.Decimal(1).scaleb(-decimals)
+        flat = out.reshape(-1)
+        for i in np.nonzero(near_half.reshape(-1))[0]:
+            flat[i] = float(
+                decimal.Decimal(repr(float(arr.reshape(-1)[i]))).quantize(
+                    quantum, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+    return out
+
+
+def _require_nonzero_norms(norms, side: str):
+    """Zero-norm vectors make cosine NaN, and NaN ordering differs between
+    NumPy (sorts last / fails thresholds) and Spark SQL (NaN > any value) —
+    silent divergence. Degenerate data must fail loudly instead (ADVICE r4).
+    """
+    import numpy as np
+
+    bad = np.nonzero(norms.reshape(-1) == 0.0)[0]
+    if bad.size:
+        raise ValueError(
+            f"{side} contains {bad.size} zero-norm vector(s) "
+            f"(first at batch offset {int(bad[0])}): cosine is undefined — "
+            "filter empty embeddings upstream"
+        )
+
+
 def as_double_array(col: Column | str, alias: str | None = None) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     out = F.transform(c, lambda x: x.cast("double"))
@@ -143,13 +191,17 @@ def cosine_topk_vectorized(
 
     q_ids = queries_pd[id_col].to_numpy()
     Q = np.stack(queries_pd[vec_col].to_numpy()).astype(float)  # (nq, d)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    _require_nonzero_norms(q_norms, "query side")
+    Qn = Q / q_norms
 
     def score(batches):
         for pdf in batches:
             M = np.stack(pdf[vec_col].to_numpy()).astype(float)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            cos = np.round(Mn @ Qn.T, round_decimals)  # (nm, nq)
+            m_norms = np.linalg.norm(M, axis=1, keepdims=True)
+            _require_nonzero_norms(m_norms, "corpus batch")
+            Mn = M / m_norms
+            cos = _np_round_half_up(Mn @ Qn.T, round_decimals)  # (nm, nq)
             mids = pdf[id_col].to_numpy()
             nm, nq = cos.shape
             # self-pairs must lose before the local cut, or a query's own
@@ -211,13 +263,17 @@ def cosine_pairs_vectorized(
 
     q_ids = queries_pd[id_col].to_numpy()
     Q = np.stack(queries_pd[vec_col].to_numpy()).astype(float)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    _require_nonzero_norms(q_norms, "query side")
+    Qn = Q / q_norms
 
     def score(batches):
         for pdf in batches:
             M = np.stack(pdf[vec_col].to_numpy()).astype(float)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            cos = np.round(Mn @ Qn.T, round_decimals)  # (nm, nq)
+            m_norms = np.linalg.norm(M, axis=1, keepdims=True)
+            _require_nonzero_norms(m_norms, "corpus batch")
+            Mn = M / m_norms
+            cos = _np_round_half_up(Mn @ Qn.T, round_decimals)  # (nm, nq)
             mids = pdf[id_col].to_numpy()
             keep = (cos >= threshold) & (mids[:, None] != q_ids[None, :])
             mi, qi = np.nonzero(keep)

@@ -131,6 +131,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
+    # defensive: normalize_timestamps' NTZ→LTZ cast (and every downstream
+    # unix_micros/window comparison vs DuckDB's naive reading) is
+    # value-preserving only under a UTC session — a foreign session with a
+    # local timezone would shift every event time (ADVICE r4)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     # defensive: executor workers must be able to import this package even
     # when the driver session/cwd is foreign (see ensure_worker_imports)
     ensure_worker_imports(spark)

@@ -99,6 +99,46 @@ def test_multimodal_decode_deterministic(payloads):
     assert all(16 <= w < 80 for w, _ in a.values())
 
 
+def test_decode_with_codecs_flag_falls_back_not_crashes(monkeypatch):
+    """VERDICT r4 #3: `_HAS_CODECS=True` must never raise — when the real
+    codec is claimed but unavailable, the deterministic stub still answers.
+    Driver-side check (monkeypatched globals don't ship to executors)."""
+    from data_integration_spark.multimodal import binary_ops as B
+
+    monkeypatch.setattr(B, "_HAS_CODECS", True)
+    monkeypatch.setattr(B, "_PIL_Image", None)
+    w, h, c = B._decode_bytes(b"x" * 4096)
+    assert 16 <= w < 80 and 16 <= h < 80 and c == 3
+
+
+def test_decode_uses_real_codec_when_present(monkeypatch):
+    """When a PIL-shaped codec IS importable, `_decode_bytes` must route
+    through it (dims come from the codec, not the byte-hash stub)."""
+    from data_integration_spark.multimodal import binary_ops as B
+
+    class _FakeIm:
+        width, height = 640, 480
+
+        def getbands(self):
+            return ("R", "G", "B", "A")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    class _FakePIL:
+        @staticmethod
+        def open(fp):
+            assert fp.read(4) == b"imgz"
+            return _FakeIm()
+
+    monkeypatch.setattr(B, "_HAS_CODECS", True)
+    monkeypatch.setattr(B, "_PIL_Image", _FakePIL)
+    assert B._decode_bytes(b"imgz" + b"\0" * 100) == (640, 480, 4)
+
+
 def test_multimodal_features_shape(payloads):
     rows = extract_features(payloads).collect()
     assert all(len(r.feature) == 16 for r in rows)

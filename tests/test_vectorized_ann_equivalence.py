@@ -67,6 +67,64 @@ def test_pairs_vectorized_matches_expression_path(spark, corpus):
     assert _rows(expr) == _rows(vec)
 
 
+def test_round_half_up_matches_spark_at_half_boundaries(spark):
+    """ADVICE r4: np.round (half-to-even) vs Spark F.round (HALF_UP over the
+    shortest decimal repr) diverge exactly at 6th-decimal halves. The numpy
+    helper must match Spark element-for-element on a boundary grid."""
+    from data_integration_spark.similarity.ann import _np_round_half_up
+
+    vals = [
+        0.1234565,    # np.round → …456 (even), Spark → …457
+        0.1234575,    # np.round → …458, Spark → …458 (agree)
+        -0.1234565,   # HALF_UP is away-from-zero: → -0.123457
+        0.9999995,
+        -0.9999995,
+        0.5e-6,
+        -0.5e-6,
+        0.25,         # off-boundary: all modes agree
+        0.123456489,
+        1.0,
+        -1.0,
+        0.0,
+    ]
+    got = _np_round_half_up(np.array(vals), 6)
+    spark_side = spark.createDataFrame(
+        [(v,) for v in vals], "x double"
+    ).select(F.round("x", 6).alias("r")).collect()
+    expected = [r.r for r in spark_side]
+    assert list(got) == expected
+
+
+def test_round_half_up_passes_nan_inf_through():
+    from data_integration_spark.similarity.ann import _np_round_half_up
+
+    out = _np_round_half_up(np.array([np.nan, np.inf, -np.inf, 0.1234565]), 6)
+    assert np.isnan(out[0]) and out[1] == np.inf and out[2] == -np.inf
+    assert out[3] == 0.123457
+
+
+def test_vectorized_scorers_reject_zero_norm_vectors(spark, corpus):
+    """ADVICE r4: zero-norm vectors must fail loudly (NaN cosine ordering
+    differs between NumPy and Spark SQL — silent divergence otherwise)."""
+    import pyspark.errors
+
+    bad_q = pd.DataFrame({"vec_id": [0, 1], "e": [[1.0] * 16, [0.0] * 16]})
+    with pytest.raises(ValueError, match="zero-norm"):
+        cosine_topk_vectorized(bad_q, corpus, k=3)
+    with pytest.raises(ValueError, match="zero-norm"):
+        cosine_pairs_vectorized(bad_q, corpus, threshold=0.25)
+
+    ok_q = bad_q.iloc[:1]
+    bad_corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [10, 11], "e": [[1.0] * 16, [0.0] * 16]}
+        )
+    ).select("vec_id", as_double_array("e", "e"))
+    # corpus-side zero norm is detected inside the Arrow batch → task failure
+    with pytest.raises(Exception, match="zero-norm"):
+        cosine_topk_vectorized(ok_q, bad_corpus, k=3).collect()
+
+
 def test_topk_partial_cut_is_lossless_with_tiny_batches(spark):
     """Force many tiny Arrow batches so the per-batch cut is exercised hard:
     every batch holds fewer rows than k, and the duplicate-vector ties span
