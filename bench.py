@@ -57,9 +57,13 @@ def main() -> None:
         # swings ±20% under load, so min-of-3 plus the observed per-query
         # spread (max−min of the timed passes) lets a reader separate real
         # regressions from scheduler noise (same methodology every round)
+        # SPARK_GRAFT_BENCH_PASSES raises the timed pass count (e.g. 5) for
+        # drift investigations; the recorded default stays 3 so per-round
+        # numbers remain methodology-comparable
+        n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         passes = []
-        for _ in range(3):
+        for _ in range(n_passes):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             passes.append(time.perf_counter() - t0)
