@@ -74,10 +74,19 @@ _SIGN_PRIORITY: list[str] = [
     "q_doc_packing",
     "q_hll_mergeable",
     "q_pca_project",
-    # --- slots 18+: new r5 surface joins HERE (inside the window, BEHIND
-    # the backlog — it never displaces a never-signed name, and gets its
+    # --- slots 18+: new r5 surface (inside the window, BEHIND the
+    # backlog — it never displaces a never-signed name, and gets its
     # first signature the same round it is registered) ------------------
-]  # the driver's r5 window = first 50 registered; 33 slots remain free
+    # corpus_ops: training-corpus operators, all full-oracle
+    "q_embedding_norm_filter",
+    "q_centroid_per_label",
+    "q_shard_assign",
+    "q_cross_shard_dedup",
+    "q_kl_divergence",
+    "q_text_normalize",
+    "q_dataset_card",
+    "q_ngram_containment",
+]  # the driver's r5 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
 # (errored/invalidated rows only — see tests/test_registry_order.py).
@@ -112,6 +121,7 @@ def load_all() -> None:
         relational_sql,
         tpch_extra,
         curation_extra,
+        corpus_ops,
     )
 
     front = [n for n in _SIGN_PRIORITY if n in QUERIES]

@@ -1,0 +1,365 @@
+"""Training-corpus operations (round-5 extension surface): the operators a
+100 TB pretraining-data pipeline runs between raw crawl and tokenizer —
+embedding hygiene, deterministic sharding, cross-shard dedup, distribution
+drift, normalization, and per-source dataset cards.
+
+Every query here is fully oracle-checked (DuckDB SQL over the same parquet).
+Scale notes per query; the common theme: narrow per-row expressions and
+single-shuffle aggregations — nothing materializes a pair space without a
+candidate bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_spark.queries import register
+from data_integration_spark.similarity.ann import as_double_array, with_norm
+from data_integration_spark.sources.catalog import Catalog
+
+# ---------------------------------------------------------------------------
+# embedding hygiene
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_norm_filter",
+    oracle="""
+    SELECT vec_id,
+           ROUND(SQRT(SUM(CAST(embedding[u.i] AS DOUBLE)
+                          * CAST(embedding[u.i] AS DOUBLE))), 6) AS norm
+    FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS u(i)
+    GROUP BY vec_id
+    HAVING SQRT(SUM(CAST(embedding[u.i] AS DOUBLE)
+                    * CAST(embedding[u.i] AS DOUBLE))) > 0.000001
+    """,
+)
+def q_embedding_norm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene gate: per-vector L2 norm, dropping degenerate
+    (near-zero) vectors — the upstream filter the vectorized ANN scorers
+    demand (they reject zero-norm vectors loudly; this operator is how a
+    pipeline guarantees they never see one). Pure narrow expression over the
+    array column: no shuffle, no Python."""
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    return (
+        with_norm(emb, "e", "nrm")
+        .filter(F.col("nrm") > 0.000001)
+        .select("vec_id", F.round("nrm", 6).alias("norm"))
+    )
+
+
+@register(
+    "q_centroid_per_label",
+    oracle="""
+    SELECT label, CAST(u.i - 1 AS BIGINT) AS pos,
+           ROUND(AVG(CAST(embedding[u.i] AS DOUBLE)), 6) AS centroid
+    FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS u(i)
+    GROUP BY label, u.i
+    """,
+)
+def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class mean embedding (topic/cluster centroid) in long form
+    (label, dimension position, mean) — the summarization step behind
+    IVF coarse quantizers, per-domain drift monitors, and class-balanced
+    sampling. posexplode → one hash aggregation on (label, pos): a single
+    shuffle of |rows|·dim narrow tuples with map-side partials; output is
+    |labels|·dim rows regardless of corpus size."""
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "label", as_double_array("embedding", "e")
+    )
+    return (
+        emb.select("label", F.posexplode("e").alias("pos", "x"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sharding / cross-shard dedup
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+@register(
+    "q_shard_assign",
+    oracle=f"""
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT (STRPOS('0123456789abcdef', SUBSTR(SHA256(text), 8, 1)) - 1)
+               AS shard,
+             n_chars
+      FROM documents
+    )
+    GROUP BY shard
+    """,
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed shard assignment: shard =
+    (first 32 bits of sha256(text)) mod {_N_SHARDS}, reported as per-shard
+    (count, bytes) — the balance check a pipeline runs before writing N
+    output shards. Content hashing (not doc_id) keeps assignment stable
+    across re-crawls and engine versions. Narrow expression + one
+    {_N_SHARDS}-key aggregation; the oracle reads the same low nibble off
+    the hex digest (v mod 16 == 8th hex digit since 16 divides 16^k)."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    shard = F.pmod(
+        F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 8), 16, 10).cast("long"),
+        F.lit(_N_SHARDS),
+    )
+    return (
+        docs.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q_cross_shard_dedup",
+    oracle="""
+    SELECT n.doc_id, n.source FROM documents n
+    WHERE n.doc_id % 5 = 4
+      AND SHA256(n.text) NOT IN (
+        SELECT SHA256(text) FROM documents WHERE doc_id % 5 <> 4
+      )
+    """,
+)
+def q_cross_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard (incremental) exact dedup: documents of a NEW shard
+    (doc_id % 5 = 4) that do not duplicate any document already in the
+    reference corpus (the other shards) by content hash — the
+    dedup-new-crawl-against-existing-corpus step every growing corpus runs.
+    left_anti hash join on sha256: shuffles 32-byte digests, never text;
+    at 100 TB the reference side is the accumulated signature table, not
+    the corpus itself."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    old_sigs = (
+        docs.filter(F.col("doc_id") % 5 != 4)
+        .select(F.sha2(F.col("text"), 256).alias("sig"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .withColumn("sig", F.sha2(F.col("text"), 256))
+        .join(old_sigs, "sig", "left_anti")
+        .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_kl_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    c AS (
+      SELECT source, t, COUNT(*) AS c FROM tok WHERE t <> ''
+      GROUP BY source, t
+    ),
+    j AS (
+      SELECT p.c AS cp, q.c AS cq
+      FROM c p JOIN c q ON p.t = q.t
+      WHERE p.source = 'src0' AND q.source = 'src1'
+    )
+    SELECT ROUND(
+      SUM(cp * (LN(CAST(cp AS DOUBLE)) - LN(CAST(cq AS DOUBLE))))
+        / CAST(SUM(cp) AS DOUBLE)
+      + LN(CAST(SUM(cq) AS DOUBLE) / CAST(SUM(cp) AS DOUBLE)),
+      6) AS kl
+    FROM j
+    """,
+)
+def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution KL divergence KL(src0 ‖ src1) over the shared
+    vocabulary (renormalized) — the drift monitor between two corpus
+    sources / crawl snapshots. Algebraically folded into ONE aggregation
+    pass: KL = Σcp·(ln cp − ln cq)/ΣCp + ln(ΣCq/ΣCp), so the plan is
+    tokenize → count (one shuffle on token) → join on token (vocab-sized)
+    → single 1-row aggregate. No per-row normalization pass, no second
+    scan."""
+    docs = Catalog(spark, sf_dir)["documents"].filter(
+        F.col("source").isin("src0", "src1")
+    )
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    c = tok.groupBy("source", "t").agg(F.count("*").alias("c"))
+    p = c.filter(F.col("source") == "src0").select("t", F.col("c").alias("cp"))
+    q = c.filter(F.col("source") == "src1").select("t", F.col("c").alias("cq"))
+    j = p.join(q, "t")
+    kl = (
+        F.sum(
+            F.col("cp")
+            * (F.log(F.col("cp").cast("double")) - F.log(F.col("cq").cast("double")))
+        )
+        / F.sum("cp").cast("double")
+        + F.log(F.sum("cq").cast("double") / F.sum("cp").cast("double"))
+    )
+    return j.agg(F.round(kl, 6).alias("kl"))
+
+
+# ---------------------------------------------------------------------------
+# normalization / dataset card
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             TRIM(REGEXP_REPLACE(
+               REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    SELECT doc_id, norm_text,
+           CAST(LEN(STRING_SPLIT(norm_text, ' ')) AS BIGINT) AS n_tokens,
+           SHA256(norm_text) AS content_sha
+    FROM n
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase → strip non-alphanumerics →
+    collapse runs of spaces → trim) with post-normalization token count and
+    content hash — the step that makes exact dedup catch
+    case/punctuation-variant duplicates. Pure narrow expressions; the
+    content_sha output feeds q_cross_shard_dedup-style signature tables."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_tokens"),
+        F.sha2(norm, 256).alias("content_sha"),
+    )
+
+
+@register(
+    "q_dataset_card",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT SHA256(text)) AS n_unique,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: doc count, content-unique count (exact-dup
+    rate falls out as 1 − n_unique/n_docs), token and char totals, language
+    spread — the summary table published next to a corpus release. All
+    counters are exact integers (no float rounding surface); one shuffle on
+    source with map-side partials, except the distinct-sha count which
+    Spark expands to a two-phase aggregate exactly as DuckDB does."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias("n_unique"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# containment (asymmetric near-dup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ngram_containment",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts
+      FROM documents WHERE doc_id < 60
+    ),
+    sh_raw AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS s
+      FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS u(i)
+    ),
+    sh AS (
+      SELECT * FROM sh_raw
+      WHERE s IN (SELECT s FROM sh_raw GROUP BY s HAVING COUNT(*) <= 45)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           ROUND(CAST(i AS DOUBLE) / s1.sz, 6) AS containment
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    WHERE CAST(i AS DOUBLE) / s1.sz >= 0.1
+    """,
+)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: bigram containment C(d1→d2) = |sh(d1)∩sh(d2)| /
+    |sh(d1)| — catches quotation/subset duplicates (small doc inside a big
+    one) that symmetric Jaccard under-scores. Ordered pairs, bounded to the
+    candidate slice exactly as the Jaccard verifier (doc_id < 60), with the
+    SAME document-frequency cap (≤45 docs per shingle) applied before the
+    self-join — see q_ngram_jaccard's inline rationale: groupBy+join, not a
+    count window, is the only skew-splittable form at stopword scale."""
+    docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 60)
+    sh_raw = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform("
+                " sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+                " i -> concat(try_element_at(split(text, ' '), i), ' ',"
+                " try_element_at(split(text, ' '), i + 1))))"
+            )
+        ).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    keep_sh = (
+        sh_raw.groupBy("s")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= 45)
+        .select("s")
+    )
+    sh = sh_raw.join(keep_sh, "s")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    cont = F.col("i").cast("double") / F.col("sz1")
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")),
+            "d1",
+        )
+        .filter(cont >= 0.1)
+        .select("d1", "d2", F.round(cont, 6).alias("containment"))
+    )
