@@ -56,6 +56,50 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "sig",
+    n_gram: int = 2,
+    k: int = 16,
+    seed: int = 1,
+) -> DataFrame:
+    """STATELESS per-row MinHash signature: one 64-bit hash of the k
+    per-row min-hashes — no explode, no groupBy, NO SHUFFLE. The shingle
+    set stays an array inside the row and each min-hash is an
+    ``array_min(transform(...))`` over it.
+
+    This is the streaming-safe form (``q_streaming_minhash_dedup``): a
+    file/Kafka stream computes it per micro-batch row and feeds
+    ``dropDuplicates`` directly — the only state is the dedup operator's
+    signature set, the incremental registry of everything the growing
+    corpus has seen. Batch callers get the identical value, so
+    stream-vs-batch equivalence is exact (tests/test_index_persist.py).
+
+    Degenerate rows (fewer than ``n_gram`` tokens → empty shingle set)
+    all collapse to the same all-NULL signature — empty docs dedup to one
+    survivor, the curation semantics you want anyway.
+    """
+    concat_parts = ", ' ', ".join(
+        f"try_element_at(_mh_ts, i + {j})" for j in range(n_gram)
+    )
+    shingles = (
+        f"filter(array_distinct(transform("
+        f" sequence(1, greatest(size(_mh_ts) - {n_gram - 1}, 1)),"
+        f" i -> concat({concat_parts}))), s -> s IS NOT NULL)"
+    )
+    out = df.withColumn("_mh_ts", F.split(F.col(text_col), " ")).withColumn(
+        "_mh_sh", F.expr(shingles)
+    )
+    min_cols = [
+        F.array_min(
+            F.transform(F.col("_mh_sh"), lambda s, j=j: F.xxhash64(s, F.lit(seed * 1000 + j)))
+        )
+        for j in range(k)
+    ]
+    return out.withColumn(out_col, F.xxhash64(*min_cols)).drop("_mh_ts", "_mh_sh")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

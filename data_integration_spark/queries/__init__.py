@@ -86,6 +86,10 @@ _SIGN_PRIORITY: list[str] = [
     "q_text_normalize",
     "q_dataset_card",
     "q_ngram_containment",
+    # index persistence + incremental dedup (VERDICT r4 #7)
+    "q_ann_ivf_persist",
+    "q_ann_lsh_persist",
+    "q_streaming_minhash_dedup",
 ]  # the driver's r5 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway

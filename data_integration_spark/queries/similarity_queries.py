@@ -143,6 +143,66 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
 
 
+@register("q_ann_ivf_persist")  # rows-only: centroids engine-internal
+def q_ann_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-persistence round-trip: fit the IVF quantizer, SAVE it
+    (centroids + inverted lists + params), LOAD it back, and search from
+    the loaded artifact — the once-per-release fit / many-jobs-load shape
+    a 100 TB corpus requires (re-fitting changes cell boundaries and
+    breaks cross-job reproducibility). pytest pins loaded-search ==
+    fit-search row-for-row (tests/test_index_persist.py)."""
+    import os
+
+    from data_integration_spark.similarity.ivf import IVFIndex
+    from data_integration_spark.similarity.persist import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/.scratch/indexes/ivf_{tag}"
+    save_ivf_index(IVFIndex(n_cells=8, seed=11).fit(emb), path)
+    loaded = load_ivf_index(spark, path)
+    return loaded.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
+
+
+@register("q_ann_lsh_persist")  # rows-only: plane coefficients engine-internal
+def q_ann_lsh_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-spec persistence: build the multi-table hyperplane spec
+    with EXPLICIT coefficients, save/load it as JSON, and run top-k search
+    bucketing with the LOADED planes (never seed re-derivation — RNG
+    implementations may drift between sessions/versions). pytest pins
+    loaded-spec search == seed-derived search row-for-row."""
+    import os
+
+    from data_integration_spark.similarity.ann import lsh_topk
+    from data_integration_spark.similarity.persist import (
+        build_lsh_spec,
+        load_lsh_spec,
+        save_lsh_spec,
+    )
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/.scratch/indexes/lsh_{tag}"
+    save_lsh_spec(build_lsh_spec(dim=64, n_planes=8, n_tables=4, seed=7), path)
+    spec = load_lsh_spec(path)
+    return lsh_topk(
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        dim=spec["dim"],
+        k=5,
+        n_planes=spec["n_planes"],
+        n_tables=spec["n_tables"],
+        planes_tables=spec["tables"],
+    )
+
+
 @register("q_dedup_minhash")  # rows-only: xxhash64 not expressible in DuckDB
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs verified by exact shingle Jaccard.

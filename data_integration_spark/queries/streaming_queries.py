@@ -369,6 +369,41 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(table)
 
 
+@register("q_streaming_minhash_dedup")  # rows-only: xxhash64 not in DuckDB
+def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup over a growing corpus: documents arrive
+    as a stream (file-source replay, every doc delivered TWICE), each row
+    computes its STATELESS MinHash signature in-line
+    (dedup/minhash.py::with_minhash_signature — array expressions only, no
+    shuffle, streaming-legal), and ``dropDuplicates`` on the signature
+    keeps the first arrival per near-dup class. The dedup operator's state
+    IS the incremental signature registry: at 100 TB it lives in the
+    RocksDB state store and new crawl batches dedup against everything
+    ever seen without rescanning the corpus. Stream-vs-batch signature
+    equivalence and exact-copy collapse are pinned in
+    tests/test_index_persist.py; rows-only here because xxhash64 has no
+    DuckDB equivalent (same escape hatch as q_dedup_minhash)."""
+    from data_integration_spark.dedup.minhash import with_minhash_signature
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    src, schema = _replay_dir(spark, sf_dir, "mh_dedup_src", docs, copies=2)
+    stream_in = spark.readStream.schema(schema).parquet(src)
+    deduped = (
+        with_minhash_signature(stream_in, "text", "sig", k=16)
+        .dropDuplicates(["sig"])
+        .select("doc_id", "sig")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t2_mh_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql("SELECT doc_id, sig FROM t2_mh_dedup")
+
+
 try:  # transformWithStateInPandas needs protobuf (absent in this container)
     # — gate the registration so the operator surfaces wherever the dep
     # exists; streaming/stateful.py::UserExtremes is the implementation

@@ -290,6 +290,17 @@ def cosine_pairs_vectorized(
     )
 
 
+def make_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Seeded random hyperplanes (driver-side, tiny). Exposed so an LSH
+    index spec can be PERSISTED as explicit coefficients and reloaded in a
+    later session without depending on RNG reproducibility across Python
+    versions (similarity/persist.py)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -297,21 +308,19 @@ def hyperplane_lsh_buckets(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "e",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign-pattern bucket id per vector.
 
     Planes are generated driver-side from a seeded RNG (deterministic, tiny)
-    and folded into one native expression — the executors see only literal
-    coefficients, so bucketing is a narrow map (no shuffle, no Python).
-    Vectors sharing a bucket are near-duplicates candidates; join on
-    ``bucket`` for the candidate pairs.
+    — or passed explicitly from a persisted index spec — and folded into one
+    native expression: the executors see only literal coefficients, so
+    bucketing is a narrow map (no shuffle, no Python). Vectors sharing a
+    bucket are near-duplicates candidates; join on ``bucket`` for the
+    candidate pairs.
     """
-    import random
-
-    rng = random.Random(seed)
-    planes = [
-        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
-    ]
+    if planes is None:
+        planes = make_planes(dim, n_planes, seed)
     bucket: Column = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         proj = F.aggregate(
@@ -388,6 +397,7 @@ def lsh_topk(
     vec_col: str = "e",
     seed: int = 7,
     round_decimals: int = 6,
+    planes_tables: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k search: queries and corpus are bucketed by the SAME
     multi-table hyperplane LSH (OR-construction); a query only scores
@@ -400,14 +410,23 @@ def lsh_topk(
     partitions by query. Corpus vectors never cross-join queries. Ranks are
     relative to the PROBED set — recall vs the exact top-k is the measured
     trade (tests/test_operators.py pins it ≥0.8 with 4 tables on clustered
-    data)."""
+    data).
+
+    ``planes_tables`` (one plane list per table) overrides seed-derived
+    planes — the persisted-index path (similarity/persist.py): search must
+    bucket with the EXACT planes the index was built with, not planes
+    re-derived from a seed by a possibly-different RNG."""
+    if planes_tables is None:
+        planes_tables = [
+            make_planes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
+        ]
     q_b, c_b = [], []
-    for t in range(n_tables):
+    for t, planes in enumerate(planes_tables):
         qb = hyperplane_lsh_buckets(
-            queries, dim, n_planes, seed + 7919 * t, id_col, vec_col
+            queries, dim, n_planes, seed, id_col, vec_col, planes=planes
         ).withColumn("tbl", F.lit(t))
         cb = hyperplane_lsh_buckets(
-            corpus, dim, n_planes, seed + 7919 * t, id_col, vec_col
+            corpus, dim, n_planes, seed, id_col, vec_col, planes=planes
         ).withColumn("tbl", F.lit(t))
         q_b.append(qb)
         c_b.append(cb)

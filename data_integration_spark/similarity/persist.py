@@ -1,0 +1,100 @@
+"""ANN index persistence: save/load the two index families so an index
+built once per corpus release survives sessions.
+
+At 100 TB the quantizer fit (k-means centroids, LSH plane draws) is a
+once-per-release job; every downstream search job must LOAD the artifact,
+never re-fit — re-fitting silently changes cell/bucket boundaries and makes
+results irreproducible across jobs. Artifacts:
+
+- IVF: ``centroids/`` (tiny parquet, always broadcast at search),
+  ``assigned/`` (the inverted lists — corpus-sized parquet, partitioned by
+  cell at scale), ``meta.json`` (params). The assigned table IS the index,
+  exactly as FAISS persists inverted lists.
+- LSH: ``spec.json`` holding explicit plane coefficients per table
+  (n_tables × n_planes × dim floats — a few KB). Coefficients, not the
+  seed: reloading must bucket with the EXACT planes used at build time,
+  not planes re-derived by a possibly-different RNG implementation.
+
+``meta.json``/``spec.json`` are written driver-side next to the parquet
+dirs; on a cluster the path lives on the shared filesystem the parquet
+writer targets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from data_integration_spark.similarity.ann import make_planes
+from data_integration_spark.similarity.ivf import IVFIndex
+
+_FORMAT = 1
+
+
+def save_ivf_index(index: IVFIndex, path: str) -> None:
+    """Persist a fitted IVF index (centroids + inverted lists + params)."""
+    if index.assigned is None or index.centroids is None:
+        raise ValueError("fit the index before saving")
+    index.centroids.write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    index.assigned.write.mode("overwrite").parquet(
+        os.path.join(path, "assigned")
+    )
+    meta = {"format": _FORMAT, "n_cells": index.n_cells, "seed": index.seed}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> IVFIndex:
+    """Reload a persisted IVF index; ``search`` works without re-fitting
+    (tests/test_index_persist.py pins loaded-search == fit-search)."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != _FORMAT:
+        raise ValueError(f"unsupported IVF index format: {meta.get('format')}")
+    index = IVFIndex(n_cells=meta["n_cells"], seed=meta["seed"])
+    index.centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    index.assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    return index
+
+
+def build_lsh_spec(
+    dim: int, n_planes: int = 8, n_tables: int = 4, seed: int = 7
+) -> dict:
+    """Materialize a multi-table hyperplane LSH index spec with EXPLICIT
+    plane coefficients (the persistable artifact)."""
+    return {
+        "format": _FORMAT,
+        "dim": dim,
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+        "seed": seed,
+        "tables": [
+            make_planes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
+        ],
+    }
+
+
+def save_lsh_spec(spec: dict, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "spec.json"), "w") as f:
+        json.dump(spec, f)
+
+
+def load_lsh_spec(path: str) -> dict:
+    with open(os.path.join(path, "spec.json")) as f:
+        spec = json.load(f)
+    if spec.get("format") != _FORMAT:
+        raise ValueError(f"unsupported LSH spec format: {spec.get('format')}")
+    expect = (spec["n_tables"], spec["n_planes"], spec["dim"])
+    got = (
+        len(spec["tables"]),
+        len(spec["tables"][0]) if spec["tables"] else 0,
+        len(spec["tables"][0][0]) if spec["tables"] and spec["tables"][0] else 0,
+    )
+    if expect != got:
+        raise ValueError(f"LSH spec shape mismatch: declared {expect}, got {got}")
+    return spec

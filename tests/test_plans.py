@@ -316,6 +316,7 @@ def test_cosine_pairs_corpus_never_shuffles(spark):
 #: bound). Anything else planning a BNLJ/Cartesian is a scale bug.
 _BNLJ_ALLOWED = {
     "q_ann_ivf",      # broadcast centroids × corpus (k×N by design)
+    "q_ann_ivf_persist",  # same probe shape, centroids loaded from parquet
     "q_bm25",         # 1-row avgdl scalar cross
     "q_levenshtein",  # all-pairs on an explicit doc_id<15 bound
     "q_range_join",   # 4-row static interval table
@@ -339,6 +340,7 @@ _PLAN_LINT_EXCLUDED = {
     "q_stateful_stream",
     "q_streaming_upsert",
     "q_transform_with_state",
+    "q_streaming_minhash_dedup",
 }
 
 
