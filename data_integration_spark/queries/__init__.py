@@ -90,6 +90,9 @@ _SIGN_PRIORITY: list[str] = [
     "q_ann_ivf_persist",
     "q_ann_lsh_persist",
     "q_streaming_minhash_dedup",
+    # provenance + novelty
+    "q_source_overlap_matrix",
+    "q_ngram_novelty",
 ]  # the driver's r5 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway

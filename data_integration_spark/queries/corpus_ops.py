@@ -283,6 +283,103 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_source_overlap_matrix",
+    oracle="""
+    WITH sig AS (
+      SELECT DISTINCT source, SHA256(text) AS sha FROM documents
+    )
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+    FROM sig a JOIN sig b ON a.sha = b.sha AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source provenance overlap: for every source pair, how many
+    distinct documents (by content hash) appear in BOTH — the matrix that
+    tells you which crawl feeds are re-hosting each other before you
+    weight them independently in a mixture. Join happens on 32-byte
+    digests after a per-source distinct (the signature table again), so
+    shuffle volume is |distinct docs|, never text; output is
+    |sources|² rows at most."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    sig = docs.select(
+        "source", F.sha2(F.col("text"), 256).alias("sha")
+    ).distinct()
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sha") == F.col("b.sha"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS s
+      FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS u(i)
+    ),
+    firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM sh JOIN firsts f ON f.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything that came before it
+    (corpus order = doc_id): the fraction of a doc's distinct bigrams whose
+    FIRST corpus occurrence is this doc. Novelty-weighted sampling uses
+    exactly this score to up-weight fresh content and down-weight boilerplate
+    tails. Two hash aggregations (per-shingle first-doc, then per-doc
+    ratio) and one equi-join on shingle — the first-occurrence table is the
+    same shape as a dedup signature registry, map-side-combinable and
+    skew-safe (a stopword-grade shingle is ONE row in ``firsts``, not a
+    pair explosion)."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform("
+                " sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+                " i -> concat(try_element_at(split(text, ' '), i), ' ',"
+                " try_element_at(split(text, ' '), i + 1))))"
+            )
+        ).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # containment (asymmetric near-dup)
 # ---------------------------------------------------------------------------

@@ -371,6 +371,39 @@ def test_no_unexpected_nested_loop_joins(spark):
     )
 
 
+def test_corpus_ops_narrow_queries_have_no_shuffle(spark):
+    """The per-row corpus operators (norm filter, normalization) must stay
+    narrow maps — any exchange here multiplies at 100 TB."""
+    for name in ("q_embedding_norm_filter", "q_text_normalize"):
+        df = QUERIES[name](spark, SF)
+        assert count_shuffles(df) == 0, (name, formatted_plan(df))
+
+
+def test_corpus_ops_aggregations_single_shuffle(spark):
+    """Centroids and shard balance are one hash aggregation each (map-side
+    partials + one exchange on the group key)."""
+    for name in ("q_centroid_per_label", "q_shard_assign"):
+        df = QUERIES[name](spark, SF)
+        assert count_shuffles(df) == 1, (name, formatted_plan(df))
+
+
+def test_corpus_ops_shuffle_budgets(spark):
+    """Upper bounds for the multi-stage corpus operators — a regression
+    adding an exchange (lost partial agg, lost partitioning reuse) trips
+    these before it ships."""
+    budgets = {
+        "q_dataset_card": 2,       # distinct-sha expands to two-phase agg
+        "q_kl_divergence": 3,      # token count, vocab join, 1-row fold
+        "q_ngram_novelty": 3,      # firsts agg, shingle join, per-doc agg
+        "q_source_overlap_matrix": 4,  # distinct, self-join, pair agg
+        "q_cross_shard_dedup": 2,  # anti join (0 when broadcast at test SF)
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        n = count_shuffles(df)
+        assert n <= budget, (name, n, formatted_plan(df))
+
+
 def test_tpch_q21_reuses_orderkey_partitioning(spark):
     """Q21's per-(order,supplier) agg and its order-level re-agg must ride
     the same l_orderkey exchange — the whole query stays under 4 shuffles
