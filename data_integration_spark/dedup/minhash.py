@@ -56,6 +56,95 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_lsh_cross_pairs(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_gram: int = 2,
+    k: int = 64,
+    bands: int = 16,
+    seed: int = 1,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """CROSS-corpus near-dup: (new_id, old_id, jaccard) pairs where a NEW
+    document near-duplicates an OLD one — the batch incremental-dedup path
+    (dedup crawl N against releases 1..N−1) that complements the exact
+    cross-shard hash anti-join and the streaming signature dedup.
+
+    Same banded-LSH shape as ``minhash_lsh_pairs`` but candidates only form
+    ACROSS the corpus boundary (new×old inside a bucket, never new×new or
+    old×old), so candidate volume tracks cross-corpus near-dup density. At
+    100 TB the old side's buckets are computed once per release and
+    persisted; only the new shard is re-shingled.
+    """
+    assert k % bands == 0
+    rows = k // bands
+    tagged = new_df.select(
+        F.col(id_col), F.col(text_col), F.lit(True).alias("_is_new")
+    ).unionByName(
+        old_df.select(
+            F.col(id_col), F.col(text_col), F.lit(False).alias("_is_new")
+        )
+    )
+    sig = minhash_signatures(tagged, id_col, text_col, n_gram, k, seed)
+    side = tagged.select(id_col, "_is_new")
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+                    "bh"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = (
+        sig.join(side, id_col)
+        .select(F.col(id_col), "_is_new", F.explode(band_cols).alias("bb"))
+        .select(
+            F.col(id_col),
+            "_is_new",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bh").alias("bh"),
+        )
+    )
+    left = buckets.filter(F.col("_is_new")).select(
+        F.col(id_col).alias("new_id"), "band", "bh"
+    )
+    right = buckets.filter(~F.col("_is_new")).select(
+        F.col(id_col).alias("old_id"), "band", "bh"
+    )
+    cand = (
+        left.join(right, ["band", "bh"]).select("new_id", "old_id").distinct()
+    )
+    # exact verification on candidates only (same as the within-corpus path)
+    sh = shingle_df(tagged, id_col, text_col, n_gram)
+    sizes = sh.groupBy(id_col).agg(F.countDistinct("shingle").alias("sz"))
+    s1 = sh.select(F.col(id_col).alias("new_id"), F.col("shingle"))
+    s2 = sh.select(F.col(id_col).alias("old_id"), F.col("shingle"))
+    inter = (
+        cand.join(s1, "new_id")
+        .join(s2, ["old_id", "shingle"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("i"))
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("new_id"), F.col("sz").alias("sz1")),
+            "new_id",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("old_id"), F.col("sz").alias("sz2")),
+            "old_id",
+        )
+        .select("new_id", "old_id", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= verify_threshold)
+    )
+
+
 def with_minhash_signature(
     df: DataFrame,
     text_col: str = "text",

@@ -93,6 +93,10 @@ _SIGN_PRIORITY: list[str] = [
     # provenance + novelty
     "q_source_overlap_matrix",
     "q_ngram_novelty",
+    # mixture weighting + incremental index/near-dup
+    "q_temperature_mix",
+    "q_ann_ivf_append",
+    "q_minhash_cross_dedup",
 ]  # the driver's r5 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway

@@ -284,6 +284,50 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_temperature_mix",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE) AS tok
+      FROM documents GROUP BY source
+    )
+    SELECT source,
+           CAST(tok AS BIGINT) AS total_tokens,
+           ROUND(POW(tok, 0.7) / SUM(POW(tok, 0.7)) OVER (), 6) AS weight,
+           CAST(ROUND(POW(tok, 0.7) / SUM(POW(tok, 0.7)) OVER ()
+                      * 1000000) AS BIGINT) AS target_tokens
+    FROM t
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights: per-source sampling weight
+    w_i ∝ tokens_i^α (α=0.7) and the token target each source gets under a
+    1M-token budget — the standard multinomial-temperature re-weighting
+    that keeps small high-quality sources from being drowned by the head
+    domain. One token-count aggregation (shuffle on source), then a window
+    over the |sources|-row result — the total-sum window is bounded by
+    source cardinality, never corpus size."""
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long"))
+        .cast("double")
+        .alias("tok")
+    )
+    w_all = Window.partitionBy()
+    weight = F.pow(F.col("tok"), 0.7) / F.sum(F.pow(F.col("tok"), 0.7)).over(
+        w_all
+    )
+    return t.select(
+        "source",
+        F.col("tok").cast("long").alias("total_tokens"),
+        F.round(weight, 6).alias("weight"),
+        F.round(weight * 1000000).cast("long").alias("target_tokens"),
+    )
+
+
+@register(
     "q_source_overlap_matrix",
     oracle="""
     WITH sig AS (

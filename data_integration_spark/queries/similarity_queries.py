@@ -203,6 +203,44 @@ def q_ann_lsh_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_ann_ivf_append")  # rows-only: centroids engine-internal
+def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index update: fit the IVF quantizer on the EXISTING
+    corpus slice (vec_id ≥ 50), APPEND the new batch (vec_id < 50) by
+    assigning it to the frozen centroids (no refit — cell boundaries and
+    old results stay reproducible), then search the grown index. pytest
+    pins append-assignment == quantizer-assignment cell-for-cell and that
+    old-corpus search results are unchanged by the append
+    (tests/test_index_persist.py)."""
+    from data_integration_spark.similarity.ivf import IVFIndex
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    old = emb.filter(F.col("vec_id") >= 50)
+    new = emb.filter(F.col("vec_id") < 50)
+    index = IVFIndex(n_cells=8, seed=11).fit(old).append(new)
+    return index.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
+
+
+@register("q_minhash_cross_dedup")  # rows-only: xxhash64 not in DuckDB
+def q_minhash_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch incremental NEAR-dup: MinHash+banded-LSH candidates formed
+    only ACROSS the corpus boundary (new shard doc_id%5=4 × the rest),
+    verified with exact shingle Jaccard ≥ 0.4 — the near-dup complement of
+    q_cross_shard_dedup's exact hash anti-join, and the batch analogue of
+    q_streaming_minhash_dedup. Candidate volume tracks cross-corpus
+    near-dup density, never |new|×|old| (dedup/minhash.py::
+    minhash_lsh_cross_pairs; planted-pair recall pinned in
+    tests/test_index_persist.py)."""
+    from data_integration_spark.dedup.minhash import minhash_lsh_cross_pairs
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    return minhash_lsh_cross_pairs(new, old, k=64, bands=16, verify_threshold=0.4)
+
+
 @register("q_dedup_minhash")  # rows-only: xxhash64 not expressible in DuckDB
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs verified by exact shingle Jaccard.

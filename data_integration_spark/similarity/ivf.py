@@ -51,6 +51,46 @@ class IVFIndex:
         )
         return self
 
+    def assign(
+        self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "e"
+    ) -> DataFrame:
+        """Nearest-centroid cell assignment for NEW vectors using the
+        EXISTING centroids (no refit) — same squared-Euclidean metric and
+        (distance, cell) tie-break as the query-time probe. Broadcast
+        centroids × vectors: a narrow map per vector, the incremental
+        index-update path (daily embedding batches join a released index
+        without moving its cell boundaries)."""
+        assert self.centroids is not None, "fit or load first"
+        v = vectors.select(F.col(id_col).alias("mid"), F.col(vec_col).alias("me"))
+        vc = v.crossJoin(F.broadcast(self.centroids)).withColumn(
+            "cdist",
+            F.aggregate(
+                F.zip_with(F.col("me"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        w = Window.partitionBy("mid").orderBy(F.col("cdist"), F.col("cell"))
+        return (
+            vc.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("mid", "me", "cell")
+        )
+
+    def append(
+        self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "e"
+    ) -> "IVFIndex":
+        """Append new vectors to the inverted lists (assign-only, centroids
+        frozen) — the index grows without a refit, so search results over
+        old vectors are unchanged and reproducibility across jobs holds.
+        Re-fit deliberately stays a separate, explicit operation: centroid
+        drift is a corpus-release decision, not a side effect."""
+        assert self.assigned is not None, "fit or load first"
+        self.assigned = self.assigned.unionByName(
+            self.assign(vectors, id_col, vec_col)
+        )
+        return self
+
     def search(
         self,
         queries: DataFrame,

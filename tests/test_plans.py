@@ -317,6 +317,7 @@ def test_cosine_pairs_corpus_never_shuffles(spark):
 _BNLJ_ALLOWED = {
     "q_ann_ivf",      # broadcast centroids × corpus (k×N by design)
     "q_ann_ivf_persist",  # same probe shape, centroids loaded from parquet
+    "q_ann_ivf_append",   # broadcast centroids × new batch (assign) + probe
     "q_bm25",         # 1-row avgdl scalar cross
     "q_levenshtein",  # all-pairs on an explicit doc_id<15 bound
     "q_range_join",   # 4-row static interval table
