@@ -330,37 +330,89 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_source_overlap_matrix",
     oracle="""
-    WITH sig AS (
-      SELECT DISTINCT source, SHA256(text) AS sha FROM documents
+    WITH tok AS (
+      SELECT source, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source, ts[i] || ' ' || ts[i + 1] AS s
+      FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY a.source, b.source
     )
-    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
-    FROM sig a JOIN sig b ON a.sha = b.sha AND a.source < b.source
-    GROUP BY a.source, b.source
+    SELECT src_a, src_b, i AS n_shared_bigrams,
+           ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6)
+             AS bigram_jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
     """,
 )
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source provenance overlap: for every source pair, how many
-    distinct documents (by content hash) appear in BOTH — the matrix that
-    tells you which crawl feeds are re-hosting each other before you
-    weight them independently in a mixture. Join happens on 32-byte
-    digests after a per-source distinct (the signature table again), so
-    shuffle volume is |distinct docs|, never text; output is
-    |sources|² rows at most."""
+    """Cross-source content-overlap matrix: for every source pair, the
+    count and Jaccard of SHARED distinct word-bigrams — the provenance
+    signal that tells you which crawl feeds are re-hosting / templating
+    each other's content before you weight them independently in a
+    mixture (exact-dup overlap is the degenerate top of this measure and
+    falls out of q_cross_shard_dedup's signature tables).
+
+    Scale shape: instead of self-joining the (source, bigram) table on
+    bigram (whose hot keys fan out), each bigram is collapsed to its
+    SOURCE SET — bounded by source cardinality — with ``collect_set``
+    (map-side partial), and the ≤|sources|² pairs per bigram are generated
+    inside the row. A bigram present in every source is ONE row producing
+    a constant number of pairs, so shuffle volume is |distinct bigrams| +
+    |pairs|, never corpus-sized, and no join key is skewed."""
     docs = Catalog(spark, sf_dir)["documents"]
-    sig = docs.select(
-        "source", F.sha2(F.col("text"), 256).alias("sha")
-    ).distinct()
-    a, b = sig.alias("a"), sig.alias("b")
+    sh_raw = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "array_distinct(transform("
+                " sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+                " i -> concat(try_element_at(split(text, ' '), i), ' ',"
+                " try_element_at(split(text, ' '), i + 1))))"
+            )
+        ).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    # one row per bigram, carrying its (bounded) source set
+    src_sets = sh_raw.groupBy("s").agg(F.collect_set("source").alias("srcs"))
+    # per-source distinct-bigram sizes, derived from the same aggregate
+    sizes = (
+        src_sets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("sz"))
+    )
+    # all ordered source pairs per bigram, generated in-row (≤ |sources|²)
+    pairs = src_sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(array_sort(srcs),"
+                " x -> transform(filter(srcs, y -> y > x),"
+                " y -> struct(x AS src_a, y AS src_b))))"
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    inter = pairs.groupBy("src_a", "src_b").agg(F.count("*").alias("i"))
+    jac = F.col("i").cast("double") / (F.col("sa_sz") + F.col("sb_sz") - F.col("i"))
     return (
-        a.join(
-            b,
-            (F.col("a.sha") == F.col("b.sha"))
-            & (F.col("a.source") < F.col("b.source")),
+        inter.join(
+            sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sa_sz")),
+            "src_a",
         )
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sb_sz")),
+            "src_b",
         )
-        .agg(F.count("*").alias("n_shared"))
+        .select(
+            "src_a",
+            "src_b",
+            F.col("i").alias("n_shared_bigrams"),
+            F.round(jac, 6).alias("bigram_jaccard"),
+        )
     )
 
 

@@ -396,7 +396,9 @@ def test_corpus_ops_shuffle_budgets(spark):
         "q_dataset_card": 2,       # distinct-sha expands to two-phase agg
         "q_kl_divergence": 3,      # token count, vocab join, 1-row fold
         "q_ngram_novelty": 3,      # firsts agg, shingle join, per-doc agg
-        "q_source_overlap_matrix": 4,  # distinct, self-join, pair agg
+        # bigram source-set agg, derived sizes, pair agg, size joins —
+        # every exchange carries bounded rows (bigram sets ≤ |sources|)
+        "q_source_overlap_matrix": 6,
         "q_cross_shard_dedup": 2,  # anti join (0 when broadcast at test SF)
     }
     for name, budget in budgets.items():
