@@ -95,6 +95,29 @@ def test_round_half_up_matches_spark_at_half_boundaries(spark):
     assert list(got) == expected
 
 
+def test_round_half_up_matches_spark_on_bulk_random_and_boundaries(spark):
+    """Bulk agreement: 4k random doubles in [-1, 1] (cosine range) plus
+    every constructed 6th/7th-decimal half-boundary — the numpy helper and
+    Spark F.round must agree element-for-element in one pass."""
+    from data_integration_spark.similarity.ann import _np_round_half_up
+
+    rng = np.random.default_rng(17)
+    vals = list(rng.uniform(-1, 1, 4000))
+    # constructed boundaries: k.5 at the 7th decimal, both signs
+    vals += [round(k * 1e-6 + 5e-7, 10) for k in range(-50, 50)]
+    vals += [v + 5e-7 for v in (0.1, 0.25, 0.999999, -0.123456)]
+    arr = np.array(vals, dtype=float)
+    got = _np_round_half_up(arr, 6)
+    spark_side = spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    ).select(F.round("x", 6).alias("r")).collect()
+    expected = np.array([r.r for r in spark_side])
+    mismatch = np.nonzero(got != expected)[0]
+    assert mismatch.size == 0, [
+        (vals[i], got[i], expected[i]) for i in mismatch[:5]
+    ]
+
+
 def test_round_half_up_passes_nan_inf_through():
     from data_integration_spark.similarity.ann import _np_round_half_up
 
