@@ -476,6 +476,48 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_vocab_build",
+    oracle="""
+    WITH tok AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+    ),
+    c AS (
+      SELECT t, COUNT(*) AS freq FROM tok WHERE t <> ''
+      GROUP BY t HAVING COUNT(*) >= 5
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, t) AS BIGINT)
+             AS token_id,
+           t AS token, freq
+    FROM c
+    """,
+)
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary build: corpus-wide token frequency table with a
+    min-count floor (≥5) and deterministic id assignment (frequency desc,
+    then token — the seed table BPE/unigram trainers start from). One
+    token-count aggregation (shuffle on token, map-side partials); the
+    id-assigning window runs over the VOCABULARY (already min-count
+    filtered), which is bounded by type count, not corpus size — the same
+    bounded-global-window argument as q_temperature_mix."""
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    c = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("t"))
+    return c.select(
+        F.row_number().over(w).cast("long").alias("token_id"),
+        F.col("t").alias("token"),
+        "freq",
+    )
+
+
 # ---------------------------------------------------------------------------
 # containment (asymmetric near-dup)
 # ---------------------------------------------------------------------------
