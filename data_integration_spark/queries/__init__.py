@@ -98,6 +98,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_ann_ivf_append",
     "q_minhash_cross_dedup",
     "q_vocab_build",
+    "q_boilerplate_ngrams",
 ]  # the driver's r5 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway

@@ -518,6 +518,61 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_boilerplate_ngrams",
+    oracle="""
+    WITH sh AS (
+      SELECT source, ts[i] || ' ' || ts[i + 1] AS s
+      FROM (SELECT source, string_split(text, ' ') AS ts FROM documents),
+           UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS u(i)
+    ),
+    c AS (
+      SELECT source, s, COUNT(*) AS freq FROM sh
+      GROUP BY source, s HAVING COUNT(*) >= 10
+    )
+    SELECT source, s AS ngram, freq, rnk FROM (
+      SELECT source, s, freq,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY freq DESC, s) AS BIGINT) AS rnk
+      FROM c
+    ) WHERE rnk <= 10
+    """,
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate mining: the top-10 most frequent word-bigrams
+    (total occurrences, min-frequency floor) per source — the table that
+    seeds template/boilerplate strip-lists before dedup (headers, footers,
+    cookie banners all surface here first). One (source, bigram) count
+    aggregation with map-side partials; the rank window is per-source over
+    the min-frequency-filtered table and Spark rewrites the rnk≤10 filter
+    to a WindowGroupLimit (top-k per group never materializes the full
+    frequency table into one task)."""
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    sh = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+                " i -> concat(try_element_at(split(text, ' '), i), ' ',"
+                " try_element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    c = (
+        sh.groupBy("source", "s")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 10)
+    )
+    w = Window.partitionBy("source").orderBy(F.col("freq").desc(), F.col("s"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("source", F.col("s").alias("ngram"), "freq", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # containment (asymmetric near-dup)
 # ---------------------------------------------------------------------------
