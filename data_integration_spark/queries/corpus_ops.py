@@ -528,7 +528,7 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT source, s, COUNT(*) AS freq FROM sh
-      GROUP BY source, s HAVING COUNT(*) >= 10
+      GROUP BY source, s HAVING COUNT(*) >= 3
     )
     SELECT source, s AS ngram, freq, rnk FROM (
       SELECT source, s, freq,
@@ -540,7 +540,10 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source boilerplate mining: the top-10 most frequent word-bigrams
-    (total occurrences, min-frequency floor) per source — the table that
+    (total occurrences, min-frequency floor 3 — a floor the per-source
+    frequency distribution actually exceeds at every test SF, so the
+    operator is value-exercised wherever the driver signs it) per source
+    — the table that
     seeds template/boilerplate strip-lists before dedup (headers, footers,
     cookie banners all surface here first). One (source, bigram) count
     aggregation with map-side partials; the rank window is per-source over
@@ -563,7 +566,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         sh.groupBy("source", "s")
         .agg(F.count("*").alias("freq"))
-        .filter(F.col("freq") >= 10)
+        .filter(F.col("freq") >= 3)
     )
     w = Window.partitionBy("source").orderBy(F.col("freq").desc(), F.col("s"))
     return (
