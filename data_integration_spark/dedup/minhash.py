@@ -56,39 +56,16 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_cross_pairs(
-    new_df: DataFrame,
-    old_df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_gram: int = 2,
-    k: int = 64,
-    bands: int = 16,
-    seed: int = 1,
-    verify_threshold: float = 0.5,
+def band_buckets(
+    sig: DataFrame, id_col: str = "doc_id", k: int = 64, bands: int = 16
 ) -> DataFrame:
-    """CROSS-corpus near-dup: (new_id, old_id, jaccard) pairs where a NEW
-    document near-duplicates an OLD one — the batch incremental-dedup path
-    (dedup crawl N against releases 1..N−1) that complements the exact
-    cross-shard hash anti-join and the streaming signature dedup.
-
-    Same banded-LSH shape as ``minhash_lsh_pairs`` but candidates only form
-    ACROSS the corpus boundary (new×old inside a bucket, never new×new or
-    old×old), so candidate volume tracks cross-corpus near-dup density. At
-    100 TB the old side's buckets are computed once per release and
-    persisted; only the new shard is re-shingled.
-    """
+    """(id, band, bh) long table from a signature table (columns h0..h{k-1}):
+    each band's ``rows = k // bands`` consecutive min-hashes collapse into one
+    64-bit band hash. This IS the persistable LSH index of a corpus release —
+    ``similarity/persist.py::save_minhash_index`` writes it once per release
+    so later incremental-dedup jobs never re-shingle the old side."""
     assert k % bands == 0
     rows = k // bands
-    tagged = new_df.select(
-        F.col(id_col), F.col(text_col), F.lit(True).alias("_is_new")
-    ).unionByName(
-        old_df.select(
-            F.col(id_col), F.col(text_col), F.lit(False).alias("_is_new")
-        )
-    )
-    sig = minhash_signatures(tagged, id_col, text_col, n_gram, k, seed)
-    side = tagged.select(id_col, "_is_new")
     band_cols = F.array(
         *[
             F.struct(
@@ -100,30 +77,78 @@ def minhash_lsh_cross_pairs(
             for b in range(bands)
         ]
     )
-    buckets = (
-        sig.join(side, id_col)
-        .select(F.col(id_col), "_is_new", F.explode(band_cols).alias("bb"))
-        .select(
-            F.col(id_col),
-            "_is_new",
-            F.col("bb.band").alias("band"),
-            F.col("bb.bh").alias("bh"),
+    return sig.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
+def minhash_lsh_cross_pairs(
+    new_df: DataFrame,
+    old_df: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_gram: int = 2,
+    k: int = 64,
+    bands: int = 16,
+    seed: int = 1,
+    verify_threshold: float = 0.5,
+    old_buckets: DataFrame | None = None,
+    old_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """CROSS-corpus near-dup: (new_id, old_id, jaccard) pairs where a NEW
+    document near-duplicates an OLD one — the batch incremental-dedup path
+    (dedup crawl N against releases 1..N−1) that complements the exact
+    cross-shard hash anti-join and the streaming signature dedup.
+
+    Same banded-LSH shape as ``minhash_lsh_pairs`` but candidates only form
+    ACROSS the corpus boundary (new×old inside a bucket, never new×new or
+    old×old), so candidate volume tracks cross-corpus near-dup density.
+
+    Each side is shingled/signed INDEPENDENTLY (never unioned before the
+    per-id groupBy), so an id value appearing on both sides — common when
+    crawl ids restart per release — stays two distinct documents and simply
+    yields a legitimate (new_id == old_id) pair if they really near-match
+    (ADVICE r5: the unioned form silently merged such docs' shingle sets).
+
+    ``old_buckets``/``old_shingles`` (columns ``(id, band, bh)`` /
+    ``(id, shingle)``) short-circuit the old side's recompute with a
+    PERSISTED release index (``similarity/persist.py::load_minhash_index``)
+    — at 100 TB the old corpus is banded once per release and every
+    subsequent crawl dedups against the artifact; only the new shard is
+    shingled. ``old_df`` may then be ``None``; params must match the ones
+    the artifact was built with (the loader validates)."""
+    assert k % bands == 0
+    if old_buckets is None or old_shingles is None:
+        if old_df is None:
+            raise ValueError(
+                "old_df is required unless both old_buckets and old_shingles "
+                "are supplied from a persisted index"
+            )
+    b_new = band_buckets(
+        minhash_signatures(new_df, id_col, text_col, n_gram, k, seed),
+        id_col, k, bands,
+    ).withColumnRenamed(id_col, "new_id")
+    if old_buckets is None:
+        old_buckets = band_buckets(
+            minhash_signatures(old_df, id_col, text_col, n_gram, k, seed),
+            id_col, k, bands,
         )
-    )
-    left = buckets.filter(F.col("_is_new")).select(
-        F.col(id_col).alias("new_id"), "band", "bh"
-    )
-    right = buckets.filter(~F.col("_is_new")).select(
-        F.col(id_col).alias("old_id"), "band", "bh"
-    )
+    b_old = old_buckets.withColumnRenamed(id_col, "old_id")
     cand = (
-        left.join(right, ["band", "bh"]).select("new_id", "old_id").distinct()
+        b_new.join(b_old, ["band", "bh"]).select("new_id", "old_id").distinct()
     )
-    # exact verification on candidates only (same as the within-corpus path)
-    sh = shingle_df(tagged, id_col, text_col, n_gram)
-    sizes = sh.groupBy(id_col).agg(F.countDistinct("shingle").alias("sz"))
-    s1 = sh.select(F.col(id_col).alias("new_id"), F.col("shingle"))
-    s2 = sh.select(F.col(id_col).alias("old_id"), F.col("shingle"))
+    # exact verification on candidates only (same as the within-corpus path);
+    # shingle long tables stay per-side so same-id docs never merge
+    sh_new = shingle_df(new_df, id_col, text_col, n_gram)
+    sh_old = (
+        old_shingles
+        if old_shingles is not None
+        else shingle_df(old_df, id_col, text_col, n_gram)
+    )
+    sz_new = sh_new.groupBy(id_col).agg(F.countDistinct("shingle").alias("sz1"))
+    sz_old = sh_old.groupBy(id_col).agg(F.countDistinct("shingle").alias("sz2"))
+    s1 = sh_new.select(F.col(id_col).alias("new_id"), F.col("shingle"))
+    s2 = sh_old.select(F.col(id_col).alias("old_id"), F.col("shingle"))
     inter = (
         cand.join(s1, "new_id")
         .join(s2, ["old_id", "shingle"])
@@ -133,13 +158,9 @@ def minhash_lsh_cross_pairs(
     jac = F.col("i").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("i"))
     return (
         inter.join(
-            sizes.select(F.col(id_col).alias("new_id"), F.col("sz").alias("sz1")),
-            "new_id",
+            sz_new.withColumnRenamed(id_col, "new_id"), "new_id"
         )
-        .join(
-            sizes.select(F.col(id_col).alias("old_id"), F.col("sz").alias("sz2")),
-            "old_id",
-        )
+        .join(sz_old.withColumnRenamed(id_col, "old_id"), "old_id")
         .select("new_id", "old_id", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= verify_threshold)
     )
@@ -158,6 +179,14 @@ def with_minhash_signature(
     set stays an array inside the row and each min-hash is an
     ``array_min(transform(...))`` over it.
 
+    Collision semantics (be precise — ADVICE r5): two docs share ``out_col``
+    only when ALL k min-hashes collide, probability ≈ J^k. This is
+    EXACT/ULTRA-NEAR dedup (identical shingle sets collide always; a J=0.9
+    pair at k=16 collides with p≈0.18), NOT the banded near-dup recall of
+    ``minhash_lsh_pairs`` — use the banded path when the target is a
+    near-dup CLASS rather than exact-copy collapse. The single-value form
+    is what makes it a legal streaming ``dropDuplicates`` key.
+
     This is the streaming-safe form (``q_streaming_minhash_dedup``): a
     file/Kafka stream computes it per micro-batch row and feeds
     ``dropDuplicates`` directly — the only state is the dedup operator's
@@ -167,7 +196,10 @@ def with_minhash_signature(
 
     Degenerate rows (fewer than ``n_gram`` tokens → empty shingle set)
     all collapse to the same all-NULL signature — empty docs dedup to one
-    survivor, the curation semantics you want anyway.
+    survivor, the curation semantics you want anyway. WHICH doc survives a
+    multi-doc class is arrival-order-dependent under ``dropDuplicates``;
+    callers needing a deterministic survivor canonicalize to
+    ``min(id)`` per signature (as ``q_streaming_minhash_dedup`` does).
     """
     concat_parts = ", ' ', ".join(
         f"try_element_at(_mh_ts, i + {j})" for j in range(n_gram)
@@ -218,22 +250,8 @@ def minhash_lsh_pairs(
     near-empty documents, which the exact-dedup stage (run first in the
     curation pipeline) already collapses. ``None`` disables the cap."""
     assert k % bands == 0
-    rows = k // bands
     sig = minhash_signatures(df, id_col, text_col, n_gram, k, seed)
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
-                    "bh"
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
-        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
+    buckets = band_buckets(sig, id_col, k, bands)
     join_keys = ["band", "bh"]
     if max_bucket_size is not None:
         sizes_b = buckets.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))

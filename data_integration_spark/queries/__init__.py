@@ -53,59 +53,56 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # ever shrinks. Maintained per round: names signed in CORRECTNESS_r{N} leave,
 # new queries join at the tail of the front block.
 _SIGN_PRIORITY: list[str] = [
-    # --- r5 window, slots 1-17: the full remaining backlog — every name
-    # with NO driver CORRECTNESS row in any prior round (r4 signed all 50
-    # of its window green, so nothing carries over). After these sign, the
-    # registry is driver-verified 208/208.
-    "q_transition_matrix",
-    "q_snapshot_diff",
-    "q_scd2_build",
-    "q_inverted_index",
-    "q_bm25",
-    "q_entropy_profile",
-    "q_token_budget_mix",
-    "q_term_cooccurrence",
-    "q_curriculum_buckets",
-    "q_percentile_bands",
-    "q_minmax_scale",
-    "q_binaryfile_source",
-    "q_vector_lambda_ops",
-    "q_benford",
-    "q_doc_packing",
-    "q_hll_mergeable",
-    "q_pca_project",
-    # --- slots 18+: new r5 surface (inside the window, BEHIND the
-    # backlog — it never displaces a never-signed name, and gets its
-    # first signature the same round it is registered) ------------------
-    # corpus_ops: training-corpus operators, all full-oracle
-    "q_embedding_norm_filter",
-    "q_centroid_per_label",
-    "q_shard_assign",
-    "q_cross_shard_dedup",
-    "q_kl_divergence",
-    "q_text_normalize",
-    "q_dataset_card",
-    "q_ngram_containment",
-    # index persistence + incremental dedup (VERDICT r4 #7)
-    "q_ann_ivf_persist",
+    # --- r6 window. The r5 signing run drained the backlog completely:
+    # all 226 registry names now have a driver CORRECTNESS row (203
+    # oracle-backed, 23 rows-only by the contract escape hatch), so every
+    # r6 slot goes to (a) queries NEW this round, then (b) _RESIGN names
+    # whose prior row no longer describes the current code (semantics or
+    # oracle changed in r6). New queries always register inside the
+    # window so they sign the round they land.
+    # (a) new r6 queries ------------------------------------------------
+    "q_minhash_lsh_bucket_persist",
+    "q_embedding_coverage",
+    # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
+    "q_ann_lsh",
+    "q_ann_lsh_topk",
     "q_ann_lsh_persist",
-    "q_streaming_minhash_dedup",
-    # provenance + novelty
-    "q_source_overlap_matrix",
-    "q_ngram_novelty",
-    # mixture weighting + incremental index/near-dup
-    "q_temperature_mix",
+    "q_ann_ivf",
+    "q_ann_ivf_persist",
     "q_ann_ivf_append",
     "q_minhash_cross_dedup",
+    "q_streaming_minhash_dedup",
     "q_vocab_build",
-    "q_boilerplate_ngrams",
-]  # the driver's r5 window = first 50 registered
+]  # the driver's r6 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
-# (errored/invalidated rows only — see tests/test_registry_order.py).
-# Empty for r5: every r4-window row came back green (rows+schema+hash) and
-# no catalog/timestamp change since invalidated a prior signature.
-_RESIGN: frozenset[str] = frozenset()
+# because r6 changed what the row attests to:
+# - q_ann_lsh / q_ann_lsh_topk / q_ann_lsh_persist: CONVERTED from
+#   rows-only to full DuckDB oracles (pinned-plane recomputation) — the
+#   r5 rows carry no hash signal for them;
+# - q_ann_ivf*: IVF assignment now uses the index's own squared-distance
+#   arithmetic uniformly (fit == append == load; ADVICE r5), which can
+#   legally move near-boundary vectors between cells;
+# - q_minhash_cross_dedup: cross-corpus LSH reworked to per-side
+#   signatures (same-id-on-both-sides bug fix, ADVICE r5);
+# - q_streaming_minhash_dedup: survivor canonicalized to min(doc_id) per
+#   signature class (arrival-order-independent values);
+# - q_vocab_build: id assignment swapped from a single-task global window
+#   to range-partitioned ranking (VERDICT r5 #1) — same oracle, re-sign
+#   to pin the new plan's values.
+_RESIGN: frozenset[str] = frozenset(
+    {
+        "q_ann_lsh",
+        "q_ann_lsh_topk",
+        "q_ann_lsh_persist",
+        "q_ann_ivf",
+        "q_ann_ivf_persist",
+        "q_ann_ivf_append",
+        "q_minhash_cross_dedup",
+        "q_streaming_minhash_dedup",
+        "q_vocab_build",
+    }
+)
 
 
 def load_all() -> None:

@@ -379,10 +379,19 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the first arrival per near-dup class. The dedup operator's state
     IS the incremental signature registry: at 100 TB it lives in the
     RocksDB state store and new crawl batches dedup against everything
-    ever seen without rescanning the corpus. Stream-vs-batch signature
-    equivalence and exact-copy collapse are pinned in
-    tests/test_index_persist.py; rows-only here because xxhash64 has no
-    DuckDB equivalent (same escape hatch as q_dedup_minhash)."""
+    ever seen without rescanning the corpus. The signature collides only
+    when ALL k min-hashes agree — exact/ultra-near duplicate collapse
+    (identical shingle sets), not banded near-dup recall (ADVICE r5; the
+    banded class lives in q_dedup_minhash / q_minhash_cross_dedup).
+    Stream-vs-batch signature equivalence and exact-copy collapse are
+    pinned in tests/test_index_persist.py; rows-only here because xxhash64
+    has no DuckDB equivalent (same escape hatch as q_dedup_minhash).
+
+    Determinism: WHICH row dropDuplicates keeps per signature class is
+    arrival-order-dependent, so the returned survivor id is canonicalized
+    to min(doc_id) over each signature class the STREAM emitted — same row
+    count, arrival-order-independent values (safe for driver re-runs even
+    if a future SF gains degenerate multi-doc classes)."""
     from data_integration_spark.dedup.minhash import with_minhash_signature
 
     docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
@@ -401,7 +410,13 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return spark.sql("SELECT doc_id, sig FROM t2_mh_dedup")
+    seen_sigs = spark.sql("SELECT DISTINCT sig FROM t2_mh_dedup")
+    canonical = (
+        with_minhash_signature(docs, "text", "sig", k=16)
+        .groupBy("sig")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return canonical.join(seen_sigs, "sig").select("doc_id", "sig")
 
 
 try:  # transformWithStateInPandas needs protobuf (absent in this container)

@@ -37,11 +37,6 @@ class IVFIndex:
         km = KMeans(
             k=self.n_cells, seed=self.seed, featuresCol="_v", predictionCol="cell"
         ).fit(with_vec)
-        self.assigned = km.transform(with_vec).select(
-            F.col(id_col).alias("mid"),
-            F.col(vec_col).alias("me"),
-            "cell",
-        )
         self.centroids = spark.createDataFrame(
             [
                 (i, [float(x) for x in c])
@@ -49,32 +44,56 @@ class IVFIndex:
             ],
             "cell int, ce array<double>",
         )
+        # assign the corpus with OUR arithmetic, not km.transform: MLlib's
+        # norm-based fastSquaredDistance can disagree with plain
+        # sum((a-b)^2) within float error near a cell boundary, which would
+        # break the append/load/fit cell-for-cell contract (ADVICE r5).
+        # One assignment metric — assign() — everywhere: fit, append, and
+        # post-load appends all produce byte-identical cell choices.
+        self.assigned = self.assign(corpus, id_col, vec_col)
         return self
 
     def assign(
         self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "e"
     ) -> DataFrame:
-        """Nearest-centroid cell assignment for NEW vectors using the
-        EXISTING centroids (no refit) — same squared-Euclidean metric and
-        (distance, cell) tie-break as the query-time probe. Broadcast
+        """Nearest-centroid cell assignment using the EXISTING centroids
+        (no refit) — plain squared-Euclidean with a (distance, cell)
+        tie-break. This is THE index's assignment metric: ``fit`` routes
+        its own corpus through it too, so fitted, appended, and
+        loaded-then-appended vectors can never disagree on a near-boundary
+        cell choice (MLlib's internal fastSquaredDistance is only used to
+        ITERATE the centroids, never to build inverted lists). Broadcast
         centroids × vectors: a narrow map per vector, the incremental
         index-update path (daily embedding batches join a released index
         without moving its cell boundaries)."""
         assert self.centroids is not None, "fit or load first"
         v = vectors.select(F.col(id_col).alias("mid"), F.col(vec_col).alias("me"))
-        vc = v.crossJoin(F.broadcast(self.centroids)).withColumn(
-            "cdist",
-            F.aggregate(
-                F.zip_with(F.col("me"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+        # argmin as a struct-min AGGREGATE, not a per-vector window: the
+        # broadcast cross join expands each vector ×n_cells IN PLACE, and
+        # the map-side partial min collapses it back to one row per vector
+        # before any exchange — shuffle volume is |vectors|, never
+        # |vectors|·n_cells. Struct ordering compares (cdist, cell) in
+        # field order = the documented tie-break.
+        vc = v.crossJoin(F.broadcast(self.centroids)).select(
+            "mid",
+            "me",
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("me"), F.col("ce"), lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("cdist"),
+                F.col("cell"),
+            ).alias("_dc"),
         )
-        w = Window.partitionBy("mid").orderBy(F.col("cdist"), F.col("cell"))
         return (
-            vc.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("mid", "me", "cell")
+            vc.groupBy("mid")
+            # all _dc rows for a mid carry the identical "me" payload (the
+            # cross join only varied the centroid), so any_value is exact
+            .agg(F.min("_dc").alias("_b"), F.any_value("me").alias("me"))
+            .select("mid", "me", F.col("_b.cell").alias("cell"))
         )
 
     def append(

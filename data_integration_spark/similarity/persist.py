@@ -61,6 +61,75 @@ def load_ivf_index(spark: SparkSession, path: str) -> IVFIndex:
     return index
 
 
+def save_minhash_index(
+    buckets,
+    shingles,
+    path: str,
+    *,
+    n_gram: int,
+    k: int,
+    bands: int,
+    seed: int,
+) -> None:
+    """Persist a corpus release's MinHash-LSH index: the band buckets
+    (``dedup/minhash.py::band_buckets`` output, columns (id, band, bh)) and
+    the shingle long table (id, shingle) the exact-Jaccard verifier needs.
+
+    This is the old-side artifact ``minhash_lsh_cross_pairs`` loads so a
+    new crawl dedups against releases 1..N−1 WITHOUT re-shingling them —
+    the banding params are frozen in ``meta.json`` and validated at load:
+    buckets built under different (n_gram, k, bands, seed) silently produce
+    zero collisions, so a param mismatch must fail loudly instead. At scale
+    both tables are corpus-keyed parquet (partition ``buckets`` by band);
+    the shingle table is the price of exact verification — estimated-only
+    pipelines may skip it and threshold on signature agreement instead."""
+    buckets.select(*buckets.columns).write.mode("overwrite").parquet(
+        os.path.join(path, "buckets")
+    )
+    shingles.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    meta = {
+        "format": _FORMAT,
+        "n_gram": n_gram,
+        "k": k,
+        "bands": bands,
+        "seed": seed,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_minhash_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    n_gram: int,
+    k: int,
+    bands: int,
+    seed: int,
+):
+    """Reload a persisted MinHash-LSH release index → (buckets, shingles).
+    The caller's banding params must equal the artifact's or collisions are
+    structurally impossible — mismatches raise instead of returning an
+    index that never matches anything."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != _FORMAT:
+        raise ValueError(
+            f"unsupported minhash index format: {meta.get('format')}"
+        )
+    expect = {"n_gram": n_gram, "k": k, "bands": bands, "seed": seed}
+    got = {key: meta.get(key) for key in expect}
+    if got != expect:
+        raise ValueError(
+            f"minhash index param mismatch: artifact built with {got}, "
+            f"caller expects {expect}"
+        )
+    return (
+        spark.read.parquet(os.path.join(path, "buckets")),
+        spark.read.parquet(os.path.join(path, "shingles")),
+    )
+
+
 def build_lsh_spec(
     dim: int, n_planes: int = 8, n_tables: int = 4, seed: int = 7
 ) -> dict:

@@ -160,6 +160,124 @@ def test_minhash_cross_pairs_finds_planted_near_dup(spark):
     assert all(r.jaccard >= 0.5 for r in pairs)
 
 
+def test_minhash_cross_pairs_same_id_both_sides_not_merged(spark):
+    """ADVICE r5 (medium): an id value appearing on BOTH sides — crawl ids
+    restarting per release — must stay two distinct documents. The old
+    unioned-then-grouped form silently merged their shingle sets; the
+    per-side form must instead report the true cross-boundary match,
+    including a legitimate (new_id == old_id) pair."""
+    from data_integration_spark.dedup.minhash import minhash_lsh_cross_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight while stars shine bright"
+    )
+    other = (
+        "entirely unrelated release notes describing adaptive query "
+        "execution and shuffle partition coalescing in great detail here"
+    )
+    # id 1 exists on both sides with DIFFERENT content; new doc 1 is a
+    # near-copy of OLD doc 2, not of old doc 1
+    old = spark.createDataFrame(
+        [(1, other), (2, base)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, base + " extra")], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_cross_pairs(
+        new, old, k=32, bands=16, verify_threshold=0.5
+    ).collect()
+    assert {(r.new_id, r.old_id) for r in pairs} == {(1, 2)}
+    # merged shingle sets would have dragged every jaccard far below the
+    # true value; the true near-dup must verify high
+    assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_minhash_bucket_persist_roundtrip(spark):
+    """Loaded release index == recomputed: identical buckets, and the
+    cross-corpus pairs from the LOADED artifact equal the direct call."""
+    import os
+
+    from data_integration_spark.dedup.minhash import (
+        band_buckets,
+        minhash_lsh_cross_pairs,
+        minhash_signatures,
+        shingle_df,
+    )
+    from data_integration_spark.similarity.persist import (
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    params = dict(n_gram=2, k=32, bands=16, seed=1)
+    docs = Catalog(spark, SF)["documents"].select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    path = os.path.join(SCRATCH, "mh_idx")
+    shutil.rmtree(path, ignore_errors=True)
+    recomputed = band_buckets(
+        minhash_signatures(old, "doc_id", "text", params["n_gram"],
+                           params["k"], params["seed"]),
+        "doc_id", params["k"], params["bands"],
+    )
+    save_minhash_index(
+        recomputed, shingle_df(old, "doc_id", "text", params["n_gram"]),
+        path, **params,
+    )
+    buckets, shingles = load_minhash_index(spark, path, **params)
+    assert _rows(buckets) == _rows(recomputed)
+    direct = minhash_lsh_cross_pairs(
+        new, old, n_gram=params["n_gram"], k=params["k"],
+        bands=params["bands"], seed=params["seed"], verify_threshold=0.4,
+    )
+    from_artifact = minhash_lsh_cross_pairs(
+        new, None, n_gram=params["n_gram"], k=params["k"],
+        bands=params["bands"], seed=params["seed"], verify_threshold=0.4,
+        old_buckets=buckets, old_shingles=shingles,
+    )
+    assert _rows(from_artifact) == _rows(direct)
+
+
+def test_minhash_bucket_persist_param_mismatch_raises(spark):
+    """An artifact banded under different params can never collide with
+    the caller's signatures — load must fail loudly, not match nothing."""
+    import os
+
+    from data_integration_spark.dedup.minhash import (
+        band_buckets,
+        minhash_signatures,
+        shingle_df,
+    )
+    from data_integration_spark.similarity.persist import (
+        load_minhash_index,
+        save_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f")], "doc_id long, text string"
+    )
+    path = os.path.join(SCRATCH, "mh_idx_small")
+    shutil.rmtree(path, ignore_errors=True)
+    save_minhash_index(
+        band_buckets(
+            minhash_signatures(docs, "doc_id", "text", 2, 16, 1),
+            "doc_id", 16, 8,
+        ),
+        shingle_df(docs, "doc_id", "text", 2),
+        path, n_gram=2, k=16, bands=8, seed=1,
+    )
+    with pytest.raises(ValueError, match="param mismatch"):
+        load_minhash_index(spark, path, n_gram=2, k=64, bands=16, seed=1)
+
+
+def test_minhash_cross_pairs_requires_old_side(spark):
+    from data_integration_spark.dedup.minhash import minhash_lsh_cross_pairs
+
+    new = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="old_df is required"):
+        minhash_lsh_cross_pairs(new, None)
+
+
 def test_stateless_signature_matches_batch_and_dedups_copies(spark):
     docs = Catalog(spark, SF)["documents"].select("doc_id", "text")
     batch_sigs = {

@@ -407,6 +407,17 @@ def test_corpus_ops_shuffle_budgets(spark):
         assert n <= budget, (name, n, formatted_plan(df))
 
 
+def test_vocab_build_has_no_single_partition_funnel(spark):
+    """Vocabulary id assignment must be range-partitioned ranking
+    (operators/prefix.py::range_row_number), never a global
+    Window/Sort that funnels the whole vocabulary through one task
+    (VERDICT r5 #1): no Exchange SinglePartition anywhere in the plan."""
+    df = QUERIES["q_vocab_build"](spark, SF)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+
+
 def test_tpch_q21_reuses_orderkey_partitioning(spark):
     """Q21's per-(order,supplier) agg and its order-level re-agg must ride
     the same l_orderkey exchange — the whole query stays under 4 shuffles
