@@ -36,6 +36,16 @@ HEADLINE = [
     "q_ann_topk",
 ]
 
+# Heavy LLM-ops stack, driver-tracked since r6 (VERDICT r5 #5) so a perf
+# regression in the dedup/ANN extension surface is visible round-over-round.
+# Reported SEPARATELY from the 15-query headline total: "value" must stay
+# comparable to BASELINE.md / BENCH_r01..r05, which were recorded over
+# exactly the 15 names above.
+LLM_OPS = [
+    "q_dedup_minhash",  # full MinHash+banded-LSH pipeline incl. verification
+    "q_ann_ivf",        # IVF build (KMeans quantizer fit) + probe search
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,8 +60,9 @@ def main() -> None:
     ).save()
 
     times: dict[str, float] = {}
+    llm_times: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + LLM_OPS:
         # one untimed warm run (plan compilation + code-gen + broadcast build),
         # then THREE timed steady-state runs, reporting the min — the box
         # swings ±20% under load, so min-of-3 plus the observed per-query
@@ -67,7 +78,7 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             passes.append(time.perf_counter() - t0)
-        times[name] = round(min(passes), 3)
+        (times if name in HEADLINE else llm_times)[name] = round(min(passes), 3)
         spreads[name] = round(max(passes) - min(passes), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -75,9 +86,14 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total",
+                # "value" = the SAME 15-query set every round (baseline
+                # comparability); the LLM-ops stack is tracked alongside
+                # under its own keys
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "llm_ops": llm_times,
+                "llm_ops_total": round(sum(llm_times.values()), 3),
                 "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
