@@ -173,6 +173,7 @@ def with_minhash_signature(
     n_gram: int = 2,
     k: int = 16,
     seed: int = 1,
+    base: str = "xxhash64",
 ) -> DataFrame:
     """STATELESS per-row MinHash signature: one 64-bit hash of the k
     per-row min-hashes — no explode, no groupBy, NO SHUFFLE. The shingle
@@ -200,7 +201,21 @@ def with_minhash_signature(
     multi-doc class is arrival-order-dependent under ``dropDuplicates``;
     callers needing a deterministic survivor canonicalize to
     ``min(id)`` per signature (as ``q_streaming_minhash_dedup`` does).
+
+    ``base`` picks the per-shingle hash family:
+    - ``"xxhash64"`` (default) — cheapest JVM hash, the throughput path;
+      not recomputable outside Spark.
+    - ``"md5"`` — PORTABLE: hash_j(s) = int64(md5(f"{seed*1000+j}:{s}")
+      [:15 hex]) and the signature is md5 of the comma-joined mins, every
+      step a builtin any engine shares, so DuckDB/Trino recompute the
+      SIGNATURE CLASS PARTITION value-for-value (this is what makes
+      ``q_streaming_minhash_dedup`` full-oracle-checkable — the class
+      structure itself is verified, not just row counts). ~k md5s per
+      shingle instead of k xxhash64s; the class partition is the true
+      minhash one either way (distinct sets collide at p ≈ J^k).
     """
+    if base not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown base hash {base!r}")
     concat_parts = ", ' ', ".join(
         f"try_element_at(_mh_ts, i + {j})" for j in range(n_gram)
     )
@@ -212,13 +227,32 @@ def with_minhash_signature(
     out = df.withColumn("_mh_ts", F.split(F.col(text_col), " ")).withColumn(
         "_mh_sh", F.expr(shingles)
     )
-    min_cols = [
-        F.array_min(
-            F.transform(F.col("_mh_sh"), lambda s, j=j: F.xxhash64(s, F.lit(seed * 1000 + j)))
-        )
-        for j in range(k)
-    ]
-    return out.withColumn(out_col, F.xxhash64(*min_cols)).drop("_mh_ts", "_mh_sh")
+    if base == "xxhash64":
+        hash_j = lambda s, j: F.xxhash64(s, F.lit(seed * 1000 + j))  # noqa: E731
+    else:
+        hash_j = lambda s, j: F.conv(  # noqa: E731
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed * 1000 + j}:"), s)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    # NOTE the closure shape: a two-parameter lambda (`lambda s, j=j`) is
+    # treated by F.transform as an (element, INDEX) lambda — the index
+    # column silently overrides the default and every "hash function"
+    # becomes the same position-salted hash (k collapses to 1). Bind j
+    # through a factory so each transform lambda has exactly one arg.
+    def _min_for(j: int):
+        return F.array_min(F.transform(F.col("_mh_sh"), lambda s: hash_j(s, j)))
+
+    min_cols = [_min_for(j) for j in range(k)]
+    if base == "xxhash64":
+        sig = F.xxhash64(*min_cols)
+    else:
+        # concat_ws skips NULLs: the all-NULL (empty-shingle-set) row maps
+        # to md5("") on both engines
+        sig = F.md5(F.concat_ws(",", *[c.cast("string") for c in min_cols]))
+    return out.withColumn(out_col, sig).drop("_mh_ts", "_mh_sh")
 
 
 def minhash_lsh_pairs(

@@ -20,34 +20,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seed: int = 3
-) -> DataFrame:
-    """(id, simhash) — 64-bit SimHash of whitespace tokens."""
+def _simhash(df: DataFrame, id_col: str, text_col: str, h, bits: int) -> DataFrame:
+    """Shared vote/sign pipeline: tokens vote ±1 on every bit of their
+    hash ``h(tok)``; the sign of each per-doc vote sum is the fingerprint
+    bit. One groupBy(doc) shuffle with map-side partial sums of ``bits``
+    small ints."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
-    h = F.xxhash64(F.col("tok"), F.lit(seed))
+    hv = h(F.col("tok"))
     votes = toks.select(
         F.col(id_col),
         *[
-            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+            F.when(F.shiftrightunsigned(hv, b).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
             .alias(f"b{b}")
-            for b in range(64)
+            for b in range(bits)
         ],
     )
     sums = votes.groupBy(id_col).agg(
-        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)]
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(bits)]
     )
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(bits):
         # bit 63 of a signed 64-bit value is the sign bit: -(2^63)
         bit_val = (1 << b) if b < 63 else -(1 << 63)
         sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(bit_val).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seed: int = 3
+) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash of whitespace tokens. Bit source
+    xxhash64: the THROUGHPUT variant (cheapest JVM hash) used by
+    simhash_near_pairs; not recomputable outside Spark — use
+    ``simhash_portable`` when cross-engine value verification matters."""
+    return _simhash(
+        df, id_col, text_col, lambda c: F.xxhash64(c, F.lit(seed)), 64
+    )
+
+
+def simhash_portable(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — PORTABLE 60-bit SimHash: the bit source is the
+    first 15 hex chars of md5(token) (60 bits — the widest hex prefix
+    that fits a positive signed 64-bit int), so any engine with md5 —
+    DuckDB, Trino, Postgres — recomputes the fingerprint bit-for-bit.
+    Same vote/sign algorithm as ``simhash64``; md5 costs a few ns more
+    per token than xxhash64 (both JVM-codegen builtins) — the price of a
+    full cross-engine value oracle on the registered query. Hamming
+    semantics are unchanged (60 usable bits; pigeonhole pairing works
+    identically)."""
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    return _simhash(df, id_col, text_col, h, 60)
 
 
 def hamming64(a, b):

@@ -63,7 +63,10 @@ _SIGN_PRIORITY: list[str] = [
     # (a) new r6 queries ------------------------------------------------
     "q_minhash_lsh_bucket_persist",
     "q_embedding_coverage",
+    "q_doc_packing_invariants",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
+    "q_dedup_minhash",
+    "q_dedup_simhash",
     "q_ann_lsh",
     "q_ann_lsh_topk",
     "q_ann_lsh_persist",
@@ -84,14 +87,22 @@ _SIGN_PRIORITY: list[str] = [
 #   arithmetic uniformly (fit == append == load; ADVICE r5), which can
 #   legally move near-boundary vectors between cells;
 # - q_minhash_cross_dedup: cross-corpus LSH reworked to per-side
-#   signatures (same-id-on-both-sides bug fix, ADVICE r5);
+#   signatures (same-id-on-both-sides bug fix, ADVICE r5) AND converted
+#   to a full exact-recall oracle;
 # - q_streaming_minhash_dedup: survivor canonicalized to min(doc_id) per
-#   signature class (arrival-order-independent values);
+#   signature class, sig column dropped from the output, and converted
+#   to a full shingle-set-class oracle;
+# - q_dedup_minhash: converted rows-only → full exact-recall oracle
+#   (VERDICT r5 #3) — the r5 row carries no hash signal;
+# - q_dedup_simhash: switched to the portable 60-bit md5-sourced variant
+#   with a full bit-for-bit oracle (new values, new schema semantics);
 # - q_vocab_build: id assignment swapped from a single-task global window
 #   to range-partitioned ranking (VERDICT r5 #1) — same oracle, re-sign
 #   to pin the new plan's values.
 _RESIGN: frozenset[str] = frozenset(
     {
+        "q_dedup_minhash",
+        "q_dedup_simhash",
         "q_ann_lsh",
         "q_ann_lsh_topk",
         "q_ann_lsh_persist",

@@ -269,6 +269,52 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_doc_packing_invariants",
+    # conservation-law oracle (VERDICT r5 #3): the packing itself is
+    # greedy/iterative (not SQL-expressible), but its VALIDITY is — every
+    # doc lands in exactly one bin (n_docs, total_tokens conserved from
+    # the raw corpus), every >budget doc gets a singleton bin, and NO
+    # multi-doc bin may exceed the budget (the literal 0: if Spark's FFD
+    # ever overfills, its count goes nonzero and the hash breaks).
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tc) AS BIGINT) AS total_tokens,
+           CAST(COUNT(CASE WHEN tc > 256 THEN 1 END) AS BIGINT)
+             AS n_oversize_bins,
+           CAST(0 AS BIGINT) AS n_overfull_multi_bins
+    FROM (
+      SELECT LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS tc FROM documents
+    )
+    """,
+)
+def q_doc_packing_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level cross-check of the sequence-packing operator: run the
+    REAL per-shard FFD packing (operators/packing.py), then collapse the
+    bins to the invariants an independent engine can recompute from the
+    raw corpus — doc count and token mass conserved, oversize-singleton
+    count equals the count of >budget docs, zero overfull multi-doc bins.
+    Together with q_doc_packing (the full bin table, rows-only) this
+    gives the driver a hash-checked signal on the packing semantics
+    without pretending FFD is SQL-expressible."""
+    docs = Catalog(spark, sf_dir)["documents"].select(
+        "doc_id",
+        F.size(F.split(F.col("text"), "\\s+")).alias("token_count"),
+    )
+    packed = pack_documents(docs, budget=256, n_shards=8)
+    over = F.col("total_tokens") > 256
+    return packed.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(over & (F.col("n_docs") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oversize_bins"),
+        F.sum(F.when(over & (F.col("n_docs") > 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_overfull_multi_bins"),
+    )
+
+
+@register(
     "q_ewma",
     oracle="""
     WITH series AS (

@@ -369,7 +369,43 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(table)
 
 
-@register("q_streaming_minhash_dedup")  # rows-only: xxhash64 not in DuckDB
+@register(
+    "q_streaming_minhash_dedup",
+    # full oracle (r6): the query uses the PORTABLE md5-sourced minhash
+    # (dedup/minhash.py::with_minhash_signature base="md5"), so DuckDB
+    # recomputes the TRUE k=16 minhash class partition value-for-value —
+    # hash_j(s) = int64(md5(f"{1000+j}:{s}")[:15 hex]), per-doc min over
+    # the distinct-bigram set, docs grouped by their 16-min tuple.
+    # Distinct shingle sets legitimately merge at p ≈ J^16 (that IS
+    # minhash-collapse semantics — the first oracle draft grouped by the
+    # raw shingle set and failed 440 vs 499, proving those merges are
+    # real); empty-set docs have all-NULL mins → one shared class on both
+    # engines. Survivors canonicalized to min(doc_id) per class.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS s
+      FROM tok, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ts) - 1, 1))) AS u(i)
+      WHERE ts[i + 1] IS NOT NULL
+    ),
+    mins AS (
+      SELECT doc_id, v.j,
+             MIN(CAST('0x' || SUBSTRING(
+                   MD5(CAST(1000 + v.j AS VARCHAR) || ':' || s), 1, 15)
+                 AS BIGINT)) AS m
+      FROM sh, UNNEST(GENERATE_SERIES(0, 15)) AS v(j)
+      GROUP BY doc_id, v.j
+    ),
+    cls AS (
+      SELECT t.doc_id, LIST(m.m ORDER BY m.j) AS key
+      FROM tok t LEFT JOIN mins m ON m.doc_id = t.doc_id
+      GROUP BY t.doc_id
+    )
+    SELECT MIN(doc_id) AS doc_id FROM cls GROUP BY key
+    """,
+)
 def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup dedup over a growing corpus: documents arrive
     as a stream (file-source replay, every doc delivered TWICE), each row
@@ -384,8 +420,11 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical shingle sets), not banded near-dup recall (ADVICE r5; the
     banded class lives in q_dedup_minhash / q_minhash_cross_dedup).
     Stream-vs-batch signature equivalence and exact-copy collapse are
-    pinned in tests/test_index_persist.py; rows-only here because xxhash64
-    has no DuckDB equivalent (same escape hatch as q_dedup_minhash).
+    pinned in tests/test_index_persist.py. FULL oracle since r6: the
+    signature's hash family is the PORTABLE md5-sourced one, so DuckDB
+    recomputes the true minhash class partition engine-independently —
+    see the oracle comment (xxhash64 stays the throughput default of
+    with_minhash_signature for non-verified production runs).
 
     Determinism: WHICH row dropDuplicates keeps per signature class is
     arrival-order-dependent, so the returned survivor id is canonicalized
@@ -398,7 +437,7 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, schema = _replay_dir(spark, sf_dir, "mh_dedup_src", docs, copies=2)
     stream_in = spark.readStream.schema(schema).parquet(src)
     deduped = (
-        with_minhash_signature(stream_in, "text", "sig", k=16)
+        with_minhash_signature(stream_in, "text", "sig", k=16, base="md5")
         .dropDuplicates(["sig"])
         .select("doc_id", "sig")
     )
@@ -412,11 +451,13 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     seen_sigs = spark.sql("SELECT DISTINCT sig FROM t2_mh_dedup")
     canonical = (
-        with_minhash_signature(docs, "text", "sig", k=16)
+        with_minhash_signature(docs, "text", "sig", k=16, base="md5")
         .groupBy("sig")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    return canonical.join(seen_sigs, "sig").select("doc_id", "sig")
+    # sig itself is engine-internal (xxhash64) — the verified output is
+    # WHICH docs survive, i.e. the class partition
+    return canonical.join(seen_sigs, "sig").select("doc_id")
 
 
 try:  # transformWithStateInPandas needs protobuf (absent in this container)
