@@ -54,8 +54,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # new queries join at the tail of the front block.
 _SIGN_PRIORITY: list[str] = [
     # --- r6 window. The r5 signing run drained the backlog completely:
-    # all 226 registry names now have a driver CORRECTNESS row (203
-    # oracle-backed, 23 rows-only by the contract escape hatch), so every
+    # every name registered through r5 has a driver CORRECTNESS row (the
+    # registry is 229 / 213 oracle-backed after this round's additions
+    # and conversions), so every
     # r6 slot goes to (a) queries NEW this round, then (b) _RESIGN names
     # whose prior row no longer describes the current code (semantics or
     # oracle changed in r6). New queries always register inside the

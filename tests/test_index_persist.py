@@ -317,3 +317,37 @@ def test_short_docs_collapse_to_one_survivor(spark):
     sigs = {r.doc_id: r.sig for r in out}
     # <n_gram tokens → empty shingle set → shared degenerate signature
     assert sigs[1] == sigs[2] != sigs[3]
+
+
+def test_minhash_k_hash_families_are_distinct_ground_truth(spark):
+    """Regression for the (element, index) lambda bug: F.transform treats a
+    two-parameter lambda as an indexed lambda, so `lambda s, j=j:` silently
+    bound j to the ARRAY INDEX column and every "hash function" j was the
+    same position-salted hash — k collapsed to 1. Pin the md5-base mins
+    against hashlib ground truth (bit-exact, engine-independent): each j
+    must min a genuinely different hash family over the shingle set."""
+    import hashlib
+
+    text = "alpha beta gamma delta epsilon"
+    toks = text.split(" ")
+    shingles = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+    k = 8
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sig_row = (
+        with_minhash_signature(df, "text", "sig", k=k, base="md5")
+        .select("sig")
+        .first()
+    )
+    mins = [
+        min(
+            int(hashlib.md5(f"{1000 + j}:{s}".encode()).hexdigest()[:15], 16)
+            for s in shingles
+        )
+        for j in range(k)
+    ]
+    # the k families must actually differ (the bug made them equal up to
+    # position salting) ...
+    assert len(set(mins)) > 1
+    # ... and the signature must be md5 of exactly these comma-joined mins
+    expected = hashlib.md5(",".join(str(m) for m in mins).encode()).hexdigest()
+    assert sig_row["sig"] == expected
