@@ -520,6 +520,77 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_vocab_encode",
+    oracle="""
+    WITH c AS (
+      SELECT t, COUNT(*) AS freq
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+      WHERE t <> '' GROUP BY t HAVING COUNT(*) >= 5
+    ),
+    v AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, t) AS BIGINT)
+               AS token_id, t
+      FROM c
+    ),
+    tok AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ts[u.i] AS t
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents WHERE doc_id < 40) d,
+           UNNEST(GENERATE_SERIES(1, LEN(ts))) AS u(i)
+      WHERE ts[u.i] <> ''
+    )
+    SELECT tok.doc_id, tok.pos, COALESCE(v.token_id, 0) AS token_id
+    FROM tok LEFT JOIN v ON v.t = tok.t
+    """,
+)
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the step after q_vocab_build in a training
+    pipeline: encode documents (slice doc_id < 40 keeps the signed output
+    bounded) into (doc_id, pos, token_id) sequences against the built
+    vocabulary, OOV tokens mapped to the reserved unk id 0. Positions are
+    0-based over the raw whitespace split; empty tokens (consecutive
+    spaces) are dropped identically on both engines.
+
+    Scale shape: the encode is ONE token-keyed left equi-join of the
+    exploded corpus against the vocabulary — no broadcast hint (a 100 TB
+    corpus's vocab is bounded by type count but can still be GBs; AQE
+    broadcasts only while it genuinely fits). The token key is
+    Zipf-skewed (stopwords dominate), but the vocab side is unique per
+    token so the join never fans out — skew means uneven partition sizes
+    only, exactly what AQE's skew-join split handles without semantic
+    risk. The vocab id assignment reuses q_vocab_build's
+    range-partitioned ranking (never a single-task global window)."""
+    from data_integration_spark.operators.prefix import range_row_number
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    c = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+    vocab = range_row_number(
+        c, [F.col("freq").desc(), F.col("t")], out_col="token_id"
+    ).select("token_id", F.col("t").alias("_vt"))
+    toks = (
+        docs.filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+        )
+        .filter(F.col("t") != "")
+    )
+    return (
+        toks.join(vocab, toks["t"] == vocab["_vt"], "left")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce("token_id", F.lit(0).cast("long")).alias("token_id"),
+        )
+    )
+
+
+@register(
     "q_embedding_coverage",
     oracle="""
     SELECT d.source,

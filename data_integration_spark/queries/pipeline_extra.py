@@ -315,6 +315,174 @@ def q_doc_packing_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_context_windows",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS n
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, n,
+             CAST(1 + GREATEST(0, CEIL((n - 256) / 192.0)) AS BIGINT)
+               AS n_win
+      FROM d
+    )
+    SELECT doc_id, CAST(u.w AS BIGINT) AS window_id,
+           CAST(u.w * 192 AS BIGINT) AS start_pos,
+           CAST(LEAST(256, n - u.w * 192) AS BIGINT) AS win_len
+    FROM w, UNNEST(GENERATE_SERIES(0, n_win - 1)) AS u(w)
+    """,
+)
+def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking — the step between tokenization and batch
+    assembly: split each document into fixed-length training windows
+    (length 256, stride 192 → 64-token overlap so no span is ever cut
+    without context), emitting (doc_id, window_id, start_pos, win_len).
+    Window count is 1 + max(0, ceil((n−L)/stride)): the minimal set whose
+    last window still reaches the end of the doc; the tail window is
+    allowed short (win_len < L) rather than dropped. Pure integer
+    arithmetic per row + one explode — embarrassingly parallel, no
+    shuffle at any SF; downstream gather of the actual token spans is the
+    q_vocab_encode join keyed (doc_id, pos) range-pruned by
+    start_pos/win_len."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    L, S = 256, 192
+    d = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), "\\s+")).alias("n")
+    )
+    n_win = F.lit(1) + F.greatest(
+        F.lit(0).cast("long"), F.ceil((F.col("n") - L) / F.lit(float(S)))
+    )
+    w = d.withColumn("w", F.explode(F.sequence(F.lit(0), (n_win - 1).cast("int"))))
+    return w.select(
+        "doc_id",
+        F.col("w").cast("long").alias("window_id"),
+        (F.col("w") * S).cast("long").alias("start_pos"),
+        F.least(F.lit(L), F.col("n") - F.col("w") * S)
+        .cast("long")
+        .alias("win_len"),
+    )
+
+
+@register(
+    "q_window_gather",
+    oracle="""
+    WITH c AS (
+      SELECT t, COUNT(*) AS freq
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+      WHERE t <> '' GROUP BY t HAVING COUNT(*) >= 5
+    ),
+    v AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, t) AS BIGINT)
+               AS token_id, t
+      FROM c
+    ),
+    tok AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ts[u.i] AS t
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents WHERE doc_id < 12) d,
+           UNNEST(GENERATE_SERIES(1, LEN(ts))) AS u(i)
+      WHERE ts[u.i] <> ''
+    ),
+    enc AS (
+      SELECT tok.doc_id, tok.pos, COALESCE(v.token_id, 0) AS token_id
+      FROM tok LEFT JOIN v ON v.t = tok.t
+    ),
+    d AS (
+      SELECT doc_id, LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS n
+      FROM documents WHERE doc_id < 12
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST(u.w AS BIGINT) AS window_id,
+             CAST(u.w * 192 AS BIGINT) AS start_pos,
+             CAST(LEAST(256, n - u.w * 192) AS BIGINT) AS win_len
+      FROM (SELECT doc_id, n,
+                   CAST(1 + GREATEST(0, CEIL((n - 256) / 192.0)) AS BIGINT)
+                     AS n_win
+            FROM d) x,
+           UNNEST(GENERATE_SERIES(0, n_win - 1)) AS u(w)
+    )
+    SELECT e.doc_id, w.window_id,
+           e.pos - w.start_pos AS pos_in_window, e.token_id
+    FROM enc e JOIN w ON w.doc_id = e.doc_id
+    WHERE e.pos >= w.start_pos AND e.pos < w.start_pos + w.win_len
+    """,
+)
+def q_window_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final assembly of the tokenize→chunk→gather chain: join the
+    encoded token stream (q_vocab_encode semantics) to the context
+    windows (q_context_windows semantics) and emit (doc_id, window_id,
+    pos_in_window, token_id) — the materialized training sequences, with
+    overlap tokens legitimately DUPLICATED into both covering windows
+    (that is what stride < length means). Slice doc_id < 12 bounds the
+    signed output.
+
+    Scale shape: the gather is a doc-keyed equi-join with an in-row range
+    predicate; fan-out per token row is the number of covering windows
+    (≤ ceil(L/stride) = 2 by construction, never data-dependent), so the
+    join output is ~1.33× the token stream — a narrow, well-bounded
+    expansion that needs no range-join machinery. Both sides partition on
+    doc_id: co-partitioned at scale, zero extra shuffle beyond the
+    encode's vocab join."""
+    from data_integration_spark.operators.prefix import range_row_number
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    L, S = 256, 192
+    c = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+    vocab = range_row_number(
+        c, [F.col("freq").desc(), F.col("t")], out_col="token_id"
+    ).select("token_id", F.col("t").alias("_vt"))
+    sliced = docs.filter(F.col("doc_id") < 12)
+    toks = (
+        sliced.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+        )
+        .filter(F.col("t") != "")
+    )
+    enc = toks.join(vocab, toks["t"] == vocab["_vt"], "left").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.coalesce("token_id", F.lit(0).cast("long")).alias("token_id"),
+    )
+    d = sliced.select(
+        "doc_id", F.size(F.split(F.col("text"), "\\s+")).alias("n")
+    )
+    n_win = F.lit(1) + F.greatest(
+        F.lit(0).cast("long"), F.ceil((F.col("n") - L) / F.lit(float(S)))
+    )
+    wins = d.withColumn(
+        "w", F.explode(F.sequence(F.lit(0), (n_win - 1).cast("int")))
+    ).select(
+        F.col("doc_id").alias("_wdoc"),
+        F.col("w").cast("long").alias("window_id"),
+        (F.col("w") * S).cast("long").alias("start_pos"),
+        F.least(F.lit(L), F.col("n") - F.col("w") * S)
+        .cast("long")
+        .alias("win_len"),
+    )
+    return (
+        enc.join(wins, enc["doc_id"] == wins["_wdoc"])
+        .filter(
+            (F.col("pos") >= F.col("start_pos"))
+            & (F.col("pos") < F.col("start_pos") + F.col("win_len"))
+        )
+        .select(
+            "doc_id",
+            "window_id",
+            (F.col("pos") - F.col("start_pos")).alias("pos_in_window"),
+            "token_id",
+        )
+    )
+
+
+@register(
     "q_ewma",
     oracle="""
     WITH series AS (
