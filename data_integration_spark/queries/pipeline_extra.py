@@ -323,21 +323,24 @@ def q_doc_packing_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT doc_id, n,
-             CAST(1 + GREATEST(0, CEIL((n - 256) / 192.0)) AS BIGINT)
+             CAST(1 + GREATEST(0, CEIL((n - 64) / 48.0)) AS BIGINT)
                AS n_win
       FROM d
     )
     SELECT doc_id, CAST(u.w AS BIGINT) AS window_id,
-           CAST(u.w * 192 AS BIGINT) AS start_pos,
-           CAST(LEAST(256, n - u.w * 192) AS BIGINT) AS win_len
+           CAST(u.w * 48 AS BIGINT) AS start_pos,
+           CAST(LEAST(64, n - u.w * 48) AS BIGINT) AS win_len
     FROM w, UNNEST(GENERATE_SERIES(0, n_win - 1)) AS u(w)
     """,
 )
 def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length chunking — the step between tokenization and batch
     assembly: split each document into fixed-length training windows
-    (length 256, stride 192 → 64-token overlap so no span is ever cut
-    without context), emitting (doc_id, window_id, start_pos, win_len).
+    (length 64, stride 48 → 16-token overlap so no span is ever cut
+    without context — parameters sized so the multi-window path is
+    actually EXERCISED at signing scale: ~40% of testdata docs exceed one
+    window; a 100 TB run would use e.g. 2048/1536 with identical plan
+    shape), emitting (doc_id, window_id, start_pos, win_len).
     Window count is 1 + max(0, ceil((n−L)/stride)): the minimal set whose
     last window still reaches the end of the doc; the tail window is
     allowed short (win_len < L) rather than dropped. Pure integer
@@ -346,7 +349,7 @@ def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_vocab_encode join keyed (doc_id, pos) range-pruned by
     start_pos/win_len."""
     docs = Catalog(spark, sf_dir)["documents"]
-    L, S = 256, 192
+    L, S = 64, 48
     d = docs.select(
         "doc_id", F.size(F.split(F.col("text"), "\\s+")).alias("n")
     )
@@ -395,10 +398,10 @@ def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (
       SELECT doc_id,
              CAST(u.w AS BIGINT) AS window_id,
-             CAST(u.w * 192 AS BIGINT) AS start_pos,
-             CAST(LEAST(256, n - u.w * 192) AS BIGINT) AS win_len
+             CAST(u.w * 48 AS BIGINT) AS start_pos,
+             CAST(LEAST(64, n - u.w * 48) AS BIGINT) AS win_len
       FROM (SELECT doc_id, n,
-                   CAST(1 + GREATEST(0, CEIL((n - 256) / 192.0)) AS BIGINT)
+                   CAST(1 + GREATEST(0, CEIL((n - 64) / 48.0)) AS BIGINT)
                      AS n_win
             FROM d) x,
            UNNEST(GENERATE_SERIES(0, n_win - 1)) AS u(w)
@@ -428,7 +431,7 @@ def q_window_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_integration_spark.operators.prefix import range_row_number
 
     docs = Catalog(spark, sf_dir)["documents"]
-    L, S = 256, 192
+    L, S = 64, 48
     c = (
         docs.select(F.explode(F.split("text", " ")).alias("t"))
         .filter(F.col("t") != "")
