@@ -69,6 +69,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_context_windows",
     "q_window_gather",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
+    "q_doc_packing",
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_ann_lsh",
@@ -103,8 +104,11 @@ _SIGN_PRIORITY: list[str] = [
 # - q_vocab_build: id assignment swapped from a single-task global window
 #   to range-partitioned ranking (VERDICT r5 #1) — same oracle, re-sign
 #   to pin the new plan's values.
+# - q_doc_packing: bin budget lowered 256→96 so the oversize-singleton
+#   path is exercised by the ≤100-token test corpus (new bin table).
 _RESIGN: frozenset[str] = frozenset(
     {
+        "q_doc_packing",
         "q_dedup_minhash",
         "q_dedup_simhash",
         "q_ann_lsh",

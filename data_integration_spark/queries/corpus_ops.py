@@ -528,9 +528,11 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE t <> '' GROUP BY t HAVING COUNT(*) >= 5
     ),
     v AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, t) AS BIGINT)
-               AS token_id, t
-      FROM c
+      SELECT token_id, t FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, t) AS BIGINT)
+                 AS token_id, t
+        FROM c
+      ) WHERE token_id <= 24
     ),
     tok AS (
       SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ts[u.i] AS t
@@ -547,7 +549,11 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION — the step after q_vocab_build in a training
     pipeline: encode documents (slice doc_id < 40 keeps the signed output
     bounded) into (doc_id, pos, token_id) sequences against the built
-    vocabulary, OOV tokens mapped to the reserved unk id 0. Positions are
+    vocabulary, OOV tokens mapped to the reserved unk id 0. The vocab is
+    CAPPED at the top V=24 ids (freq desc, token) — real tokenizers cap
+    vocab size, and the cap keeps the unk path value-EXERCISED at every
+    SF (the synthetic corpus has no token rarer than the frequency floor,
+    so an uncapped vocab would never emit an unk). Positions are
     0-based over the raw whitespace split; empty tokens (consecutive
     spaces) are dropped identically on both engines.
 
@@ -570,9 +576,13 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= 5)
     )
-    vocab = range_row_number(
-        c, [F.col("freq").desc(), F.col("t")], out_col="token_id"
-    ).select("token_id", F.col("t").alias("_vt"))
+    vocab = (
+        range_row_number(
+            c, [F.col("freq").desc(), F.col("t")], out_col="token_id"
+        )
+        .filter(F.col("token_id") <= 24)
+        .select("token_id", F.col("t").alias("_vt"))
+    )
     toks = (
         docs.filter(F.col("doc_id") < 40)
         .select(

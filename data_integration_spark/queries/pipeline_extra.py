@@ -254,7 +254,7 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_doc_packing")  # rows-only: greedy packing is not SQL-expressible
 def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: group documents into 256-token bins per
+    """Sequence packing: group documents into 96-token bins per
     content-hash shard via greedy first-fit-decreasing inside
     applyInPandas — the tokenize→pack step before training-batch
     assembly. Rows-only by contract (iterative/greedy, no SQL oracle);
@@ -265,7 +265,7 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), "\\s+")).alias("token_count"),
     )
-    return pack_documents(docs, budget=256, n_shards=8)
+    return pack_documents(docs, budget=96, n_shards=8)
 
 
 @register(
@@ -279,7 +279,7 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(tc) AS BIGINT) AS total_tokens,
-           CAST(COUNT(CASE WHEN tc > 256 THEN 1 END) AS BIGINT)
+           CAST(COUNT(CASE WHEN tc > 96 THEN 1 END) AS BIGINT)
              AS n_oversize_bins,
            CAST(0 AS BIGINT) AS n_overfull_multi_bins
     FROM (
@@ -300,8 +300,8 @@ def q_doc_packing_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), "\\s+")).alias("token_count"),
     )
-    packed = pack_documents(docs, budget=256, n_shards=8)
-    over = F.col("total_tokens") > 256
+    packed = pack_documents(docs, budget=96, n_shards=8)
+    over = F.col("total_tokens") > 96
     return packed.agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("total_tokens").cast("long").alias("total_tokens"),
@@ -376,9 +376,11 @@ def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE t <> '' GROUP BY t HAVING COUNT(*) >= 5
     ),
     v AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, t) AS BIGINT)
-               AS token_id, t
-      FROM c
+      SELECT token_id, t FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, t) AS BIGINT)
+                 AS token_id, t
+        FROM c
+      ) WHERE token_id <= 24
     ),
     tok AS (
       SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ts[u.i] AS t
@@ -439,9 +441,13 @@ def q_window_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= 5)
     )
-    vocab = range_row_number(
-        c, [F.col("freq").desc(), F.col("t")], out_col="token_id"
-    ).select("token_id", F.col("t").alias("_vt"))
+    vocab = (
+        range_row_number(
+            c, [F.col("freq").desc(), F.col("t")], out_col="token_id"
+        )
+        .filter(F.col("token_id") <= 24)
+        .select("token_id", F.col("t").alias("_vt"))
+    )
     sliced = docs.filter(F.col("doc_id") < 12)
     toks = (
         sliced.select(
