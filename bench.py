@@ -44,6 +44,7 @@ HEADLINE = [
 LLM_OPS = [
     "q_dedup_minhash",  # full MinHash+banded-LSH pipeline incl. verification
     "q_ann_ivf",        # IVF build (KMeans quantizer fit) + probe search
+    "q_vocab_encode",   # vocab build + Zipf-skewed token-keyed encode join (r6)
 ]
 
 

@@ -23,9 +23,14 @@ TABLES = (
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # driver testdata is a flat file per table; locally generated
+        # rehearsal data (tools/gen_scaled_testdata.py) is a Spark output
+        # DIRECTORY of part files — support both so oracle parity can be
+        # checked at rehearsal scale too
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 
