@@ -31,9 +31,40 @@ class IVFIndex:
         self.assigned: DataFrame | None = None
         self.centroids: DataFrame | None = None
 
-    def fit(self, corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "e"):
+    def fit(
+        self,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "e",
+        train_per_cell: int | None = 256,
+    ):
+        """Train the coarse quantizer, then assign the FULL corpus.
+
+        ``train_per_cell``: the quantizer is trained on a bounded,
+        DETERMINISTIC content-keyed subsample of ~``n_cells *
+        train_per_cell`` vectors (FAISS trains IVF the same way) — k-means
+        over the entire corpus would be a full multi-pass job per release
+        at 100 TB, while centroid quality saturates at a few hundred
+        training points per cell. Lloyd iterations then touch only the
+        sample; the full corpus is scanned ONCE for the inverted-list
+        assignment (``assign``, broadcast centroids, narrow map). The
+        sample predicate is ``pmod(xxhash64(id), 1e6) < frac`` — a pure
+        function of the id, so refits are reproducible on any
+        partitioning. ``None`` trains on everything (tiny corpora /
+        exact-repro needs); corpora at or under the target train on
+        everything automatically."""
         spark = corpus.sparkSession
-        with_vec = corpus.withColumn("_v", array_to_vector(F.col(vec_col)))
+        train = corpus
+        if train_per_cell is not None:
+            target = self.n_cells * train_per_cell
+            n = corpus.count()
+            if n > target:
+                frac_ppm = int(target * 1_000_000 / n)
+                train = corpus.filter(
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+                    < frac_ppm
+                )
+        with_vec = train.withColumn("_v", array_to_vector(F.col(vec_col)))
         km = KMeans(
             k=self.n_cells, seed=self.seed, featuresCol="_v", predictionCol="cell"
         ).fit(with_vec)
