@@ -90,12 +90,21 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 3,
+    base: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ d via the pigeonhole block join —
-    exact (100% recall for the distance bound), never O(N²)."""
+    exact (100% recall for the distance bound — any pair within distance d
+    agrees on at least one of the d+1 blocks, a theorem not a tuning),
+    never O(N²). ``base="md5"`` pairs over the portable 60-bit fingerprint
+    instead (bit-identical cross-engine, see ``simhash_portable``)."""
     n_blocks = max_distance + 1
-    width = 64 // n_blocks
-    sig = simhash64(df, id_col, text_col, seed)
+    bits = 64 if base == "xxhash64" else 60
+    width = bits // n_blocks
+    sig = (
+        simhash64(df, id_col, text_col, seed)
+        if base == "xxhash64"
+        else simhash_portable(df, id_col, text_col)
+    )
     blocks = F.array(
         *[
             F.struct(

@@ -55,7 +55,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _SIGN_PRIORITY: list[str] = [
     # --- r6 window. The r5 signing run drained the backlog completely:
     # every name registered through r5 has a driver CORRECTNESS row (the
-    # registry is 232 / 216 oracle-backed after this round's additions
+    # registry is 233 / 217 oracle-backed after this round's additions
     # and conversions), so every
     # r6 slot goes to (a) queries NEW this round, then (b) _RESIGN names
     # whose prior row no longer describes the current code (semantics or
@@ -68,6 +68,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_vocab_encode",
     "q_context_windows",
     "q_window_gather",
+    "q_simhash_near_pairs",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_doc_packing",
     "q_dedup_minhash",

@@ -526,6 +526,59 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_portable(docs)
 
 
+# Portable-simhash fingerprint table (identical to q_dedup_simhash's
+# oracle body) shared by the near-pair query below.
+_SIMHASH_FP_CTE = """
+tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTRING(MD5(t), 1, 15) AS BIGINT) AS hv
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, u.b,
+         SUM(CASE WHEN (hv >> u.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, UNNEST(GENERATE_SERIES(0, 59)) AS u(b)
+  GROUP BY doc_id, u.b
+),
+f AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sh
+  FROM votes GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "q_simhash_near_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_FP_CTE}
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(BIT_COUNT(XOR(a.sh, b.sh)) AS BIGINT) AS distance
+    FROM f a JOIN f b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.sh, b.sh)) <= 3
+    """,
+)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRING: all pairs within Hamming distance 3 of
+    the portable 60-bit fingerprint, via the pigeonhole block join
+    (dedup/simhash.py::simhash_near_pairs — fingerprints agree on ≥1 of
+    the 4 15-bit blocks whenever distance ≤ 3, so blocks are exact-recall
+    LSH keys and the pair space is per-block collisions, never O(N²)).
+    FULL oracle: DuckDB recomputes the fingerprints bit-for-bit and takes
+    the all-pairs answer directly — equality is a THEOREM here (pigeonhole
+    recall is exact), not a corpus property; at sf0.01 every distance
+    value 0..3 is represented in the output."""
+    from data_integration_spark.dedup.simhash import simhash_near_pairs
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    out = simhash_near_pairs(docs, max_distance=3, base="md5")
+    return out.select("d1", "d2", F.col("distance").cast("long").alias("distance"))
+
+
 @register("q_ann_lsh_topk", oracle=_LSH_TOPK_ORACLE)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 per query via multi-table LSH bucket probing +
