@@ -55,7 +55,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _SIGN_PRIORITY: list[str] = [
     # --- r6 window. The r5 signing run drained the backlog completely:
     # every name registered through r5 has a driver CORRECTNESS row (the
-    # registry is 233 / 217 oracle-backed after this round's additions
+    # registry is 234 / 218 oracle-backed after this round's additions
     # and conversions), so every
     # r6 slot goes to (a) queries NEW this round, then (b) _RESIGN names
     # whose prior row no longer describes the current code (semantics or
@@ -69,6 +69,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_context_windows",
     "q_window_gather",
     "q_simhash_near_pairs",
+    "q_glm_convergence",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_doc_packing",
     "q_dedup_minhash",

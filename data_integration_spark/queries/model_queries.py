@@ -76,3 +76,56 @@ def q_glm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pd.DataFrame([{f"beta{k}": float(b) for k, b in enumerate(glm.beta_)}])
     )
+
+
+@register(
+    "q_glm_convergence",
+    # stationarity-certificate oracle (same pattern as
+    # q_doc_packing_invariants' conservation laws): the fitted β of a
+    # converged logistic MLE satisfies the score equations X'(y − p̂) = 0,
+    # so the rounded infinity-norm of the score vector is an
+    # engine-independent literal 0.0 — if the IRLS fit ever stops
+    # converging (regression in the fitting path, bad design matrix, data
+    # drift past the optimizer's tolerance), the hash breaks loudly.
+    # n_obs pins that the fit consumed the whole synthesized survey.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(8 AS BIGINT) AS n_params,
+           CAST(0.0 AS DOUBLE) AS score_inf_norm
+    FROM customer
+    """,
+)
+def q_glm_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence CERTIFICATE for the GLM baseline: fit the binomial GLR
+    (same path as q_glm_fit), then evaluate the score vector
+    g = Σ xᵢ(yᵢ − expit(xᵢ'β̂)) as one distributed aggregation and emit
+    (n_obs, n_params, round(‖g‖∞, 2)). The β̂ values themselves stay
+    rows-only (optimizer floats); the FIRST-ORDER CONDITION they must
+    satisfy is exactly checkable and is what this query hashes. One pass
+    over the prepped survey; β̂ enters as constant-folded literals."""
+    from data_integration_spark.stats.design import (
+        X_COLS,
+        prep_design,
+        x_beta_col,
+    )
+    from data_integration_spark.stats.glmm import FixedEffectsGLM
+
+    survey = synth_survey(spark, sf_dir)
+    glm = FixedEffectsGLM().fit(survey)
+    prepped = prep_design(survey)
+    resid = F.col("y") - expit(x_beta_col(list(glm.beta_)))
+    aggs = [
+        F.count("*").alias("n_obs"),
+        F.sum(resid).alias("g0"),
+        *[
+            F.sum(F.col(x) * resid).alias(f"g{k}")
+            for k, x in enumerate(X_COLS, start=1)
+        ],
+    ]
+    g = prepped.agg(*aggs)
+    inf_norm = F.greatest(*[F.abs(F.col(f"g{k}")) for k in range(8)])
+    return g.select(
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.lit(8).cast("long").alias("n_params"),
+        F.round(inf_norm, 2).alias("score_inf_norm"),
+    )

@@ -253,3 +253,44 @@ def test_int8_quantize_all_zero_vector_yields_nulls(spark, tmp_path):
     assert out[0].max_q is None
     assert out[1].scale == pytest.approx(2.0 / 127.0, abs=1e-9)
     assert out[1].max_q == 127
+
+
+# --------------------------------------------------- vocab-encode join skew
+def test_vocab_encode_join_survives_hot_token_corpus(spark):
+    """Adversarial Zipf extreme for the tokenizer-application join: a
+    corpus where ONE token dominates every document (the stopword-of-
+    stopwords case). The encode join key is then maximally skewed, but
+    because the vocab side is UNIQUE per token the join can never fan
+    out — output rows == input token rows exactly, hot key or not. The
+    q_vocab_encode docstring's skew argument, pinned as an invariant."""
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.operators.prefix import range_row_number
+
+    hot = " ".join(["the"] * 30)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{hot} rare{i}") for i in range(400)],
+        "doc_id bigint, text string",
+    )
+    c = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 5)  # only "the" survives the floor
+    )
+    vocab = range_row_number(
+        c, [F.col("freq").desc(), F.col("t")], out_col="token_id"
+    ).select("token_id", F.col("t").alias("_vt"))
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+    ).filter(F.col("t") != "")
+    enc = toks.join(vocab, toks["t"] == vocab["_vt"], "left").select(
+        "doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("token_id")
+    )
+    rows = enc.count()
+    assert rows == 400 * 31, rows          # no fan-out despite the hot key
+    by_id = {r["token_id"]: r["n"] for r in
+             enc.groupBy("token_id").agg(F.count("*").alias("n")).collect()}
+    assert by_id[1] == 400 * 30            # every "the" hit vocab id 1
+    assert by_id[0] == 400                 # every rare token went to unk
