@@ -347,7 +347,11 @@ def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic per row + one explode — embarrassingly parallel, no
     shuffle at any SF; downstream gather of the actual token spans is the
     q_vocab_encode join keyed (doc_id, pos) range-pruned by
-    start_pos/win_len."""
+    start_pos/win_len. Sibling of q_doc_chunking (curation_extra), which
+    materializes overlapping TEXT chunks for embedding prep — this op
+    instead PLANS windows over the token stream so q_window_gather can
+    emit token-ID training sequences; same mechanics, different product,
+    deliberately both surfaced."""
     docs = Catalog(spark, sf_dir)["documents"]
     L, S = 64, 48
     d = docs.select(
