@@ -126,3 +126,59 @@ def range_prefix_sum(
             out_col, F.sum(value_col).over(w) + offset_col
         ).drop("_pid")
     )
+
+
+def range_prefix_max(
+    df: DataFrame,
+    order_exprs: list[Column],
+    value_col: str,
+    out_col: str = "prefix_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running max of ``value_col`` in ``order_exprs`` order
+    (max over strictly-preceding rows; NULL for the first row) without a
+    single-partition window — the monotone-frontier primitive (skyline /
+    record-breaking scans).
+
+    Same three-step shape as ``range_prefix_sum``: range-partition on the
+    order, per-partition maxima → EXCLUSIVE running maxima on the driver
+    (#partitions scalars), then an exclusive max window within each
+    partition combined with the partition offset via ``greatest`` (which
+    skips NULLs, so first-partition/first-row semantics fall out).
+    ``order_exprs`` should be a total order for a well-defined result."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    maxima = {
+        r["_pid"]: r["m"]
+        for r in ranged.groupBy("_pid").agg(F.max(value_col).alias("m")).collect()
+    }
+    if not maxima:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    offsets, running = {}, None
+    for pid in sorted(maxima):
+        offsets[pid] = running  # EXCLUSIVE: max of all earlier partitions
+        running = (
+            maxima[pid]
+            if running is None
+            else max(running, maxima[pid])
+        )
+    # a map literal cannot hold None values; encode missing as absent key
+    kv = [x for pid, off in offsets.items() if off is not None for x in (pid, off)]
+    offset_col = (
+        F.try_element_at(F.create_map(*[F.lit(x) for x in kv]), F.col("_pid"))
+        if kv
+        else F.lit(None)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prev = F.max(value_col).over(w)
+    return ranged.withColumn(
+        out_col, F.greatest(local_prev, offset_col)
+    ).drop("_pid")

@@ -71,6 +71,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_simhash_near_pairs",
     "q_glm_convergence",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
+    "q_skyline",
     "q_doc_packing",
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -108,8 +109,12 @@ _SIGN_PRIORITY: list[str] = [
 #   to pin the new plan's values.
 # - q_doc_packing: bin budget lowered 256→96 so the oversize-singleton
 #   path is exercised by the ≤100-token test corpus (new bin table).
+# - q_skyline: frontier running-max swapped from a single-task global
+#   window to range-partitioned prefix max (same wart class as pre-r6
+#   q_vocab_build) — same oracle, re-sign to pin the new plan's values.
 _RESIGN: frozenset[str] = frozenset(
     {
+        "q_skyline",
         "q_doc_packing",
         "q_dedup_minhash",
         "q_dedup_simhash",

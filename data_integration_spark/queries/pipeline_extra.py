@@ -1693,22 +1693,27 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct prices — proving the correlated definition decorrelates to
     two windows.
 
-    Scale shape: one shuffle groups to distinct prices (cardinality ≪
-    rows); the ordered running-max window runs over that collapsed frame;
-    the final join probes parts against the frontier with NO forced hint —
-    the frontier is bounded only by #distinct prices (worst case
-    data-proportional), so AQE decides broadcast vs shuffle at runtime."""
+    Scale shape: one shuffle groups to distinct prices; the exclusive
+    running max over the sorted prices is RANGE-PARTITIONED
+    (operators/prefix.py::range_prefix_max — per-partition maxima +
+    #partitions driver scalars, r6; the distinct-price frame is worst-case
+    data-proportional, so a single-task global window here was the same
+    wart class as pre-r6 q_vocab_build). The final join probes parts
+    against the frontier with NO forced hint — the frontier is bounded
+    only by #distinct prices, so AQE decides broadcast vs shuffle at
+    runtime."""
+    from data_integration_spark.operators.prefix import range_prefix_max
+
     part = Catalog(spark, sf_dir)["part"]
     per_price = part.groupBy("p_retailprice").agg(
         F.max("p_size").alias("best_size")
     )
-    w_prev = (
-        Window.orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     frontier_prices = (
-        per_price.withColumn(
-            "prev_best", F.max("best_size").over(w_prev)
+        range_prefix_max(
+            per_price,
+            [F.col("p_retailprice")],
+            "best_size",
+            out_col="prev_best",
         )
         .filter(
             F.col("prev_best").isNull()

@@ -266,3 +266,28 @@ def test_asof_join_attaches_matched_row_atomically(spark):
     out = asof_join(left, right, key="user_id", ts="ts").collect()[0]
     assert out.price_asof == 200.0
     assert out.qty_asof is None  # NOT 5.0 from the ts=1 row
+
+
+def test_range_prefix_max_matches_sequential_ground_truth(spark):
+    """Exclusive running max via range partitioning == the sequential
+    definition, across many partitions and including the NULL first row
+    and cross-partition carry."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.operators.prefix import range_prefix_max
+
+    rng = random.Random(7)
+    vals = [(i, rng.randint(-50, 50)) for i in range(300)]
+    df = spark.createDataFrame(vals, "k bigint, v bigint").repartition(7)
+    out = {
+        r["k"]: r["pm"]
+        for r in range_prefix_max(
+            df, [F.col("k")], "v", out_col="pm", num_partitions=8
+        ).collect()
+    }
+    best = None
+    for k, v in vals:  # already in k order
+        assert out[k] == best, (k, out[k], best)
+        best = v if best is None else max(best, v)

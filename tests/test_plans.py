@@ -418,6 +418,18 @@ def test_vocab_build_has_no_single_partition_funnel(spark):
     assert "rangepartitioning" in plan.lower(), plan
 
 
+def test_skyline_has_no_single_partition_funnel(spark):
+    """The skyline frontier's exclusive running max must be
+    range-partitioned (operators/prefix.py::range_prefix_max, r6) — the
+    distinct-price frame is worst-case data-proportional, so a global
+    Window here was the q_vocab_build wart class: no Exchange
+    SinglePartition anywhere in the plan."""
+    df = QUERIES["q_skyline"](spark, SF)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+
+
 def test_tpch_q21_reuses_orderkey_partitioning(spark):
     """Q21's per-(order,supplier) agg and its order-level re-agg must ride
     the same l_orderkey exchange — the whole query stays under 4 shuffles
