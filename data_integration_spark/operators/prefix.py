@@ -76,12 +76,16 @@ def range_row_number(
 def range_prefix_sum(
     df: DataFrame,
     order_col: str,
-    value_col: str,
-    out_col: str = "prefix_sum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "prefix_sum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Inclusive prefix sum of ``value_col`` in ``order_col`` order,
     computed without a single-partition window.
+
+    ``value_col``/``out_col`` may be LISTS (same length): several prefix
+    sums over the same order share ONE range exchange, one offsets job,
+    and one in-partition window pass (the two-ECDF shape of q_ks_test).
 
     ``order_col`` must be a total order (unique values) for the result to
     be well-defined row-by-row; with duplicate keys the intra-tie order —
@@ -93,39 +97,39 @@ def range_prefix_sum(
     Callers should ``unpersist()`` the result's lineage when done, or let
     the context evict it.
     """
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    assert len(value_cols) == len(out_cols)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(n, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
         .cache()
     )
-    # tiny: one row per partition
+    # tiny: one row per partition, one total per value column
     totals = {
-        r["_pid"]: r["t"]
+        r["_pid"]: [r[f"t{i}"] for i in range(len(value_cols))]
         for r in ranged.groupBy("_pid")
-        .agg(F.sum(value_col).alias("t"))
+        .agg(*[F.sum(v).alias(f"t{i}") for i, v in enumerate(value_cols)])
         .collect()
     }
-    offsets, running = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = running
-        running += totals[pid]
-    offset_col = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
-        ),
-        F.col("_pid"),
-    )
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        ranged.withColumn(
-            out_col, F.sum(value_col).over(w) + offset_col
-        ).drop("_pid")
-    )
+    out = ranged
+    for i, (v, o) in enumerate(zip(value_cols, out_cols)):
+        offsets, running = {}, 0
+        for pid in sorted(totals):
+            offsets[pid] = running
+            running += totals[pid][i]
+        offset_col = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_pid"),
+        )
+        out = out.withColumn(o, F.sum(v).over(w) + offset_col)
+    return out.drop("_pid")
 
 
 def range_prefix_max(

@@ -72,6 +72,8 @@ _SIGN_PRIORITY: list[str] = [
     "q_glm_convergence",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_skyline",
+    "q_mann_whitney",
+    "q_ks_test",
     "q_doc_packing",
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -112,9 +114,15 @@ _SIGN_PRIORITY: list[str] = [
 # - q_skyline: frontier running-max swapped from a single-task global
 #   window to range-partitioned prefix max (same wart class as pre-r6
 #   q_vocab_build) — same oracle, re-sign to pin the new plan's values.
+# - q_mann_whitney / q_ks_test: the documented "small-frame exception"
+#   global windows are GONE — midranks via tie-collapse + range prefix
+#   count; both ECDFs via one list-form range_prefix_sum pass + 1-row
+#   totals broadcast. Same oracles, re-sign to pin the new plans.
 _RESIGN: frozenset[str] = frozenset(
     {
         "q_skyline",
+        "q_mann_whitney",
+        "q_ks_test",
         "q_doc_packing",
         "q_dedup_minhash",
         "q_dedup_simhash",

@@ -207,30 +207,31 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution-free alternative to the Welch test when normality is
     off the table.
 
-    Scale shape: the global RANK is a single-partition window over a
-    (value, type) projection — the documented small-frame exception; at
-    100 TB the same midranks come from a two-pass sort-merge (count below
-    + tie count), which SCALING.md records as the swap-in. Ranks and tie
+    Scale shape (r6): midranks come from per-value tie collapse + a
+    RANGE-PARTITIONED prefix count (operators/prefix.py::
+    range_prefix_sum) — rank(v) = count-below + 1 and
+    midrank(v) = count-below + (ties+1)/2, so the pooled FACT rows never
+    funnel through a one-task global RANK window (the pre-r6 form, the
+    q_vocab_build wart class on fact-sized frames). Ranks and tie
     counts are integers (+ halves), so the statistic is grid-exact across
     engines."""
+    from data_integration_spark.operators.prefix import range_prefix_sum
+
     ev = Catalog(spark, sf_dir)["events"]
     pooled = ev.filter(F.col("event_type").isin("click", "view")).select(
-        "value", "event_type"
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("in_a"),
     )
-    w_rank = Window.orderBy("value")
-    w_tie = Window.partitionBy("value")
-    ranked = pooled.select(
-        "event_type",
-        (
-            F.rank().over(w_rank)
-            + (F.count("*").over(w_tie).cast("double") - 1) / 2
-        ).alias("midrank"),
+    per_val = pooled.groupBy("value").agg(
+        F.count("*").alias("n_all"), F.sum("in_a").alias("a_cnt")
     )
-    is_a = F.col("event_type") == "click"
-    stats = ranked.agg(
-        F.sum(F.when(is_a, F.col("midrank"))).alias("r_a"),
-        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
+    cum = range_prefix_sum(per_val, "value", "n_all", out_col="cum_n")
+    below = F.col("cum_n") - F.col("n_all")
+    midrank = below + (F.col("n_all") + 1).cast("double") / 2
+    stats = cum.agg(
+        F.sum(F.col("a_cnt") * midrank).alias("r_a"),
+        F.sum("a_cnt").alias("n_a"),
+        F.sum(F.col("n_all") - F.col("a_cnt")).alias("n_b"),
     )
     u = F.col("r_a") - (F.col("n_a") * (F.col("n_a") + 1)).cast("double") / 2
     return stats.select(
@@ -274,10 +275,16 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-ratio division, so the statistic is bit-stable across
     engines.
 
-    Scale shape: one shuffle groups by value (collapsing duplicates
-    FIRST, so the ordered cumulative window runs over distinct values
-    only); the global-order window is the documented small-frame
-    exception, swappable for range-partitioned prefix sums at 100 TB."""
+    Scale shape (r6): one shuffle groups by value (collapsing duplicates
+    FIRST); BOTH ECDF cumulatives then ride ONE range-partitioned prefix
+    pass (operators/prefix.py::range_prefix_sum, list form — one range
+    exchange, one offsets job, one in-partition window), and the grand
+    totals are a 1-row aggregate broadcast back — no single-partition
+    window anywhere (the pre-r6 ordered-cum + Window.partitionBy() pair
+    funneled the distinct-value frame, worst-case data-proportional,
+    through one task)."""
+    from data_integration_spark.operators.prefix import range_prefix_sum
+
     ev = Catalog(spark, sf_dir)["events"]
     pooled = ev.filter(F.col("event_type").isin("click", "view")).select(
         "value",
@@ -287,16 +294,12 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_val = pooled.groupBy("value").agg(
         F.sum("in_a").alias("a_cnt"), F.sum("in_b").alias("b_cnt")
     )
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    totals = per_val.agg(
+        F.sum("a_cnt").alias("n_a"), F.sum("b_cnt").alias("n_b")
     )
-    w_all = Window.partitionBy()
-    cum = per_val.select(
-        F.sum("a_cnt").over(w).alias("ca"),
-        F.sum("b_cnt").over(w).alias("cb"),
-        F.sum("a_cnt").over(w_all).alias("n_a"),
-        F.sum("b_cnt").over(w_all).alias("n_b"),
-    )
+    cum = range_prefix_sum(
+        per_val, "value", ["a_cnt", "b_cnt"], out_col=["ca", "cb"]
+    ).crossJoin(F.broadcast(totals))
     return cum.agg(
         F.round(
             F.max(
