@@ -14,9 +14,11 @@ replaces it:
 
 The only driver materialization is #partitions scalars, and the only
 full-data movement is the range exchange — the same cost the global sort
-would pay, minus the single-task bottleneck. Used as the documented
-swap-in for q_ks_test / q_mann_whitney / q_curriculum_buckets-style
-global windows (SCALING.md).
+would pay, minus the single-task bottleneck. As of r6 this family
+(row_number / prefix sums / exclusive prefix max / exact ntile) BACKS
+every formerly-global window in the package: q_vocab_build,
+q_vocab_encode, q_window_gather, q_skyline, q_mann_whitney, q_ks_test,
+q_curriculum_buckets, q_ntile_percent_rank.
 """
 
 from __future__ import annotations
@@ -186,3 +188,40 @@ def range_prefix_max(
     return ranged.withColumn(
         out_col, F.greatest(local_prev, offset_col)
     ).drop("_pid")
+
+
+def range_ntile(
+    df: DataFrame,
+    order_exprs: list[Column],
+    n_buckets: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+    rn_col: str | None = None,
+) -> DataFrame:
+    """Exact SQL ``NTILE(n)`` semantics without a single-partition window:
+    the first ``N mod n`` buckets get ``ceil(N/n)`` rows, the rest
+    ``floor(N/n)`` — derived arithmetically from the range-partitioned
+    global row_number (``range_row_number``) and the total count N (one
+    cheap count job; a driver scalar, embedded as a literal).
+
+    ``order_exprs`` must be a total order (unique tie-break) — with ties,
+    SQL NTILE itself is nondeterministic, so callers wanting stable
+    results need the tie-break anyway. ``rn_col`` keeps the underlying
+    global row number under that name (rank == row_number under a total
+    order, so percent_rank etc. derive from it for free)."""
+    ranked = range_row_number(df, order_exprs, out_col="_rn",
+                              num_partitions=num_partitions)
+    n_total = ranked.count()  # ranked is cached post-range: cheap
+    if n_total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    q, r = divmod(n_total, n_buckets)
+    threshold = r * (q + 1)
+    rn = F.col("_rn")
+    if q == 0:  # fewer rows than buckets: bucket == row number
+        bucket = rn
+    else:
+        bucket = F.when(
+            rn <= threshold, F.floor((rn - 1) / (q + 1)) + 1
+        ).otherwise(r + F.floor((rn - threshold - 1) / q) + 1)
+    out = ranked.withColumn(out_col, bucket.cast("long"))
+    return out.drop("_rn") if rn_col is None else out.withColumnRenamed("_rn", rn_col)

@@ -74,6 +74,8 @@ _SIGN_PRIORITY: list[str] = [
     "q_skyline",
     "q_mann_whitney",
     "q_ks_test",
+    "q_curriculum_buckets",
+    "q_ntile_percent_rank",
     "q_doc_packing",
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -118,11 +120,17 @@ _SIGN_PRIORITY: list[str] = [
 #   global windows are GONE — midranks via tie-collapse + range prefix
 #   count; both ECDFs via one list-form range_prefix_sum pass + 1-row
 #   totals broadcast. Same oracles, re-sign to pin the new plans.
+# - q_curriculum_buckets / q_ntile_percent_rank: exact NTILE (and
+#   percent_rank) now derived arithmetically from range-partitioned
+#   row numbers (operators/prefix.py::range_ntile) — the last global
+#   windows in the package are gone. Same oracles, re-sign for plans.
 _RESIGN: frozenset[str] = frozenset(
     {
         "q_skyline",
         "q_mann_whitney",
         "q_ks_test",
+        "q_curriculum_buckets",
+        "q_ntile_percent_rank",
         "q_doc_packing",
         "q_dedup_minhash",
         "q_dedup_simhash",

@@ -1203,19 +1203,23 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stage token ranges — the ordering a length-curriculum trainer
     consumes stage by stage.
 
-    Scale shape: NTILE over a global ORDER BY is a single-partition
-    window — acceptable here ONLY because the windowed row is (doc_id,
-    n_tokens), bytes per row, not the documents themselves; at 100 TB the
-    same decile assignment comes from percentile_approx cutpoints (two
-    scans, no global sort), which tests/test_scale_shapes.py pins as the
-    documented alternative."""
+    Scale shape (r6): exact NTILE semantics WITHOUT the single-partition
+    window — operators/prefix.py::range_ntile derives the bucket
+    arithmetically from the range-partitioned global row_number and the
+    total count (first N mod n buckets get ceil(N/n) rows), so the
+    (doc_id, n_tokens) projection never funnels through one task. The
+    percentile_approx-cutpoint variant (two scans, approximate edges)
+    stays pinned in tests/test_scale_shapes.py as the cheaper
+    alternative when exact bucket sizes are not required."""
+    from data_integration_spark.operators.prefix import range_ntile
+
     docs = Catalog(spark, sf_dir)["documents"]
     n_tokens = F.size(F.split("text", " ")).cast("long")
-    scored = docs.select(
-        "doc_id", n_tokens.alias("n_tokens")
-    ).withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy("n_tokens", "doc_id")).cast("long"),
+    scored = range_ntile(
+        docs.select("doc_id", n_tokens.alias("n_tokens")),
+        [F.col("n_tokens"), F.col("doc_id")],
+        10,
+        out_col="decile",
     )
     return (
         scored.groupBy("decile")

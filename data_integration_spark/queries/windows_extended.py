@@ -139,12 +139,30 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows: quartile assignment (ntile) + percent_rank over
-    a deterministic total order (balance, key tie-break)."""
-    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    return Catalog(spark, sf_dir)["customer"].select(
+    a deterministic total order (balance, key tie-break). Since r6 both
+    derive from the range-partitioned global row number
+    (operators/prefix.py::range_ntile with rn_col): under a total order
+    rank == row_number, so percent_rank = (rn − 1)/(N − 1) and the exact
+    NTILE bucket is arithmetic on (rn, N) — customer never funnels
+    through a single-partition window (SQL semantics preserved
+    bit-for-bit; the oracle is the stock SQL WINDOW form)."""
+    from data_integration_spark.operators.prefix import range_ntile
+
+    cust = Catalog(spark, sf_dir)["customer"].select("c_custkey", "c_acctbal")
+    tiled = range_ntile(
+        cust,
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        4,
+        out_col="quartile",
+        rn_col="_rn",
+    )
+    n_total = tiled.count()
+    return tiled.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.col("quartile").cast("int").alias("quartile"),
+        F.round((F.col("_rn") - 1) / F.lit(float(n_total - 1)), 6).alias(
+            "pct_rank"
+        ),
     )
 
 

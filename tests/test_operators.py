@@ -291,3 +291,31 @@ def test_range_prefix_max_matches_sequential_ground_truth(spark):
     for k, v in vals:  # already in k order
         assert out[k] == best, (k, out[k], best)
         best = v if best is None else max(best, v)
+
+
+def test_range_ntile_matches_sql_ntile_all_remainders(spark):
+    """range_ntile's arithmetic NTILE == Spark's own window NTILE for
+    every N mod n remainder class (N=17..23 over n=5 covers r=0..4 and
+    q>0; N=3 over n=5 covers the N<n degenerate)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.operators.prefix import range_ntile
+
+    for n_rows, n_buckets in [(17, 5), (18, 5), (19, 5), (20, 5),
+                              (21, 5), (23, 5), (3, 5)]:
+        df = spark.range(n_rows).select(F.col("id").alias("k")).repartition(4)
+        got = {
+            r["k"]: r["b"]
+            for r in range_ntile(
+                df, [F.col("k")], n_buckets, out_col="b", num_partitions=3
+            ).collect()
+        }
+        want = {
+            r["k"]: r["b"]
+            for r in df.select(
+                "k",
+                F.ntile(n_buckets).over(Window.orderBy("k")).alias("b"),
+            ).collect()
+        }
+        assert got == want, (n_rows, n_buckets, got, want)
