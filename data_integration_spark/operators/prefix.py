@@ -19,6 +19,21 @@ would pay, minus the single-task bottleneck. As of r6 this family
 every formerly-global window in the package: q_vocab_build,
 q_vocab_encode, q_window_gather, q_skyline, q_mann_whitney, q_ks_test,
 q_curriculum_buckets, q_ntile_percent_rank.
+
+Cache lifecycle (r7, VERDICT r6 #4): each helper materializes its
+range-partitioned intermediate with ``.cache()`` so the offsets job and
+the output job see the SAME partition boundaries, and registers it in a
+module-level list. The NEXT prefix-family call (or an explicit
+``release_prefix_caches()``) unpersists everything previously registered
+— at most one call's intermediates are ever live, so repeated bench
+passes no longer double-cache and long sessions no longer accumulate
+cached fact-table copies. CONTRACT for composite callers: a single
+query plan must not merge the outputs of two SEQUENTIAL prefix-family
+calls (the second call releases the first's cache; a recompute could
+legally re-sample range boundaries and desynchronize the driver
+offsets). Every registered query uses exactly one top-level call;
+``range_ntile``'s internal ``range_row_number`` is the same call chain
+and is safe.
 """
 
 from __future__ import annotations
@@ -26,6 +41,36 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# cached range-partitioned intermediates from the MOST RECENT top-level
+# prefix call; released at the next call's entry (see module docstring)
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_prefix_caches() -> None:
+    """Unpersist every cached intermediate registered by a prior
+    prefix-family call. Safe to call any time AFTER the prior call's
+    output has been consumed (collected / written); called automatically
+    at the entry of each helper."""
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # owning session already stopped — nothing left to free
+
+
+def _ranged_cached(df: DataFrame, n: int, order_exprs) -> DataFrame:
+    """Range-partition ``df`` on ``order_exprs``, tag partition ids, cache,
+    and register the cache for release at the next prefix call."""
+    release_prefix_caches()
+    ranged = (
+        df.repartitionByRange(n, *order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    _LIVE_CACHES.append(ranged)
+    return ranged
 
 
 def range_row_number(
@@ -50,11 +95,7 @@ def range_row_number(
     ``order_exprs`` should be a total order (include a unique tiebreak
     column) for a well-defined result, as with any SQL row_number."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n, *order_exprs)
-        .withColumn("_pid", F.spark_partition_id())
-        .cache()
-    )
+    ranged = _ranged_cached(df, n, order_exprs)
     counts = {
         r["_pid"]: r["c"]
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("c")).collect()
@@ -93,21 +134,21 @@ def range_prefix_sum(
     be well-defined row-by-row; with duplicate keys the intra-tie order —
     like any SQL cumsum over a non-unique ORDER BY — is unspecified.
 
+    NULL semantics match SQL ``SUM() OVER``: NULL values are skipped, and
+    a row's prefix sum is NULL only while NO preceding value (in any
+    partition) is non-NULL. Partition totals of all-NULL partitions fold
+    as absent offsets, mirroring ``range_prefix_max`` (ADVICE r6).
+
     The range partitioning is materialized once (`cache`) so the offsets
     job and the output job see the SAME partition boundaries (Spark's
     range partitioner samples; recomputation could legally re-sample).
-    Callers should ``unpersist()`` the result's lineage when done, or let
-    the context evict it.
-    """
+    The cache is registered module-wide and released at the next
+    prefix-family call (see module docstring)."""
     value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
     assert len(value_cols) == len(out_cols)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n, F.col(order_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .cache()
-    )
+    ranged = _ranged_cached(df, n, [F.col(order_col)])
     # tiny: one row per partition, one total per value column
     totals = {
         r["_pid"]: [r[f"t{i}"] for i in range(len(value_cols))]
@@ -122,15 +163,34 @@ def range_prefix_sum(
     )
     out = ranged
     for i, (v, o) in enumerate(zip(value_cols, out_cols)):
-        offsets, running = {}, 0
+        # None until some prior partition contributed a non-NULL total —
+        # encoded as an ABSENT map key so NULL-prefix rows stay NULL
+        offsets, running = {}, None
         for pid in sorted(totals):
             offsets[pid] = running
-            running += totals[pid][i]
-        offset_col = F.element_at(
-            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-            F.col("_pid"),
+            t = totals[pid][i]
+            if t is not None:
+                running = t if running is None else running + t
+        kv = [
+            x
+            for pid, off in offsets.items()
+            if off is not None
+            for x in (pid, off)
+        ]
+        offset_col = (
+            F.try_element_at(
+                F.create_map(*[F.lit(x) for x in kv]), F.col("_pid")
+            )
+            if kv
+            else F.lit(None)
         )
-        out = out.withColumn(o, F.sum(v).over(w) + offset_col)
+        local = F.sum(v).over(w)
+        out = out.withColumn(
+            o,
+            F.when(
+                offset_col.isNotNull(), F.coalesce(local, F.lit(0)) + offset_col
+            ).otherwise(local),
+        )
     return out.drop("_pid")
 
 
@@ -151,33 +211,31 @@ def range_prefix_max(
     (#partitions scalars), then an exclusive max window within each
     partition combined with the partition offset via ``greatest`` (which
     skips NULLs, so first-partition/first-row semantics fall out).
+    All-NULL partitions yield a NULL partition max and are skipped in the
+    driver fold (ADVICE r6 — ``max(x, None)`` would raise).
     ``order_exprs`` should be a total order for a well-defined result."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n, *order_exprs)
-        .withColumn("_pid", F.spark_partition_id())
-        .cache()
-    )
+    value_type = df.schema[value_col].dataType
+    ranged = _ranged_cached(df, n, order_exprs)
     maxima = {
         r["_pid"]: r["m"]
         for r in ranged.groupBy("_pid").agg(F.max(value_col).alias("m")).collect()
     }
     if not maxima:
-        return df.withColumn(out_col, F.lit(None).cast("double"))
+        # empty input: keep value_col's native type, not a hardcoded double
+        return df.withColumn(out_col, F.lit(None).cast(value_type))
     offsets, running = {}, None
     for pid in sorted(maxima):
         offsets[pid] = running  # EXCLUSIVE: max of all earlier partitions
-        running = (
-            maxima[pid]
-            if running is None
-            else max(running, maxima[pid])
-        )
+        m = maxima[pid]
+        if m is not None:  # all-NULL partitions contribute nothing
+            running = m if running is None else max(running, m)
     # a map literal cannot hold None values; encode missing as absent key
     kv = [x for pid, off in offsets.items() if off is not None for x in (pid, off)]
     offset_col = (
         F.try_element_at(F.create_map(*[F.lit(x) for x in kv]), F.col("_pid"))
         if kv
-        else F.lit(None)
+        else F.lit(None).cast(value_type)
     )
     w = (
         Window.partitionBy("_pid")
@@ -213,7 +271,13 @@ def range_ntile(
                               num_partitions=num_partitions)
     n_total = ranked.count()  # ranked is cached post-range: cheap
     if n_total == 0:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
+        # keep BOTH output columns so empty inputs have the same schema as
+        # non-empty ones (ADVICE r6: dropping rn_col broke downstream
+        # selects on empty tables)
+        out = df.withColumn(out_col, F.lit(None).cast("long"))
+        if rn_col is not None:
+            out = out.withColumn(rn_col, F.lit(None).cast("long"))
+        return out
     q, r = divmod(n_total, n_buckets)
     threshold = r * (q + 1)
     rn = F.col("_rn")

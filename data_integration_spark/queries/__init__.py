@@ -53,96 +53,92 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # ever shrinks. Maintained per round: names signed in CORRECTNESS_r{N} leave,
 # new queries join at the tail of the front block.
 _SIGN_PRIORITY: list[str] = [
-    # --- r6 window. The r5 signing run drained the backlog completely:
-    # every name registered through r5 has a driver CORRECTNESS row (the
-    # registry is 234 / 218 oracle-backed after this round's additions
-    # and conversions), so every
-    # r6 slot goes to (a) queries NEW this round, then (b) _RESIGN names
-    # whose prior row no longer describes the current code (semantics or
-    # oracle changed in r6). New queries always register inside the
-    # window so they sign the round they land.
-    # (a) new r6 queries ------------------------------------------------
-    "q_minhash_lsh_bucket_persist",
-    "q_embedding_coverage",
-    "q_doc_packing_invariants",
-    "q_vocab_encode",
-    "q_context_windows",
-    "q_window_gather",
-    "q_simhash_near_pairs",
-    "q_glm_convergence",
+    # --- r7 window. The r6 signing run went 50/50 green, so every name
+    # registered through r6 has a current driver row. r7 slots go to
+    # (a) queries NEW this round, (b) _RESIGN names whose r6 row no
+    # longer describes the current code, then (c) the RE-SIGN ROTATION
+    # (VERDICT r6 #3): the 46 oldest-signed names — the SURVEY §2
+    # relational core, last signed in r1, five rounds of refactors ago.
+    # New queries always register inside the window so they sign the
+    # round they land; rotation overflow past slot 50 rolls to r8.
+    # (a) new r7 queries ------------------------------------------------
+    "q_em_convergence",
+    "q_ann_ivf_invariants",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
-    "q_skyline",
-    "q_mann_whitney",
     "q_ks_test",
-    "q_curriculum_buckets",
+    "q_mann_whitney",
     "q_ntile_percent_rank",
-    "q_doc_packing",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_ann_lsh",
-    "q_ann_lsh_topk",
-    "q_ann_lsh_persist",
-    "q_ann_ivf",
-    "q_ann_ivf_persist",
-    "q_ann_ivf_append",
-    "q_minhash_cross_dedup",
-    "q_streaming_minhash_dedup",
-    "q_vocab_build",
-]  # the driver's r6 window = first 50 registered
+    # (c) r1 rotation: flagship + §2 core first; escape-hatch rows-only
+    # names (whose rows carry no hash signal to refresh) last ------------
+    "q_report_final",
+    "q_scan_parquet",
+    "q_sink_roundtrip",
+    "q_select_project",
+    "q_drop_cols",
+    "q_rename",
+    "q_todf_headers",
+    "q_withcolumn_linear",
+    "q_rowid_rownumber",
+    "q_cast_numeric",
+    "q_onehot_when",
+    "q_bind_via_join",
+    "q_filter_eq",
+    "q_filter_isin",
+    "q_when_indicator",
+    "q_when_multiway",
+    "q_full_outer_fold",
+    "q_broadcast_lookup",
+    "q_union_by_name",
+    "q_semi_join",
+    "q_anti_join",
+    "q_weighted_mean_by_group",
+    "q_groupby_count",
+    "q_group_collect",
+    "q_table_agg",
+    "q_error_measures",
+    "q_mspe_by_group",
+    "q_distinct",
+    "q_count_distinct",
+    "q_distinct_sorted",
+    "q_survey_mean_se",
+    "q_logit",
+    "q_expit",
+    "q_math_scalars",
+    "q_mc_explode",
+    "q_json_extract",
+    "q_csv_roundtrip",
+    "q_partitioned_sink",
+    "q_pricing_summary",
+    "q_top_orders",
+    "q_revenue_by_nation",
+    "q_array_functions",
+    "q_em_fit",
+    "q_glm_fit",
+    "q_randn",
+    "q_bernoulli",
+]  # the driver's r7 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
-# because r6 changed what the row attests to:
-# - q_ann_lsh / q_ann_lsh_topk / q_ann_lsh_persist: CONVERTED from
-#   rows-only to full DuckDB oracles (pinned-plane recomputation) — the
-#   r5 rows carry no hash signal for them;
-# - q_ann_ivf*: IVF assignment now uses the index's own squared-distance
-#   arithmetic uniformly (fit == append == load; ADVICE r5), which can
-#   legally move near-boundary vectors between cells;
-# - q_minhash_cross_dedup: cross-corpus LSH reworked to per-side
-#   signatures (same-id-on-both-sides bug fix, ADVICE r5) AND converted
-#   to a full exact-recall oracle;
-# - q_streaming_minhash_dedup: survivor canonicalized to min(doc_id) per
-#   signature class, sig column dropped from the output, and converted
-#   to a full shingle-set-class oracle;
-# - q_dedup_minhash: converted rows-only → full exact-recall oracle
-#   (VERDICT r5 #3) — the r5 row carries no hash signal;
-# - q_dedup_simhash: switched to the portable 60-bit md5-sourced variant
-#   with a full bit-for-bit oracle (new values, new schema semantics);
-# - q_vocab_build: id assignment swapped from a single-task global window
-#   to range-partitioned ranking (VERDICT r5 #1) — same oracle, re-sign
-#   to pin the new plan's values.
-# - q_doc_packing: bin budget lowered 256→96 so the oversize-singleton
-#   path is exercised by the ≤100-token test corpus (new bin table).
-# - q_skyline: frontier running-max swapped from a single-task global
-#   window to range-partitioned prefix max (same wart class as pre-r6
-#   q_vocab_build) — same oracle, re-sign to pin the new plan's values.
-# - q_mann_whitney / q_ks_test: the documented "small-frame exception"
-#   global windows are GONE — midranks via tie-collapse + range prefix
-#   count; both ECDFs via one list-form range_prefix_sum pass + 1-row
-#   totals broadcast. Same oracles, re-sign to pin the new plans.
-# - q_curriculum_buckets / q_ntile_percent_rank: exact NTILE (and
-#   percent_rank) now derived arithmetically from range-partitioned
-#   row numbers (operators/prefix.py::range_ntile) — the last global
-#   windows in the package are gone. Same oracles, re-sign for plans.
+# because r7 changed what the row attests to:
+# - q_ks_test / q_mann_whitney: both ride range_prefix_sum, whose offset
+#   fold was reworked for SQL NULL semantics (ADVICE r6: all-NULL
+#   partitions fold as absent offsets via when/coalesce instead of a bare
+#   add) — same values on non-NULL data, re-sign to pin the new plans'
+#   expressions;
+# - q_ntile_percent_rank: percent_rank denominator now guarded for the
+#   1-row-input 0/0 (ADVICE r6) and range_ntile's empty-input schema
+#   fixed — same values at every tested SF, re-sign to pin the new plan.
+# The other prefix-family riders (q_skyline via range_prefix_max — its
+# column expressions are untouched, only the driver fold and empty-path
+# changed — and the range_row_number family: q_curriculum_buckets,
+# q_vocab_build/encode, q_window_gather) share the reworked module but
+# their emitted plans are expression-identical; their r6 rows remain descriptive and the
+# r1 rotation has priority for the remaining slots (VERDICT r6 #3).
 _RESIGN: frozenset[str] = frozenset(
     {
-        "q_skyline",
-        "q_mann_whitney",
         "q_ks_test",
-        "q_curriculum_buckets",
+        "q_mann_whitney",
         "q_ntile_percent_rank",
-        "q_doc_packing",
-        "q_dedup_minhash",
-        "q_dedup_simhash",
-        "q_ann_lsh",
-        "q_ann_lsh_topk",
-        "q_ann_lsh_persist",
-        "q_ann_ivf",
-        "q_ann_ivf_persist",
-        "q_ann_ivf_append",
-        "q_minhash_cross_dedup",
-        "q_streaming_minhash_dedup",
-        "q_vocab_build",
     }
 )
 

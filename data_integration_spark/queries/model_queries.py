@@ -67,6 +67,64 @@ def q_em_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame([row]))
 
 
+@register(
+    "q_em_convergence",
+    # stationarity-certificate oracle for the reference's CORE method
+    # (VERDICT r6 #1, mirroring q_glm_convergence): a converged EM fit's
+    # (β̂, σ̂) must satisfy both M-step optimality conditions when the
+    # E-step is re-run at the returned parameters — the σ closed-form
+    # residual and the per-observation β score norm are engine-independent
+    # literal 0.0 at 2 decimals (measured 1e-5…1e-7 at tol=1e-4, three to
+    # five orders of magnitude of margin). n_obs pins full-survey
+    # consumption; n_areas pins the per-area E-step covering every area.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_areas,
+           CAST(1 AS BIGINT) AS converged,
+           CAST(0.0 AS DOUBLE) AS beta_score_inf_norm,
+           CAST(0.0 AS DOUBLE) AS sigma_fixed_point_resid
+    FROM customer
+    """,
+)
+def q_em_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence CERTIFICATE for the EM GLMM fit — the reference's core
+    method (``Rmd:217-390``) gains an oracle-grade driver check: fit with
+    a TIGHT outer tolerance (1e-4 vs q_em_fit's demo 0.05), then re-run
+    one E-step at (β̂, σ̂) and evaluate both M-step fixed-point residuals
+    as distributed aggregations (stats/em.py::em_stationarity_certificate
+    — E1 via applyInPandas, the σ moment and the β score as single agg
+    passes; driver holds per-area scalars only). β̂/σ̂ themselves stay
+    rows-only in q_em_fit (optimizer floats); the stationarity conditions
+    they must satisfy are exactly checkable and are what this query
+    hashes — an E-step drift, draw-seeding change, or optimizer
+    regression breaks the driver hash loudly."""
+    from data_integration_spark.stats.em import (
+        EMEstimator,
+        em_stationarity_certificate,
+    )
+
+    est = EMEstimator(n_reps=50, tol=1e-4, max_iter=400, mode="driver", seed=5)
+    survey = synth_survey(spark, sf_dir)
+    cert = em_stationarity_certificate(survey, est.fit(survey), est)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_obs": cert["n_obs"],
+                    "n_areas": cert["n_areas"],
+                    "converged": cert["converged"],
+                    "beta_score_inf_norm": round(
+                        cert["beta_score_inf_norm"], 2
+                    ),
+                    "sigma_fixed_point_resid": round(
+                        cert["sigma_fixed_point_resid"], 2
+                    ),
+                }
+            ]
+        )
+    )
+
+
 @register("q_glm_fit")  # rows-only: IRLS output
 def q_glm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib GLR binomial baseline (§2.10 M1) on the synthesized survey."""

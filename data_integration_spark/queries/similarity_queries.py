@@ -347,6 +347,129 @@ def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
 
 
+@register(
+    "q_ann_ivf_invariants",
+    # invariants-certificate oracle (VERDICT r6 #2, the
+    # q_doc_packing_invariants pattern): the k-means centroids stay
+    # engine-internal (q_ann_ivf* rows-only), but the PROPERTIES every
+    # valid inverted file must satisfy are engine-independent literals —
+    # conservation (every embedding assigned exactly once), assignment
+    # optimality under the index's own metric, cell-id range, and
+    # persisted-centroid byte fidelity.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_distinct_ids,
+           CAST(0 AS BIGINT) AS n_suboptimal,
+           CAST(0 AS BIGINT) AS n_out_of_range,
+           CAST(0 AS BIGINT) AS n_load_mismatch
+    FROM embeddings
+    """,
+)
+def q_ann_ivf_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariants CERTIFICATE covering all three IVF queries' shared
+    arithmetic (``similarity/ivf.py::assign`` — fit, append, and load all
+    route through it). Builds the q_ann_ivf_append index (fit on
+    vec_id ≥ 50, append < 50), then hash-checks:
+
+    - ``n_vectors`` / ``n_distinct_ids``: the inverted lists hold exactly
+      one row per corpus vector (conservation — a dropped or duplicated
+      vector breaks the COUNT(*) oracle);
+    - ``n_suboptimal`` == 0: every emitted cell is the argmin of plain
+      squared distance over ALL centroids with the documented
+      (distance, cell) tie-break — recomputed here with independently
+      written expressions, not by calling ``assign`` again;
+    - ``n_out_of_range`` == 0: every cell id is a valid quantizer cell;
+    - ``n_load_mismatch`` == 0: re-assigning the corpus from the
+      SAVE/LOAD round-tripped centroids reproduces every cell choice —
+      parquet round-trip of the centroid doubles is bit-faithful, the
+      property the once-per-release fit / many-jobs-load shape depends
+      on.
+
+    All checks are distributed joins/aggs (broadcast centroids only);
+    the driver holds five scalar counts."""
+    from data_integration_spark.similarity.ivf import IVFIndex
+    from data_integration_spark.similarity.persist import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    n_cells = 8
+    index = (
+        IVFIndex(n_cells=n_cells, seed=11)
+        .fit(emb.filter(F.col("vec_id") >= 50))
+        .append(emb.filter(F.col("vec_id") < 50))
+    )
+    assigned = index.assigned.cache()
+
+    n_vectors = assigned.count()
+    n_distinct = assigned.select("mid").distinct().count()
+    n_out_of_range = assigned.filter(
+        (F.col("cell") < 0) | (F.col("cell") >= n_cells)
+    ).count()
+
+    # independent argmin recomputation: same metric DEFINITION, separate
+    # expression code path (a bug in assign's struct-min agg or groupBy
+    # would disagree here)
+    cent = index.centroids.select(
+        F.col("cell").alias("ccell"), F.col("ce")
+    )
+    sqdist = F.aggregate(
+        F.zip_with(F.col("me"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        assigned.crossJoin(F.broadcast(cent))
+        .groupBy("mid")
+        .agg(
+            F.min(
+                F.struct(sqdist.alias("d"), F.col("ccell").alias("c"))
+            ).alias("b"),
+            F.any_value("cell").alias("emitted"),
+        )
+    )
+    n_suboptimal = best.filter(F.col("b.c") != F.col("emitted")).count()
+
+    # save/load round-trip: loaded centroids must reproduce every cell
+    path = _index_path("ivf_inv", sf_dir)
+    save_ivf_index(index, path)
+    re_assigned = load_ivf_index(spark, path).assign(emb)
+    n_load_mismatch = (
+        assigned.select("mid", F.col("cell").alias("cell_a"))
+        .join(
+            re_assigned.select("mid", F.col("cell").alias("cell_b")),
+            "mid",
+            "full",
+        )
+        .filter(
+            F.col("cell_a").isNull()
+            | F.col("cell_b").isNull()
+            | (F.col("cell_a") != F.col("cell_b"))
+        )
+        .count()
+    )
+    assigned.unpersist()
+
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_vectors": n_vectors,
+                    "n_distinct_ids": n_distinct,
+                    "n_suboptimal": n_suboptimal,
+                    "n_out_of_range": n_out_of_range,
+                    "n_load_mismatch": n_load_mismatch,
+                }
+            ]
+        )
+    )
+
+
 # DuckDB recomputation of the minhash-LSH pipelines' ANSWER: the verify
 # stage emits exact word-bigram Jaccard and drops every candidate below the
 # threshold, so the output is a SUBSET of the exact all-pairs-≥-τ set, and
@@ -398,7 +521,15 @@ def q_minhash_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup density, never |new|×|old| (dedup/minhash.py::
     minhash_lsh_cross_pairs; planted-pair recall pinned in
     tests/test_index_persist.py). FULL oracle since r6: exact-recall
-    recomputation — see _MH_SHINGLE_CTE."""
+    recomputation — see _MH_SHINGLE_CTE.
+
+    ORACLE FRAGILITY (ADVICE r6): oracle equality assumes banded recall
+    is complete at the verify threshold ON THIS CORPUS — 16×4 banding
+    catches J ≥ 0.8 w.p. > 0.999 but a true J≈0.5 cross pair only w.p.
+    ≈ 0.36, and ``verify_threshold=0.4`` sits below that safety margin.
+    A borderline pair (or bucket-cap drop) breaks the hash LOUDLY by
+    design; re-validate the premise before changing k/bands/threshold or
+    the corpus generator."""
     from data_integration_spark.dedup.minhash import minhash_lsh_cross_pairs
 
     docs = Catalog(spark, sf_dir)["documents"]
@@ -482,7 +613,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer; equality holds because banded recall is complete at the
     threshold on this corpus (see _MH_SHINGLE_CTE rationale) — a future
     borderline-J pair breaks the hash loudly rather than passing
-    silently."""
+    silently.
+
+    ORACLE FRAGILITY (ADVICE r6): the equality premise is
+    corpus-dependent. 16 bands × 4 rows catches J ≥ 0.8 w.p. > 0.999, but
+    ``verify_threshold=0.4`` means a true J≈0.5 pair (caught w.p. ≈ 0.36)
+    — or a pair dropped by ``minhash_lsh_pairs``'s
+    ``max_bucket_size=1000`` sub-bucket split — would break the hash.
+    That break is the intended loud signal; if the corpus or any of
+    (k=64, bands=16, verify_threshold=0.4) changes, re-validate the
+    exact-recall premise before re-signing."""
     docs = Catalog(spark, sf_dir)["documents"]
     return minhash_lsh_pairs(docs, k=64, bands=16, verify_threshold=0.4)
 

@@ -157,12 +157,15 @@ def q_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn_col="_rn",
     )
     n_total = tiled.count()
+    # SQL PERCENT_RANK defines a 1-row partition as 0.0; the max(...) guard
+    # keeps the denominator positive so the double division never hits 0/0
+    # (NaN would silently diverge from the oracle — ADVICE r6)
     return tiled.select(
         "c_custkey",
         F.col("quartile").cast("int").alias("quartile"),
-        F.round((F.col("_rn") - 1) / F.lit(float(n_total - 1)), 6).alias(
-            "pct_rank"
-        ),
+        F.round(
+            (F.col("_rn") - 1) / F.lit(float(max(n_total - 1, 1))), 6
+        ).alias("pct_rank"),
     )
 
 

@@ -319,3 +319,100 @@ def test_range_ntile_matches_sql_ntile_all_remainders(spark):
             ).collect()
         }
         assert got == want, (n_rows, n_buckets, got, want)
+
+
+def test_range_prefix_max_all_null_partitions_and_empty(spark):
+    """ADVICE r6: all-NULL partitions must fold as absent (max(x, None)
+    raised TypeError on the driver), and the empty-input path must keep
+    value_col's NATIVE type instead of a hardcoded double."""
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.operators.prefix import range_prefix_max
+
+    # ks 0..9 all-NULL, 10..19 valued: the first range partitions are
+    # entirely NULL, later ones must still carry the running max across
+    rows = [(i, None) for i in range(10)] + [(i, i) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    out = {
+        r["k"]: r["pm"]
+        for r in range_prefix_max(
+            df, [F.col("k")], "v", out_col="pm", num_partitions=5
+        ).collect()
+    }
+    best = None
+    for k, v in rows:
+        assert out[k] == best, (k, out[k], best)
+        if v is not None:
+            best = v if best is None else max(best, v)
+
+    empty = spark.createDataFrame([], "k bigint, v bigint")
+    out_schema = range_prefix_max(empty, [F.col("k")], "v", out_col="pm").schema
+    assert out_schema["pm"].dataType.simpleString() == "bigint"
+
+
+def test_range_prefix_sum_all_null_partitions_match_sql_semantics(spark):
+    """ADVICE r6: all-NULL partition totals crashed the driver fold; the
+    fixed fold must ALSO reproduce SQL SUM() OVER semantics — NULL until
+    the first non-NULL value anywhere preceding, NULL-skipping after."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.operators.prefix import range_prefix_sum
+
+    rows = (
+        [(i, None) for i in range(8)]
+        + [(i, float(i)) for i in range(8, 16)]
+        + [(i, None) for i in range(16, 24)]
+        + [(i, float(i)) for i in range(24, 30)]
+    )
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    got = {
+        r["k"]: r["ps"]
+        for r in range_prefix_sum(
+            df, "k", "v", out_col="ps", num_partitions=6
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["ps"]
+        for r in df.select("k", F.sum("v").over(w).alias("ps")).collect()
+    }
+    assert got == want
+
+
+def test_range_ntile_empty_input_keeps_rn_col(spark):
+    """ADVICE r6: the empty-input early return dropped rn_col, so selecting
+    it downstream raised AnalysisException on an empty table."""
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.operators.prefix import range_ntile
+
+    empty = spark.createDataFrame([], "k bigint")
+    out = range_ntile(empty, [F.col("k")], 4, out_col="b", rn_col="_rn")
+    assert out.select("k", "b", "_rn").count() == 0
+    assert out.schema["_rn"].dataType.simpleString() == "bigint"
+
+
+def test_prefix_family_releases_prior_caches(spark):
+    """VERDICT r6 #4: at most one prefix call's cached intermediates are
+    live — the next call (or release_prefix_caches) unpersists the rest,
+    so bench reruns stop double-caching and sessions stop leaking."""
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.operators import prefix
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    a = prefix.range_row_number(df, [F.col("k")], out_col="rn")
+    a.collect()
+    assert len(prefix._LIVE_CACHES) == 1
+    first_cache = prefix._LIVE_CACHES[0]
+    # a DIFFERENT input plan: an identical plan would re-register the same
+    # CacheManager entry and mask the unpersist
+    df2 = spark.range(50).select(F.col("id").alias("k"))
+    b = prefix.range_prefix_sum(df2, "k", "k", out_col="ps")
+    b.collect()
+    assert len(prefix._LIVE_CACHES) == 1
+    assert prefix._LIVE_CACHES[0] is not first_cache
+    assert not first_cache.storageLevel.useMemory  # actually unpersisted
+    prefix.release_prefix_caches()
+    assert prefix._LIVE_CACHES == []

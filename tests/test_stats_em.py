@@ -81,3 +81,25 @@ def test_weighted_glm_equals_duplicated_rows(spark, fixtures):
     dup = sub.loc[sub.index.repeat(sub["w2"].astype(int))]
     duplicated = FixedEffectsGLM().fit(spark.createDataFrame(dup))
     assert np.abs(weighted.beta_ - duplicated.beta_).max() < 1e-5
+
+
+def test_em_stationarity_certificate_margins(spark, fixtures):
+    """q_em_convergence's premise: at tol=1e-4 the recomputed fixed-point
+    residuals sit ORDERS OF MAGNITUDE below the 0.005 rounding threshold
+    the literal-0.0 oracle implies — pin the raw (pre-round) margins so a
+    slow fitting-path drift is caught here before it reaches the driver
+    hash. Also pins the certificate's engine-independent fields."""
+    from data_integration_spark.stats.em import em_stationarity_certificate
+
+    pdf = fixtures["survey_small"]
+    sub = pdf[pdf["state"].isin(sorted(pdf["state"].unique())[:8])]
+    df = spark.createDataFrame(sub)
+    est = EMEstimator(n_reps=50, tol=1e-4, max_iter=400, mode="driver", seed=5)
+    fit = est.fit(df)
+    cert = em_stationarity_certificate(df, fit, est)
+    assert cert["converged"] == 1
+    assert cert["n_obs"] == len(sub)
+    assert cert["n_areas"] == 8
+    # 10x safety margin below the 2-decimal rounding threshold
+    assert cert["beta_score_inf_norm"] < 5e-4
+    assert cert["sigma_fixed_point_resid"] < 5e-4
