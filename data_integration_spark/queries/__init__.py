@@ -64,6 +64,9 @@ _SIGN_PRIORITY: list[str] = [
     # (a) new r7 queries ------------------------------------------------
     "q_em_convergence",
     "q_ann_ivf_invariants",
+    "q_sketch_bounds",
+    "q_pca_invariants",
+    "q_rng_certificate",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

@@ -774,6 +774,80 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pca_invariants",
+    # invariants certificate for the PCA family (VERDICT r6: eigenvector
+    # values are sign/ULP-bound and stay rows-only in q_pca_project, but
+    # the algebra a correct fit+projection must satisfy is exact):
+    # orthonormal components, mean-centered projections, projected
+    # variance == eigenvalue, descending variance order.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(0.0 AS DOUBLE) AS ortho_resid,
+           CAST(0.0 AS DOUBLE) AS mean_resid,
+           CAST(0.0 AS DOUBLE) AS eig_resid,
+           CAST(1 AS BIGINT) AS var_ordered
+    FROM embeddings
+    """,
+)
+def q_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariants CERTIFICATE for distributed PCA (similarity/pca.py —
+    the q_doc_packing_invariants pattern): fit on the full embeddings
+    table, project, and hash-check the defining algebra instead of the
+    sign/ULP-unstable eigenvectors themselves:
+
+    - ``ortho_resid``: ‖V·Vᵀ − I‖∞ of the k×d components (driver numpy on
+      index-parameter bytes; ~1e-15, rounds to a literal 0.0 at 6dp);
+    - ``mean_resid``: max |mean(pc_i)| over the DISTRIBUTED projection —
+      projections of mean-centered data average to zero exactly up to
+      float summation noise, so a centering bug (stale μ, wrong sign)
+      breaks the hash;
+    - ``eig_resid``: max |var_samp(pc_i) − λ_i| — the projected data must
+      REALIZE the fitted eigenvalues; catches a fit/projection mismatch
+      (transposed components, wrong normalization) that orthonormality
+      alone would miss;
+    - ``var_ordered``: λ̂₁ ≥ λ̂₂ measured on the projections.
+
+    The moment checks run as ONE Spark aggregation over the projection
+    pass; the driver holds d×d partials and five scalars (the pca_fit
+    scale shape, unchanged)."""
+    import numpy as np
+
+    from data_integration_spark.similarity.pca import pca_fit, pca_project
+
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    mu, comps, vals = pca_fit(emb, col="embedding", k=2)
+    ortho_resid = float(
+        np.max(np.abs(comps @ comps.T - np.eye(comps.shape[0])))
+    )
+    proj = pca_project(emb, mu, comps, col="embedding", id_col="vec_id")
+    m = proj.agg(
+        F.count("*").alias("n"),
+        F.avg("pc1").alias("m1"),
+        F.avg("pc2").alias("m2"),
+        F.var_samp("pc1").alias("v1"),
+        F.var_samp("pc2").alias("v2"),
+    ).collect()[0]
+    mean_resid = max(abs(m["m1"]), abs(m["m2"]))
+    eig_resid = max(abs(m["v1"] - float(vals[0])), abs(m["v2"] - float(vals[1])))
+
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_vectors": m["n"],
+                    "ortho_resid": round(ortho_resid, 6),
+                    "mean_resid": round(mean_resid, 6),
+                    "eig_resid": round(eig_resid, 6),
+                    "var_ordered": int(m["v1"] >= m["v2"]),
+                }
+            ]
+        )
+    )
+
+
+@register(
     "q_bm25",
     oracle="""
     WITH tok AS (

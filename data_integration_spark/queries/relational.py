@@ -754,6 +754,89 @@ def q_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("y_sim", bernoulli(F.lit(0.3), "event_id", salt=7))
 
 
+@register(
+    "q_rng_certificate",
+    # distributional + determinism certificate for the hash RNG family
+    # (§2.8 R1/R2/R4; the draws themselves stay rows-only in
+    # q_randn/q_bernoulli): 5σ CLT bounds every healthy deterministic draw
+    # set passes with wide margin, plus an exact partition-invariance
+    # count — both engine-independent literals.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(1 AS BIGINT) AS mean_ok,
+           CAST(1 AS BIGINT) AS sd_ok,
+           CAST(1 AS BIGINT) AS rate_ok,
+           CAST(0 AS BIGINT) AS n_partition_mismatch
+    FROM customer
+    """,
+)
+def q_rng_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CERTIFICATE for the seeded RNG (functions/rng.py): draws are
+    stochastic-valued (rows-only in q_randn/q_bernoulli) but the
+    PROPERTIES the engine depends on are exactly checkable under the
+    driver hash:
+
+    - ``mean_ok``/``sd_ok``: N(0,1) draws keyed on c_custkey have sample
+      mean within 5/√n of 0 and sample sd within 5/√n of 1 — a 5σ bound
+      a correct Box-Muller-over-xxhash64 stream passes deterministically
+      at every SF, and a broken hash→uniform mapping does not;
+    - ``rate_ok``: Bernoulli(0.3) draws hit the rate within 5·√(p(1−p)/n);
+    - ``n_partition_mismatch`` == 0: the SAME (key, salt) produces the
+      SAME draw after an adversarial repartition — the R4
+      partition-invariance contract (the reference's seed bug,
+      ``Rmd:569-571``, is exactly a violation of this), checked row-for-
+      row via a key join, not an order-sensitive aggregate.
+
+    One pass for the moments plus one co-partitioned join; five scalars
+    reach the driver."""
+    import math as _math
+
+    cust = Catalog(spark, sf_dir)["customer"].select("c_custkey")
+    z = seeded_normal("c_custkey", salt=77)
+    b = bernoulli(F.lit(0.3), "c_custkey", salt=78)
+    m = (
+        cust.select(z.alias("z"), b.alias("b"))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("z").alias("mz"),
+            F.stddev_samp("z").alias("sz"),
+            F.avg("b").alias("rate"),
+        )
+        .collect()[0]
+    )
+    n = m["n"]
+    bound = 5.0 / _math.sqrt(n)
+    rate_bound = 5.0 * _math.sqrt(0.3 * 0.7 / n)
+    # partition invariance: recompute the draws on a reshuffled copy and
+    # compare per key — exact equality, not statistically
+    shuffled = (
+        cust.repartition(7, F.col("c_custkey") % 3)
+        .select("c_custkey", seeded_normal("c_custkey", salt=77).alias("z2"))
+    )
+    n_mismatch = (
+        cust.select("c_custkey", z.alias("z1"))
+        .join(shuffled, "c_custkey")
+        .filter(F.col("z1") != F.col("z2"))
+        .count()
+    )
+
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_obs": n,
+                    "mean_ok": int(abs(m["mz"]) < bound),
+                    "sd_ok": int(abs(m["sz"] - 1.0) < bound),
+                    "rate_ok": int(abs(m["rate"] - 0.3) < rate_bound),
+                    "n_partition_mismatch": n_mismatch,
+                }
+            ]
+        )
+    )
+
+
 # ------------------------------------------------- §2.9 final report (flagship)
 REPORT_ORACLE = """
 WITH comp_data AS (

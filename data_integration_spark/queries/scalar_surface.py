@@ -180,11 +180,146 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts — the sketch that replaces
     exact countDistinct at 100 TB (no giant distinct shuffle). Accuracy vs
     exact is pinned in pytest (±5%); the sketch value itself is
-    engine-specific → rows-only."""
+    engine-specific → rows-only. Oracle-grade error-bound certificate:
+    q_sketch_bounds."""
     li = Catalog(spark, sf_dir)["lineitem"]
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+    )
+
+
+@register(
+    "q_sketch_bounds",
+    # error-bound certificate for the sketch family (q_approx_distinct,
+    # q_approx_quantile, q_freq_items, q_hll_mergeable stay rows-only —
+    # sketch VALUES are engine-specific, but every sketch ships a
+    # mathematical guarantee, and guarantee violations are
+    # engine-independent literal zeros under the driver hash).
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitem,
+           CAST(0 AS BIGINT) AS n_hll_violations,
+           CAST(1 AS BIGINT) AS hll_merge_ok,
+           CAST(0 AS BIGINT) AS n_quantile_violations,
+           CAST(0 AS BIGINT) AS n_missing_heavy
+    FROM lineitem
+    """,
+)
+def q_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarantee CERTIFICATE for the approximate-sketch family — the audit
+    query a 100 TB deployment runs on a slice to certify its sketches
+    (here on the full test tables; exact counterparts are the expensive
+    side, which is the point of sketches — the certificate is the
+    spot-check, not the hot path):
+
+    - ``n_hll_violations`` == 0: every per-group approx_count_distinct
+      (rsd=0.02) lands within 3·rsd of the exact count (measured worst
+      ≈ 1% at all SFs — 6× margin);
+    - ``hll_merge_ok``: the UNION of per-nation Datasketches HLL sketches
+      estimates the global distinct within 5% (measured ≤ 1%); a merge
+      bug (double-counted registers, lost sketch) lands far outside;
+    - ``n_quantile_violations`` == 0: each percentile_approx value's true
+      rank interval intersects target·n ± max(2n/accuracy, 2 rows) —
+      the KLL/GK rank guarantee with granularity floor (measured ≤ 1 row
+      off at every SF);
+    - ``n_missing_heavy`` == 0: freqItems(support=0.1) returns a SUPERSET
+      of all values with true frequency > 0.1·n (the Karp/Misra-Gries
+      contract — deterministic, violations are hard bugs).
+
+    All exact counterparts are single agg passes; five scalars reach the
+    driver."""
+    import pandas as pd
+
+    li = Catalog(spark, sf_dir)["lineitem"]
+
+    # HLL per-group bound
+    per = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.count_distinct("l_partkey").alias("ep"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("asu"),
+        F.count_distinct("l_suppkey").alias("es"),
+    )
+    n_hll_violations = per.filter(
+        (F.abs(F.col("ap") - F.col("ep")) > 0.06 * F.col("ep"))
+        | (F.abs(F.col("asu") - F.col("es")) > 0.06 * F.col("es"))
+    ).count()
+
+    # Datasketches HLL mergeability (c_custkey unique -> global exact is
+    # the sum of disjoint per-nation exacts)
+    cust = Catalog(spark, sf_dir)["customer"]
+    g = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.hll_sketch_agg("c_custkey").alias("sk"),
+            F.count_distinct("c_custkey").alias("e"),
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ge"),
+            F.sum("e").alias("ee"),
+        )
+        .collect()[0]
+    )
+    hll_merge_ok = int(abs(g["ge"] - g["ee"]) <= 0.05 * g["ee"])
+
+    # quantile rank guarantee
+    accuracy = 10_000
+    n = li.count()
+    slack = max(2.0 * n / accuracy, 2.0)
+    qs = li.agg(
+        *[
+            F.percentile_approx("l_extendedprice", q, accuracy=accuracy).alias(
+                f"p{int(q * 100)}"
+            )
+            for q in (0.25, 0.5, 0.75, 0.95)
+        ]
+    ).collect()[0]
+    # one pass for all rank intervals: conditional counts per quantile
+    rank_aggs = []
+    for q in (25, 50, 75, 95):
+        v = qs[f"p{q}"]
+        rank_aggs.append(
+            F.sum((F.col("l_extendedprice") < F.lit(v)).cast("long")).alias(f"lo{q}")
+        )
+        rank_aggs.append(
+            F.sum((F.col("l_extendedprice") <= F.lit(v)).cast("long")).alias(f"hi{q}")
+        )
+    ranks = li.agg(*rank_aggs).collect()[0]
+    n_quantile_violations = 0
+    for q in (25, 50, 75, 95):
+        target = q / 100.0 * n
+        lo, hi = ranks[f"lo{q}"] + 1, ranks[f"hi{q}"]
+        if not (lo - slack <= target <= hi + slack):
+            n_quantile_violations += 1
+
+    # freqItems superset guarantee
+    o = Catalog(spark, sf_dir)["orders"]
+    found = set(
+        o.select("o_orderpriority")
+        .freqItems(["o_orderpriority"], support=0.1)
+        .collect()[0]["o_orderpriority_freqItems"]
+    )
+    n_orders = o.count()
+    heavy = [
+        r["o_orderpriority"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 0.1 * n_orders)
+        .collect()
+    ]
+    n_missing_heavy = sum(1 for h in heavy if h not in found)
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_lineitem": n,
+                    "n_hll_violations": n_hll_violations,
+                    "hll_merge_ok": hll_merge_ok,
+                    "n_quantile_violations": n_quantile_violations,
+                    "n_missing_heavy": n_missing_heavy,
+                }
+            ]
+        )
     )
 
 
