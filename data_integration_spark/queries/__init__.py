@@ -135,7 +135,14 @@ _SIGN_PRIORITY: list[str] = [
 # column expressions are untouched, only the driver fold and empty-path
 # changed — and the range_row_number family: q_curriculum_buckets,
 # q_vocab_build/encode, q_window_gather) share the reworked module but
-# their emitted plans are expression-identical; their r6 rows remain descriptive and the
+# their emitted plans are expression-identical.
+# q_ann_ivf/_persist/_append: the coarse quantizer moved to driver-side
+# Lloyd on the bounded sample (r7), so centroid VALUES changed — but
+# their rows are rows-only (shape-only: top-5 × 20 queries, unchanged),
+# the new in-window q_ann_ivf_invariants certificate oracle-checks the
+# shared assignment arithmetic under the new centroids, and pytest pins
+# recall + persist/append equality; burning three window slots that
+# would displace oracle-backed r1 rotation names buys no hash signal. their r6 rows remain descriptive and the
 # r1 rotation has priority for the remaining slots (VERDICT r6 #3).
 _RESIGN: frozenset[str] = frozenset(
     {

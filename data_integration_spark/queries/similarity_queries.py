@@ -223,9 +223,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_ann_ivf")  # rows-only: k-means centroids are engine-internal
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: MLlib k-means coarse quantizer + nprobe cell probing + exact
-    cosine within probed cells (similarity/ivf.py). Recall vs the exact
-    top-k baseline is asserted in pytest."""
+    """IVF ANN: sample-trained k-means coarse quantizer (driver-side
+    Lloyd on the bounded training sample, r7 — see ``ivf.py::_lloyd``) +
+    nprobe cell probing + exact cosine within probed cells
+    (similarity/ivf.py). Recall vs the exact top-k baseline is asserted
+    in pytest; inverted-list validity is oracle-certified by
+    q_ann_ivf_invariants."""
     from data_integration_spark.similarity.ivf import IVFIndex
 
     emb = Catalog(spark, sf_dir)["embeddings"].select(

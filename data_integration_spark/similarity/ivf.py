@@ -13,12 +13,49 @@ of |corpus| per query. Centroids are tiny and always broadcast.
 
 from __future__ import annotations
 
-from pyspark.ml.clustering import KMeans
-from pyspark.ml.functions import array_to_vector
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_integration_spark.similarity.ann import _dot, _norm
+
+
+def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 25,
+           tol: float = 1e-9) -> np.ndarray:
+    """k-means on an in-memory sample: k-means++ seeding + Lloyd, all
+    NumPy, deterministic under ``seed``. The coarse quantizer's training
+    set is BOUNDED (n_cells × train_per_cell vectors — a few MB at any
+    corpus size), so training belongs on the driver: FAISS trains IVF
+    exactly this way, and the alternative (distributed Lloyd) costs a
+    full cluster job per iteration to move a matrix that fits in L2
+    cache. The full corpus is still assigned distributed (``assign``)."""
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    k = min(k, n)
+    # k-means++ init
+    centroids = [X[rng.randint(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            ((X[:, None, :] - np.asarray(centroids)[None, :, :]) ** 2).sum(-1),
+            axis=1,
+        )
+        total = d2.sum()
+        if total <= 0:  # all points identical: duplicate the centroid
+            centroids.append(centroids[0])
+            continue
+        centroids.append(X[rng.choice(n, p=d2 / total)])
+    C = np.asarray(centroids, dtype=np.float64)
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(axis=1)
+        new_c = np.array(
+            [X[a == j].mean(axis=0) if (a == j).any() else C[j] for j in range(k)]
+        )
+        if np.max(np.abs(new_c - C)) < tol:
+            C = new_c
+            break
+        C = new_c
+    return C
 
 
 class IVFIndex:
@@ -45,34 +82,44 @@ class IVFIndex:
         train_per_cell`` vectors (FAISS trains IVF the same way) — k-means
         over the entire corpus would be a full multi-pass job per release
         at 100 TB, while centroid quality saturates at a few hundred
-        training points per cell. Lloyd iterations then touch only the
-        sample; the full corpus is scanned ONCE for the inverted-list
-        assignment (``assign``, broadcast centroids, narrow map). The
-        sample predicate is ``pmod(xxhash64(id), 1e6) < frac`` — a pure
-        function of the id, so refits are reproducible on any
-        partitioning. ``None`` trains on everything (tiny corpora /
-        exact-repro needs); corpora at or under the target train on
-        everything automatically."""
+        training points per cell. The sample predicate is
+        ``pmod(xxhash64(id), 1e6) < frac`` — a pure function of the id,
+        so refits are reproducible on any partitioning. ``None`` keeps
+        the whole (small) corpus as the training set.
+
+        The Lloyd iterations run DRIVER-SIDE on the collected sample
+        (``_lloyd``, r7): the training matrix is bounded by construction
+        (n_cells × train_per_cell × dim doubles — a few MB at ANY corpus
+        size), so iterating it distributed paid ~20 cluster jobs to move
+        data that fits in cache (the r6 bench's q_ann_ivf cost was
+        exactly this MLlib per-iteration overhead). The sample is
+        collected SORTED by id so centroids are partition-order
+        independent; the full corpus is still scanned ONCE, distributed,
+        for the inverted-list assignment (``assign``, broadcast
+        centroids, narrow map)."""
         spark = corpus.sparkSession
         train = corpus
-        if train_per_cell is not None:
-            target = self.n_cells * train_per_cell
-            n = corpus.count()
-            if n > target:
-                frac_ppm = int(target * 1_000_000 / n)
-                train = corpus.filter(
-                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
-                    < frac_ppm
-                )
-        with_vec = train.withColumn("_v", array_to_vector(F.col(vec_col)))
-        km = KMeans(
-            k=self.n_cells, seed=self.seed, featuresCol="_v", predictionCol="cell"
-        ).fit(with_vec)
+        target = self.n_cells * (train_per_cell or 4096)
+        n = corpus.count()
+        if train_per_cell is not None and n > target:
+            frac_ppm = int(target * 1_000_000 / n)
+            train = corpus.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+                < frac_ppm
+            )
+        # bounded by the sample predicate (or the corpus itself when the
+        # caller opted out of sampling on a small corpus) — never collect
+        # an unbounded training set
+        sample_pd = (
+            train.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
+            .orderBy("_id")
+            .limit(target * 4)
+            .toPandas()
+        )
+        X = np.stack(sample_pd["_e"].to_numpy()).astype(np.float64)
+        centers = _lloyd(X, self.n_cells, self.seed)
         self.centroids = spark.createDataFrame(
-            [
-                (i, [float(x) for x in c])
-                for i, c in enumerate(km.clusterCenters())
-            ],
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
             "cell int, ce array<double>",
         )
         # assign the corpus with OUR arithmetic, not km.transform: MLlib's
