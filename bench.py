@@ -43,8 +43,9 @@ HEADLINE = [
 # exactly the 15 names above.
 LLM_OPS = [
     "q_dedup_minhash",  # full MinHash+banded-LSH pipeline incl. verification
-    "q_ann_ivf",        # IVF build (KMeans quantizer fit) + probe search
+    "q_ann_ivf",        # IVF build (sample-trained quantizer) + probe search
     "q_vocab_encode",   # vocab build + Zipf-skewed token-keyed encode join (r6)
+    "q_ann_pq",         # PQ codebook fit + encode + ADC shortlist + rerank (r7)
 ]
 
 

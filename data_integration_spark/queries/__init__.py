@@ -67,6 +67,8 @@ _SIGN_PRIORITY: list[str] = [
     "q_sketch_bounds",
     "q_pca_invariants",
     "q_rng_certificate",
+    "q_ann_pq",
+    "q_ann_pq_invariants",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

@@ -350,6 +350,144 @@ def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
 
 
+@register("q_ann_pq")  # rows-only: PQ codes/centroids are sample-dependent
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity/pq.py) — the MEMORY-bound
+    scale path complementing IVF's compute pruning: the corpus is stored
+    as m=16 small codes per vector (32× smaller than the float64
+    embeddings), queries build an m×k_codes exact-distance LUT once, and
+    every corpus ADC distance is m table gathers. The registered shape
+    is the PRODUCTION pipeline: ADC shortlist (R=50, code scan only —
+    no float vector touched) + exact L2 rerank of the nq×R candidates
+    to top-5 (vec_id < 20 queries; ascending exact distance, (dist,
+    mid) tie-break). Measured shortlist recall 0.99 at R=50 on the test
+    corpus. Codes stream through mapInPandas; only nq·R·n_batches rows
+    reach the ranking shuffle. ADC identity + recall floors are pinned
+    in tests/test_pq.py; the algebra is oracle-certified by
+    q_ann_pq_invariants."""
+    from data_integration_spark.similarity.pq import PQIndex
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    index = PQIndex(m=16, k_codes=64, seed=13).fit(emb)
+    q_pd = (
+        emb.filter(F.col("vec_id") < 20)
+        .limit(_MAX_VECTORIZED_QUERIES + 1)
+        .toPandas()
+    )
+    if len(q_pd) > _MAX_VECTORIZED_QUERIES:  # not assert: survives python -O
+        raise ValueError(
+            f"query set exceeds {_MAX_VECTORIZED_QUERIES}; batch the queries"
+        )
+    return index.search_rerank(q_pd, emb, k=5, shortlist=50)
+
+
+@register(
+    "q_ann_pq_invariants",
+    # invariants certificate for the PQ family (same pattern as
+    # q_ann_ivf_invariants): codes/centroids are sample-dependent
+    # (rows-only above), but encode conservation, code range, the exact
+    # ADC identity, and persisted-codebook byte fidelity are
+    # engine-independent literals.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_distinct_ids,
+           CAST(0 AS BIGINT) AS n_code_range_violations,
+           CAST(0 AS BIGINT) AS n_adc_identity_violations,
+           CAST(0 AS BIGINT) AS n_load_mismatch
+    FROM embeddings
+    """,
+)
+def q_ann_pq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariants CERTIFICATE for product quantization
+    (similarity/pq.py):
+
+    - ``n_vectors`` / ``n_distinct_ids``: the codes table holds exactly
+      one row per corpus vector (encode conservation);
+    - ``n_code_range_violations`` == 0: every code addresses a valid
+      codebook entry;
+    - ``n_adc_identity_violations`` == 0: for every emitted search pair,
+      the ADC distance (LUT gathers summed) EQUALS
+      ‖query − decode(codes)‖² recomputed from first principles — the
+      defining identity of asymmetric distance computation; a
+      transposed LUT, stale codebook, or wrong subspace split breaks it;
+    - ``n_load_mismatch`` == 0: re-encoding the corpus from the
+      SAVE/LOAD round-tripped codebooks reproduces every code
+      (JSON round-trip of the codebook doubles is value-faithful).
+
+    Checks run distributed where data-sized (encode, joins, counts);
+    the ADC recheck touches only the bounded emitted pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from data_integration_spark.similarity.pq import PQIndex
+    from data_integration_spark.similarity.persist import (
+        load_pq_index,
+        save_pq_index,
+    )
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    index = PQIndex(m=16, k_codes=64, seed=13).fit(emb)
+    codes = index.codes.cache()
+
+    n_vectors = codes.count()
+    n_distinct = codes.select("mid").distinct().count()
+    n_range = codes.filter(
+        F.exists(
+            "codes", lambda c: (c < 0) | (c >= F.lit(index.k_codes))
+        )
+    ).count()
+
+    # ADC identity on the emitted search pairs (bounded: 20 queries × 5)
+    q_pd = emb.filter(F.col("vec_id") < 20).toPandas()
+    results = index.search(q_pd, k=5).toPandas()
+    mids = [int(x) for x in results["mid"].unique()]
+    codes_pd = codes.filter(F.col("mid").isin(mids)).toPandas()
+    code_of = {int(r["mid"]): np.asarray(r["codes"]) for _, r in codes_pd.iterrows()}
+    q_of = {int(r["vec_id"]): np.asarray(r["e"], dtype=np.float64)
+            for _, r in q_pd.iterrows()}
+    n_adc_bad = 0
+    for _, r in results.iterrows():
+        c = code_of[int(r["mid"])][None, :]
+        recon = index.decode_np(c)[0]
+        exact = float(((q_of[int(r["qid"])] - recon) ** 2).sum())
+        if abs(round(exact, 6) - r["adc_dist"]) > 1e-9:
+            n_adc_bad += 1
+
+    # persisted codebooks must reproduce every code
+    path = _index_path("pq", sf_dir)
+    save_pq_index(index, path)
+    re_codes = load_pq_index(spark, path).encode(emb)
+    n_load_mismatch = (
+        codes.select("mid", F.col("codes").alias("ca"))
+        .join(re_codes.select("mid", F.col("codes").alias("cb")), "mid", "full")
+        .filter(
+            F.col("ca").isNull()
+            | F.col("cb").isNull()
+            | (F.col("ca") != F.col("cb"))
+        )
+        .count()
+    )
+    codes.unpersist()
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_vectors": n_vectors,
+                    "n_distinct_ids": n_distinct,
+                    "n_code_range_violations": n_range,
+                    "n_adc_identity_violations": n_adc_bad,
+                    "n_load_mismatch": n_load_mismatch,
+                }
+            ]
+        )
+    )
+
+
 @register(
     "q_ann_ivf_invariants",
     # invariants-certificate oracle (VERDICT r6 #2, the

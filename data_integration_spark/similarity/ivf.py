@@ -20,6 +20,18 @@ from pyspark.sql import functions as F
 from data_integration_spark.similarity.ann import _dot, _norm
 
 
+def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) squared distances via the BLAS path (‖x‖²+‖c‖²−2x·c) —
+    one GEMM instead of an (n, k, d) broadcast allocation; negatives
+    from float cancellation clip to 0."""
+    d = (
+        (X * X).sum(axis=1)[:, None]
+        + (C * C).sum(axis=1)[None, :]
+        - 2.0 * (X @ C.T)
+    )
+    return np.maximum(d, 0.0)
+
+
 def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 25,
            tol: float = 1e-9) -> np.ndarray:
     """k-means on an in-memory sample: k-means++ seeding + Lloyd, all
@@ -28,26 +40,28 @@ def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 25,
     corpus size), so training belongs on the driver: FAISS trains IVF
     exactly this way, and the alternative (distributed Lloyd) costs a
     full cluster job per iteration to move a matrix that fits in L2
-    cache. The full corpus is still assigned distributed (``assign``)."""
+    cache. The full corpus is still assigned distributed (``assign``).
+    The ++ init keeps a RUNNING min-distance array (O(n·k·d) total, not
+    O(n·k²·d)); per-iteration distances ride one GEMM (``_sq_dists``)."""
     rng = np.random.RandomState(seed)
+    X = np.ascontiguousarray(X, dtype=np.float64)
     n = len(X)
     k = min(k, n)
-    # k-means++ init
-    centroids = [X[rng.randint(n)]]
+    # k-means++ init with incremental min-distance updates
+    first = X[rng.randint(n)]
+    centroids = [first]
+    best_d2 = _sq_dists(X, first[None, :])[:, 0]
     for _ in range(1, k):
-        d2 = np.min(
-            ((X[:, None, :] - np.asarray(centroids)[None, :, :]) ** 2).sum(-1),
-            axis=1,
-        )
-        total = d2.sum()
-        if total <= 0:  # all points identical: duplicate the centroid
+        total = best_d2.sum()
+        if total <= 0:  # all remaining points coincide with a centroid
             centroids.append(centroids[0])
             continue
-        centroids.append(X[rng.choice(n, p=d2 / total)])
+        c = X[rng.choice(n, p=best_d2 / total)]
+        centroids.append(c)
+        best_d2 = np.minimum(best_d2, _sq_dists(X, c[None, :])[:, 0])
     C = np.asarray(centroids, dtype=np.float64)
     for _ in range(n_iter):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        a = d.argmin(axis=1)
+        a = _sq_dists(X, C).argmin(axis=1)
         new_c = np.array(
             [X[a == j].mean(axis=0) if (a == j).any() else C[j] for j in range(k)]
         )

@@ -167,3 +167,46 @@ def load_lsh_spec(path: str) -> dict:
     if expect != got:
         raise ValueError(f"LSH spec shape mismatch: declared {expect}, got {got}")
     return spec
+
+
+def save_pq_index(index, path: str) -> None:
+    """Persist a fitted PQ index: explicit codebook coefficients (JSON —
+    m × k_codes × dsub doubles, KBs; coefficients, not the seed, for the
+    same reason as the LSH spec) + the encoded corpus (``codes/`` parquet
+    — the 8-bytes-per-vector table that IS the index at scale)."""
+    from data_integration_spark.similarity.pq import PQIndex  # noqa: F401
+
+    if index.codebooks is None or index.codes is None:
+        raise ValueError("fit the index before saving")
+    os.makedirs(path, exist_ok=True)
+    index.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    meta = {
+        "format": _FORMAT,
+        "m": int(index.m),
+        "k_codes": int(index.k_codes),
+        "seed": int(index.seed),
+        "codebooks": [
+            [[float(x) for x in row] for row in book]
+            for book in index.codebooks
+        ],
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_pq_index(spark: SparkSession, path: str):
+    """Reload a persisted PQ index; ``search``/``encode`` work without a
+    re-fit (re-fitting changes codebooks and breaks cross-job
+    reproducibility)."""
+    import numpy as np
+
+    from data_integration_spark.similarity.pq import PQIndex
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != _FORMAT:
+        raise ValueError(f"unsupported PQ index format: {meta.get('format')}")
+    index = PQIndex(m=meta["m"], k_codes=meta["k_codes"], seed=meta["seed"])
+    index.codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+    index.codes = spark.read.parquet(os.path.join(path, "codes"))
+    return index
