@@ -69,6 +69,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_rng_certificate",
     "q_ann_pq",
     "q_ann_pq_invariants",
+    "q_streaming_index_append",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",
@@ -144,8 +145,7 @@ _SIGN_PRIORITY: list[str] = [
 # the new in-window q_ann_ivf_invariants certificate oracle-checks the
 # shared assignment arithmetic under the new centroids, and pytest pins
 # recall + persist/append equality; burning three window slots that
-# would displace oracle-backed r1 rotation names buys no hash signal. their r6 rows remain descriptive and the
-# r1 rotation has priority for the remaining slots (VERDICT r6 #3).
+# would displace oracle-backed r1 rotation names buys no hash signal.
 _RESIGN: frozenset[str] = frozenset(
     {
         "q_ks_test",

@@ -510,3 +510,122 @@ if _HAS_PROTOBUF:
         )
         q.awaitTermination(300)
         return spark.sql("SELECT user_id, n, lo, hi FROM t2_tws")
+
+
+@register(
+    "q_streaming_index_append",
+    # stream/batch-equivalence certificate for incremental ANN-index
+    # maintenance: cell assignment is a PURE function of (vector, frozen
+    # centroids), so the streamed foreachBatch append must reproduce the
+    # batch append row-for-row — an engine-independent literal-zero
+    # mismatch count (centroid VALUES stay engine-internal, as in the
+    # IVF family).
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_new_vectors,
+           CAST(0 AS BIGINT) AS n_batch_mismatch,
+           CAST(0 AS BIGINT) AS n_out_of_range
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def q_streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding-index maintenance from a STREAM — the shape
+    a production vector pipeline runs nightly/hourly: the released IVF
+    index (fit once on the existing corpus, centroids frozen, persisted)
+    receives new embedding micro-batches via ``foreachBatch``; each batch
+    is assigned with the LOADED index's own arithmetic and appended to
+    the inverted-list table. ``maxFilesPerTrigger=1`` forces multiple
+    micro-batches so the append really exercises incremental state, and
+    the certificate checks:
+
+    - ``n_new_vectors``: every streamed vector landed exactly once
+      (conservation across micro-batches + restarts — the parquet sink
+      is idempotent per batch via the checkpoint);
+    - ``n_batch_mismatch`` == 0: the streamed assignments EQUAL the
+      direct batch ``assign`` of the same vectors — stream/batch
+      equivalence of the index update (the q_streaming_* family's
+      availableNow==batch discipline applied to index maintenance);
+    - ``n_out_of_range`` == 0: every assigned cell is a valid quantizer
+      cell.
+
+    At 100 TB: the old corpus is never re-scanned (the index loads from
+    the release artifact), each micro-batch is one narrow
+    broadcast-centroids map, and the sink appends partition-local files
+    — no shuffle anywhere in the maintenance loop."""
+    import pandas as pd
+
+    from data_integration_spark.similarity.ann import as_double_array
+    from data_integration_spark.similarity.ivf import IVFIndex
+    from data_integration_spark.similarity.persist import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    n_cells = 8
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    old = emb.filter(F.col("vec_id") >= 50)
+    new = emb.filter(F.col("vec_id") < 50)
+
+    index = IVFIndex(n_cells=n_cells, seed=11).fit(old)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx_path = f"{_SCRATCH}/ivf_stream_idx_{tag}_{os.getpid()}"
+    save_ivf_index(index, idx_path)
+
+    # replay the new batch as a 2-file stream (maxFilesPerTrigger=1 →
+    # at least 2 micro-batches)
+    src = f"{_SCRATCH}/ivf_stream_src_{tag}_{os.getpid()}"
+    out = f"{_SCRATCH}/ivf_stream_out_{tag}_{os.getpid()}"
+    ck = f"{_SCRATCH}/ivf_stream_ck_{tag}_{os.getpid()}"
+    for d in (src, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    half = new.filter(F.col("vec_id") % 2 == 0)
+    rest = new.filter(F.col("vec_id") % 2 == 1)
+    half.coalesce(1).write.mode("overwrite").parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        loaded = load_ivf_index(batch_df.sparkSession, idx_path)
+        loaded.assign(batch_df, id_col="vec_id", vec_col="e").select(
+            "mid", "cell"
+        ).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out)
+    direct = index.assign(new).select("mid", F.col("cell").alias("cell_b"))
+    n_new = streamed.count()
+    n_mismatch = (
+        streamed.select("mid", F.col("cell").alias("cell_a"))
+        .join(direct, "mid", "full")
+        .filter(
+            F.col("cell_a").isNull()
+            | F.col("cell_b").isNull()
+            | (F.col("cell_a") != F.col("cell_b"))
+        )
+        .count()
+    )
+    n_oor = streamed.filter(
+        (F.col("cell") < 0) | (F.col("cell") >= n_cells)
+    ).count()
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_new_vectors": n_new,
+                    "n_batch_mismatch": n_mismatch,
+                    "n_out_of_range": n_oor,
+                }
+            ]
+        )
+    )

@@ -343,6 +343,7 @@ _PLAN_LINT_EXCLUDED = {
     "q_streaming_upsert",
     "q_transform_with_state",
     "q_streaming_minhash_dedup",
+    "q_streaming_index_append",
 }
 
 
