@@ -70,6 +70,8 @@ _SIGN_PRIORITY: list[str] = [
     "q_ann_pq",
     "q_ann_pq_invariants",
     "q_streaming_index_append",
+    "q_bigram_lm_score",
+    "q_quality_classifier",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

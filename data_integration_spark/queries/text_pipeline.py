@@ -764,3 +764,214 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+@register(
+    "q_bigram_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.i,
+             ts[u.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) d,
+           UNNEST(GENERATE_SERIES(1, LEN(ts))) AS u(i)
+      WHERE ts[u.i] <> ''
+    ),
+    train AS (SELECT * FROM tok WHERE doc_id % 4 <> 0),
+    c1 AS (SELECT w, COUNT(*) AS c FROM train GROUP BY w),
+    vsize AS (SELECT COUNT(*) AS v FROM c1),
+    bi_train AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c
+      FROM train a JOIN train b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY a.w, b.w
+    ),
+    score_bi AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      WHERE a.doc_id % 4 = 0 AND a.doc_id < 40
+    ),
+    scored AS (
+      SELECT s.doc_id,
+             LN((COALESCE(bt.c, 0) + 1.0)
+                / (COALESCE(c1.c, 0) + (SELECT v FROM vsize))) AS logp
+      FROM score_bi s
+      LEFT JOIN bi_train bt ON bt.w1 = s.w1 AND bt.w2 = s.w2
+      LEFT JOIN c1 ON c1.w = s.w1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(logp), 6) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy filtering — the KenLM-style curation gate, fully
+    in-engine and fully ORACLE-CHECKED (the model is counts, so unlike a
+    neural LM every probability is exactly recomputable): train an
+    add-one-smoothed bigram LM on 75% of the corpus (doc_id % 4 ≠ 0),
+    score held-out docs (doc_id % 4 = 0, < 40) by mean log
+    P(wᵢ | wᵢ₋₁) = (C(w₁,w₂)+1)/(C(w₁)+V). Low scores flag
+    gibberish/boilerplate exactly as perplexity filters do in production
+    data pipelines.
+
+    Scale shape: bigrams are built IN-ROW (transform over the token
+    array + explode — no positional self-join on the Spark side); the
+    model tables are token-keyed aggregates with map-side partials; the
+    scoring joins have UNIQUE right keys (bigram, unigram) so Zipf skew
+    is partition-size skew only (AQE-splittable, the q_vocab_encode
+    argument); V rides as one driver scalar literal. ln is engine-libm
+    on both sides — transcendental outputs round at 6dp per the
+    repo-wide convention."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    # (doc_id, w1, w2) bigram pairs, built in-row then exploded
+    pairs_expr = (
+        "CASE WHEN size(ts) >= 2 THEN "
+        "transform(sequence(1, size(ts) - 1),"
+        " i -> struct(ts[i - 1] AS w1, ts[i] AS w2)) "
+        "ELSE array() END"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(text, ' '), t -> t <> '')"
+        ).alias("ts"),
+    )
+    bigrams = toks.select(
+        "doc_id", F.explode(F.expr(pairs_expr)).alias("b")
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+    train_uni = (
+        toks.filter(F.col("doc_id") % 4 != 0)
+        .select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    v_size = train_uni.count()  # vocab size: one driver scalar
+    train_bi = (
+        bigrams.filter(F.col("doc_id") % 4 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    score = bigrams.filter(
+        (F.col("doc_id") % 4 == 0) & (F.col("doc_id") < 40)
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(v_size)))
+    )
+    return (
+        score.join(train_bi, ["w1", "w2"], "left")
+        .join(train_uni, score["w1"] == train_uni["w"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logp"),
+        )
+    )
+
+
+@register(
+    "q_quality_classifier",
+    # convergence certificate for an IN-ENGINE trained quality classifier
+    # (the q_glm_convergence pattern applied to the LLM-curation use
+    # case): β̂ stays optimizer floats, the score equations it must
+    # satisfy are a distributed aggregation that rounds to literal 0.0.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(9 AS BIGINT) AS n_params,
+           CAST(0.0 AS DOUBLE) AS score_inf_norm
+    FROM documents
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a fastText-style document-quality classifier IN-ENGINE and
+    certify the fit: hashed bag-of-words features (8 hash buckets of
+    token fractions — the hashing trick, vocabulary-free), deterministic
+    noisy labels from a known model (hash-Bernoulli — the engine's R2
+    primitive), logistic regression by damped Newton where every
+    (f, grad, Hessian) evaluation is ONE Spark aggregation over the
+    feature table (the stats layer's §2.13 shape re-used for a curation
+    op). The emitted certificate is the MLE first-order condition:
+    round(‖X'(y − p̂)‖∞ / n, 2) == 0.0 plus full-corpus consumption —
+    a training-path regression breaks the driver hash.
+
+    Scale shape: features are built IN-ROW (8 HOF filters over the token
+    array — no explode, no shuffle); each Newton iteration is one
+    map-side-combinable agg (1+9+45 sums); nothing data-sized reaches
+    the driver."""
+    import numpy as np
+
+    from data_integration_spark.functions.math import expit
+    from data_integration_spark.functions.rng import bernoulli
+    from data_integration_spark.stats.optimize import newton_minimize
+
+    D = 8
+    docs = Catalog(spark, sf_dir)["documents"]
+    ts = F.expr("filter(split(text, ' '), t -> t <> '')")
+    n_tok = F.greatest(F.size(ts), F.lit(1)).cast("double")
+    feats = docs.select(
+        "doc_id",
+        *[
+            (
+                F.size(
+                    F.filter(ts, lambda t: F.pmod(F.xxhash64(t), F.lit(D)) == d)
+                )
+                / n_tok
+            ).alias(f"x{d}")
+            for d in range(D)
+        ],
+    )
+    # deterministic noisy labels from a known sparse model (R2 primitive)
+    xb_true = -0.4 + 3.0 * F.col("x0") - 3.0 * F.col("x1") + 1.5 * F.col("x2")
+    labeled = feats.withColumn(
+        "y", bernoulli(expit(xb_true), "doc_id", salt=21).cast("double")
+    ).cache()
+    n_docs = labeled.count()
+
+    xs = [F.lit(1.0)] + [F.col(f"x{d}") for d in range(D)]
+    P = len(xs)
+
+    def fgh(b: np.ndarray):
+        xb = F.lit(float(b[0]))
+        for j in range(1, P):
+            xb = xb + xs[j] * F.lit(float(b[j]))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-xb))
+        sp_pos = F.when(xb > 30, xb).otherwise(
+            F.log1p(F.exp(F.least(xb, F.lit(30.0))))
+        )
+        sp_neg = F.when(-xb > 30, -xb).otherwise(
+            F.log1p(F.exp(F.least(-xb, F.lit(30.0))))
+        )
+        nll = F.col("y") * sp_neg + (1 - F.col("y")) * sp_pos
+        resid = p - F.col("y")
+        curv = p * (F.lit(1.0) - p)
+        aggs = [F.sum(nll).alias("f")]
+        for j in range(P):
+            aggs.append(F.sum(resid * xs[j]).alias(f"g{j}"))
+        for j in range(P):
+            for l in range(j, P):
+                aggs.append(F.sum(curv * xs[j] * xs[l]).alias(f"h{j}_{l}"))
+        row = labeled.agg(*aggs).collect()[0]
+        g = np.array([row[f"g{j}"] for j in range(P)])
+        H = np.zeros((P, P))
+        for j in range(P):
+            for l in range(j, P):
+                H[j, l] = H[l, j] = row[f"h{j}_{l}"]
+        return float(row["f"]), g, H
+
+    beta = newton_minimize(fgh, np.zeros(P))
+    _, g_final, _ = fgh(beta)
+    score_inf_norm = float(np.max(np.abs(g_final))) / n_docs
+    labeled.unpersist()
+
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_docs": n_docs,
+                    "n_params": P,
+                    "score_inf_norm": round(score_inf_norm, 2),
+                }
+            ]
+        )
+    )
