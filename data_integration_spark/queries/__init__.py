@@ -72,6 +72,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_streaming_index_append",
     "q_bigram_lm_score",
     "q_quality_classifier",
+    "q_zorder_key",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

@@ -2052,3 +2052,82 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "q_zorder_key",
+    oracle="""
+    WITH q AS (
+      SELECT p_partkey,
+             CAST(p_size AS BIGINT) & 1023 AS qx,
+             p_partkey % 1024 AS qy
+      FROM part
+    ),
+    sx AS (
+      SELECT p_partkey, qy,
+             ((qx | (qx << 8)) & 16711935) AS x1
+      FROM q
+    ),
+    sx2 AS (
+      SELECT p_partkey, qy,
+             ((x1 | (x1 << 4)) & 252645135) AS x2
+      FROM sx
+    ),
+    sx3 AS (
+      SELECT p_partkey, qy,
+             ((x2 | (x2 << 2)) & 858993459) AS x3
+      FROM sx2
+    ),
+    sx4 AS (
+      SELECT p_partkey, qy,
+             ((x3 | (x3 << 1)) & 1431655765) AS ex
+      FROM sx3
+    ),
+    sy AS (
+      SELECT p_partkey, ex,
+             ((qy | (qy << 8)) & 16711935) AS y1
+      FROM sx4
+    ),
+    sy2 AS (
+      SELECT p_partkey, ex, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM sy
+    ),
+    sy3 AS (
+      SELECT p_partkey, ex, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM sy2
+    ),
+    sy4 AS (
+      SELECT p_partkey, ex, ((y3 | (y3 << 1)) & 1431655765) AS ey FROM sy3
+    )
+    SELECT p_partkey, CAST(ex | (ey << 1) AS BIGINT) AS zkey
+    FROM sy4
+    """,
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two dimensions — the
+    multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE
+    ZORDER, Hudi clustering): interleaving the bits of (p_size,
+    p_partkey mod 1024) gives a 1-D sort key under which a 2-D box
+    predicate touches O(perimeter) file ranges instead of O(rows) —
+    range-partition + sort by zkey at write time and BOTH columns' file
+    min/max stats become selective. The bit-spread uses the classic
+    magic-number doubling (16→32 bit), exact integer arithmetic on both
+    engines → FULL value oracle. Locality (box queries touch few zkey
+    ranges) is pinned in tests/test_operators.py; this query certifies
+    the key arithmetic itself.
+
+    Scale shape: pure narrow map over the scan (whole-stage codegen, no
+    shuffle here — the write-time repartitionByRange(zkey) is the
+    layout step, exercised in the pytest)."""
+    part = Catalog(spark, sf_dir)["part"]
+
+    def spread(col):  # 16-bit value -> even bit positions of 32 bits
+        v = col
+        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(16711935))
+        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(252645135))
+        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(858993459))
+        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(1431655765))
+        return v
+
+    qx = F.col("p_size").cast("bigint").bitwiseAND(F.lit(1023))
+    qy = F.col("p_partkey") % 1024
+    zkey = spread(qx).bitwiseOR(F.shiftleft(spread(qy), 1))
+    return part.select("p_partkey", zkey.cast("bigint").alias("zkey"))

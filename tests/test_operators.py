@@ -416,3 +416,55 @@ def test_prefix_family_releases_prior_caches(spark):
     assert not first_cache.storageLevel.useMemory  # actually unpersisted
     prefix.release_prefix_caches()
     assert prefix._LIVE_CACHES == []
+
+
+def test_zorder_layout_gives_multidim_locality(spark):
+    """The point of the Morton key (q_zorder_key): range-partitioning by
+    zkey clusters BOTH dimensions, so a 2-D box predicate touches few
+    partitions, while single-column layout spreads the box's rows over
+    ~all partitions for the other dimension. Checked on a synthetic
+    uniform grid via distinct spark_partition_id counts."""
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.queries.pipeline_extra import q_zorder_key  # noqa: F401
+
+    n_parts = 16
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+
+    def spread(v):
+        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(16711935))
+        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(252645135))
+        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(858993459))
+        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(1431655765))
+        return v
+
+    keyed = grid.withColumn(
+        "zkey", spread(F.col("x")).bitwiseOR(F.shiftleft(spread(F.col("y")), 1))
+    )
+    box = (F.col("x").between(8, 15)) & (F.col("y").between(8, 15))
+
+    # pid is tagged BEFORE the filter: spark_partition_id is a barrier, so
+    # Catalyst cannot push the predicate below the range exchange (which
+    # would re-range only the filtered rows and void the measurement)
+    def touched(pred, order_col):
+        return (
+            keyed.repartitionByRange(n_parts, F.col(order_col))
+            .withColumn("pid", F.spark_partition_id())
+            .filter(pred)
+            .select("pid")
+            .distinct()
+            .count()
+        )
+
+    z_touched = touched(box, "zkey")
+    # an aligned 8x8 box inside a 64x64 Morton grid is ONE zkey run;
+    # under a 1-D layout the box is fine for the layout column but a
+    # predicate on the OTHER dimension scatters over every partition:
+    # locality must hold for BOTH dimensions at once under zkey
+    y_box_under_x_layout = touched(F.col("y").between(8, 15), "x")
+    z_y_only = touched(F.col("y").between(8, 15), "zkey")
+    assert z_touched <= 2, z_touched          # box = one aligned Morton quad
+    assert y_box_under_x_layout >= n_parts - 1  # 1-D layout: other dim scatters
+    assert z_y_only < n_parts - 1  # zkey layout keeps SOME locality per dim
