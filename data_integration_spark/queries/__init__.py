@@ -73,6 +73,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_bigram_lm_score",
     "q_quality_classifier",
     "q_zorder_key",
+    "q_funnel_analysis",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

@@ -350,3 +350,77 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("nation"))
     )
+
+
+@register(
+    "q_funnel_analysis",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, MIN(ts) AS ta FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    b AS (
+      SELECT a.user_id, MIN(e.ts) AS tb
+      FROM a JOIN events e
+        ON e.user_id = a.user_id AND e.event_type = 'click' AND e.ts > a.ta
+      GROUP BY a.user_id
+    ),
+    c AS (
+      SELECT b.user_id, MIN(e.ts) AS tc
+      FROM b JOIN events e
+        ON e.user_id = b.user_id AND e.event_type = 'purchase'
+           AND e.ts > b.tb
+      GROUP BY b.user_id
+    )
+    SELECT a.user_id,
+           CAST(CASE WHEN c.user_id IS NOT NULL THEN 3
+                     WHEN b.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS reached_stage
+    FROM a
+    LEFT JOIN b ON b.user_id = a.user_id
+    LEFT JOIN c ON c.user_id = a.user_id
+    """,
+)
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel (view → click → purchase, strictly
+    increasing event time): per user, the furthest stage reached — the
+    product-analytics staple. Each stage is one conditional MIN
+    aggregation joined forward (stage N's clock starts at stage N−1's
+    first qualifying event), so the whole funnel is three hash
+    aggregations + keyed joins — no window over the raw event stream,
+    no per-user event collection; AQE broadcasts the shrinking stage
+    frames as they fall under the threshold. Stage frames shrink
+    monotonically, so at 100 TB the expensive join is always
+    events×(previous stage), never events×events."""
+    ev = Catalog(spark, sf_dir)["events"]
+    a = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ta"))
+    )
+    b = (
+        a.join(ev.withColumnRenamed("user_id", "u2"),
+               (F.col("u2") == F.col("user_id"))
+               & (F.col("event_type") == "click")
+               & (F.col("ts") > F.col("ta")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tb"))
+    )
+    c = (
+        b.join(ev.withColumnRenamed("user_id", "u3"),
+               (F.col("u3") == F.col("user_id"))
+               & (F.col("event_type") == "purchase")
+               & (F.col("ts") > F.col("tb")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    reached = (
+        F.when(F.col("tc").isNotNull(), 3)
+        .when(F.col("tb").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        a.join(b, "user_id", "left")
+        .join(c, "user_id", "left")
+        .select("user_id", reached.cast("long").alias("reached_stage"))
+    )
