@@ -99,3 +99,37 @@ def test_connected_components_matches_union_find(spark_holder, edges):
         comp_min[root] = min(comp_min.get(root, n), n)
     want_labels = {n: comp_min[find(n)] for n in parent}
     assert got == want_labels
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        min_size=0,
+        max_size=60,
+    ),
+    n_parts=st.integers(min_value=1, max_value=7),
+)
+def test_range_prefix_sum_null_semantics_property(spark, vals, n_parts):
+    """Property form of the ADVICE r6 NULL-fold fix: for ANY mix of NULLs
+    (including all-NULL partitions, NULL prefixes, empty input) the
+    range-partitioned prefix sum equals the sequential SQL definition —
+    NULL until the first non-NULL value, NULL-skipping after."""
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.operators.prefix import range_prefix_sum
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    got = {
+        r["k"]: r["ps"]
+        for r in range_prefix_sum(
+            df, "k", "v", out_col="ps", num_partitions=n_parts
+        ).collect()
+    }
+    running, want = None, {}
+    for k, v in rows:
+        if v is not None:
+            running = v if running is None else running + v
+        want[k] = running
+    assert got == want

@@ -53,6 +53,11 @@ DIMS = ("region", "nation")
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
+    # --shared-tokens: copies keep the ORIGINAL token space (true Zipf hot
+    # keys at scale — the skew-REALISTIC corpus for join experiments).
+    # Near-dup queries are NOT meaningful on it: every copy is an exact
+    # near-dup of copy 0.
+    shared_tokens = "--shared-tokens" in sys.argv
     os.makedirs(out, exist_ok=True)
     spark = get_spark(app_name="gen_sf1")
     cat = Catalog(spark, SRC)
@@ -66,14 +71,20 @@ def main() -> None:
             df = base
             for col, stride in shifts.items():
                 df = df.withColumn(col, (F.col(col) + F.lit(i * stride)).cast("long"))
-            if name == "documents" and i > 0:
+            if name == "documents" and i > 0 and not shared_tokens:
+                # factory closure, NEVER a default-arg lambda: F.transform
+                # treats a two-parameter lambda as (element, INDEX) and the
+                # default silently never applies (the r6 minhash k-collapse
+                # bug class — this site previously emitted accidental
+                # "Column<...>"-repr suffixes that were only per-copy-unique
+                # by luck of fresh lambda variable names)
+                def _suffixer(tag):
+                    return lambda x: F.concat(x, F.lit(tag))
+
                 df = df.withColumn(
                     "text",
                     F.array_join(
-                        F.transform(
-                            F.split("text", " "),
-                            lambda x, i=i: F.concat(x, F.lit(f"_c{i}")),
-                        ),
+                        F.transform(F.split("text", " "), _suffixer(f"_c{i}")),
                         " ",
                     ),
                 ).withColumn("n_chars", F.length("text").cast("long"))
