@@ -74,6 +74,8 @@ _SIGN_PRIORITY: list[str] = [
     "q_quality_classifier",
     "q_zorder_key",
     "q_funnel_analysis",
+    "q_funnel_conversion_window",
+    "q_streaming_pq_encode",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

@@ -424,3 +424,89 @@ def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, "user_id", "left")
         .select("user_id", reached.cast("long").alias("reached_stage"))
     )
+
+
+@register(
+    "q_funnel_conversion_window",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, MIN(ts) AS ta FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    b AS (
+      SELECT a.user_id, MIN(e.ts) AS tb
+      FROM a JOIN events e
+        ON e.user_id = a.user_id AND e.event_type = 'click'
+           AND e.ts > a.ta AND e.ts <= a.ta + INTERVAL 48 HOUR
+      GROUP BY a.user_id
+    ),
+    c AS (
+      SELECT b.user_id, MIN(e.ts) AS tc
+      FROM b JOIN events e
+        ON e.user_id = b.user_id AND e.event_type = 'purchase'
+           AND e.ts > b.tb AND e.ts <= b.tb + INTERVAL 48 HOUR
+      GROUP BY b.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS stage,
+           CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_users,
+           ROUND(1.0, 6) AS conversion
+    UNION ALL
+    SELECT 2, (SELECT COUNT(*) FROM b),
+           ROUND(CAST((SELECT COUNT(*) FROM b) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM a), 6)
+    UNION ALL
+    SELECT 3, (SELECT COUNT(*) FROM c),
+           ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM a), 6)
+    """,
+)
+def q_funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with CONVERSION WINDOWS — each step must happen within 48
+    hours of the previous step's first qualifying event (the form
+    product analytics actually ships: unbounded funnels overcount).
+    Emits the classic step table (stage, n_users, conversion vs stage
+    1). Same shrinking-stage-frame shape as q_funnel_analysis — three
+    conditional MIN aggregations joined forward with a time-band
+    predicate; the step counts are three scalars assembled into the
+    3-row report."""
+    ev = Catalog(spark, sf_dir)["events"]
+    a = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ta"))
+    )
+    b = (
+        a.join(
+            ev.withColumnRenamed("user_id", "u2"),
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("ta"))
+            & (F.col("ts") <= F.col("ta") + F.expr("INTERVAL 48 HOURS")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tb"))
+    )
+    c = (
+        b.join(
+            ev.withColumnRenamed("user_id", "u3"),
+            (F.col("u3") == F.col("user_id"))
+            & (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("tb"))
+            & (F.col("ts") <= F.col("tb") + F.expr("INTERVAL 48 HOURS")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    na, nb, nc = a.count(), b.count(), c.count()
+
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"stage": 1, "n_users": na, "conversion": 1.0},
+                {"stage": 2, "n_users": nb, "conversion": round(nb / na, 6)},
+                {"stage": 3, "n_users": nc, "conversion": round(nc / na, 6)},
+            ]
+        )
+    )

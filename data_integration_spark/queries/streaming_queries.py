@@ -629,3 +629,104 @@ def q_streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+@register(
+    "q_streaming_pq_encode",
+    # stream/batch-equivalence certificate for incremental PQ encoding
+    # (the q_streaming_index_append pattern on the codes table): encoding
+    # is a pure function of (vector, frozen codebooks), so the streamed
+    # foreachBatch appends must reproduce the batch encode row-for-row.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_new_vectors,
+           CAST(0 AS BIGINT) AS n_batch_mismatch,
+           CAST(0 AS BIGINT) AS n_code_range_violations
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def q_streaming_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ-code maintenance from a STREAM — the compressed
+    sibling of q_streaming_index_append: the released PQ codebooks
+    (fit once on the existing corpus, persisted) encode new embedding
+    micro-batches via ``foreachBatch`` into the append-only codes table
+    (the 16-bytes-per-vector representation that IS the searchable index
+    at 100 TB). ``maxFilesPerTrigger=1`` forces multiple real
+    micro-batches. Certificate: conservation across batches, streamed
+    codes == direct batch encode row-for-row (pure function of vector ×
+    frozen codebooks), every code in range."""
+    import pandas as pd
+
+    from data_integration_spark.similarity.ann import as_double_array
+    from data_integration_spark.similarity.pq import PQIndex
+    from data_integration_spark.similarity.persist import (
+        load_pq_index,
+        save_pq_index,
+    )
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    old = emb.filter(F.col("vec_id") >= 50)
+    new = emb.filter(F.col("vec_id") < 50)
+    index = PQIndex(m=16, k_codes=64, seed=13).fit(old)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx_path = f"{_SCRATCH}/pq_stream_idx_{tag}_{os.getpid()}"
+    save_pq_index(index, idx_path)
+
+    src = f"{_SCRATCH}/pq_stream_src_{tag}_{os.getpid()}"
+    out = f"{_SCRATCH}/pq_stream_out_{tag}_{os.getpid()}"
+    ck = f"{_SCRATCH}/pq_stream_ck_{tag}_{os.getpid()}"
+    for d in (src, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    new.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    new.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        loaded = load_pq_index(batch_df.sparkSession, idx_path)
+        loaded.encode(batch_df, id_col="vec_id", vec_col="e").write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out)
+    direct = index.encode(new).select("mid", F.col("codes").alias("cb"))
+    n_new = streamed.count()
+    n_mismatch = (
+        streamed.select("mid", F.col("codes").alias("ca"))
+        .join(direct, "mid", "full")
+        .filter(
+            F.col("ca").isNull()
+            | F.col("cb").isNull()
+            | (F.col("ca") != F.col("cb"))
+        )
+        .count()
+    )
+    n_range = streamed.filter(
+        F.exists("codes", lambda c: (c < 0) | (c >= F.lit(index.k_codes)))
+    ).count()
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_new_vectors": n_new,
+                    "n_batch_mismatch": n_mismatch,
+                    "n_code_range_violations": n_range,
+                }
+            ]
+        )
+    )

@@ -344,6 +344,7 @@ _PLAN_LINT_EXCLUDED = {
     "q_transform_with_state",
     "q_streaming_minhash_dedup",
     "q_streaming_index_append",
+    "q_streaming_pq_encode",
 }
 
 
