@@ -439,3 +439,29 @@ def test_tpch_q21_reuses_orderkey_partitioning(spark):
     (fact agg, re-agg join, supplier-name agg, top-k)."""
     df = QUERIES["q_tpch_q21"](spark, SF)
     assert count_shuffles(df) <= 4
+
+
+def test_zorder_key_is_shuffle_free(spark):
+    """The Morton key is a pure narrow map over the scan — any exchange
+    here would be a regression (the write-time repartitionByRange is the
+    caller's layout step, not the key computation's)."""
+    df = QUERIES["q_zorder_key"](spark, SF)
+    assert count_shuffles(df) == 0, formatted_plan(df)
+
+
+def test_bigram_lm_shuffle_budget(spark):
+    """The perplexity gate is two model aggregations + two unique-key
+    joins: ≤4 exchanges (3 with AQE broadcast of the token tables at
+    test scale). A 5th exchange means a lost map-side partial or a lost
+    partitioning reuse."""
+    df = QUERIES["q_bigram_lm_score"](spark, SF)
+    assert count_shuffles(df) <= 4, formatted_plan(df)
+
+
+def test_funnel_shuffle_budget(spark):
+    """Three conditional-MIN stage aggregations + forward joins on
+    user_id: ≤5 exchanges. The stage frames shrink monotonically, so no
+    exchange carries more than the previous stage's users."""
+    for name in ("q_funnel_analysis",):
+        df = QUERIES[name](spark, SF)
+        assert count_shuffles(df) <= 5, (name, formatted_plan(df))
