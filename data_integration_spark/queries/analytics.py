@@ -510,3 +510,89 @@ def q_funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+@register(
+    "q_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts,
+             'ch' || CAST(CAST(props->>'k' AS BIGINT) % 5 AS VARCHAR)
+               AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT p.event_id, p.value, c.channel,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts, c.channel) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.channel) AS rn_last
+      FROM purch p JOIN clicks c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT model, channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value), 2) AS revenue
+    FROM (
+      SELECT 'first_touch' AS model, channel, value FROM cand WHERE rn_first = 1
+      UNION ALL
+      SELECT 'last_touch', channel, value FROM cand WHERE rn_last = 1
+    ) GROUP BY model, channel
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase's value credited to the
+    user's FIRST-touch and LAST-touch click channel (channel derived
+    from the click's properties), aggregated to the
+    (model, channel) revenue report — the event-analytics complement of
+    the funnel queries. One user-keyed purchases×clicks join (fan-out
+    bounded by clicks-per-user), a per-purchase rank window (partitioned
+    by purchase id — never global), and one final aggregation. Revenue
+    sums round on the data's 2dp grid."""
+    ev = Catalog(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("c_ts"),
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("bigint") % 5).cast(
+                "string"
+            ),
+        ).alias("channel"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cand = purch.join(
+        clicks,
+        (F.col("c_uid") == F.col("user_id")) & (F.col("c_ts") <= F.col("ts")),
+    )
+    w_first = Window.partitionBy("event_id").orderBy("c_ts", "channel")
+    w_last = Window.partitionBy("event_id").orderBy(
+        F.col("c_ts").desc(), "channel"
+    )
+    ranked = cand.select(
+        "event_id",
+        "value",
+        "channel",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    first = ranked.filter(F.col("rn_first") == 1).select(
+        F.lit("first_touch").alias("model"), "channel", "value"
+    )
+    last = ranked.filter(F.col("rn_last") == 1).select(
+        F.lit("last_touch").alias("model"), "channel", "value"
+    )
+    return (
+        first.unionByName(last)
+        .groupBy("model", "channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )

@@ -845,6 +845,13 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c1"))
     )
     v_size = train_uni.count()  # vocab size: one driver scalar
+    if v_size == 0:
+        # an empty model would make every smoothed probability 1/0 —
+        # fail loudly instead of emitting ±Infinity log-probs
+        raise ValueError(
+            "bigram LM train slice contains no tokens; widen the train "
+            "split or check the tokenization"
+        )
     train_bi = (
         bigrams.filter(F.col("doc_id") % 4 != 0)
         .groupBy("w1", "w2")

@@ -62,3 +62,22 @@ def test_asof_empty_right(spark):
     right = spark.createDataFrame([], "user_id long, ts double, value double")
     out = asof_join(left, right, key="user_id", ts="ts").collect()
     assert len(out) == 1 and out[0].value_asof is None
+
+
+def test_bigram_lm_empty_train_slice_raises(spark, tmp_path):
+    """A train slice with NO tokens must fail loudly (every smoothed
+    probability would be 1/0 → ±Inf log-probs), not emit garbage
+    scores."""
+    import pytest
+
+    from data_integration_spark.queries.text_pipeline import q_bigram_lm_score
+
+    # every doc_id % 4 != 0 (train) doc is EMPTY: zero train tokens
+    docs = spark.createDataFrame(
+        [(i, "tok a b" if i % 4 == 0 else "") for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    sf = str(tmp_path / "sf")
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    with pytest.raises(ValueError, match="no tokens"):
+        q_bigram_lm_score(spark, sf).collect()
