@@ -77,6 +77,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_funnel_conversion_window",
     "q_streaming_pq_encode",
     "q_attribution",
+    "q_ab_conversion_ztest",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

@@ -596,3 +596,121 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_ab_conversion_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value > 150
+    ),
+    per AS (
+      SELECT a.variant,
+             COUNT(*) AS n_users,
+             SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_converted
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+      GROUP BY a.variant
+    ),
+    wide AS (
+      SELECT
+        (SELECT n_users FROM per WHERE variant = 'A') AS na,
+        (SELECT n_converted FROM per WHERE variant = 'A') AS ca,
+        (SELECT n_users FROM per WHERE variant = 'B') AS nb,
+        (SELECT n_converted FROM per WHERE variant = 'B') AS cb
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(cb AS BIGINT) AS conv_b,
+           ROUND(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+           ROUND(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+           CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN NULL
+                ELSE ROUND(
+                  (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                  / SQRT(((ca + cb) / CAST(na + nb AS DOUBLE))
+                         * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                         * (1.0 / na + 1.0 / nb)),
+                  6
+                ) END AS z_stat
+    FROM wide
+    """,
+)
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment read-out — the PROPORTION companion of q_ab_test's
+    Welch means test: users deterministically bucketed into
+    variants (hash-free id parity here; production uses the engine's
+    hash-bucket primitives), per-variant conversion to 'purchase', and
+    the pooled two-sample proportion z-statistic in closed form — the
+    experimentation-platform core, and a statistics-layer op (the
+    reference's comparison-of-proportions flavor) expressed as two
+    aggregations + one 1-row assembly. All data-sized work is two
+    distinct/count aggregations on user_id; the z arithmetic runs on
+    four scalars."""
+    ev = Catalog(spark, sf_dir)["events"]
+    assign = ev.select("user_id").distinct().withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B"),
+    )
+    # conversion = a HIGH-VALUE purchase (> 150): on the synthetic events
+    # every user makes some purchase, so a bare purchased-at-all flag
+    # would be 100% in both arms and the z statistic a dead NULL path
+    # (the r5 value-dead-path lesson) — the threshold keeps both
+    # converted and unconverted users present at every SF
+    conv = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    per = {
+        r["variant"]: (r["n_users"], r["n_converted"])
+        for r in assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0))).alias("n_converted"),
+        )
+        .collect()
+    }
+    na, ca = per["A"]
+    nb, cb = per["B"]
+    pooled = (ca + cb) / float(na + nb)
+    import math as _math
+
+    # degenerate experiments (0% or 100% pooled conversion) have no
+    # defined z statistic — NULL on both engines, never a crash
+    z = (
+        None
+        if pooled in (0.0, 1.0)
+        else round(
+            ((ca / na) - (cb / nb))
+            / _math.sqrt(pooled * (1 - pooled) * (1.0 / na + 1.0 / nb)),
+            6,
+        )
+    )
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_a": na,
+                    "conv_a": ca,
+                    "n_b": nb,
+                    "conv_b": cb,
+                    "rate_a": round(ca / na, 6),
+                    "rate_b": round(cb / nb, 6),
+                    "z_stat": z,
+                }
+            ]
+        )
+    )
