@@ -78,6 +78,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_streaming_pq_encode",
     "q_attribution",
     "q_ab_conversion_ztest",
+    "q_kaplan_meier",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

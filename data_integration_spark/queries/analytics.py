@@ -714,3 +714,102 @@ def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+@register(
+    "q_kaplan_meier",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY user_id
+    ),
+    hit AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS dh
+      FROM events WHERE event_type = 'purchase' AND value > 150
+      GROUP BY user_id
+    ),
+    subj AS (
+      SELECT s.user_id,
+             CASE WHEN h.dh IS NOT NULL THEN DATE_DIFF('day', s.d0, h.dh)
+                  ELSE DATE_DIFF('day', s.d0, s.d1) END AS dur,
+             CASE WHEN h.dh IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM span s LEFT JOIN hit h ON h.user_id = s.user_id
+    ),
+    t AS (
+      SELECT dur AS t, SUM(observed) AS d, COUNT(*) AS ending
+      FROM subj GROUP BY dur
+    ),
+    km AS (
+      SELECT t, d, SUM(ending) OVER (ORDER BY t DESC) AS n_at_risk FROM t
+    )
+    SELECT CAST(t AS BIGINT) AS duration_days,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_at_risk))
+                     OVER (ORDER BY t)), 6) AS survival
+    FROM km WHERE d > 0 ORDER BY t
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator — survival analysis for
+    time-to-first-high-value-purchase: subjects are users, duration runs
+    from first activity to the first qualifying purchase (event
+    OBSERVED) or to last activity (right-CENSORED — users who never
+    qualify leave the risk set without an event; both branches are
+    value-exercised at every SF). Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) computed
+    as exp of a running log-sum.
+
+    Scale shape: the data-sized work is two per-user aggregations and a
+    user-keyed left join; everything after runs on the DURATION-level
+    table, whose size is bounded by the observation window in days
+    (≤ 31 here, never by users/events) — the cumulative windows over it
+    are the documented bounded-frame exception (q_mom_growth class), not
+    a data-proportional global sort."""
+    ev = Catalog(spark, sf_dir)["events"]
+    span = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    hit = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150)
+        )
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("dh"))
+    )
+    subj = span.join(hit, "user_id", "left").select(
+        F.datediff(
+            F.coalesce("dh", "d1"), F.col("d0")
+        ).alias("dur"),
+        F.col("dh").isNotNull().cast("int").alias("observed"),
+    )
+    t = subj.groupBy("dur").agg(
+        F.sum("observed").alias("d"), F.count("*").alias("ending")
+    )
+    w_desc = (
+        Window.orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    km = t.withColumn("n_at_risk", F.sum("ending").over(w_desc))
+    surv = F.round(
+        F.exp(
+            F.sum(
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk"))
+            ).over(w_asc)
+        ),
+        6,
+    )
+    return (
+        km.withColumn("survival", surv)
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("dur").cast("long").alias("duration_days"),
+            F.col("d").cast("long").alias("n_events"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            "survival",
+        )
+    )
