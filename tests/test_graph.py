@@ -63,3 +63,51 @@ def test_pagerank_uniform_on_regular_graph(spark):
     ranks = pagerank(edges, n_iter=15).collect()
     for r in ranks:
         assert r["rank"] == pytest.approx(0.25, abs=1e-9)
+
+
+def test_funnel_stages_monotone_and_bounded(spark):
+    """Funnel invariants: stage user counts are non-increasing and
+    conversion fractions sit in (0, 1]; the windowed variant can never
+    exceed the unbounded funnel at any stage."""
+    from data_integration_spark.queries.analytics import (
+        q_funnel_analysis,
+        q_funnel_conversion_window,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    reached = {
+        r["reached_stage"]: 1
+        for r in q_funnel_analysis(spark, sf).collect()
+    }
+    by_stage = {}
+    for r in q_funnel_analysis(spark, sf).groupBy("reached_stage").count().collect():
+        by_stage[r["reached_stage"]] = r["count"]
+    # cumulative stage counts: stage k = users with reached_stage >= k
+    c1 = sum(by_stage.values())
+    c2 = by_stage.get(2, 0) + by_stage.get(3, 0)
+    c3 = by_stage.get(3, 0)
+    assert c1 >= c2 >= c3 > 0
+
+    win = {r["stage"]: r for r in q_funnel_conversion_window(spark, sf).collect()}
+    assert win[1]["n_users"] == c1
+    assert win[2]["n_users"] <= c2
+    assert win[3]["n_users"] <= c3
+    assert 0 < win[3]["conversion"] <= win[2]["conversion"] <= 1.0
+
+
+def test_kaplan_meier_survival_monotone(spark):
+    """KM invariants: survival starts ≤ 1, is strictly within (0, 1], and
+    is non-increasing in duration; n_at_risk is non-increasing too."""
+    from data_integration_spark.queries.analytics import q_kaplan_meier
+
+    rows = sorted(
+        q_kaplan_meier(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["duration_days"],
+    )
+    assert rows
+    prev_s, prev_n = 1.0, float("inf")
+    for r in rows:
+        assert 0 < r["survival"] <= prev_s <= 1.0, r
+        assert r["n_at_risk"] <= prev_n
+        assert r["n_events"] >= 1
+        prev_s, prev_n = r["survival"], r["n_at_risk"]
