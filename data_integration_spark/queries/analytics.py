@@ -813,3 +813,53 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival",
         )
     )
+
+
+@register(
+    "q_ewma_smoothing",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             LIST(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(LEN(vals) AS BIGINT) AS n_events,
+           ROUND(REDUCE(vals,
+                        (acc, x) -> acc * 0.9 + 0.1 * x), 6) AS ewma
+    FROM ordered
+    """,
+)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (α = 0.1, first-value initialization) — the time-series smoothing
+    primitive behind anomaly baselines and engagement scores. EWMA is a
+    sequential recurrence, which SQL windows cannot express directly;
+    both engines run it as an in-row FOLD over the user's time-ordered
+    value array (Spark ``F.aggregate``, DuckDB ``REDUCE`` — identical
+    first-element initialization and left-to-right float operation
+    order, so the doubles agree bit-for-bit before the 6dp round).
+
+    Scale shape: one groupBy(user) collect + fold — per-user state is
+    bounded by that user's event count (the same per-key-bounded
+    argument as sessionization); no global ordering anywhere."""
+    ev = Catalog(spark, sf_dir)["events"]
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+            )
+        ),
+        lambda s: s["value"].cast("double"),
+    )
+    per = ev.groupBy("user_id").agg(vals.alias("vals"))
+    first = F.element_at("vals", 1)
+    rest = F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0)))
+    ewma = F.aggregate(
+        rest, first, lambda acc, x: acc * F.lit(0.9) + F.lit(0.1) * x
+    )
+    return per.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )
