@@ -465,3 +465,46 @@ def test_funnel_shuffle_budget(spark):
     for name in ("q_funnel_analysis",):
         df = QUERIES[name](spark, SF)
         assert count_shuffles(df) <= 5, (name, formatted_plan(df))
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime filter injection — the optimizer's semi-join pushdown for
+    selective dim filters at 100 TB: with the size thresholds in test
+    range, a fact⋈filtered-dim join must build a bloom filter on the
+    build side (bloom_filter_agg in the plan) and probe it on the fact
+    scan BEFORE the shuffle, and the filtered result must equal the
+    unfiltered-config run."""
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, SF)
+    li, orders = cat["lineitem"], cat["orders"]
+
+    def run():
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        j = li.join(sel, li["l_orderkey"] == sel["o_orderkey"]).agg(
+            F.count("*").alias("n")
+        )
+        n = j.collect()[0]["n"]
+        return n, j._jdf.queryExecution().executedPlan().toString()
+
+    n_stock, _ = run()
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n_bloom, plan = run()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "bloom_filter_agg" in plan, plan[:2000]
+    assert n_bloom == n_stock > 0
