@@ -863,3 +863,82 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").cast("long").alias("n_events"),
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+@register(
+    "q_incremental_agg_maintenance",
+    # equivalence certificate for incremental materialized-view
+    # maintenance: merging a delta batch's PARTIAL aggregates into the
+    # base MV must equal recomputing the aggregate from scratch —
+    # count/sum merge is exact, so the mismatch count is a literal 0.
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM orders
+    """,
+)
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — the warehouse pattern
+    that keeps a 100 TB aggregate fresh without rescanning history:
+    the per-customer order MV (count, revenue) is built once on the
+    history partition (orderkey % 10 < 8), a DELTA batch (% 10 ≥ 8)
+    aggregates separately, and the two MERGE via a full-outer join +
+    partial-aggregate addition (count/sum are commutative monoids — the
+    merge is exact, not approximate). The certificate compares the
+    maintained MV against a from-scratch recompute row-for-row:
+    ``n_mismatch`` == 0 and group conservation are engine-independent
+    literals; a merge bug (lost group, double-counted delta, NULL
+    mishandling on one-sided groups) breaks the hash.
+
+    Scale shape: history is scanned ONCE ever; each refresh costs one
+    delta aggregation + one MV-keyed merge join. Float discipline: sums
+    compare on the data's 2dp grid (rounded at comparison, the repo
+    convention)."""
+    import pandas as pd
+
+    orders = Catalog(spark, sf_dir)["orders"]
+    base = (
+        orders.filter(F.col("o_orderkey") % 10 < 8)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+    )
+    delta = (
+        orders.filter(F.col("o_orderkey") % 10 >= 8)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("dn"),
+            F.sum("o_totalprice").alias("drev"),
+        )
+    )
+    merged = (
+        base.join(delta, "o_custkey", "full")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce("rev", F.lit(0.0)) + F.coalesce("drev", F.lit(0.0))
+            ).alias("rev"),
+        )
+    )
+    recomputed = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("rn"),
+        F.sum("o_totalprice").alias("rrev"),
+    )
+    cmp = merged.join(recomputed, "o_custkey", "full")
+    n_groups = cmp.count()
+    n_mismatch = cmp.filter(
+        F.col("n").isNull()
+        | F.col("rn").isNull()
+        | (F.col("n") != F.col("rn"))
+        | (F.round("rev", 2) != F.round("rrev", 2))
+    ).count()
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [{"n_groups": n_groups, "n_mismatch": n_mismatch}]
+        )
+    )
