@@ -81,6 +81,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_kaplan_meier",
     "q_ewma_smoothing",
     "q_incremental_agg_maintenance",
+    "q_corpus_diff",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

@@ -781,3 +781,60 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.1)
         .select("d1", "d2", F.round(cont, 6).alias("containment"))
     )
+
+
+@register(
+    "q_corpus_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, MD5(text) AS h FROM documents WHERE doc_id % 7 <> 3
+    ),
+    new AS (
+      SELECT doc_id,
+             MD5(CASE WHEN doc_id % 11 = 5
+                      THEN text || ' edited' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 <> 4
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+      SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN n.h <> o.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL JOIN new n ON n.doc_id = o.doc_id
+    ) GROUP BY status
+    """,
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff — the audit every dataset release ships:
+    documents classified added / removed / changed / unchanged between
+    two releases by id + content hash (releases synthesized from
+    disjoint id slices, with an injected edit so every class is
+    value-exercised at each SF). One full-outer join on doc_id with
+    content digests computed in-row — at 100 TB this is digest-scan +
+    one co-partitionable keyed join, never a content comparison
+    shuffle."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    old = docs.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id", F.md5("text").alias("h_old")
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 4).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 5, F.concat("text", F.lit(" edited"))
+            ).otherwise(F.col("text"))
+        ).alias("h_new"),
+    )
+    status = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") != F.col("h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, "doc_id", "full")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+    )
