@@ -1,8 +1,9 @@
 """IVF (inverted-file) approximate nearest neighbour over embeddings.
 
-The classic two-stage ANN: a k-means coarse quantizer (MLlib KMeans,
-JVM-side Lloyd iterations) partitions the corpus into nlist cells; queries
-probe only the nprobe nearest cells. Recall/latency trades on nprobe exactly
+The classic two-stage ANN: a k-means coarse quantizer (seeded NumPy
+k-means++ + Lloyd on a bounded driver-side sample — ``_lloyd``, r7)
+partitions the corpus into nlist cells; queries probe only the nprobe
+nearest cells. Recall/latency trades on nprobe exactly
 as in FAISS-style IVF-Flat.
 
 Scale shape: the corpus is scanned once to assign cells (narrow map after
@@ -106,7 +107,8 @@ class IVFIndex:
         (n_cells × train_per_cell × dim doubles — a few MB at ANY corpus
         size), so iterating it distributed paid ~20 cluster jobs to move
         data that fits in cache (the r6 bench's q_ann_ivf cost was
-        exactly this MLlib per-iteration overhead). The sample is
+        exactly this distributed-trainer per-iteration overhead; the
+        pre-r7 implementation used a cluster-side k-means). The sample is
         collected SORTED by id so centroids are partition-order
         independent; the full corpus is still scanned ONCE, distributed,
         for the inverted-list assignment (``assign``, broadcast
@@ -136,12 +138,13 @@ class IVFIndex:
             [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
             "cell int, ce array<double>",
         )
-        # assign the corpus with OUR arithmetic, not km.transform: MLlib's
-        # norm-based fastSquaredDistance can disagree with plain
-        # sum((a-b)^2) within float error near a cell boundary, which would
-        # break the append/load/fit cell-for-cell contract (ADVICE r5).
-        # One assignment metric — assign() — everywhere: fit, append, and
-        # post-load appends all produce byte-identical cell choices.
+        # assign the corpus with the INDEX's own arithmetic (assign()),
+        # never the trainer's internal distance path: a different distance
+        # formulation can disagree with plain sum((a-b)^2) within float
+        # error near a cell boundary, which would break the
+        # append/load/fit cell-for-cell contract (ADVICE r5). One
+        # assignment metric everywhere: fit, append, and post-load appends
+        # all produce byte-identical cell choices.
         self.assigned = self.assign(corpus, id_col, vec_col)
         return self
 
@@ -153,8 +156,8 @@ class IVFIndex:
         tie-break. This is THE index's assignment metric: ``fit`` routes
         its own corpus through it too, so fitted, appended, and
         loaded-then-appended vectors can never disagree on a near-boundary
-        cell choice (MLlib's internal fastSquaredDistance is only used to
-        ITERATE the centroids, never to build inverted lists). Broadcast
+        cell choice (the trainer's own distance path only ITERATES the
+        centroids, never builds inverted lists). Broadcast
         centroids × vectors: a narrow map per vector, the incremental
         index-update path (daily embedding batches join a released index
         without moving its cell boundaries)."""
