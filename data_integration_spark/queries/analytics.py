@@ -942,69 +942,3 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
             [{"n_groups": n_groups, "n_mismatch": n_mismatch}]
         )
     )
-
-
-@register(
-    "q_fk_integrity",
-    oracle="""
-    SELECT 'lineitem->orders' AS fk,
-           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
-           CAST((SELECT COUNT(*) FROM lineitem l
-                 WHERE NOT EXISTS (SELECT 1 FROM orders o
-                                   WHERE o.o_orderkey = l.l_orderkey))
-                AS BIGINT) AS n_orphans
-    UNION ALL
-    SELECT 'orders->customer',
-           (SELECT COUNT(*) FROM orders),
-           (SELECT COUNT(*) FROM orders o
-            WHERE NOT EXISTS (SELECT 1 FROM customer c
-                              WHERE c.c_custkey = o.o_custkey))
-    UNION ALL
-    SELECT 'customer->nation',
-           (SELECT COUNT(*) FROM customer),
-           (SELECT COUNT(*) FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM nation n
-                              WHERE n.n_nationkey = c.c_nationkey))
-    """,
-)
-def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit across the star schema — the
-    data-quality gate a warehouse runs after every load: orphan counts
-    for each child→parent foreign key via LEFT ANTI joins (one keyed
-    join per edge; parents broadcast when small, AQE decides). The
-    oracle recomputes the same anti-join counts, so a loader bug that
-    orphans rows breaks the hash on BOTH the count and the audit's own
-    arithmetic.
-
-    Scale shape: one LEFT join per edge against the DISTINCT parent keys
-    (key-unique right side, so n_child is join-invariant), folded into a
-    single 1-row aggregate, three edges unioned — one Spark plan, no
-    driver-side action loop. Parent key sets are dimension-sized
-    (orders/customer/nation keys), so AQE broadcasts them; at 100 TB the
-    lineitem edge degrades to a shuffle join on the fact's own join key
-    — the same exchange any downstream join would need anyway."""
-    cat = Catalog(spark, sf_dir)
-    li, orders, cust, nation = (
-        cat["lineitem"], cat["orders"], cat["customer"], cat["nation"]
-    )
-    edges = [
-        ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
-        ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
-        ("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
-    ]
-    audits = []
-    for fk, child, ck, parent, pk in edges:
-        parents = parent.select(F.col(pk).alias("_pk")).distinct()
-        audits.append(
-            child.select(F.col(ck).alias("_ck"))
-            .join(parents, F.col("_ck") == F.col("_pk"), "left")
-            .agg(
-                F.lit(fk).alias("fk"),
-                F.count(F.lit(1)).alias("n_child"),
-                F.count(F.when(F.col("_pk").isNull(), 1)).alias("n_orphans"),
-            )
-        )
-    out = audits[0]
-    for a in audits[1:]:
-        out = out.unionByName(a)
-    return out
