@@ -82,6 +82,8 @@ _SIGN_PRIORITY: list[str] = [
     "q_ewma_smoothing",
     "q_incremental_agg_maintenance",
     "q_corpus_diff",
+    "q_ann_ivfpq",
+    "q_ann_ivfpq_invariants",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

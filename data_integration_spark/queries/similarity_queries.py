@@ -488,6 +488,212 @@ def q_ann_pq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_ann_ivfpq")  # rows-only: centroids/codebooks are sample-dependent
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (similarity/ivfpq.py) — the FAISS-standard
+    100-TB index: the coarse quantizer prunes WHICH cells a query scans
+    (nprobe=4 of 8), product quantization over the RESIDUAL
+    (vector − cell centroid) compresses WHAT each cell stores (m=16
+    codes — residuals concentrate near 0, so the same code budget
+    quantizes far tighter than raw-vector PQ). Registered shape is the
+    production IVFADC pipeline: probed-cell ADC shortlist (R=50, code
+    scan only) + exact L2 rerank of the nq×R candidates to top-5
+    (vec_id < 20 queries; ascending exact distance, (dist, mid)
+    tie-break). The codes scan starts from a cell-membership FILTER
+    (partition pruning when stored partitioned by cell); only
+    nq·R·n_batches rows reach the ranking shuffle. Recall + ADC
+    identity pinned in tests/test_ivfpq.py; the algebra is
+    oracle-certified by q_ann_ivfpq_invariants."""
+    from data_integration_spark.similarity.ivfpq import IVFPQIndex
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    index = IVFPQIndex(n_cells=8, m=16, k_codes=16, seed=17).fit(emb)
+    q_pd = (
+        emb.filter(F.col("vec_id") < 20)
+        .limit(_MAX_VECTORIZED_QUERIES + 1)
+        .toPandas()
+    )
+    if len(q_pd) > _MAX_VECTORIZED_QUERIES:  # not assert: survives python -O
+        raise ValueError(
+            f"query set exceeds {_MAX_VECTORIZED_QUERIES}; batch the queries"
+        )
+    return index.search_rerank(q_pd, emb, k=5, shortlist=50, nprobe=4)
+
+
+@register(
+    "q_ann_ivfpq_invariants",
+    # invariants certificate for the composed family (same pattern as the
+    # IVF and PQ certificates it unifies): centroid/codebook VALUES are
+    # sample-dependent (rows-only above), but conservation, cell
+    # optimality, code range, the exact residual-ADC identity, probe
+    # containment, and artifact fidelity are engine-independent literals.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_distinct_ids,
+           CAST(0 AS BIGINT) AS n_cell_mismatch,
+           CAST(0 AS BIGINT) AS n_code_range_violations,
+           CAST(0 AS BIGINT) AS n_adc_identity_violations,
+           CAST(0 AS BIGINT) AS n_probe_violations,
+           CAST(0 AS BIGINT) AS n_load_mismatch
+    FROM embeddings
+    """,
+)
+def q_ann_ivfpq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariants CERTIFICATE for IVF-PQ (similarity/ivfpq.py):
+
+    - ``n_vectors`` / ``n_distinct_ids``: the codes table holds exactly
+      one row per corpus vector (encode conservation, cross-checked
+      against DuckDB's own corpus count);
+    - ``n_cell_mismatch`` == 0: every code row's cell is the argmin of
+      plain squared distance over ALL coarse centroids with the
+      (distance, cell) tie-break — recomputed distributed with
+      independently written expressions, not by calling ``assign``
+      again;
+    - ``n_code_range_violations`` == 0: every code addresses a valid
+      residual-codebook entry;
+    - ``n_adc_identity_violations`` == 0: for every emitted search pair,
+      the ADC distance (per-cell LUT gathers summed) EQUALS
+      ‖query − (centroid + decode(codes))‖² recomputed from first
+      principles — the defining IVFADC identity; a stale centroid,
+      transposed LUT, or raw-vector (non-residual) encode breaks it;
+    - ``n_probe_violations`` == 0: every emitted neighbour lives in one
+      of its query's nprobe nearest cells (independently re-ranked);
+    - ``n_load_mismatch`` == 0: re-encoding the corpus from the
+      SAVE/LOAD round-tripped artifact reproduces every (cell, codes)
+      row — the frozen-boundary property incremental appends depend on.
+
+    Data-sized checks run distributed (encode, argmin recheck, the
+    full-outer load diff); the ADC/probe rechecks touch only the
+    bounded emitted pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from data_integration_spark.similarity.ivf import _sq_dists
+    from data_integration_spark.similarity.ivfpq import IVFPQIndex
+    from data_integration_spark.similarity.persist import (
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    nprobe = 4
+    index = IVFPQIndex(n_cells=8, m=16, k_codes=16, seed=17).fit(emb)
+    codes = index.codes.cache()
+
+    n_vectors = codes.count()
+    n_distinct = codes.select("mid").distinct().count()
+    n_range = codes.filter(
+        F.exists("codes", lambda c: (c < 0) | (c >= F.lit(index.k_codes)))
+    ).count()
+
+    # independent cell-argmin recomputation (distributed; same metric
+    # DEFINITION as ivf.assign, separate expression code path)
+    cent = index.ivf.centroids.select(
+        F.col("cell").alias("ccell"), F.col("ce")
+    )
+    sqdist = F.aggregate(
+        F.zip_with(F.col("me"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        codes.join(
+            emb.select(F.col("vec_id").alias("mid"), F.col("e").alias("me")),
+            "mid",
+        )
+        .crossJoin(F.broadcast(cent))
+        .groupBy("mid")
+        .agg(
+            F.min(
+                F.struct(sqdist.alias("d"), F.col("ccell").alias("c"))
+            ).alias("b"),
+            F.any_value("cell").alias("emitted"),
+        )
+    )
+    n_cell_mismatch = best.filter(F.col("b.c") != F.col("emitted")).count()
+
+    # ADC identity + probe containment on the emitted pairs (bounded:
+    # 20 queries × 5)
+    q_pd = emb.filter(F.col("vec_id") < 20).toPandas()
+    results = index.search(q_pd, k=5, nprobe=nprobe).toPandas()
+    mids = [int(x) for x in results["mid"].unique()]
+    codes_pd = codes.filter(F.col("mid").isin(mids)).toPandas()
+    row_of = {
+        int(r["mid"]): (int(r["cell"]), np.asarray(r["codes"]))
+        for _, r in codes_pd.iterrows()
+    }
+    q_of = {
+        int(r["vec_id"]): np.asarray(r["e"], dtype=np.float64)
+        for _, r in q_pd.iterrows()
+    }
+    # independent probe re-ranking: lexsort over (cell id, distance)
+    Q = np.stack(q_pd["e"].to_numpy()).astype(np.float64)
+    cd = _sq_dists(Q, index.centroids_np)
+    probed_of = {
+        int(q_pd["vec_id"].iloc[qi]): set(
+            np.lexsort((np.arange(cd.shape[1]), cd[qi]))[:nprobe].tolist()
+        )
+        for qi in range(len(q_pd))
+    }
+    n_adc_bad = 0
+    n_probe_bad = 0
+    for _, r in results.iterrows():
+        cell, c = row_of[int(r["mid"])]
+        recon = index.decode_np(np.array([cell]), c[None, :])[0]
+        exact = float(((q_of[int(r["qid"])] - recon) ** 2).sum())
+        if abs(round(exact, 6) - r["adc_dist"]) > 1e-9:
+            n_adc_bad += 1
+        if cell not in probed_of[int(r["qid"])]:
+            n_probe_bad += 1
+
+    # persisted artifact must reproduce every (cell, codes) row
+    path = _index_path("ivfpq", sf_dir)
+    save_ivfpq_index(index, path)
+    re_codes = load_ivfpq_index(spark, path).assign_encode(emb)
+    n_load_mismatch = (
+        codes.select(
+            "mid", F.col("cell").alias("cell_a"), F.col("codes").alias("ca")
+        )
+        .join(
+            re_codes.select(
+                "mid",
+                F.col("cell").alias("cell_b"),
+                F.col("codes").alias("cb"),
+            ),
+            "mid",
+            "full",
+        )
+        .filter(
+            F.col("ca").isNull()
+            | F.col("cb").isNull()
+            | (F.col("cell_a") != F.col("cell_b"))
+            | (F.col("ca") != F.col("cb"))
+        )
+        .count()
+    )
+    codes.unpersist()
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_vectors": n_vectors,
+                    "n_distinct_ids": n_distinct,
+                    "n_cell_mismatch": n_cell_mismatch,
+                    "n_code_range_violations": n_range,
+                    "n_adc_identity_violations": n_adc_bad,
+                    "n_probe_violations": n_probe_bad,
+                    "n_load_mismatch": n_load_mismatch,
+                }
+            ]
+        )
+    )
+
+
 @register(
     "q_ann_ivf_invariants",
     # invariants-certificate oracle (VERDICT r6 #2, the

@@ -194,6 +194,64 @@ def save_pq_index(index, path: str) -> None:
         json.dump(meta, f)
 
 
+def save_ivfpq_index(index, path: str) -> None:
+    """Persist a fitted IVF-PQ index: coarse centroids (tiny parquet,
+    the IVF artifact shape), residual codebooks (explicit coefficients,
+    JSON — same rationale as the PQ/LSH specs), and the codes table
+    (``codes/`` parquet — (mid, cell, codes), the corpus-sized artifact;
+    partition by ``cell`` at scale so probes prune files)."""
+    from data_integration_spark.similarity.ivfpq import IVFPQIndex  # noqa: F401
+
+    if index.codebooks is None or index.codes is None:
+        raise ValueError("fit the index before saving")
+    os.makedirs(path, exist_ok=True)
+    index.ivf.centroids.write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    index.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    meta = {
+        "format": _FORMAT,
+        "n_cells": int(index.n_cells),
+        "m": int(index.m),
+        "k_codes": int(index.k_codes),
+        "seed": int(index.seed),
+        "codebooks": [
+            [[float(x) for x in row] for row in book]
+            for book in index.codebooks
+        ],
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_ivfpq_index(spark: SparkSession, path: str):
+    """Reload a persisted IVF-PQ index; ``search``/``assign_encode``/
+    ``append`` work without a re-fit — centroid AND codebook values are
+    frozen, so appended batches land in the same cells with the same
+    codes any other job would produce."""
+    import numpy as np
+
+    from data_integration_spark.similarity.ivfpq import IVFPQIndex
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != _FORMAT:
+        raise ValueError(
+            f"unsupported IVF-PQ index format: {meta.get('format')}"
+        )
+    index = IVFPQIndex(
+        n_cells=meta["n_cells"],
+        m=meta["m"],
+        k_codes=meta["k_codes"],
+        seed=meta["seed"],
+    )
+    index.ivf.centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    index._pull_centroids()
+    index.codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+    index.codes = spark.read.parquet(os.path.join(path, "codes"))
+    return index
+
+
 def load_pq_index(spark: SparkSession, path: str):
     """Reload a persisted PQ index; ``search``/``encode`` work without a
     re-fit (re-fitting changes codebooks and breaks cross-job

