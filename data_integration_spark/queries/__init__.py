@@ -84,6 +84,8 @@ _SIGN_PRIORITY: list[str] = [
     "q_corpus_diff",
     "q_ann_ivfpq",
     "q_ann_ivfpq_invariants",
+    "q_substring_dedup",
+    "q_retention_value",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

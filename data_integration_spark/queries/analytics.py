@@ -942,3 +942,86 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
             [{"n_groups": n_groups, "n_mismatch": n_mismatch}]
         )
     )
+
+
+@register(
+    "q_retention_value",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    cohort_sizes AS (
+      SELECT cohort, COUNT(*) AS cohort_size FROM first_seen GROUP BY cohort
+    ),
+    weekly AS (
+      SELECT f.cohort,
+             DATE_DIFF('week', f.cohort, DATE_TRUNC('week', e.ts)) AS week_n,
+             COUNT(DISTINCT e.user_id) AS purchasers,
+             ROUND(SUM(e.value), 2) AS revenue
+      FROM events e
+      JOIN first_seen f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY f.cohort, DATE_DIFF('week', f.cohort, DATE_TRUNC('week', e.ts))
+    )
+    SELECT STRFTIME(w.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(w.week_n AS INT) AS week_n,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(w.purchasers AS BIGINT) AS purchasers,
+           w.revenue AS revenue
+    FROM weekly w JOIN cohort_sizes s ON s.cohort = w.cohort
+    """,
+)
+def q_retention_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-weighted cohort retention (the monetary half of
+    q_retention_cohorts): per signup-week cohort and activity week,
+    the revenue the cohort's purchases generated and how many of its
+    users purchased — the LTV-curve input, where user-count retention
+    alone hides whale concentration.
+
+    Scale shape: first-seen is one MIN window over user_id (one shuffle
+    of the events table, same as q_retention_cohorts — never a
+    users-sized broadcast); purchase rows join the per-user cohort on
+    user_id (co-partitioned with the window's exchange), then ONE hash
+    aggregation on (cohort, week_n) with map-side partials; cohort sizes
+    are a weeks-sized aggregate joined at the end (broadcast — bounded
+    by calendar weeks, size-invariant in SF). Revenue is rounded at the
+    SUM on the data's 2dp grid (cross-engine-stable per the float
+    discipline in NOTES.md); no per-user ratio division is emitted."""
+    ev = Catalog(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_type", "value"
+    )
+    wk = F.date_trunc("week", F.col("ts"))
+    w = Window.partitionBy("user_id")
+    tagged = ev.select(
+        "user_id", "event_type", "value", wk.alias("wk")
+    ).withColumn("cohort", F.min("wk").over(w))
+    cohort_sizes = (
+        tagged.select("user_id", "cohort")
+        .distinct()
+        .groupBy("cohort")
+        .agg(F.count("*").alias("cohort_size"))
+    )
+    weekly = (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "cohort",
+            (
+                F.datediff(
+                    F.col("wk").cast("date"), F.col("cohort").cast("date")
+                )
+                / 7
+            ).cast("int").alias("week_n"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("purchasers"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+    return weekly.join(F.broadcast(cohort_sizes), "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "week_n",
+        "cohort_size",
+        "purchasers",
+        "revenue",
+    )

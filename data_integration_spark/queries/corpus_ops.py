@@ -838,3 +838,112 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "q_substring_dedup",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+             ARRAY_TO_STRING(ts[u.i:u.i+4], ' ') AS g
+      FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts) - 4)) AS u(i)
+    ),
+    dup AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    cov AS (
+      SELECT DISTINCT grams.doc_id, p.j AS cpos
+      FROM grams JOIN dup USING (g),
+           UNNEST(GENERATE_SERIES(grams.pos, grams.pos + 4)) AS p(j)
+    )
+    SELECT t.doc_id,
+           CAST(LEN(t.ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_dup_tokens,
+           ROUND(CAST(COALESCE(c.n, 0) AS DOUBLE) / NULLIF(LEN(t.ts), 0), 6)
+             AS dup_ratio
+    FROM tok t
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id) c
+      ON c.doc_id = t.doc_id
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level EXACT substring dedup statistics (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" measure,
+    re-expressed relationally): for every document, the fraction of its
+    tokens covered by some length-5 token span that also occurs verbatim
+    in ANOTHER document. This is the metric behind exact-substring
+    removal — a downstream transform drops exactly the covered spans;
+    emitting the per-doc coverage keeps the op fully value-checkable
+    (on this corpus: untouched docs, partially-covered docs, and
+    fully-duplicated docs all occur at every SF).
+
+    Scale shape (suffix arrays don't distribute; rolling spans do):
+    (1) one in-row pass builds the length-5 gram stream with positions
+    (explode bounded by tokens-per-doc); (2) the duplicated-gram
+    registry is ONE hash aggregation on the gram key — min(doc_id) <>
+    max(doc_id) marks cross-document grams without a count-distinct
+    sketch, map-side combinable, same registry shape as the minhash
+    signature table; (3) occurrences join the registry on the gram key
+    (right side unique per gram — Zipf-hot boilerplate grams mean
+    partition-size skew only, AQE-splittable, never a fan-out);
+    (4) span-union coverage is a bounded x5 position explode +
+    per-(doc,pos) distinct — shuffle volume <= 5x the duplicated
+    occurrences, clustered on doc_id. No pair space is ever
+    materialized: a gram shared by 10^6 docs is one registry row, not
+    10^12 pairs."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    span = 5
+    tok = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("ts"),
+    )
+    grams = tok.select(
+        "doc_id",
+        # sequence(1, 0) DESCENDS in Spark (step defaults to -1 when
+        # start > stop) — short docs must short-circuit to an empty array.
+        F.posexplode(
+            F.expr(
+                f"if(size(ts) >= {span},"
+                f" transform(sequence(1, size(ts) - {span - 1}),"
+                f" i -> array_join(slice(ts, i, {span}), ' ')),"
+                " array())"
+            )
+        ).alias("pos", "g"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "g")
+    dup = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("g")
+    )
+    cov = (
+        grams.join(dup, "g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(pos, pos + {span - 1})")
+            ).alias("cpos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        tok.select("doc_id", F.size("ts").cast("long").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("n", F.lit(0)).cast("double")
+                / F.nullif(F.col("n_tokens"), F.lit(0)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
