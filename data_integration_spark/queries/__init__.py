@@ -86,6 +86,8 @@ _SIGN_PRIORITY: list[str] = [
     "q_ann_ivfpq_invariants",
     "q_substring_dedup",
     "q_retention_value",
+    "q_bpe_train",
+    "q_bpe_invariants",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

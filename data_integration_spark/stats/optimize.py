@@ -58,7 +58,22 @@ def newton_minimize(
         try:
             step = np.linalg.solve(h, g)
         except np.linalg.LinAlgError:
-            step = np.linalg.solve(h + 1e-6 * np.eye(len(x)), g)
+            step = None
+        if (
+            step is None
+            or not np.all(np.isfinite(step))
+            or np.linalg.norm(step) > 1e6 * (1.0 + np.linalg.norm(x))
+        ):
+            # Rank-deficient design (aliased/collinear columns): solve()
+            # does not raise on a numerically singular Hessian — it
+            # returns an enormous step along the null space, which the
+            # flat objective then ACCEPTS and the iterate runs away
+            # (observed: single-area survey designs). The min-norm
+            # (pseudo-inverse) step zeroes the null-space component, so
+            # aliased coordinates hold still — the same resolution R's
+            # glm reaches by aliasing. Well-posed fits never enter this
+            # branch, so their trajectories are bit-identical.
+            step = np.linalg.pinv(h, rcond=1e-10) @ g
         t = 1.0
         for _ in range(30):
             x_new = x - t * step
