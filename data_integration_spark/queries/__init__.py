@@ -88,6 +88,9 @@ _SIGN_PRIORITY: list[str] = [
     "q_retention_value",
     "q_bpe_train",
     "q_bpe_invariants",
+    "q_dsir_importance",
+    "q_distinct_ngrams",
+    "q_hard_negatives",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

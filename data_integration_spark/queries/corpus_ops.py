@@ -1100,3 +1100,98 @@ def q_bpe_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             " compressed long, parts_closed long"
         ),
     )
+
+
+@register(
+    "q_distinct_ngrams",
+    oracle="""
+    WITH tok AS (
+      SELECT source, ts FROM (
+        SELECT source, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')
+          AS ts
+        FROM documents)
+    ),
+    uni AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT u.t) AS BIGINT) AS n_types
+      FROM tok, UNNEST(ts) AS u(t) GROUP BY source
+    ),
+    bi AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(DISTINCT ts[u.i] || ' ' || ts[u.i + 1]) AS BIGINT)
+               AS n_distinct_bigrams
+      FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS u(i)
+      GROUP BY source
+    )
+    SELECT uni.source, uni.n_tokens, uni.n_types,
+           ROUND(CAST(uni.n_types AS DOUBLE) / uni.n_tokens, 6)
+             AS type_token_ratio,
+           bi.n_bigrams, bi.n_distinct_bigrams,
+           ROUND(CAST(bi.n_distinct_bigrams AS DOUBLE) / bi.n_bigrams, 6)
+             AS distinct_2
+    FROM uni JOIN bi ON bi.source = uni.source
+    """,
+)
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity card (distinct-n, Li et al. 2016):
+    type/token ratio and distinct-bigram ratio — the repetitiveness
+    monitor a curation pipeline tracks per crawl source (a collapsing
+    distinct-2 flags template/boilerplate farms long before dedup pays
+    for them).
+
+    Scale shape: two hash aggregations per metric family (token and
+    bigram streams, each one shuffle with map-side partials; distinct
+    counts are exact two-level aggs — the 100-TB swap-in is
+    approx_count_distinct at a documented rsd, same plan shape);
+    bigrams built in-row (no positional self-join); final join is
+    sources-sized (5 rows)."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    tok = docs.select(
+        "source",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("ts"),
+    )
+    uni = (
+        tok.select("source", F.explode("ts").alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("t").alias("n_types"),
+        )
+    )
+    bi = (
+        tok.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "if(size(ts) >= 2,"
+                    " transform(sequence(1, size(ts) - 1),"
+                    " i -> concat(ts[i - 1], ' ', ts[i])),"
+                    " cast(array() as array<string>))"
+                )
+            ).alias("b"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.countDistinct("b").alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        uni.join(bi, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens"), 6
+            ).alias("type_token_ratio"),
+            "n_bigrams",
+            "n_distinct_bigrams",
+            F.round(
+                F.col("n_distinct_bigrams").cast("double")
+                / F.col("n_bigrams"),
+                6,
+            ).alias("distinct_2"),
+        )
+    )

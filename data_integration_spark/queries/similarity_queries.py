@@ -1130,3 +1130,88 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(
         emb.select("vec_id"), pairs, id_col="vec_id"
     ).withColumnRenamed("vec_id", "vec_id")
+
+
+@register(
+    "q_hard_negatives",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                           x -> CAST(x AS DOUBLE) * x))) AS nrm
+      FROM embeddings
+    ),
+    f AS (SELECT * FROM e WHERE nrm > 0.000001),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS neg_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(
+                     GENERATE_SERIES(1, LEN(q.embedding)),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+                   / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM f q JOIN f c ON c.label <> q.label
+      WHERE q.vec_id < 20
+    )
+    SELECT qid, neg_id, cos_sim FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, neg_id) = 1
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    query vector (vec_id < 20 block), the single most-similar corpus
+    vector with a DIFFERENT label — the canonical in-batch-negatives
+    upgrade (a near-boundary negative teaches the metric more than a
+    random one). Ranking is on the 6dp-rounded cosine with a neg_id
+    tie-break, the same cross-engine-deterministic discipline as the
+    ANN top-k family.
+
+    Scale shape: the bounded query block (hard-capped like every
+    vectorized ANN path) broadcasts against the corpus scan — a
+    BNLJ whose build side is nq rows by construction (allowlisted in
+    tests/test_plans.py); the label-mismatch predicate filters inside
+    the join, and per-query argmax is a map-side-combinable struct-MIN
+    aggregation, so shuffle volume is nq rows per partition, never the
+    nq×N score matrix. At larger nq the swap-in is the batched
+    mapInPandas GEMM scorer (similarity/ann.py) with the same
+    label-filter epilogue; per-label IVF cells prune further."""
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", as_double_array("embedding", "e")
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    corpus = emb.withColumn("nrm", nrm).filter(F.col("nrm") > 0.000001)
+    qblock = (
+        corpus.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+        .limit(_MAX_VECTORIZED_QUERIES)
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.join(
+        F.broadcast(qblock), F.col("label") != F.col("qlabel")
+    ).select(
+        "qid",
+        F.col("vec_id").alias("neg_id"),
+        F.round(dot / (F.col("nrm") * F.col("qnrm")), 6).alias("cos_sim"),
+    )
+    best = scored.groupBy("qid").agg(
+        F.min(F.struct((-F.col("cos_sim")).alias("nc"), F.col("neg_id"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        "qid",
+        F.col("b.neg_id").alias("neg_id"),
+        (-F.col("b.nc")).alias("cos_sim"),
+    )

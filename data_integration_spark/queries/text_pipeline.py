@@ -982,3 +982,83 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+@register(
+    "q_dsir_importance",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, source, t
+      FROM (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    tc AS (SELECT t, COUNT(*) AS c FROM tk WHERE source = 'src0' GROUP BY t),
+    sc AS (SELECT t, COUNT(*) AS c FROM tk WHERE source <> 'src0' GROUP BY t),
+    v AS (SELECT COUNT(DISTINCT t) AS nv FROM tk),
+    nt AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS n_t,
+                  (SELECT COALESCE(SUM(c), 0) FROM sc) AS n_s)
+    SELECT tk.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(LN((COALESCE(tc.c, 0) + 1.0) / (nt.n_t + v.nv))
+                     - LN((COALESCE(sc.c, 0) + 1.0) / (nt.n_s + v.nv))), 6)
+             AS log_importance,
+           CAST(CASE WHEN SUM(LN((COALESCE(tc.c, 0) + 1.0) / (nt.n_t + v.nv))
+                              - LN((COALESCE(sc.c, 0) + 1.0)
+                                   / (nt.n_s + v.nv))) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM tk
+    LEFT JOIN tc ON tc.t = tk.t
+    LEFT JOIN sc ON sc.t = tk.t, nt, v
+    GROUP BY tk.doc_id
+    """,
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-document
+    log importance weight log p_target(doc) − log p_source(doc) under
+    two add-one-smoothed unigram LMs — target = the 'src0' slice,
+    source = the rest — plus the selection flag (target-leaning docs).
+    This is the domain-targeted data-selection gate: resampling by these
+    weights shifts a 100 TB generalist crawl toward a target domain.
+
+    Counts-based like q_bigram_lm_score, so fully value-checkable.
+    Scale shape: two token-count aggregations (one shuffle each,
+    map-side partials); V / N_target / N_source are three driver
+    scalars embedded as literals; scoring is ONE pass over the exploded
+    corpus with two token-keyed left joins (unique right keys — Zipf
+    skew is partition-size skew only, AQE-splittable) folded into a
+    per-doc aggregation. Nothing driver-sized anywhere."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    tk = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    tc = (
+        tk.filter(F.col("source") == "src0")
+        .groupBy("t")
+        .agg(F.count("*").alias("tc"))
+    )
+    sc = (
+        tk.filter(F.col("source") != "src0")
+        .groupBy("t")
+        .agg(F.count("*").alias("sc"))
+    )
+    scal = tk.agg(
+        F.countDistinct("t").alias("nv"),
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0)).alias("n_s"),
+    ).collect()[0]
+    nv, n_t, n_s = float(scal["nv"]), float(scal["n_t"]), float(scal["n_s"])
+    lw_term = F.log(
+        (F.coalesce("tc", F.lit(0)) + 1.0) / F.lit(n_t + nv)
+    ) - F.log((F.coalesce("sc", F.lit(0)) + 1.0) / F.lit(n_s + nv))
+    return (
+        tk.join(tc, "t", "left")
+        .join(sc, "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(lw_term), 6).alias("log_importance"),
+            (F.sum(lw_term) > 0).cast("long").alias("selected"),
+        )
+    )

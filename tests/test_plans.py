@@ -319,6 +319,7 @@ _BNLJ_ALLOWED = {
     "q_ann_ivf_persist",  # same probe shape, centroids loaded from parquet
     "q_ann_ivf_append",   # broadcast centroids × new batch (assign) + probe
     "q_ann_ivfpq",    # broadcast coarse centroids × corpus (assign, k×N)
+    "q_hard_negatives",  # bounded query block × corpus (vectorized ANN shape)
     "q_bm25",         # 1-row avgdl scalar cross
     "q_ks_test",      # 1-row (n_a, n_b) totals aggregate cross (r6)
     "q_levenshtein",  # all-pairs on an explicit doc_id<15 bound
