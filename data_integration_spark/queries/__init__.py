@@ -91,6 +91,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_dsir_importance",
     "q_distinct_ngrams",
     "q_hard_negatives",
+    "q_substring_dedup_apply",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

@@ -1195,3 +1195,114 @@ def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distinct_2"),
         )
     )
+
+
+@register(
+    "q_substring_dedup_apply",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+             ARRAY_TO_STRING(ts[u.i:u.i+4], ' ') AS g
+      FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts) - 4)) AS u(i)
+    ),
+    reg AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+      HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    rm AS (
+      SELECT DISTINCT grams.doc_id, p.j AS cpos
+      FROM grams JOIN reg USING (g),
+           UNNEST(GENERATE_SERIES(grams.pos, grams.pos + 4)) AS p(j)
+      WHERE grams.doc_id > reg.first_doc
+    ),
+    cleaned AS (
+      SELECT t.doc_id, STRING_AGG(ts[u.i], ' ' ORDER BY u.i) AS txt,
+             COUNT(*) AS n_kept
+      FROM tok t, UNNEST(GENERATE_SERIES(1, LEN(ts))) AS u(i)
+      WHERE NOT EXISTS (SELECT 1 FROM rm
+                        WHERE rm.doc_id = t.doc_id AND rm.cpos = u.i - 1)
+      GROUP BY t.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(LEN(t.ts) AS BIGINT) AS n_tokens,
+           CAST(LEN(t.ts) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(c.txt, '') AS cleaned_text
+    FROM tok t LEFT JOIN cleaned c ON c.doc_id = t.doc_id
+    """,
+)
+def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLIED (the transform half of
+    q_substring_dedup, i.e. the Lee et al. 2022 removal step): every
+    token covered by a duplicated length-5 span is REMOVED from all but
+    the span's earliest document (min doc_id over the gram's
+    occurrences keeps its text; later occurrences lose the covered
+    positions). Emits the cleaned corpus itself — (doc_id, n_tokens,
+    n_removed, cleaned_text) — so the hash checks the full surviving
+    token stream, not just counts (on this corpus: untouched docs,
+    partially-cleaned docs, and fully-emptied docs all occur).
+
+    Scale shape: identical to q_substring_dedup through the
+    duplicated-gram registry and the x5-bounded coverage explode; the
+    removal set adds only a first_doc column to the registry (same
+    aggregation) and an EARLIER-doc predicate. Rebuilding the cleaned
+    text is IN-ROW: removal positions are collected per doc (bounded by
+    tokens-per-doc) and subtracted with one HOF filter — only documents
+    that actually lose tokens join against the removal sets, everything
+    else streams through the left join unchanged."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    span = 5
+    tok = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("ts"),
+    )
+    grams = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"if(size(ts) >= {span},"
+                f" transform(sequence(1, size(ts) - {span - 1}),"
+                f" i -> array_join(slice(ts, i, {span}), ' ')),"
+                " array())"
+            )
+        ).alias("pos", "g"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "g")
+    reg = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("first_doc"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("first_doc") != F.col("_mx"))
+        .select("g", "first_doc")
+    )
+    rm = (
+        grams.join(reg, "g")
+        .filter(F.col("doc_id") > F.col("first_doc"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {span - 1})")).alias(
+                "cpos"
+            ),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("cpos").alias("rm"))
+    )
+    kept = F.expr(
+        # sequence(0, -1) DESCENDS in Spark — empty docs short-circuit
+        "if(size(ts) = 0, cast(array() as array<string>),"
+        " filter(transform(sequence(0, size(ts) - 1),"
+        " i -> if(array_contains(coalesce(rm, array(cast(-1 as bigint))),"
+        " cast(i as bigint)), cast(null as string), ts[i])),"
+        " x -> x is not null))"
+    )
+    return (
+        tok.join(rm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ts").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("rm"), F.lit(0)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("cleaned_text"),
+        )
+    )
