@@ -46,6 +46,8 @@ LLM_OPS = [
     "q_ann_ivf",        # IVF build (sample-trained quantizer) + probe search
     "q_vocab_encode",   # vocab build + Zipf-skewed token-keyed encode join (r6)
     "q_ann_pq",         # PQ codebook fit + encode + ADC shortlist + rerank (r7)
+    "q_substring_dedup",  # exact-substring span dedup: gram registry + coverage (r7)
+    "q_bpe_train",      # distributed BPE merge training, 8 iterations (r7)
 ]
 
 
