@@ -138,3 +138,42 @@ def test_roundtrip_reconstructs_words(spark):
     )
     final.unpersist()
     assert bad == 0
+
+
+def test_substring_dedup_edge_semantics_on_fixture_corpus(spark, tmp_path):
+    """Run the REAL registered substring-dedup queries on an adversarial
+    mini corpus: sub-span-length docs (Spark's sequence(1, 0) DESCENDS,
+    so the gram builder's size guard is load-bearing), an exact dup pair
+    (earliest doc keeps its text, the later one empties), and a clean
+    long doc."""
+    from data_integration_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = [
+        (1, "a b", "en", "src0", 3),                      # too short for a gram
+        (2, "p q r s t u v w", "en", "src0", 15),         # earliest dup
+        (3, "p q r s t u v w", "en", "src1", 15),         # later dup: empties
+        (4, "k l m n o k2 l2 m2", "en", "src1", 18),      # clean long doc
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "mini")
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    stats = {
+        r["doc_id"]: r
+        for r in QUERIES["q_substring_dedup"](spark, sf_dir).collect()
+    }
+    assert stats[1]["n_dup_tokens"] == 0 and stats[1]["n_tokens"] == 2
+    assert stats[2]["n_dup_tokens"] == 8  # fully covered (8 tokens, span 5)
+    assert stats[3]["n_dup_tokens"] == 8
+    assert stats[4]["n_dup_tokens"] == 0
+
+    cleaned = {
+        r["doc_id"]: r
+        for r in QUERIES["q_substring_dedup_apply"](spark, sf_dir).collect()
+    }
+    assert cleaned[2]["cleaned_text"] == "p q r s t u v w"  # earliest kept
+    assert cleaned[3]["cleaned_text"] == "" and cleaned[3]["n_removed"] == 8
+    assert cleaned[1]["n_removed"] == 0 and cleaned[4]["n_removed"] == 0
