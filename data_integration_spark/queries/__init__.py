@@ -92,6 +92,10 @@ _SIGN_PRIORITY: list[str] = [
     "q_distinct_ngrams",
     "q_hard_negatives",
     "q_substring_dedup_apply",
+    "q_training_order_shuffle",
+    "q_kfold_assign",
+    "q_window_count_distinct",
+    "q_anova",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",
@@ -204,6 +208,7 @@ def load_all() -> None:
         tpch_extra,
         curation_extra,
         corpus_ops,
+        training_ops,
     )
 
     front = [n for n in _SIGN_PRIORITY if n in QUERIES]

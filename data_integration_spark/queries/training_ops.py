@@ -1,0 +1,277 @@
+"""Training-run data-ordering and experiment-analysis queries.
+
+The ops a training pipeline runs between "corpus is curated" and "tokens
+hit the trainer", plus the experiment statistics a data team runs on the
+event stream:
+
+- deterministic seeded GLOBAL shuffle of the corpus per epoch (the
+  data-order every trainer consumes — must be reproducible across reruns,
+  partitionings, and engines, so it is hash-ordered, not ``rand()``);
+- seeded k-fold cross-validation assignment with a stratification report;
+- running count-distinct window (Spark has no DISTINCT aggregate over a
+  window frame — the first-occurrence + running-sum rewrite IS the
+  standard scale-out formulation);
+- one-way ANOVA F certificate (group-mean separation test).
+
+Reference parity note: the reference (Method_code.Rmd) reaches shuffling /
+fold assignment only implicitly through R's ``sample()`` (Rmd:569-571,
+seeded per-rep); the engine-grade counterparts here are hash-keyed so they
+are partition-invariant — the R4 contract (SURVEY §2.8) applied to data
+ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_integration_spark.operators.prefix import range_row_number
+from data_integration_spark.queries import register
+from data_integration_spark.sources.catalog import Catalog
+
+# first-16-bits-of-md5 bucket, DuckDB side (same idiom as
+# relational_extra._H4; DuckDB has no CONV so the nibbles are unpacked
+# positionally)
+_H4 = (
+    "((STRPOS('0123456789abcdef', SUBSTR(h, 1, 1)) - 1) * 4096"
+    " + (STRPOS('0123456789abcdef', SUBSTR(h, 2, 1)) - 1) * 256"
+    " + (STRPOS('0123456789abcdef', SUBSTR(h, 3, 1)) - 1) * 16"
+    " + STRPOS('0123456789abcdef', SUBSTR(h, 4, 1)) - 1)"
+)
+
+_N_EPOCHS = 2
+_N_FOLDS = 5
+
+
+@register(
+    "q_training_order_shuffle",
+    oracle=f"""
+    SELECT epoch, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY epoch
+             ORDER BY MD5('ep' || CAST(epoch AS VARCHAR) || ':'
+                          || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS order_idx
+    FROM documents
+    CROSS JOIN (VALUES (0), (1)) AS e(epoch)
+    """,
+)
+def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle of the corpus, one independent
+    permutation per training epoch: ``order_idx`` = rank of
+    ``md5('ep<epoch>:<doc_id>')``. Hash-keyed ordering (never ``rand()``)
+    is the only defensible trainer data-order at 100 TB — reproducible
+    across reruns, engines, and partitionings, and a different permutation
+    per epoch falls out of the epoch salt.
+
+    Scale shape: the rank is ONE ``range_row_number`` over
+    ``(epoch, key)`` — a range exchange plus per-partition windows, no
+    single-task global window — and the per-epoch offset is recovered
+    arithmetically from the corpus count (one scalar agg), so e epochs
+    cost one ranking pass, not e."""
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
+    n_docs = docs.count()  # bounded driver scalar: one count aggregate
+    epochs = docs.withColumn(
+        "epoch", F.explode(F.array(*[F.lit(i) for i in range(_N_EPOCHS)]))
+    )
+    keyed = epochs.withColumn(
+        "key",
+        F.md5(
+            F.concat_ws(
+                "",
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    ranked = range_row_number(
+        keyed, [F.col("epoch"), F.col("key"), F.col("doc_id")], out_col="_rn"
+    )
+    return ranked.select(
+        "epoch",
+        "doc_id",
+        (F.col("_rn") - 1 - F.col("epoch").cast("long") * F.lit(n_docs)).alias(
+            "order_idx"
+        ),
+    )
+
+
+@register(
+    "q_kfold_assign",
+    oracle=f"""
+    SELECT fold, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT CAST({_H4} % {_N_FOLDS} AS INTEGER) AS fold, lang, n_chars
+      FROM (
+        SELECT MD5('cv1:' || CAST(doc_id AS VARCHAR)) AS h, lang, n_chars
+        FROM documents
+      )
+    )
+    GROUP BY fold, lang
+    """,
+)
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded k-fold cross-validation assignment (k=5, salt
+    ``cv1``) with the per-(fold, language) stratification report a team
+    inspects before trusting the folds. Fold = 16-bit md5 bucket of the
+    salted doc_id mod k — id-keyed (not content-keyed, unlike
+    q_shard_assign) so a re-crawled document keeps its fold and never
+    leaks across the train/validation boundary between runs.
+
+    Scale shape: narrow per-row expression + one k×|langs|-key
+    aggregation with map-side partials; nothing driver-side."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("", F.lit("cv1:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    return (
+        docs.select(
+            F.pmod(bucket, F.lit(_N_FOLDS)).alias("fold"), "lang", "n_chars"
+        )
+        .groupBy("fold", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q_window_count_distinct",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_types_so_far
+    FROM (
+      SELECT user_id, event_id, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS occ
+      FROM events
+    )
+    """,
+)
+def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user in event order — the
+    "how much of the product has this user touched so far" trajectory.
+    SQL forbids DISTINCT aggregates over a window frame, and the naive
+    collect_set-over-frame holds the whole set per row; the standard
+    rewrite used here marks each (user, type)'s FIRST occurrence with a
+    row_number and running-sums the 0/1 marks — two partitioned windows,
+    both keyed by user (never global), constant state per row.
+
+    Scale shape: one shuffle on (user_id, event_type), one on user_id;
+    both frames are user-sized, so skew follows the per-user event count
+    (AQE-splittable), not the corpus."""
+    ev = Catalog(spark, sf_dir)["events"]
+    w_occ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("occ", F.row_number().over(w_occ))
+        .withColumn(
+            "n_types_so_far",
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).over(w_run),
+        )
+        .select("user_id", "event_id", "n_types_so_far")
+    )
+
+
+@register(
+    "q_anova",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority, COUNT(*) AS n_g, AVG(o_totalprice) AS mean_g
+      FROM orders GROUP BY o_orderpriority
+    ),
+    gm AS (
+      SELECT SUM(n_g * mean_g) / SUM(n_g) AS mu,
+             CAST(SUM(n_g) AS BIGINT) AS n, COUNT(*) AS k
+      FROM g
+    ),
+    ssb AS (
+      SELECT SUM(g.n_g * (g.mean_g - gm.mu) * (g.mean_g - gm.mu)) AS v
+      FROM g CROSS JOIN gm
+    ),
+    ssw AS (
+      SELECT SUM((o.o_totalprice - g.mean_g) * (o.o_totalprice - g.mean_g))
+               AS v
+      FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
+    )
+    SELECT gm.k AS k_groups, gm.k - 1 AS df_between, gm.n - gm.k AS df_within,
+           ROUND((ssb.v / (gm.k - 1)) / (ssw.v / (gm.n - gm.k)), 6) AS f_stat,
+           ROUND(ssb.v / (ssb.v + ssw.v), 6) AS eta_sq
+    FROM gm, ssb, ssw
+    """,
+)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA certificate: does mean order value differ across
+    order priorities? Emits (k, df_between, df_within, F, η²) as one row.
+    Two-pass formulation (group means first, then squared deviations
+    against the joined-back mean) — numerically stable at any scale,
+    unlike the textbook Σy²−nμ² identity whose cancellation error grows
+    with the magnitude of y.
+
+    Scale shape: one grouped aggregation (k rows), one broadcast join of
+    the k-row mean table back onto the fact scan, one global reduction
+    to scalars. The fact table is scanned exactly twice and never
+    shuffled on a data-sized key."""
+    o = Catalog(spark, sf_dir)["orders"].select("o_orderpriority", "o_totalprice")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_g"), F.avg("o_totalprice").alias("mean_g")
+    )
+    gm = g.agg(
+        (F.sum(F.col("n_g") * F.col("mean_g")) / F.sum("n_g")).alias("mu"),
+        F.sum("n_g").alias("n"),
+        F.count("*").alias("k"),
+    )
+    ssb = (
+        g.crossJoin(F.broadcast(gm).select("mu"))
+        .agg(
+            F.sum(
+                F.col("n_g")
+                * (F.col("mean_g") - F.col("mu"))
+                * (F.col("mean_g") - F.col("mu"))
+            ).alias("ssb")
+        )
+    )
+    ssw = (
+        o.join(F.broadcast(g), "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice") - F.col("mean_g"))
+                * (F.col("o_totalprice") - F.col("mean_g"))
+            ).alias("ssw")
+        )
+    )
+    return (
+        gm.crossJoin(ssb)
+        .crossJoin(ssw)
+        .select(
+            F.col("k").alias("k_groups"),
+            (F.col("k") - 1).alias("df_between"),
+            (F.col("n") - F.col("k")).alias("df_within"),
+            F.round(
+                (F.col("ssb") / (F.col("k") - 1))
+                / (F.col("ssw") / (F.col("n") - F.col("k"))),
+                6,
+            ).alias("f_stat"),
+            F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+                "eta_sq"
+            ),
+        )
+    )
