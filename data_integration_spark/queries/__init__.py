@@ -96,6 +96,10 @@ _SIGN_PRIORITY: list[str] = [
     "q_kfold_assign",
     "q_window_count_distinct",
     "q_anova",
+    "q_triangle_count",
+    "q_local_clustering",
+    "q_ann_recall_certificate",
+    "q_rolling_regression",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",
@@ -209,6 +213,7 @@ def load_all() -> None:
         curation_extra,
         corpus_ops,
         training_ops,
+        graph_queries,
     )
 
     front = [n for n in _SIGN_PRIORITY if n in QUERIES]

@@ -1215,3 +1215,144 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.neg_id").alias("neg_id"),
         (-F.col("b.nc")).alias("cos_sim"),
     )
+
+
+# Recall@5 certificate: both the LSH approximate top-5 AND the brute-force
+# exact top-5 are independently recomputable in DuckDB (pinned planes for
+# the former, plain pairwise cosine for the latter), so the MEASURED recall
+# of the index — not just its result rows — is a hash-checked value. The
+# b-prefixed CTEs are the brute-force side; l-prefixed the LSH side.
+_RECALL_ORACLE = _LSH_ORACLE_BODY + """
+, lcand AS (
+  SELECT DISTINCT b1.vec_id AS qid, b2.vec_id AS mid
+  FROM buckets b1
+  JOIN buckets b2 ON b1.t = b2.t AND b1.bucket = b2.bucket
+                 AND b1.vec_id <> b2.vec_id
+  WHERE b1.vec_id < 20
+),
+ldots AS (
+  SELECT c.qid, c.mid,
+         SUM(CAST(q.embedding[u.i] AS DOUBLE)
+             * CAST(m.embedding[u.i] AS DOUBLE)) AS dot
+  FROM lcand c
+  JOIN e q ON q.vec_id = c.qid
+  JOIN e m ON m.vec_id = c.mid,
+  UNNEST(GENERATE_SERIES(1, LEN(q.embedding))) AS u(i)
+  GROUP BY c.qid, c.mid
+),
+lcos AS (
+  SELECT d.qid, d.mid, ROUND(d.dot / (nq.nrm * nm.nrm), 6) AS cosine
+  FROM ldots d
+  JOIN norms nq ON nq.vec_id = d.qid
+  JOIN norms nm ON nm.vec_id = d.mid
+),
+ltop AS (
+  SELECT qid, mid FROM (
+    SELECT qid, mid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, mid)
+             AS rank
+    FROM lcos
+  ) WHERE rank <= 5
+),
+bpairs AS (
+  SELECT q.vec_id AS qid, m.vec_id AS mid,
+         SUM(CAST(q.embedding[u.i] AS DOUBLE)
+             * CAST(m.embedding[u.i] AS DOUBLE)) AS dot
+  FROM e q
+  JOIN e m ON q.vec_id < 20 AND q.vec_id <> m.vec_id,
+  UNNEST(GENERATE_SERIES(1, LEN(q.embedding))) AS u(i)
+  GROUP BY q.vec_id, m.vec_id
+),
+bcos AS (
+  SELECT p.qid, p.mid, ROUND(p.dot / (nq.nrm * nm.nrm), 6) AS cosine
+  FROM bpairs p
+  JOIN norms nq ON nq.vec_id = p.qid
+  JOIN norms nm ON nm.vec_id = p.mid
+),
+btop AS (
+  SELECT qid, mid, cosine FROM (
+    SELECT qid, mid, cosine,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, mid)
+             AS rank
+    FROM bcos
+  ) WHERE rank <= 5
+),
+hit AS (
+  SELECT COUNT(*) AS n_hit FROM btop JOIN ltop USING (qid, mid)
+),
+tot AS (
+  SELECT COUNT(*) AS n_truth, COUNT(DISTINCT qid) AS n_queries,
+         ROUND(AVG(cosine), 6) AS mean_truth_cosine
+  FROM btop
+)
+SELECT tot.n_queries, tot.n_truth, hit.n_hit,
+       ROUND(CAST(hit.n_hit AS DOUBLE) / tot.n_truth, 6) AS recall_at_5,
+       tot.mean_truth_cosine
+FROM tot, hit
+"""
+
+
+@register("q_ann_recall_certificate", oracle=_RECALL_ORACLE)
+def q_ann_recall_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@5 of the hyperplane-LSH index against the exact
+    brute-force top-5, entirely in-engine, as a 1-row certificate
+    (n_queries, n_truth, n_hit, recall_at_5, mean_truth_cosine). The
+    point is that the MEASUREMENT PIPELINE is engine-verified: DuckDB
+    re-derives both sides independently (pinned planes → same buckets;
+    plain pairwise cosine → same ground truth) and must land on the
+    identical hit count. Ranking ties break on (rounded cosine DESC,
+    mid) on both engines, so the top-5 sets are deterministic.
+
+    Interpretation note: on the driver's synthetic embeddings the true
+    top-5 sit at cosine ≈ 0.26–0.49 (mean_truth_cosine reports this
+    in-row) — BELOW the collision regime 8-plane hyperplane LSH targets,
+    so the measured recall is honestly low here. On clustered corpora
+    with real near-neighbors the same operator reaches ≥ 0.9
+    (pinned in tests/test_triangles.py::test_lsh_topk_recall_on_clustered_corpus);
+    a production tuning for low-similarity regimes would drop n_planes
+    or add tables — exactly the trade this certificate would surface.
+
+    Scale shape: the truth side is the bounded vectorized GEMM scorer
+    (queries broadcast as a NumPy block, corpus never shuffles); the LSH
+    side is bucket-join + candidate-only verification; the recall join
+    touches only 2×(20×5) id pairs."""
+    from data_integration_spark.similarity.ann import (
+        cosine_topk_vectorized,
+        lsh_topk,
+    )
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    q_pd = (
+        emb.filter(F.col("vec_id") < 20)
+        .limit(_MAX_VECTORIZED_QUERIES + 1)
+        .toPandas()
+    )
+    if len(q_pd) > _MAX_VECTORIZED_QUERIES:  # not assert: survives python -O
+        raise ValueError(
+            f"query set exceeds {_MAX_VECTORIZED_QUERIES}; use cosine_topk/LSH"
+        )
+    truth = cosine_topk_vectorized(q_pd, emb, k=5).select(
+        "qid", "mid", "cosine"
+    )
+    approx = lsh_topk(
+        emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5, n_tables=4
+    ).select("qid", "mid")
+    hit = truth.join(approx, ["qid", "mid"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    tot = truth.agg(
+        F.countDistinct("qid").alias("n_queries"),
+        F.count("*").alias("n_truth"),
+        F.round(F.avg("cosine"), 6).alias("mean_truth_cosine"),
+    )
+    return tot.crossJoin(hit).select(
+        "n_queries",
+        "n_truth",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6).alias(
+            "recall_at_5"
+        ),
+        "mean_truth_cosine",
+    )

@@ -595,3 +595,76 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_session_sec"),
         )
     )
+
+
+@register(
+    "q_rolling_regression",
+    oracle="""
+    WITH idx AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS x
+      FROM events
+    ),
+    win AS (
+      SELECT user_id, event_id,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(x AS DOUBLE)) OVER w AS sx,
+             SUM(value) OVER w AS sy,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) OVER w AS sxx,
+             SUM(CAST(x AS DOUBLE) * value) OVER w AS sxy
+      FROM idx
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY x
+        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT user_id, event_id,
+           CASE WHEN n >= 2 THEN
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS slope_10
+    FROM win
+    """,
+)
+def q_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope of event value over the user's last 10 events —
+    the "is this user's spend trending up" feature, computed from the
+    five sufficient sums (n, Σx, Σy, Σx², Σxy) over ONE sliding frame
+    and the closed-form slope. x is the per-user event index (engine-
+    identical integers; wall-clock deltas would drag timestamp-epoch
+    representation into the certificate). The first event of each user
+    emits NULL (slope of one point is undefined).
+
+    Scale shape: one shuffle on user_id, two user-keyed windows (index +
+    sliding sums) in the same exchange; sliding-frame state is 5 doubles
+    regardless of frame width. Skew follows per-user event counts."""
+    ev = Catalog(spark, sf_dir)["events"]
+    w_idx = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    x = F.col("x").cast("double")
+    sums = (
+        ev.withColumn("x", F.row_number().over(w_idx))
+        .select(
+            "user_id",
+            "event_id",
+            "x",
+            F.count("*").over(w).alias("n"),
+            F.sum(x).over(w).alias("sx"),
+            F.sum("value").over(w).alias("sy"),
+            F.sum(x * x).over(w).alias("sxx"),
+            F.sum(x * F.col("value")).over(w).alias("sxy"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("n") >= 2, F.round(slope, 6)).alias("slope_10"),
+    )
