@@ -61,7 +61,12 @@ _SIGN_PRIORITY: list[str] = [
     # relational core, last signed in r1, five rounds of refactors ago.
     # New queries always register inside the window so they sign the
     # round they land; rotation overflow past slot 50 rolls to r8.
-    # (a) new r7 queries ------------------------------------------------
+    # (a) new r7 queries (incl. the late-session batch: training-order /
+    # k-fold / windowed count-distinct / ANOVA / graph census / ANN
+    # recall certificate / rolling regression / paths / gini /
+    # association rules / mode / group-concat). 43 new+re-sign names →
+    # 7 r1-rotation slots fit the 50-window this round; the remaining r1
+    # names (q_cast_numeric … q_bernoulli) lead the r8 rotation. --------
     "q_em_convergence",
     "q_ann_ivf_invariants",
     "q_sketch_bounds",
@@ -100,6 +105,11 @@ _SIGN_PRIORITY: list[str] = [
     "q_local_clustering",
     "q_ann_recall_certificate",
     "q_rolling_regression",
+    "q_event_paths",
+    "q_gini",
+    "q_association_rules",
+    "q_mode_per_group",
+    "q_group_concat",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",
@@ -214,6 +224,7 @@ def load_all() -> None:
         corpus_ops,
         training_ops,
         graph_queries,
+        analytics_extra,
     )
 
     front = [n for n in _SIGN_PRIORITY if n in QUERIES]

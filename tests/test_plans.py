@@ -327,6 +327,11 @@ _BNLJ_ALLOWED = {
     "q_tpch_q11",     # 1-row threshold aggregate cross
     "q_tpch_q20",     # 1-row half-avg aggregate cross
     "q_tpch_q22",     # 1-row avg-acctbal scalar cross
+    "q_anova",        # 1-row grand-mean/SSB/SSW scalar crosses
+    "q_triangle_count",  # 1-row census × 1-row triangle-count cross
+    "q_ann_recall_certificate",  # 1-row truth-agg × 1-row hit-agg cross
+    "q_gini",         # 1-row (n, total) scalar cross onto the rank frame
+    "q_association_rules",  # 1-row order-count scalar cross
 }
 
 
