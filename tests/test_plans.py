@@ -515,3 +515,28 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
     assert "bloom_filter_agg" in plan, plan[:2000]
     assert n_bloom == n_stock > 0
+
+
+def test_round7_late_additions_shuffle_budgets(spark):
+    """Exchange upper bounds for the round-7 continuation queries. The
+    single-digit counts on the certificate queries (anova/gini/
+    association) include the 1-row SinglePartition exchanges of their
+    scalar aggregates — bounded rows by construction; the bound exists
+    to catch a DATA-sized exchange sneaking in (lost partial agg, lost
+    window/groupBy exchange reuse)."""
+    budgets = {
+        "q_kfold_assign": 1,            # one k×|langs| aggregation
+        "q_window_count_distinct": 2,   # (user,type) window + user window
+        "q_rolling_regression": 1,      # both windows share the user key
+        "q_event_paths": 2,             # user window+collect reuse, path agg
+        "q_mode_per_group": 3,          # join, grouped count, k-row window
+        "q_group_concat": 2,            # nation window, grouped collect
+        "q_training_order_shuffle": 3,  # range exchange + offset job
+        "q_anova": 8,                   # incl. 1-row scalar agg exchanges
+        "q_association_rules": 9,       # incl. 1-row order-count exchange
+        "q_gini": 9,                    # range rank + 1-row scalar aggs
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        n = count_shuffles(df)
+        assert n <= budget, (name, n, formatted_plan(df))
