@@ -110,6 +110,9 @@ _SIGN_PRIORITY: list[str] = [
     "q_association_rules",
     "q_mode_per_group",
     "q_group_concat",
+    "q_time_gapfill",
+    "q_interval_merge",
+    "q_dau_wau",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",
@@ -225,6 +228,7 @@ def load_all() -> None:
         training_ops,
         graph_queries,
         analytics_extra,
+        timeseries_extra,
     )
 
     front = [n for n in _SIGN_PRIORITY if n in QUERIES]

@@ -332,6 +332,7 @@ _BNLJ_ALLOWED = {
     "q_ann_recall_certificate",  # 1-row truth-agg × 1-row hit-agg cross
     "q_gini",         # 1-row (n, total) scalar cross onto the rank frame
     "q_association_rules",  # 1-row order-count scalar cross
+    "q_dau_wau",      # 1-row max-day bounds scalar cross
 }
 
 
@@ -535,6 +536,9 @@ def test_round7_late_additions_shuffle_budgets(spark):
         "q_anova": 8,                   # incl. 1-row scalar agg exchanges
         "q_association_rules": 9,       # incl. 1-row order-count exchange
         "q_gini": 9,                    # range rank + 1-row scalar aggs
+        "q_time_gapfill": 2,            # daily agg + spine/fill on user key
+        "q_interval_merge": 1,          # one user exchange for everything
+        "q_dau_wau": 6,                 # activity dedup, dau, wau 2-phase
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, SF)
