@@ -171,10 +171,13 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     deg = _degrees(canon)
     counts = deg.agg(
         F.count("*").alias("n_nodes"),
-        (F.sum("deg") / 2).cast("long").alias("n_edges"),
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
-        .cast("long")
-        .alias("n_wedges"),
+        F.coalesce((F.sum("deg") / 2).cast("long"), F.lit(0)).alias(
+            "n_edges"
+        ),
+        F.coalesce(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long"),
+            F.lit(0),
+        ).alias("n_wedges"),
     )
     tri = _triangles_from_canon(canon).agg(
         F.count("*").alias("n_triangles")

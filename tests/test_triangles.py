@@ -145,3 +145,21 @@ def test_rolling_regression_known_slope(spark):
         sxy = sum(x * y for x, y in zip(xs, ys))
         want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
         assert got[i] == pytest.approx(want, abs=1e-5)
+
+
+def test_census_empty_and_triangle_free_graphs(spark):
+    empty = _edges_df(spark, []).filter("a IS NOT NULL")
+    row = triangle_stats(empty).collect()[0]
+    assert (
+        row["n_nodes"],
+        row["n_edges"],
+        row["n_wedges"],
+        row["n_triangles"],
+        row["clustering_coeff"],
+    ) == (0, 0, 0, 0, 0.0)
+    # a path graph has wedges but no triangles
+    path = _edges_df(spark, [(1, 2), (2, 3), (3, 4)])
+    row = triangle_stats(path).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 2
+    assert row["clustering_coeff"] == 0.0
+    assert local_clustering(path).filter("n_tri <> 0").count() == 0
