@@ -113,6 +113,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_time_gapfill",
     "q_interval_merge",
     "q_dau_wau",
+    "q_rfm_segments",
     # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
     "q_ks_test",
     "q_mann_whitney",

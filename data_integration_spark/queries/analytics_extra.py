@@ -321,3 +321,92 @@ def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_customers")
         )
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey AS custkey,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(MAX(o_orderdate) AS DATE))
+               AS r_v,
+             CAST(COUNT(*) AS DOUBLE) AS f_v,
+             ROUND(SUM(o_totalprice), 2) AS m_v
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey,
+           CAST(NTILE(5) OVER (ORDER BY r_v, custkey) AS INTEGER) AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY f_v, custkey) AS INTEGER) AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY m_v, custkey) AS INTEGER) AS m_score
+    FROM c
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer quintile scores for Recency (last
+    order day), Frequency (order count), and Monetary (total spend, on
+    the 2dp money grid) — ascending NTILE(5), so 5 = most recent / most
+    frequent / highest spend.
+
+    Three exact global NTILEs would normally cost three global sorts
+    (and the prefix family's cache contract forbids merging three
+    sequential range_ntile calls into one plan). Instead the three
+    metrics go to LONG format — (metric_idx, value, custkey), 3N narrow
+    rows — and ONE ``range_row_number`` over (metric_idx, value,
+    custkey) ranks all three at once; per-metric rank falls out
+    arithmetically (rn − idx·N) and the exact SQL NTILE bucket
+    (first N mod k buckets one element larger) is closed-form from the
+    rank. One range exchange total; the pivot back to wide is a
+    customer-keyed aggregation.
+
+    Tie policy: (value, custkey) is a total order, so quintile
+    assignment is deterministic on both engines; M rides the rounded
+    money grid like every ranked revenue in this registry."""
+    from data_integration_spark.operators.prefix import range_row_number
+
+    o = Catalog(spark, sf_dir)["orders"]
+    c = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.max("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("r_v"),
+        F.count("*").cast("double").alias("f_v"),
+        F.round(F.sum("o_totalprice"), 2).alias("m_v"),
+    )
+    n = c.count()  # one scalar agg: the shared N of all three rankings
+    # long format via an IN-ROW explode (not a 3-way union, which would
+    # plan the customer aggregate subtree three times): one aggregation,
+    # 3 narrow rows out per customer
+    long = c.select(
+        "custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("idx"), F.col(col).alias("v")
+                    )
+                    for i, col in enumerate(("r_v", "f_v", "m_v"))
+                ]
+            )
+        ).alias("mv"),
+    ).select("custkey", F.col("mv.idx").alias("idx"), F.col("mv.v").alias("v"))
+    ranked = range_row_number(
+        long, [F.col("idx"), F.col("v"), F.col("custkey")], out_col="rn"
+    )
+    k = 5
+    rem, q = n % k, n // k
+    rank = F.col("rn") - F.col("idx").cast("long") * F.lit(n)
+    bucket = (
+        F.when(
+            rank <= rem * (q + 1),
+            F.floor((rank - 1) / (q + 1)) + 1,
+        )
+        .otherwise(F.lit(rem) + F.floor((rank - 1 - rem * (q + 1)) / q) + 1)
+        .cast("int")
+    )
+    scored = ranked.select("custkey", "idx", bucket.alias("bucket"))
+    return scored.groupBy("custkey").agg(
+        F.max(F.when(F.col("idx") == 0, F.col("bucket"))).alias("r_score"),
+        F.max(F.when(F.col("idx") == 1, F.col("bucket"))).alias("f_score"),
+        F.max(F.when(F.col("idx") == 2, F.col("bucket"))).alias("m_score"),
+    )

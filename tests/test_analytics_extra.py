@@ -119,3 +119,31 @@ def test_group_concat_ordered_top5(spark):
             ["c_acctbal", "c_custkey"], ascending=[False, True]
         )
         assert names == list(grp["c_name"].head(len(names)))
+
+
+def test_rfm_exact_ntile_semantics(spark):
+    rows = QUERIES["q_rfm_segments"](spark, SF_SMALL).collect()
+    n = len(rows)
+    q, rem = divmod(n, 5)
+    want_sizes = sorted([q + 1] * rem + [q] * (5 - rem))
+    for col in ("r_score", "f_score", "m_score"):
+        from collections import Counter
+
+        sizes = Counter(r[col] for r in rows)
+        assert set(sizes) == set(range(1, 6))
+        assert sorted(sizes.values()) == want_sizes
+    # score 5 on M holds the highest total spend; score 1 the lowest
+    pdf = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("m"))
+        .toPandas()
+        .set_index("o_custkey")["m"]
+    )
+    by_score = {}
+    for r in rows:
+        by_score.setdefault(r["m_score"], []).append(pdf[r["custkey"]])
+    assert max(by_score[1]) <= min(by_score[5])
+    assert all(
+        max(by_score[s]) <= min(by_score[s + 1]) for s in range(1, 5)
+    )

@@ -539,6 +539,8 @@ def test_round7_late_additions_shuffle_budgets(spark):
         "q_time_gapfill": 2,            # daily agg + spine/fill on user key
         "q_interval_merge": 1,          # one user exchange for everything
         "q_dau_wau": 6,                 # activity dedup, dau, wau 2-phase
+        "q_rfm_segments": 6,            # one cust agg, ONE range exchange
+                                        # for all three NTILEs, wide pivot
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, SF)
