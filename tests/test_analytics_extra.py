@@ -147,3 +147,24 @@ def test_rfm_exact_ntile_semantics(spark):
     assert all(
         max(by_score[s]) <= min(by_score[s + 1]) for s in range(1, 5)
     )
+
+
+def test_ntile_closed_form_matches_sql_semantics():
+    """The closed-form bucket used by q_rfm_segments must equal SQL
+    NTILE(k) for ANY (n, k): first n mod k buckets get one extra row.
+    Pure python sweep — no Spark — over every n ≤ 200 and k ∈ {2,3,5,7}."""
+    for k in (2, 3, 5, 7):
+        for n in range(1, 201):
+            q, rem = divmod(n, k)
+            # reference NTILE: bucket boundaries by construction
+            want = []
+            for b in range(1, k + 1):
+                size = q + 1 if b <= rem else q
+                want.extend([b] * size)
+            got = []
+            for r in range(1, n + 1):
+                if r <= rem * (q + 1):
+                    got.append((r - 1) // (q + 1) + 1)
+                else:
+                    got.append(rem + (r - 1 - rem * (q + 1)) // q + 1)
+            assert got == want[:n], (n, k)
