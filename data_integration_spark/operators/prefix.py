@@ -289,3 +289,75 @@ def range_ntile(
         ).otherwise(r + F.floor((rn - threshold - 1) / q) + 1)
     out = ranked.withColumn(out_col, bucket.cast("long"))
     return out.drop("_rn") if rn_col is None else out.withColumnRenamed("_rn", rn_col)
+
+
+def range_ntile_multi(
+    df: DataFrame,
+    id_col: str,
+    metric_cols: list[str],
+    n_buckets: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL ``NTILE(n_buckets)`` over SEVERAL metrics in ONE range
+    exchange — the multi-metric quantile scorer (RFM-style segmentation)
+    that the one-top-level-prefix-call-per-plan contract would otherwise
+    forbid (three sequential ``range_ntile`` calls cannot legally merge
+    into one plan; see the module docstring).
+
+    Mechanism: the metrics EXPLODE in-row to long format — one row per
+    (metric index, value, id), m·N narrow rows from a single pass over
+    ``df`` — then one ``range_row_number`` over ``(idx, value, id)``
+    ranks every metric at once. Per-metric rank falls out arithmetically
+    (``rn − idx·N``; every metric has exactly N rows), and the exact SQL
+    NTILE bucket (first N mod k buckets one element larger) is
+    closed-form from the rank (formula swept against SQL semantics in
+    tests/test_analytics_extra.py). Output: ``id_col`` plus one
+    ``<metric>_bucket`` int column per metric.
+
+    Requires: ``(metric value, id)`` a total order per metric (id unique);
+    N ≥ 1. The single driver materialization is the shared N (one count)
+    plus the prefix family's #partitions offsets."""
+    m = len(metric_cols)
+    if m == 0:
+        raise ValueError("metric_cols must be non-empty")
+    n_total = df.count()
+    long = df.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_idx"), F.col(c).alias("_v")
+                    )
+                    for i, c in enumerate(metric_cols)
+                ]
+            )
+        ).alias("_mv"),
+    ).select(
+        id_col,
+        F.col("_mv._idx").alias("_idx"),
+        F.col("_mv._v").alias("_v"),
+    )
+    ranked = range_row_number(
+        long,
+        [F.col("_idx"), F.col("_v"), F.col(id_col)],
+        out_col="_rn",
+        num_partitions=num_partitions,
+    )
+    k = n_buckets
+    rem, q = n_total % k, n_total // k
+    rank = F.col("_rn") - F.col("_idx").cast("long") * F.lit(n_total)
+    bucket = (
+        F.when(rank <= rem * (q + 1), F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(F.lit(rem) + F.floor((rank - 1 - rem * (q + 1)) / q) + 1)
+        .cast("int")
+    )
+    scored = ranked.select(id_col, "_idx", bucket.alias("_bucket"))
+    return scored.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("_idx") == i, F.col("_bucket"))).alias(
+                f"{c}_bucket"
+            )
+            for i, c in enumerate(metric_cols)
+        ]
+    )

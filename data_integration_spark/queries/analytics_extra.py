@@ -361,7 +361,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie policy: (value, custkey) is a total order, so quintile
     assignment is deterministic on both engines; M rides the rounded
     money grid like every ranked revenue in this registry."""
-    from data_integration_spark.operators.prefix import range_row_number
+    from data_integration_spark.operators.prefix import range_ntile_multi
 
     o = Catalog(spark, sf_dir)["orders"]
     c = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -373,40 +373,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("f_v"),
         F.round(F.sum("o_totalprice"), 2).alias("m_v"),
     )
-    n = c.count()  # one scalar agg: the shared N of all three rankings
-    # long format via an IN-ROW explode (not a 3-way union, which would
-    # plan the customer aggregate subtree three times): one aggregation,
-    # 3 narrow rows out per customer
-    long = c.select(
+    return range_ntile_multi(
+        c, "custkey", ["r_v", "f_v", "m_v"], n_buckets=5
+    ).select(
         "custkey",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("idx"), F.col(col).alias("v")
-                    )
-                    for i, col in enumerate(("r_v", "f_v", "m_v"))
-                ]
-            )
-        ).alias("mv"),
-    ).select("custkey", F.col("mv.idx").alias("idx"), F.col("mv.v").alias("v"))
-    ranked = range_row_number(
-        long, [F.col("idx"), F.col("v"), F.col("custkey")], out_col="rn"
-    )
-    k = 5
-    rem, q = n % k, n // k
-    rank = F.col("rn") - F.col("idx").cast("long") * F.lit(n)
-    bucket = (
-        F.when(
-            rank <= rem * (q + 1),
-            F.floor((rank - 1) / (q + 1)) + 1,
-        )
-        .otherwise(F.lit(rem) + F.floor((rank - 1 - rem * (q + 1)) / q) + 1)
-        .cast("int")
-    )
-    scored = ranked.select("custkey", "idx", bucket.alias("bucket"))
-    return scored.groupBy("custkey").agg(
-        F.max(F.when(F.col("idx") == 0, F.col("bucket"))).alias("r_score"),
-        F.max(F.when(F.col("idx") == 1, F.col("bucket"))).alias("f_score"),
-        F.max(F.when(F.col("idx") == 2, F.col("bucket"))).alias("m_score"),
+        F.col("r_v_bucket").alias("r_score"),
+        F.col("f_v_bucket").alias("f_score"),
+        F.col("m_v_bucket").alias("m_score"),
     )
