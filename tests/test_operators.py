@@ -468,3 +468,28 @@ def test_zorder_layout_gives_multidim_locality(spark):
     assert z_touched <= 2, z_touched          # box = one aligned Morton quad
     assert y_box_under_x_layout >= n_parts - 1  # 1-D layout: other dim scatters
     assert z_y_only < n_parts - 1  # zkey layout keeps SOME locality per dim
+
+
+def test_range_ntile_multi_known_quantiles(spark):
+    """Direct operator test for range_ntile_multi: two metrics with
+    opposite orderings, k=3 on 9 rows (even split), plus the N < k edge
+    (every row its own bucket, no empty-bucket arithmetic errors)."""
+    from data_integration_spark.operators.prefix import range_ntile_multi
+
+    rows = [(i, float(i), float(9 - i)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "id long, up double, down double")
+    got = {
+        r["id"]: (r["up_bucket"], r["down_bucket"])
+        for r in range_ntile_multi(df, "id", ["up", "down"], 3).collect()
+    }
+    for i in range(1, 10):
+        want_up = (i - 1) // 3 + 1         # 1..9 ascending -> 3 even buckets
+        want_down = (9 - i) // 3 + 1       # reversed metric -> reversed buckets
+        assert got[i] == (want_up, want_down), (i, got[i])
+
+    tiny = spark.createDataFrame([(1, 5.0), (2, 3.0)], "id long, v double")
+    got2 = {
+        r["id"]: r["v_bucket"]
+        for r in range_ntile_multi(tiny, "id", ["v"], 5).collect()
+    }
+    assert got2 == {2: 1, 1: 2}  # N=2 < k=5: first two buckets, value order
