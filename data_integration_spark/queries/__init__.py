@@ -118,6 +118,15 @@ _SIGN_PRIORITY: list[str] = [
     "q_ks_test",
     "q_mann_whitney",
     "q_ntile_percent_rank",
+    # (d→r8) NEW post-window queries (this continuation session): the r7
+    # window is exactly full, so these five lead the r8 queue instead of
+    # displacing never-signed r7 names; all five are full-oracle and
+    # harness-verified at sf0.001/0.01/0.1 in-session ---------------------
+    "q_roc_auc",
+    "q_calibration_bins",
+    "q_cohens_kappa",
+    "q_seasonal_decompose",
+    "q_linear_interpolation",
     # (c) r1 rotation: flagship + §2 core first; escape-hatch rows-only
     # names (whose rows carry no hash signal to refresh) last ------------
     "q_report_final",

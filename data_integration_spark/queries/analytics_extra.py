@@ -381,3 +381,239 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f_v_bucket").alias("f_score"),
         F.col("m_v_bucket").alias("m_score"),
     )
+
+
+# Portable deterministic uniform shared by the model-evaluation queries:
+# first 8 hex chars of md5(tag || doc_id) as a 32-bit integer scaled to
+# [0, 1) — both engines share md5, so labels drawn from it are exactly
+# recomputable by the oracle (the q_hash_sample / q_weighted_sample
+# pattern; xxhash64 would be faster but has no DuckDB twin).
+def _md5_uniform(tag: str, key):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def _md5_uniform_sql(tag: str, key_sql: str) -> str:
+    return (
+        f"(('0x' || SUBSTR(MD5('{tag}' || CAST({key_sql} AS VARCHAR)), 1, 8))"
+        f"::UBIGINT) / 4294967296.0"
+    )
+
+
+@register(
+    "q_roc_auc",
+    oracle=f"""
+    WITH lab AS (
+      SELECT n_chars AS score,
+             CASE WHEN {_md5_uniform_sql('L', 'doc_id')}
+                  < 1.0 / (1.0 + EXP(-(n_chars - 280) / 70.0))
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    v AS (
+      SELECT score, SUM(y) AS n_pos, SUM(1 - y) AS n_neg
+      FROM lab GROUP BY score
+    ),
+    c AS (
+      SELECT n_pos, n_neg,
+             COALESCE(SUM(n_neg) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_neg_lt
+      FROM v
+    )
+    SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+           ROUND(SUM(n_pos * cum_neg_lt + 0.5 * n_pos * n_neg)
+                 / (SUM(n_pos) * SUM(n_neg)), 6) AS auc
+    FROM c
+    """,
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of a document-quality score against binary labels —
+    the classifier-evaluation readout every curation-model iteration
+    needs. Uses the rank statistic identity AUC = P(s⁺ > s⁻) + ½P(tie):
+    scores collapse to DISTINCT values with per-class counts (ties get
+    midrank credit exactly), the below-value negative count rides ONE
+    range-partitioned prefix sum (``operators/prefix.py`` — distinct
+    scores can be data-proportional, so no single-task cumulative
+    window), and the final AUC is one scalar aggregation.
+
+    Labels are hash-Bernoulli from a known monotone link (md5-portable,
+    so the oracle recomputes them exactly); score = n_chars exercises
+    heavy ties — the midrank half-credit term is value-live at every SF.
+
+    Scale shape: groupBy(score) with map-side partials, one range
+    exchange over distinct scores, one 1-row fold. Nothing
+    data-proportional reaches the driver."""
+    from data_integration_spark.operators.prefix import range_prefix_sum
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    p_true = 1.0 / (
+        1.0 + F.exp(-(F.col("n_chars") - 280) / F.lit(70.0))
+    )
+    lab = docs.select(
+        F.col("n_chars").alias("score"),
+        (_md5_uniform("L", F.col("doc_id")) < p_true)
+        .cast("int")
+        .alias("y"),
+    )
+    v = lab.groupBy("score").agg(
+        F.sum("y").alias("n_pos"),
+        F.sum(1 - F.col("y")).alias("n_neg"),
+    )
+    pref = range_prefix_sum(
+        v, "score", "n_neg", out_col="cum_neg_incl"
+    )
+    cum_lt = F.coalesce(
+        F.col("cum_neg_incl") - F.col("n_neg"), F.lit(0)
+    )
+    return pref.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(
+                F.col("n_pos") * cum_lt
+                + 0.5 * F.col("n_pos") * F.col("n_neg")
+            )
+            / (F.sum("n_pos") * F.sum("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "q_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT 1.0 / (1.0 + EXP(-(n_chars - 300) / 80.0)) AS p_pred,
+             CASE WHEN {_md5_uniform_sql('L', 'doc_id')}
+                  < 1.0 / (1.0 + EXP(-(n_chars - 280) / 70.0))
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    )
+    SELECT CAST(FLOOR(p_pred * 10) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(p_pred), 6) AS mean_pred,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS obs_rate,
+           ROUND(AVG(POW(p_pred - y, 2)), 6) AS brier
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-calibration audit (reliability diagram + per-bin Brier
+    score): predictions from one sigmoid link are binned by predicted
+    probability decile and compared with the observed label rate drawn
+    from a DIFFERENT (sharper) link — so the miscalibration the table
+    reports is real, deterministic, and engine-recomputable (md5
+    labels, same uniform stream as q_roc_auc).
+
+    Scale shape: one map-side expression per row, ONE hash aggregation
+    on ≤10 bin keys. The classic single-pass model-monitoring query."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    p_pred = 1.0 / (
+        1.0 + F.exp(-(F.col("n_chars") - 300) / F.lit(80.0))
+    )
+    p_true = 1.0 / (
+        1.0 + F.exp(-(F.col("n_chars") - 280) / F.lit(70.0))
+    )
+    scored = docs.select(
+        p_pred.alias("p_pred"),
+        (_md5_uniform("L", F.col("doc_id")) < p_true)
+        .cast("int")
+        .alias("y"),
+    )
+    return (
+        scored.groupBy(
+            F.floor(F.col("p_pred") * 10).cast("int").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p_pred"), 6).alias("mean_pred"),
+            F.round(
+                F.sum("y").cast("double") / F.count("*"), 6
+            ).alias("obs_rate"),
+            F.round(
+                F.avg(F.pow(F.col("p_pred") - F.col("y"), 2)), 6
+            ).alias("brier"),
+        )
+    )
+
+
+@register(
+    "q_cohens_kappa",
+    oracle=f"""
+    WITH ann AS (
+      SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+             CASE WHEN n_chars
+                       + ({_md5_uniform_sql('K', 'doc_id')} - 0.5) * 120.0
+                       >= 300 THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+             SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+      FROM ann
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(agree AS DOUBLE) / n, 6) AS po,
+           ROUND((CAST(sa AS DOUBLE) / n) * (CAST(sb AS DOUBLE) / n)
+                 + (1.0 - CAST(sa AS DOUBLE) / n)
+                   * (1.0 - CAST(sb AS DOUBLE) / n), 6) AS pe,
+           ROUND((CAST(agree AS DOUBLE) / n
+                  - ((CAST(sa AS DOUBLE) / n) * (CAST(sb AS DOUBLE) / n)
+                     + (1.0 - CAST(sa AS DOUBLE) / n)
+                       * (1.0 - CAST(sb AS DOUBLE) / n)))
+                 / (1.0
+                    - ((CAST(sa AS DOUBLE) / n) * (CAST(sb AS DOUBLE) / n)
+                       + (1.0 - CAST(sa AS DOUBLE) / n)
+                         * (1.0 - CAST(sb AS DOUBLE) / n))), 6) AS kappa
+    FROM s
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's κ) between two deterministic
+    binary annotators over the corpus — the labeling-pipeline QA gate
+    (is human/model agreement better than chance?). Annotator A
+    thresholds document length; annotator B thresholds a hash-perturbed
+    length (md5-portable noise), so the marginals differ and chance
+    agreement p_e is non-trivial. κ = (p_o − p_e) / (1 − p_e) from the
+    2×2 confusion counts.
+
+    Scale shape: ONE map-side-combinable aggregation (4 sums) over the
+    corpus; the κ arithmetic runs on a 1-row frame. All ratios are
+    integer-count divisions — bit-identical on both engines before
+    rounding."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    a = (F.col("n_chars") >= 300).cast("int")
+    b = (
+        F.col("n_chars")
+        + (_md5_uniform("K", F.col("doc_id")) - 0.5) * 120.0
+        >= 300
+    ).cast("int")
+    s = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum((F.col("a") == F.col("b")).cast("int")).alias("agree"),
+    )
+    n = F.col("n").cast("double")
+    pa = F.col("sa") / n
+    pb = F.col("sb") / n
+    po = F.col("agree") / n
+    pe = pa * pb + (1.0 - pa) * (1.0 - pb)
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )

@@ -247,3 +247,211 @@ def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, rev_c,
+             DATEDIFF('day', DATE '1995-01-01', day) AS day_idx,
+             ISODOW(day) AS dow,
+             ROUND(AVG(rev_c) OVER (
+               ORDER BY DATEDIFF('day', DATE '1995-01-01', day)
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+             ) / 100.0, 6) AS trend
+      FROM daily
+    ),
+    dt AS (
+      SELECT day, rev_c, dow, trend,
+             CAST(ROUND((rev_c / 100.0 - trend) * 1000000) AS BIGINT)
+               AS d_micro
+      FROM tr
+    ),
+    seas AS (
+      SELECT dow, ROUND(AVG(d_micro) / 1000000.0, 6) AS seasonal
+      FROM dt GROUP BY dow
+    )
+    SELECT dt.day, CAST(dt.dow AS INTEGER) AS dow,
+           ROUND(dt.rev_c / 100.0, 2) AS revenue,
+           dt.trend, seas.seasonal,
+           ROUND(dt.rev_c / 100.0 - dt.trend - seas.seasonal, 6)
+             AS residual
+    FROM dt JOIN seas ON seas.dow = dt.dow
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily revenue series:
+    trend = centered 7-day moving average (a RANGE frame over the
+    integer day index, so calendar gaps shrink the frame instead of
+    smearing it), seasonal = mean detrended value per ISO weekday,
+    residual = remainder. The weekly-seasonality read-out behind every
+    ops dashboard, as one declarative plan.
+
+    Hash stability is engineered, not hoped for: daily revenue is
+    snapped to integer CENTS (the 2dp money grid — a sum of 2dp values
+    is an exact integer-cents quantity, so rounding the float SUM to
+    that grid is reduction-order-independent), and the per-weekday
+    seasonal mean averages integer MICRO-units of the detrended series
+    — integer sums are exact under 2^53 in ANY order, so no multi-row
+    float reduction survives to the hash.
+
+    Scale shape: one groupBy(day) with map-side partials; the trend
+    window's global ORDER BY day is CALENDAR-bounded (≤ a few thousand
+    rows regardless of fact size — the q_mom_growth precedent), then a
+    7-row broadcast join. Orders-table scale never reaches a window."""
+    daily = (
+        Catalog(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    day_idx = F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+    w = Window.orderBy(day_idx).rangeBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "rev_c",
+        (F.expr("weekday(day)") + 1).alias("dow"),
+        F.round(F.avg("rev_c").over(w) / 100.0, 6).alias("trend"),
+    )
+    dt = tr.withColumn(
+        "d_micro",
+        F.round((F.col("rev_c") / 100.0 - F.col("trend")) * 1e6)
+        .cast("long"),
+    )
+    seas = dt.groupBy("dow").agg(
+        F.round(F.avg("d_micro") / 1e6, 6).alias("seasonal")
+    )
+    return dt.join(F.broadcast(seas), "dow").select(
+        "day",
+        F.col("dow").cast("int").alias("dow"),
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        "trend",
+        "seasonal",
+        F.round(
+            F.col("rev_c") / 100.0 - F.col("trend") - F.col("seasonal"), 6
+        ).alias("residual"),
+    )
+
+
+@register(
+    "q_linear_interpolation",
+    oracle="""
+    WITH masked AS (
+      SELECT event_id, user_id, EPOCH_US(ts) AS t_us,
+             CASE WHEN event_id % 7 = 3 THEN NULL ELSE value END AS v
+      FROM events WHERE user_id < 50
+    ),
+    nb AS (
+      SELECT event_id, user_id, t_us, v,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_v,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN t_us END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_t,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_v,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t_us END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_t
+      FROM masked
+    )
+    SELECT event_id, user_id, t_us,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_masked,
+           CASE
+             WHEN v IS NOT NULL THEN ROUND(v, 6)
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                  AND next_t > prev_t THEN
+               ROUND(prev_v + (next_v - prev_v)
+                     * (CAST(t_us - prev_t AS DOUBLE) / (next_t - prev_t)),
+                     6)
+             ELSE NULL
+           END AS v_interp
+    FROM nb
+    """,
+)
+def q_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing sensor values: every 7th event's
+    value is masked, then reconstructed as the time-weighted blend of
+    its nearest non-null neighbors within the same user's series
+    (pandas ``interpolate(method='time')``, as a distributed plan).
+    Series-boundary gaps (no anchor on one side) stay NULL — the honest
+    semantics; forward-fill is q_forward_fill's job.
+
+    All four anchor lookups (previous/next value and timestamp) are
+    IGNORE NULLS window frames over ONE user-keyed sort — two window
+    passes (forward + reverse order) on the same partitioning, no extra
+    exchange. Time arithmetic runs in exact integer microseconds; the
+    blend is one float expression chain on identical inputs in both
+    engines, so round(…, 6) is bit-stable.
+
+    Scale shape: partitionBy(user_id) — per-series state never crosses
+    users; one shuffle total. user_id < 50 bounds the signed slice; the
+    operator itself takes any predicate."""
+    ev = (
+        Catalog(spark, sf_dir)["events"]
+        .filter(F.col("user_id") < 50)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            F.when(F.col("event_id") % 7 == 3, F.lit(None)).otherwise(
+                F.col("value")
+            ).alias("v"),
+        )
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    t_if_obs = F.when(F.col("v").isNotNull(), F.col("t_us"))
+    nb = ev.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        "v",
+        F.last("v", ignorenulls=True).over(fwd).alias("prev_v"),
+        F.last(t_if_obs, ignorenulls=True).over(fwd).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(bwd).alias("next_v"),
+        F.first(t_if_obs, ignorenulls=True).over(bwd).alias("next_t"),
+    )
+    blend = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        (F.col("t_us") - F.col("prev_t")).cast("double")
+        / (F.col("next_t") - F.col("prev_t"))
+    )
+    return nb.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_masked"),
+        F.when(F.col("v").isNotNull(), F.round(F.col("v"), 6))
+        .when(
+            F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+            & (F.col("next_t") > F.col("prev_t")),
+            F.round(blend, 6),
+        )
+        .alias("v_interp"),
+    )

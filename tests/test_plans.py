@@ -546,3 +546,22 @@ def test_round7_late_additions_shuffle_budgets(spark):
         df = QUERIES[name](spark, SF)
         n = count_shuffles(df)
         assert n <= budget, (name, n, formatted_plan(df))
+
+
+def test_eval_metrics_shuffle_budgets(spark):
+    """Exchange upper bounds for the eval-metrics / decomposition block
+    (this continuation session). q_roc_auc includes the prefix family's
+    range exchange + offsets job; q_seasonal_decompose's count covers
+    the calendar-bounded daily frame (≤ a few thousand rows by
+    construction) plus the 7-row seasonal broadcast."""
+    budgets = {
+        "q_roc_auc": 7,             # score agg, range prefix, 1-row fold
+        "q_calibration_bins": 2,    # one ≤10-key hash aggregation
+        "q_cohens_kappa": 2,        # one 1-row aggregation
+        "q_seasonal_decompose": 7,  # daily agg, bounded day window, dow agg
+        "q_linear_interpolation": 1,  # one user exchange, both sort passes
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        n = count_shuffles(df)
+        assert n <= budget, (name, n, formatted_plan(df))
