@@ -320,7 +320,6 @@ def range_ntile_multi(
     m = len(metric_cols)
     if m == 0:
         raise ValueError("metric_cols must be non-empty")
-    n_total = df.count()
     long = df.select(
         id_col,
         F.explode(
@@ -344,6 +343,11 @@ def range_ntile_multi(
         out_col="_rn",
         num_partitions=num_partitions,
     )
+    # the long frame has exactly m rows per input row, and ranked is the
+    # prefix family's CACHED range exchange — counting it gives N without
+    # re-executing the source lineage a second time (counting `df` here
+    # would pay the upstream scan/aggregate twice per call)
+    n_total = ranked.count() // m
     k = n_buckets
     rem, q = n_total % k, n_total // k
     rank = F.col("_rn") - F.col("_idx").cast("long") * F.lit(n_total)

@@ -114,21 +114,34 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").alias("total"),
         F.sum(F.col("rk") * F.col("rev")).alias("weighted"),
     )
-    top = (
-        ranked.crossJoin(F.broadcast(agg.select("n")))
-        .filter(F.col("rk") > F.col("n") - F.floor(F.col("n") / 10))
-        .agg(F.sum("rev").alias("top_rev"))
-    )
-    return agg.crossJoin(top).select(
-        F.col("n").alias("n_customers"),
-        F.round(
-            2.0 * F.col("weighted") / (F.col("n") * F.col("total"))
-            - (F.col("n") + 1.0) / F.col("n"),
-            6,
-        ).alias("gini"),
-        F.round(F.col("top_rev") / F.col("total"), 6).alias(
-            "top_decile_share"
-        ),
+    # one broadcast of the 1-row scalar aggregate, consumed once: the
+    # top-decile sum rides the same pass that carries n/total/weighted
+    # forward (max over a broadcast constant), instead of embedding the
+    # aggregation subtree twice in the plan (review r7c2)
+    return (
+        ranked.crossJoin(F.broadcast(agg))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("total").alias("total"),
+            F.max("weighted").alias("weighted"),
+            F.sum(
+                F.when(
+                    F.col("rk") > F.col("n") - F.floor(F.col("n") / 10),
+                    F.col("rev"),
+                )
+            ).alias("top_rev"),
+        )
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round(
+                2.0 * F.col("weighted") / (F.col("n") * F.col("total"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+            F.round(F.col("top_rev") / F.col("total"), 6).alias(
+                "top_decile_share"
+            ),
+        )
     )
 
 

@@ -454,7 +454,11 @@ def q_ann_pq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = code_of[int(r["mid"])][None, :]
         recon = index.decode_np(c)[0]
         exact = float(((q_of[int(r["qid"])] - recon) ** 2).sum())
-        if abs(round(exact, 6) - r["adc_dist"]) > 1e-9:
+        # adc_dist is round(.,6) of one summation order, `exact` of
+        # another; a true distance within float error of a 0.5e-6
+        # boundary can legitimately round one grid step apart, so the
+        # identity bound is one 6dp grid step, not zero (review r7c2)
+        if abs(round(exact, 6) - r["adc_dist"]) > 1.5e-6:
             n_adc_bad += 1
 
     # persisted codebooks must reproduce every code
@@ -645,7 +649,11 @@ def q_ann_ivfpq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell, c = row_of[int(r["mid"])]
         recon = index.decode_np(np.array([cell]), c[None, :])[0]
         exact = float(((q_of[int(r["qid"])] - recon) ** 2).sum())
-        if abs(round(exact, 6) - r["adc_dist"]) > 1e-9:
+        # adc_dist is round(.,6) of one summation order, `exact` of
+        # another; a true distance within float error of a 0.5e-6
+        # boundary can legitimately round one grid step apart, so the
+        # identity bound is one 6dp grid step, not zero (review r7c2)
+        if abs(round(exact, 6) - r["adc_dist"]) > 1.5e-6:
             n_adc_bad += 1
         if cell not in probed_of[int(r["qid"])]:
             n_probe_bad += 1
@@ -1183,16 +1191,20 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = emb.withColumn("nrm", nrm).filter(F.col("nrm") > 0.000001)
-    qblock = (
-        corpus.filter(F.col("vec_id") < 20)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("label").alias("qlabel"),
-            F.col("e").alias("qe"),
-            F.col("nrm").alias("qnrm"),
-        )
-        .limit(_MAX_VECTORIZED_QUERIES)
+    qblock = corpus.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
+    # loud cap, not a silent truncation: a .limit() here would drop an
+    # arbitrary partition-order-dependent query subset while the oracle
+    # scores all of them (same guard discipline as the other vectorized
+    # ANN paths; the count job is bounded by the cap+1 limit)
+    if qblock.limit(_MAX_VECTORIZED_QUERIES + 1).count() > _MAX_VECTORIZED_QUERIES:
+        raise ValueError(
+            f"query set exceeds {_MAX_VECTORIZED_QUERIES}; batch the queries"
+        )
     dot = F.aggregate(
         F.zip_with("qe", "e", lambda a, b: a * b),
         F.lit(0.0),

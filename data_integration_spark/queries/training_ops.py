@@ -29,15 +29,9 @@ from data_integration_spark.operators.prefix import range_row_number
 from data_integration_spark.queries import register
 from data_integration_spark.sources.catalog import Catalog
 
-# first-16-bits-of-md5 bucket, DuckDB side (same idiom as
-# relational_extra._H4; DuckDB has no CONV so the nibbles are unpacked
-# positionally)
-_H4 = (
-    "((STRPOS('0123456789abcdef', SUBSTR(h, 1, 1)) - 1) * 4096"
-    " + (STRPOS('0123456789abcdef', SUBSTR(h, 2, 1)) - 1) * 256"
-    " + (STRPOS('0123456789abcdef', SUBSTR(h, 3, 1)) - 1) * 16"
-    " + STRPOS('0123456789abcdef', SUBSTR(h, 4, 1)) - 1)"
-)
+# first-16-bits-of-md5 bucket, DuckDB side: ONE definition repo-wide
+# (a stale second copy would silently diverge on a future DuckDB edge)
+from data_integration_spark.queries.relational_extra import _H4  # noqa: E402
 
 _N_EPOCHS = 2
 _N_FOLDS = 5
