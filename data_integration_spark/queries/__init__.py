@@ -127,6 +127,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_cohens_kappa",
     "q_seasonal_decompose",
     "q_linear_interpolation",
+    "q_pr_curve",
     # (c) r1 rotation: flagship + §2 core first; escape-hatch rows-only
     # names (whose rows carry no hash signal to refresh) last ------------
     "q_report_final",

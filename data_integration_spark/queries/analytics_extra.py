@@ -630,3 +630,102 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
     )
+
+
+@register(
+    "q_pr_curve",
+    oracle=f"""
+    WITH lab AS (
+      SELECT n_chars AS score,
+             CASE WHEN {_md5_uniform_sql('L', 'doc_id')}
+                  < 1.0 / (1.0 + EXP(-(n_chars - 280) / 70.0))
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    v AS (
+      SELECT score, SUM(y) AS n_pos, SUM(1 - y) AS n_neg
+      FROM lab GROUP BY score
+    ),
+    c AS (
+      SELECT score,
+             SUM(n_pos) OVER (
+               ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS tp,
+             SUM(n_neg) OVER (
+               ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS fp,
+             SUM(n_pos) OVER () AS p_total
+      FROM v
+    )
+    SELECT score AS threshold, CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / p_total, 6) AS recall,
+           CASE WHEN tp > 0 THEN
+             ROUND(2.0 * (CAST(tp AS DOUBLE) / (tp + fp))
+                       * (CAST(tp AS DOUBLE) / p_total)
+                   / (CAST(tp AS DOUBLE) / (tp + fp)
+                      + CAST(tp AS DOUBLE) / p_total), 6)
+           ELSE 0.0 END AS f1
+    FROM c
+    """,
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at EVERY operating point in one pass: treat
+    each distinct score as a candidate threshold (predict positive when
+    score ≥ t); cumulative TP/FP in descending-score order give the
+    whole PR curve at once — the threshold-picking table that accompanies
+    q_roc_auc's single summary number (same md5 label stream, so the two
+    queries describe one classifier).
+
+    Scale shape: scores collapse to distinct values first (groupBy with
+    map-side partials), then BOTH cumulative counts share ONE
+    range-partitioned prefix pass (list-form ``range_prefix_sum`` over
+    the negated score — distinct thresholds can be data-proportional,
+    so no single-task window); the positive total is one bounded driver
+    scalar (the q_tfidf n_docs precedent). All ratios are exact integer
+    divisions — bit-identical before rounding.
+
+    F1 at a TP=0 threshold is defined as 0 (the 0/0 guard fires
+    identically on both engines)."""
+    from data_integration_spark.operators.prefix import range_prefix_sum
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    p_true = 1.0 / (
+        1.0 + F.exp(-(F.col("n_chars") - 280) / F.lit(70.0))
+    )
+    lab = docs.select(
+        F.col("n_chars").alias("score"),
+        (_md5_uniform("L", F.col("doc_id")) < p_true)
+        .cast("int")
+        .alias("y"),
+    )
+    v = (
+        lab.groupBy("score")
+        .agg(
+            F.sum("y").alias("n_pos"),
+            F.sum(1 - F.col("y")).alias("n_neg"),
+        )
+        .withColumn("neg_score", -F.col("score"))
+    )
+    p_total = float(v.agg(F.sum("n_pos")).collect()[0][0])
+    c = range_prefix_sum(
+        v, "neg_score", ["n_pos", "n_neg"], out_col=["tp", "fp"]
+    )
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp").cast("double") / F.lit(p_total)
+    return c.select(
+        F.col("score").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.when(
+            F.col("tp") > 0,
+            F.round(2.0 * prec * rec / (prec + rec), 6),
+        )
+        .otherwise(0.0)
+        .alias("f1"),
+    )

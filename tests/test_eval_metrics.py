@@ -147,3 +147,25 @@ def test_seasonal_decompose_identities(spark):
     )
     # weekly seasonal means are centered around zero-ish (mean detrended)
     assert abs(out["seasonal"].mean()) < out["revenue"].std()
+
+
+def test_pr_curve_matches_bruteforce(spark):
+    docs = _docs()
+    y = _labels(docs)
+    s = docs["n_chars"].to_numpy()
+    out = {
+        r["threshold"]: r
+        for r in QUERIES["q_pr_curve"](spark, SF).collect()
+    }
+    assert set(out) == set(np.unique(s).tolist())
+    p_total = int(y.sum())
+    for t, r in out.items():
+        tp = int(((s >= t) & (y == 1)).sum())
+        fp = int(((s >= t) & (y == 0)).sum())
+        assert (r["tp"], r["fp"]) == (tp, fp)
+        assert r["precision"] == round(tp / (tp + fp), 6)
+        assert r["recall"] == round(tp / p_total, 6)
+    # the curve must span both regimes: near-perfect precision at the
+    # top thresholds, full recall at the bottom one
+    assert max(r["precision"] for r in out.values()) > 0.9
+    assert any(r["recall"] == 1.0 for r in out.values())

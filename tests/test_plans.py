@@ -556,6 +556,7 @@ def test_eval_metrics_shuffle_budgets(spark):
     construction) plus the 7-row seasonal broadcast."""
     budgets = {
         "q_roc_auc": 7,             # score agg, range prefix, 1-row fold
+        "q_pr_curve": 7,            # score agg, shared 2-col range prefix
         "q_calibration_bins": 2,    # one ≤10-key hash aggregation
         "q_cohens_kappa": 2,        # one 1-row aggregation
         "q_seasonal_decompose": 7,  # daily agg, bounded day window, dow agg
