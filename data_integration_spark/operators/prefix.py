@@ -33,7 +33,9 @@ calls (the second call releases the first's cache; a recompute could
 legally re-sample range boundaries and desynchronize the driver
 offsets). Every registered query uses exactly one top-level call;
 ``range_ntile``'s internal ``range_row_number`` is the same call chain
-and is safe.
+and is safe. Queries that genuinely need several rankings in one plan
+use ``range_row_number_multi``, which holds all of its ranged
+intermediates live inside a single top-level call.
 """
 
 from __future__ import annotations
@@ -60,10 +62,18 @@ def release_prefix_caches() -> None:
             pass  # owning session already stopped — nothing left to free
 
 
-def _ranged_cached(df: DataFrame, n: int, order_exprs) -> DataFrame:
+def _ranged_cached(
+    df: DataFrame, n: int, order_exprs, release: bool = True
+) -> DataFrame:
     """Range-partition ``df`` on ``order_exprs``, tag partition ids, cache,
-    and register the cache for release at the next prefix call."""
-    release_prefix_caches()
+    and register the cache for release at the next prefix call.
+
+    ``release=False`` skips the release-prior-caches step — used by
+    composite helpers (``range_row_number_multi``) that legitimately hold
+    SEVERAL ranged intermediates live inside ONE top-level call; they
+    release once at their own entry instead."""
+    if release:
+        release_prefix_caches()
     ranged = (
         df.repartitionByRange(n, *order_exprs)
         .withColumn("_pid", F.spark_partition_id())
@@ -94,8 +104,21 @@ def range_row_number(
 
     ``order_exprs`` should be a total order (include a unique tiebreak
     column) for a well-defined result, as with any SQL row_number."""
+    release_prefix_caches()
+    return _rank_one(df, order_exprs, out_col, num_partitions)
+
+
+def _rank_one(
+    df: DataFrame,
+    order_exprs: list[Column],
+    out_col: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    """``range_row_number`` body WITHOUT the release-at-entry step, so a
+    composite caller can hold several ranked intermediates live at once
+    (see ``range_row_number_multi``)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = _ranged_cached(df, n, order_exprs)
+    ranged = _ranged_cached(df, n, order_exprs, release=False)
     counts = {
         r["_pid"]: r["c"]
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("c")).collect()
@@ -114,6 +137,34 @@ def range_row_number(
     return ranged.withColumn(
         out_col, (F.row_number().over(w) + offset_col).cast("long")
     ).drop("_pid")
+
+
+def range_row_number_multi(
+    df: DataFrame,
+    key_cols: list[str],
+    orderings: list[tuple[list[Column], str]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SEVERAL global row_numbers over DIFFERENT orderings of the same
+    frame, merged back by ``key_cols`` — the rank-join primitive behind
+    rank-fusion queries (each ranking needs its own range exchange, but
+    one composite call keeps every ranged intermediate live until the
+    merged output is consumed, honoring the module cache contract: two
+    SEQUENTIAL top-level calls may not be merged, because the second
+    releases the first's cache and a recompute could re-sample range
+    boundaries).
+
+    ``orderings`` is a list of ``(order_exprs, out_col)``; ``key_cols``
+    must uniquely identify rows (the merge joins are key-equi-joins).
+    Cost: one range exchange + one #partitions offsets job PER ordering,
+    then |orderings|-1 key joins — each join is data-proportional but
+    narrow (key + one long column on the build side)."""
+    release_prefix_caches()
+    out = df
+    for order_exprs, out_col in orderings:
+        ranked = _rank_one(df, order_exprs, out_col, num_partitions)
+        out = out.join(ranked.select(*key_cols, out_col), key_cols)
+    return out
 
 
 def range_prefix_sum(

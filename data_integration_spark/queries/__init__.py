@@ -128,6 +128,10 @@ _SIGN_PRIORITY: list[str] = [
     "q_seasonal_decompose",
     "q_linear_interpolation",
     "q_pr_curve",
+    "q_setsim_prefix_join",
+    "q_sorted_neighborhood",
+    "q_rank_fusion",
+    "q_welch_ttest",
     # (c) r1 rotation: flagship + §2 core first; escape-hatch rows-only
     # names (whose rows carry no hash signal to refresh) last ------------
     "q_report_final",
@@ -240,6 +244,7 @@ def load_all() -> None:
         graph_queries,
         analytics_extra,
         timeseries_extra,
+        er_retrieval,
     )
 
     front = [n for n in _SIGN_PRIORITY if n in QUERIES]

@@ -1,0 +1,422 @@
+"""Entity-resolution blocking and retrieval-fusion block: prefix-filter
+set-similarity self-join (the exact-recall scale path past LSH),
+sorted-neighborhood blocking (the third classic blocking family next to
+banded MinHash and SimHash), reciprocal-rank fusion of two rankings, and
+Welch's unequal-variance t-test. All full-oracle; thresholds are checked
+in INTEGER arithmetic so no float comparison can diverge between engines.
+
+Reference parity: the reference notebook (Method_code.Rmd) has no ER or
+retrieval surface — these are the training-data-pipeline extensions the
+build brief asks for (dedup/similarity as first-class components),
+composed from the same operator families as the §2 core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_spark.queries import register
+from data_integration_spark.sources.catalog import Catalog
+
+
+@register(
+    "q_setsim_prefix_join",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh_raw AS (
+      SELECT DISTINCT doc_id,
+             ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+      FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS u(i)
+    ),
+    dfreq AS (SELECT g, COUNT(*) AS df FROM sh_raw GROUP BY g),
+    sh AS (
+      SELECT s.doc_id, s.g FROM sh_raw s JOIN dfreq USING (g)
+      WHERE dfreq.df <= 150
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.c AS BIGINT) AS inter_size,
+           CAST(sa.s AS BIGINT) AS size_a,
+           CAST(sb.s AS BIGINT) AS size_b,
+           ROUND(CAST(i.c AS DOUBLE) / (sa.s + sb.s - i.c), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE 3 * i.c >= sa.s + sb.s
+    """,
+)
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (word-trigram Jaccard >= 0.5) via
+    PREFIX FILTERING (Chaudhuri et al. 2006; Vernica et al. 2010) — the
+    exact-recall alternative to banded MinHash: every qualifying pair is
+    found BY THEOREM, not with probability.
+
+    Method: each doc's (df-capped) trigram set is sorted by a global
+    canonical order (document frequency asc, gram asc — rarest first);
+    a doc of set size s keeps only its first ``s - ceil(t*s) + 1``
+    tokens as its PREFIX. For J(A,B) >= t the shared-token count obeys
+    o >= t*max(|A|,|B|), so the globally-smallest shared token must lie
+    inside BOTH prefixes (if it were outside A's prefix, all o shared
+    tokens would sit among A's last ceil(t*|A|)-1 tokens — fewer than
+    o). Candidates are therefore only pairs sharing a PREFIX token, plus
+    the size-compatibility prune 2*min(s1,s2) >= max(s1,s2); each
+    candidate is verified with an in-row ``array_intersect`` and the
+    integer test 3c >= s1+s2 (== J >= 1/2 exactly — no float compare).
+
+    The df-cap (drop grams in > 150 docs, both engines) is the same
+    bounded-recall trade documented at q_ngram_jaccard: it bounds every
+    candidate bucket at O(cap^2) pairs so a stopword-grade gram cannot
+    go quadratic; exactness is with respect to the capped sets (the cap
+    does not bind on this corpus at any test SF — max trigram df ~25).
+
+    Scale shape vs q_ngram_jaccard (which verifies every pair sharing
+    ANY capped shingle): the prefix join's pair space shrinks from
+    sum(df^2) over all tokens to sum over PREFIX occurrences only —
+    rare-first ordering makes prefix buckets the rarest tokens, so
+    candidate volume tracks true near-dup density. Everything else is
+    groupBy with map-side partials + equi-joins; per-doc state (the
+    sorted token array) is bounded by doc length.
+
+    Oracle: brute-force over ALL intersecting pairs (different
+    algorithm, same spec) — the hash match IS the exact-recall theorem
+    checked end-to-end."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    sh_raw = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform("
+                    " sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+                    " i -> concat(try_element_at(split(text, ' '), i), ' ',"
+                    "            try_element_at(split(text, ' '), i + 1), ' ',"
+                    "            try_element_at(split(text, ' '), i + 2))))"
+                )
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    # global document frequency per gram: groupBy (map-side partials) then
+    # token-keyed join back — hot keys are partition-size skew only
+    # (unique right key), the q_vocab_encode shape
+    dfreq = sh_raw.groupBy("g").agg(F.count("*").alias("df"))
+    sh = sh_raw.join(dfreq.filter(F.col("df") <= 150), "g")
+    # per-doc canonical-order token array + size; prefix length
+    # p = s - ceil(s/2) + 1 = s div 2 + 1  (t = 1/2, integer arithmetic)
+    sets = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, g))),"
+                " x -> x.g)"
+            ).alias("toks")
+        )
+        .select(
+            "doc_id",
+            "toks",
+            F.size("toks").alias("s"),
+        )
+        .withColumn(
+            "prefix",
+            F.expr("slice(toks, 1, CAST(s DIV 2 AS INT) + 1)"),
+        )
+    )
+    pre = sets.select(
+        "doc_id", "s", F.explode("prefix").alias("g")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size compatibility for J >= 1/2: 2*min >= max
+            & (
+                2 * F.least(F.col("a.s"), F.col("b.s"))
+                >= F.greatest(F.col("a.s"), F.col("b.s"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("s").alias("size_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("s").alias("size_b"),
+    )
+    c = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter_size", c.cast("long"))
+        .filter(3 * F.col("inter_size") >= F.col("size_a") + F.col("size_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_size",
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            F.round(
+                F.col("inter_size").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_sorted_neighborhood",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (ORDER BY text, doc_id) AS rn
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_dist,
+           CAST(levenshtein(SUBSTR(a.text, 1, 80),
+                            SUBSTR(b.text, 1, 80)) AS BIGINT) AS lev
+    FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 3
+    WHERE levenshtein(SUBSTR(a.text, 1, 80), SUBSTR(b.text, 1, 80)) <= 20
+    """,
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking (Hernandez & Stolfo 1995): sort
+    the corpus by a blocking key (here the text itself), compare each
+    record only with its w-1 = 3 successors in sort order, keep pairs
+    whose truncated-prefix Levenshtein distance is <= 20. The third
+    classic blocking family alongside banded MinHash (q_dedup_minhash)
+    and SimHash pigeonhole (q_simhash_near_pairs): candidate volume is
+    EXACTLY n*(w-1) regardless of data distribution — the only blocking
+    scheme with a worst-case-linear candidate guarantee (the trade:
+    recall is bounded by sort-key locality, so it catches edits that
+    preserve the key prefix; production systems run several passes with
+    different keys).
+
+    Scale shape: the global sort rides ``range_row_number`` (range
+    exchange + per-partition windows, no single-task funnel); the
+    neighbor pairing is ONE equi-join on the shifted rank (rank+delta
+    explode on the probe side, delta in 1..3 — a 3x bounded fan-out);
+    the Levenshtein verify runs on 80-char prefixes so per-pair cost is
+    O(80^2) bounded. Nothing data-proportional reaches the driver
+    beyond the prefix family's #partitions offsets."""
+    from data_integration_spark.operators.prefix import range_row_number
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    ranked = range_row_number(
+        docs, [F.col("text"), F.col("doc_id")], out_col="rn"
+    )
+    # probe side: each row addresses its 3 successors by absolute rank
+    probe = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("d"),
+    ).withColumn("rn", F.col("rn_a") + F.col("d"))
+    lev = F.levenshtein(
+        F.substring("text_a", 1, 80), F.substring("text", 1, 80)
+    )
+    return (
+        probe.join(ranked, "rn")
+        .withColumn("lev", lev.cast("long"))
+        .filter(F.col("lev") <= 20)
+        .select(
+            "doc_a",
+            F.col("doc_id").alias("doc_b"),
+            F.col("d").cast("long").alias("rank_dist"),
+            "lev",
+        )
+    )
+
+
+@register(
+    "q_rank_fusion",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             LEN(LIST(DISTINCT t.tk)) AS n_distinct
+      FROM documents,
+           UNNEST(string_split(text, ' ')) AS t(tk)
+      GROUP BY doc_id, n_chars
+    ),
+    ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+               AS rank_len,
+             ROW_NUMBER() OVER (ORDER BY n_distinct DESC, doc_id)
+               AS rank_div
+      FROM scored
+    )
+    SELECT doc_id, rank_len, rank_div,
+           ROUND(1.0 / (60 + rank_len) + 1.0 / (60 + rank_div), 6)
+             AS rrf
+    FROM ranked
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two document
+    rankings — the standard way to merge lexical and semantic retrieval
+    lists without score calibration: rrf(d) = sum_i 1/(k + rank_i(d)),
+    k = 60. Rankings here: by length (n_chars desc) and by lexical
+    diversity (distinct token count desc), doc_id tie-break; top-20 by
+    fused score.
+
+    Scale shape: the two GLOBAL rankings ride
+    ``range_row_number_multi`` — one range exchange + #partitions
+    offsets job per ordering, all ranged intermediates held live inside
+    ONE top-level prefix call (the module cache contract forbids
+    merging two sequential calls), then merged by doc_id equi-joins.
+    The final top-20 is TakeOrderedAndProject. The rrf score is two
+    reciprocals of integer ranks — identical float arithmetic in both
+    engines before the 6dp round."""
+    from data_integration_spark.operators.prefix import (
+        range_row_number_multi,
+    )
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+    )
+    ranked = range_row_number_multi(
+        scored,
+        ["doc_id"],
+        [
+            ([F.col("n_chars").desc(), F.col("doc_id")], "rank_len"),
+            ([F.col("n_distinct").desc(), F.col("doc_id")], "rank_div"),
+        ],
+    )
+    rrf = F.round(
+        1.0 / (60 + F.col("rank_len")) + 1.0 / (60 + F.col("rank_div")), 6
+    )
+    return (
+        ranked.select("doc_id", "rank_len", "rank_div", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "q_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS n, AVG(value) AS m
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type
+    ),
+    ss AS (
+      SELECT e.event_type,
+             SUM((e.value - g.m) * (e.value - g.m)) AS ss
+      FROM events e JOIN g ON g.event_type = e.event_type
+      GROUP BY e.event_type
+    ),
+    s AS (
+      SELECT g.event_type, g.n, g.m, ss.ss / (g.n - 1) AS v
+      FROM g JOIN ss ON ss.event_type = g.event_type
+    ),
+    w AS (
+      SELECT p.n AS n1, c.n AS n2,
+             p.m AS m1, c.m AS m2,
+             p.v / p.n + c.v / c.n AS se2,
+             p.v / p.n AS a, c.v / c.n AS b,
+             p.n AS np, c.n AS nc
+      FROM (SELECT * FROM s WHERE event_type = 'purchase') p,
+           (SELECT * FROM s WHERE event_type = 'click') c
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND(m1, 6) AS mean1, ROUND(m2, 6) AS mean2,
+           ROUND((m1 - m2) / SQRT(se2), 6) AS t_stat,
+           ROUND(se2 * se2 / (a * a / (np - 1) + b * b / (nc - 1)), 6)
+             AS df_welch
+    FROM w
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test: does mean event value
+    differ between purchases and clicks? Emits (n1, n2, mean1, mean2, t,
+    Welch–Satterthwaite df) as a one-row certificate. Completes the
+    two-sample battery next to the rank-based q_mann_whitney (which
+    needs no normality) and the pooled-variance z of
+    q_ab_conversion_ztest (proportions).
+
+    Numerics: the same two-pass sum-of-squares discipline as q_anova —
+    group means first, then squared deviations against the joined-back
+    mean (stable at any magnitude; the textbook E[x^2]-E[x]^2 identity
+    cancels catastrophically at scale).
+
+    Scale shape: one grouped aggregation (2 rows), one broadcast join of
+    the 2-row mean table back onto the filtered fact scan, then scalar
+    algebra on a 1-row frame. The fact table is scanned twice and never
+    shuffled on a data-sized key."""
+    ev = (
+        Catalog(spark, sf_dir)["events"]
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", "value")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.avg("value").alias("m")
+    )
+    ss = (
+        ev.join(F.broadcast(g), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("value") - F.col("m")) * (F.col("value") - F.col("m"))
+            ).alias("ss")
+        )
+    )
+    s = g.join(ss, "event_type").withColumn(
+        "v", F.col("ss") / (F.col("n") - 1)
+    )
+    p = s.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    c = s.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    )
+    w = p.crossJoin(c).select(
+        "n1",
+        "n2",
+        "m1",
+        "m2",
+        (F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")).alias("se2"),
+        (F.col("v1") / F.col("n1")).alias("a"),
+        (F.col("v2") / F.col("n2")).alias("b"),
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round("m1", 6).alias("mean1"),
+        F.round("m2", 6).alias("mean2"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt("se2"), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.col("se2")
+            * F.col("se2")
+            / (
+                F.col("a") * F.col("a") / (F.col("n1") - 1)
+                + F.col("b") * F.col("b") / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )

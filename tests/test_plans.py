@@ -333,6 +333,7 @@ _BNLJ_ALLOWED = {
     "q_gini",         # 1-row (n, total) scalar cross onto the rank frame
     "q_association_rules",  # 1-row order-count scalar cross
     "q_dau_wau",      # 1-row max-day bounds scalar cross
+    "q_welch_ttest",  # 1-row-per-group scalar cross (n/mean/var algebra)
 }
 
 
@@ -561,6 +562,26 @@ def test_eval_metrics_shuffle_budgets(spark):
         "q_cohens_kappa": 2,        # one 1-row aggregation
         "q_seasonal_decompose": 7,  # daily agg, bounded day window, dow agg
         "q_linear_interpolation": 1,  # one user exchange, both sort passes
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        n = count_shuffles(df)
+        assert n <= budget, (name, n, formatted_plan(df))
+
+
+def test_er_retrieval_shuffle_budgets(spark):
+    """Exchange upper bounds for the ER-blocking / retrieval block.
+    q_setsim_prefix_join: gram-df agg + token join + per-doc sets agg +
+    prefix self-join + candidate distinct + two verify joins — no bucket
+    is unbounded (spec-level df-cap) and no side is force-broadcast.
+    q_sorted_neighborhood / q_rank_fusion ride the prefix family (one
+    range exchange per ordering — the fusion pays two, by design);
+    q_welch_ttest's 1-row scalar crosses are BNLJ-allowlisted."""
+    budgets = {
+        "q_setsim_prefix_join": 9,
+        "q_sorted_neighborhood": 5,
+        "q_rank_fusion": 7,
+        "q_welch_ttest": 6,
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, SF)
