@@ -132,6 +132,10 @@ _SIGN_PRIORITY: list[str] = [
     "q_sorted_neighborhood",
     "q_rank_fusion",
     "q_welch_ttest",
+    "q_changepoint",
+    "q_holt_linear",
+    "q_theil_sen",
+    "q_target_encoding",
     # (c) r1 rotation: flagship + §2 core first; escape-hatch rows-only
     # names (whose rows carry no hash signal to refresh) last ------------
     "q_report_final",

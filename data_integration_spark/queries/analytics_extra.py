@@ -729,3 +729,85 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("f1"),
     )
+
+
+@register(
+    "q_target_encoding",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y_c
+      FROM orders
+    ),
+    cat AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_cat,
+             SUM(y_c) AS sum_c
+      FROM o GROUP BY o_orderpriority
+    ),
+    gstats AS (SELECT SUM(y_c) AS tot_c, COUNT(*) AS n FROM o)
+    SELECT o.o_orderkey, o.o_orderpriority,
+           ROUND(CAST(cat.sum_c - o.y_c AS DOUBLE) / 100.0
+                 / (cat.n_cat - 1), 6) AS te_loo,
+           ROUND((CAST(cat.sum_c - o.y_c AS DOUBLE) / 100.0
+                  + 10.0 * (CAST(gstats.tot_c AS DOUBLE) / 100.0 / gstats.n))
+                 / (cat.n_cat - 1 + 10.0), 6) AS te_smooth
+    FROM o
+    JOIN cat ON cat.o_orderpriority = o.o_orderpriority
+    CROSS JOIN gstats
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature — the
+    feature-engineering staple for tree/linear models on high-cardinality
+    categories: each order's priority is replaced by the mean total price
+    of OTHER orders in that priority ((sum_cat - y_i)/(n_cat - 1), the
+    leakage-free form), plus the m=10-smoothed variant that shrinks rare
+    categories toward the global mean ((sum_cat - y_i + m*mu) /
+    (n_cat - 1 + m)).
+
+    Numerics: category sums snap to exact integer CENTS (a sum of 2dp
+    money is an exact integer-cents quantity — the established grid
+    trick), each row's own y likewise, so the LOO numerator is an exact
+    integer difference and the encoding is one deterministic float
+    division per row — no multi-row float reduction survives to the
+    hash.
+
+    Scale shape: one groupBy on the category key (map-side partials,
+    |categories| rows), broadcast back onto the fact scan, one global
+    1-row aggregate for the smoothing prior. The fact table is scanned
+    twice and shuffled never; output is row-per-input (the encoder is a
+    projection, applied at training-set scale)."""
+    o = Catalog(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y_c"),
+    )
+    cat = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_cat"), F.sum("y_c").alias("sum_c")
+    )
+    glob = o.agg(
+        F.sum("y_c").alias("tot_c"), F.count("*").alias("n")
+    )
+    mu = F.col("tot_c").cast("double") / 100.0 / F.col("n")
+    return (
+        o.join(F.broadcast(cat), "o_orderpriority")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("sum_c") - F.col("y_c")).cast("double")
+                / 100.0
+                / (F.col("n_cat") - 1),
+                6,
+            ).alias("te_loo"),
+            F.round(
+                (
+                    (F.col("sum_c") - F.col("y_c")).cast("double") / 100.0
+                    + 10.0 * mu
+                )
+                / (F.col("n_cat") - 1 + 10.0),
+                6,
+            ).alias("te_smooth"),
+        )
+    )

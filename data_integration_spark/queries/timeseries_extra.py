@@ -455,3 +455,314 @@ def q_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("v_interp"),
     )
+
+
+@register(
+    "q_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT day, rev_c,
+             ROW_NUMBER() OVER (ORDER BY day) AS i,
+             SUM(rev_c) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+             COUNT(*) OVER () AS n,
+             SUM(rev_c) OVER () AS tot_c
+      FROM daily
+    ),
+    gains AS (
+      SELECT day, i, n,
+             CAST(cum_c AS DOUBLE) / i AS m1,
+             CAST(tot_c - cum_c AS DOUBLE) / (n - i) AS m2,
+             CAST(i AS DOUBLE) * (n - i) / n
+               * ((CAST(cum_c AS DOUBLE) / i)
+                  - (CAST(tot_c - cum_c AS DOUBLE) / (n - i)))
+               * ((CAST(cum_c AS DOUBLE) / i)
+                  - (CAST(tot_c - cum_c AS DOUBLE) / (n - i))) AS gain
+      FROM pre WHERE i < n
+    ),
+    best AS (
+      SELECT day, i, n, m1, m2, gain,
+             ROW_NUMBER() OVER (ORDER BY gain DESC, day) AS rk
+      FROM gains
+    )
+    SELECT day AS split_day,
+           CAST(i AS BIGINT) AS n_left,
+           CAST(n - i AS BIGINT) AS n_right,
+           ROUND(m1 / 100.0, 6) AS mean_left,
+           ROUND(m2 / 100.0, 6) AS mean_right,
+           ROUND(gain / 10000.0, 4) AS gain
+    FROM best WHERE rk = 1
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection on the daily revenue series by binary
+    segmentation (the first split of the classic CUSUM/PELT family —
+    complements q_cusum_drift, which monitors a KNOWN baseline; this
+    FINDS the break): choose the split day maximizing the
+    between-segment variance-reduction gain n1*n2/n*(m1-m2)^2, i.e. the
+    day whose left/right means differ most strongly, weighted by
+    balance. Ties break to the earliest day.
+
+    Numerics: daily revenue snapped to integer CENTS (exact in any
+    reduction order), prefix sums over the integers, so every mean and
+    the gain are computed from exact integers by identical float
+    expressions in both engines; gain reported in dollars^2 (/ 100^2).
+
+    Scale shape: one groupBy(day) over the fact table (map-side
+    partials) collapses everything to the CALENDAR-bounded daily frame
+    (<= a few thousand rows regardless of fact size — the q_mom_growth /
+    q_seasonal_decompose precedent), and only that bounded frame rides
+    the global cumulative windows + the argmax window."""
+    daily = (
+        Catalog(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("rev_c")
+        )
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum("rev_c").over(w_cum).alias("cum_c"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("rev_c").over(w_all).alias("tot_c"),
+    )
+    m1 = F.col("cum_c").cast("double") / F.col("i")
+    m2 = (F.col("tot_c") - F.col("cum_c")).cast("double") / (
+        F.col("n") - F.col("i")
+    )
+    gain = (
+        F.col("i").cast("double")
+        * (F.col("n") - F.col("i"))
+        / F.col("n")
+        * (m1 - m2)
+        * (m1 - m2)
+    )
+    gains = pre.filter(F.col("i") < F.col("n")).select(
+        "day", "i", "n", m1.alias("m1"), m2.alias("m2"), gain.alias("gain")
+    )
+    best = gains.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("gain").desc(), "day")),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("day").alias("split_day"),
+        F.col("i").cast("long").alias("n_left"),
+        (F.col("n") - F.col("i")).cast("long").alias("n_right"),
+        F.round(F.col("m1") / 100.0, 6).alias("mean_left"),
+        F.round(F.col("m2") / 100.0, 6).alias("mean_right"),
+        F.round(F.col("gain") / 10000.0, 4).alias("gain"),
+    )
+
+
+@register(
+    "q_holt_linear",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CAST(value AS DOUBLE) AS v,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events WHERE user_id < 40
+    ),
+    it(user_id, n, i, l, b) AS (
+      SELECT b1.user_id, b1.n, 2, b1.v, b2.v - b1.v
+      FROM base b1 JOIN base b2
+        ON b2.user_id = b1.user_id AND b1.i = 1 AND b2.i = 2
+      UNION ALL
+      SELECT it.user_id, it.n, it.i + 1,
+             0.5 * base.v + 0.5 * (it.l + it.b),
+             0.3 * ((0.5 * base.v + 0.5 * (it.l + it.b)) - it.l)
+               + 0.7 * it.b
+      FROM it JOIN base
+        ON base.user_id = it.user_id AND base.i = it.i + 1
+      WHERE it.i < it.n
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND(l + b, 6) AS forecast_1
+    FROM it WHERE i = n
+    """,
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per user — the
+    trend-aware sibling of q_ewma_smoothing and the simplest real
+    forecaster: level l' = a*x + (1-a)*(l+b), trend
+    b' = g*(l'-l) + (1-g)*b with a=0.5, g=0.3, initialized l=x1,
+    b=x2-x1; emits the final state and the one-step-ahead forecast
+    l+b. A sequential recurrence SQL windows cannot express — Spark
+    runs it as an in-row F.aggregate FOLD over the user's time-ordered
+    values with a (level, trend) struct accumulator; the DuckDB oracle
+    replays the SAME recurrence via a recursive CTE with the SAME
+    float expressions in the same order, so the doubles agree
+    bit-for-bit before the 6dp round (the q_ewma_smoothing oracle
+    pattern, extended to 2-component state — REDUCE can't carry a
+    struct, recursion can).
+
+    Bounded to user_id < 40 purely to bound the oracle's recursion
+    (the Spark fold is corpus-wide capable: per-user state is that
+    user's event count, the sessionization argument).
+
+    Scale shape: one groupBy(user) collect + in-row fold; no global
+    ordering, no iteration jobs — the whole recurrence is one
+    expression."""
+    ev = Catalog(spark, sf_dir)["events"].filter(F.col("user_id") < 40)
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+            )
+        ),
+        lambda s: s["value"].cast("double"),
+    )
+    per = (
+        ev.groupBy("user_id")
+        .agg(vals.alias("vals"))
+        .filter(F.size("vals") >= 2)
+    )
+    # init from (x1, x2); fold x3..xn — identical operation order to the
+    # oracle's recursion (0.5*x + 0.5*(l+b); 0.3*(l'-l) + 0.7*b)
+    state = F.aggregate(
+        F.slice(
+            F.col("vals"), 3, F.greatest(F.size("vals") - 2, F.lit(0))
+        ),
+        F.struct(
+            F.element_at("vals", 1).alias("l"),
+            (F.element_at("vals", 2) - F.element_at("vals", 1)).alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            (F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])).alias(
+                "l"
+            ),
+            (
+                F.lit(0.3)
+                * (
+                    (F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"]))
+                    - acc["l"]
+                )
+                + F.lit(0.7) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return per.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round(state["l"], 6).alias("level"),
+        F.round(state["b"], 6).alias("trend"),
+        F.round(state["l"] + state["b"], 6).alias("forecast_1"),
+    )
+
+
+@register(
+    "q_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS x,
+             CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS rev_c
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+      GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT CAST(b.rev_c - a.rev_c AS DOUBLE) / (b.x - a.x) AS slope
+      FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    med AS (
+      SELECT ROUND(MEDIAN(slope) / 100.0, 6) AS slope_per_day,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM slopes
+    ),
+    ic AS (
+      SELECT ROUND(MEDIAN(
+               rev_c / 100.0 - (SELECT slope_per_day FROM med) * x
+             ), 6) AS intercept,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily
+    )
+    SELECT med.n_pairs, ic.n_days, med.slope_per_day, ic.intercept
+    FROM med, ic
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate of 1995 daily revenue: the median
+    of all pairwise slopes (breakdown point 29% — one bad month cannot
+    drag the trend the way OLS's squared loss does), plus the companion
+    median intercept using the ROUNDED slope (decoupling the two medians'
+    float paths keeps both engines identical). The robust-regression
+    sibling of q_rolling_regression's windowed OLS.
+
+    Numerics: daily revenue in exact integer cents, day index an exact
+    integer, so every pairwise slope is one float division of exact
+    integers — identical in both engines; the median's interpolation
+    between the two central order statistics is a single expression on
+    those identical doubles.
+
+    Scale shape: the fact table collapses to a CALENDAR-bounded daily
+    frame first (<= 365 rows here, by construction); the O(n^2) pair
+    space exists only over that bounded frame (~66k pairs), never over
+    raw data — which is exactly how Theil-Sen is deployed at scale
+    (aggregate first, robust-fit the bounded series). The inequality
+    self-join is a bounded-frame BNLJ, allowlisted with the other
+    bounded crosses."""
+    daily = (
+        Catalog(spark, sf_dir)["orders"]
+        .filter(
+            (F.col("o_orderdate").cast("date") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate").cast("date") < F.lit("1996-01-01"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("rev_c")
+        )
+        .select(
+            "day",
+            F.datediff(F.col("day"), F.lit("1995-01-01").cast("date")).alias(
+                "x"
+            ),
+            "rev_c",
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.x") > F.col("a.x")).select(
+        (
+            (F.col("b.rev_c") - F.col("a.rev_c")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope")
+    )
+    med = slopes.agg(
+        F.round(F.expr("percentile(slope, 0.5)") / 100.0, 6).alias(
+            "slope_per_day"
+        ),
+        F.count("*").alias("n_pairs"),
+    )
+    ic = (
+        daily.crossJoin(F.broadcast(med.select("slope_per_day")))
+        .agg(
+            F.round(
+                F.expr(
+                    "percentile(rev_c / 100.0 - slope_per_day * x, 0.5)"
+                ),
+                6,
+            ).alias("intercept"),
+            F.count("*").alias("n_days"),
+        )
+    )
+    return (
+        med.crossJoin(ic)
+        .select("n_pairs", "n_days", "slope_per_day", "intercept")
+    )

@@ -334,6 +334,9 @@ _BNLJ_ALLOWED = {
     "q_association_rules",  # 1-row order-count scalar cross
     "q_dau_wau",      # 1-row max-day bounds scalar cross
     "q_welch_ttest",  # 1-row-per-group scalar cross (n/mean/var algebra)
+    "q_theil_sen",    # calendar-bounded daily frame: pairwise-slope
+                      # inequality self-join + 1-row median crosses
+    "q_target_encoding",  # 1-row global-prior scalar cross
 }
 
 
@@ -582,6 +585,24 @@ def test_er_retrieval_shuffle_budgets(spark):
         "q_sorted_neighborhood": 5,
         "q_rank_fusion": 7,
         "q_welch_ttest": 6,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        n = count_shuffles(df)
+        assert n <= budget, (name, n, formatted_plan(df))
+
+
+def test_trend_feature_shuffle_budgets(spark):
+    """Exchange bounds for the trend/feature-engineering block: every
+    window in q_changepoint / q_theil_sen rides the CALENDAR-bounded
+    daily frame (the fact table is collapsed by one groupBy(day) with
+    map-side partials first); q_target_encoding shuffles only for its
+    two bounded aggregates; q_holt_linear is one user-keyed exchange."""
+    budgets = {
+        "q_changepoint": 6,
+        "q_theil_sen": 8,
+        "q_holt_linear": 2,
+        "q_target_encoding": 4,
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, SF)

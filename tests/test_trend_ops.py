@@ -1,0 +1,116 @@
+"""Value-level semantics for the trend / feature-engineering block:
+Holt recurrence vs a pure-Python replay, changepoint on an engineered
+two-regime series, Theil-Sen on an exactly-linear series, and the
+leave-one-out encoding identity recomputed by hand."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+
+from data_integration_spark.queries import QUERIES, load_all
+
+load_all()
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _write_orders(spark, tmp_path, rows):
+    """rows: (o_orderkey, o_totalprice, o_orderdate, o_orderpriority)"""
+    df = spark.createDataFrame(
+        [
+            (k, k % 50, "O", p, d, pr)
+            for k, p, d, pr in rows
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    sf_dir = str(tmp_path / "mini")
+    df.coalesce(1).write.parquet(f"{sf_dir}/orders.parquet")
+    return sf_dir
+
+
+def test_holt_matches_python_replay(spark):
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev = ev[ev.user_id < 40].sort_values(["user_id", "ts", "event_id"])
+    got = {
+        r["user_id"]: (r["n_events"], r["level"], r["trend"], r["forecast_1"])
+        for r in QUERIES["q_holt_linear"](spark, SF_SMALL).collect()
+    }
+    n_checked = 0
+    for uid, grp in ev.groupby("user_id"):
+        xs = grp["value"].astype(float).tolist()
+        if len(xs) < 2:
+            assert uid not in got
+            continue
+        l, b = xs[0], xs[1] - xs[0]
+        for x in xs[2:]:
+            l_new = 0.5 * x + 0.5 * (l + b)
+            b = 0.3 * (l_new - l) + 0.7 * b
+            l = l_new
+        n, lv, tr, fc = got[uid]
+        assert n == len(xs)
+        assert lv == pytest.approx(l, abs=1e-6)
+        assert tr == pytest.approx(b, abs=1e-6)
+        assert fc == pytest.approx(l + b, abs=1e-6)
+        n_checked += 1
+    assert n_checked >= 5  # the fixture really exercises multi-step folds
+
+
+def test_changepoint_finds_engineered_break(spark, tmp_path):
+    """100 days at $100/day then 60 days at $300/day: the optimal binary
+    split is exactly the regime boundary."""
+    d0 = datetime.datetime(1995, 1, 1)
+    rows = []
+    for i in range(160):
+        price = 100.0 if i < 100 else 300.0
+        rows.append((i, price, d0 + datetime.timedelta(days=i), "1-URGENT"))
+    sf_dir = _write_orders(spark, tmp_path, rows)
+    r = QUERIES["q_changepoint"](spark, sf_dir).collect()[0]
+    assert r["split_day"] == datetime.date(1995, 4, 10)  # day index 99
+    assert r["n_left"] == 100 and r["n_right"] == 60
+    assert r["mean_left"] == pytest.approx(100.0)
+    assert r["mean_right"] == pytest.approx(300.0)
+    # gain = n1*n2/n * (m1-m2)^2 = 100*60/160 * 200^2
+    assert r["gain"] == pytest.approx(100 * 60 / 160 * 200.0**2, rel=1e-9)
+
+
+def test_theil_sen_exact_on_linear_series(spark, tmp_path):
+    """One order per day with price 50 + 2.5*day_idx: every pairwise
+    slope is exactly 2.5, so the median slope and intercept recover the
+    line exactly — and an injected outlier day must NOT move them
+    (the robustness property OLS lacks)."""
+    d0 = datetime.datetime(1995, 3, 1)
+    rows = [
+        (i, 50.0 + 2.5 * i, d0 + datetime.timedelta(days=i), "1-URGENT")
+        for i in range(60)
+    ]
+    rows.append((999, 10000.0, d0 + datetime.timedelta(days=30), "1-URGENT"))
+    sf_dir = _write_orders(spark, tmp_path, rows)
+    r = QUERIES["q_theil_sen"](spark, sf_dir).collect()[0]
+    assert r["slope_per_day"] == pytest.approx(2.5, abs=1e-6)
+    # day 30 has the outlier added; its residual is huge but the MEDIAN
+    # intercept sits on the line: price - 2.5*x = 50 - 2.5*59 offset...
+    # x here is days since 1995-01-01 (59 + i), so intercept shifts by
+    # -2.5*59 from the local 50.
+    assert r["intercept"] == pytest.approx(50.0 - 2.5 * 59, abs=1e-6)
+    assert r["n_days"] == 60
+
+
+def test_target_encoding_loo_identity(spark):
+    rows = QUERIES["q_target_encoding"](spark, SF_SMALL).collect()
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    o["y_c"] = (o["o_totalprice"] * 100).round().astype("int64")
+    sums = o.groupby("o_orderpriority")["y_c"].agg(["sum", "count"])
+    mu = o["y_c"].sum() / 100.0 / len(o)
+    by_key = o.set_index("o_orderkey")
+    for r in rows[:200]:
+        y = by_key.loc[r["o_orderkey"], "y_c"]
+        s, n = sums.loc[r["o_orderpriority"]]
+        want_loo = (s - y) / 100.0 / (n - 1)
+        want_sm = ((s - y) / 100.0 + 10.0 * mu) / (n - 1 + 10.0)
+        assert r["te_loo"] == pytest.approx(want_loo, abs=1e-6)
+        assert r["te_smooth"] == pytest.approx(want_sm, abs=1e-6)
+    assert len(rows) == len(o)
