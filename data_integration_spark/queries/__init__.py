@@ -136,6 +136,9 @@ _SIGN_PRIORITY: list[str] = [
     "q_holt_linear",
     "q_theil_sen",
     "q_target_encoding",
+    "q_item_item_cf",
+    "q_mutual_information",
+    "q_zorder_pruning",
     # (c) r1 rotation: flagship + §2 core first; escape-hatch rows-only
     # names (whose rows carry no hash signal to refresh) last ------------
     "q_report_final",

@@ -811,3 +811,253 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("te_smooth"),
         )
     )
+
+
+@register(
+    "q_item_item_cf",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ni AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+           FROM b GROUP BY l_partkey),
+    co AS (
+      SELECT a.l_partkey AS i, b2.l_partkey AS j, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b a JOIN b b2
+        ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+      SELECT i, j, c FROM co
+      UNION ALL
+      SELECT j AS i, i AS j, c FROM co
+    ),
+    scored AS (
+      SELECT s.i, s.j, s.c,
+             s.c / SQRT(CAST(na.n AS DOUBLE) * nb.n) AS cosine
+      FROM sym s
+      JOIN ni na ON na.l_partkey = s.i
+      JOIN ni nb ON nb.l_partkey = s.j
+    ),
+    ranked AS (
+      SELECT i, j, c, cosine,
+             ROW_NUMBER() OVER (PARTITION BY i
+                                ORDER BY cosine DESC, j) AS rk
+      FROM scored
+    )
+    SELECT i AS item, j AS neighbor, c AS n_co_orders,
+           ROUND(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering from co-purchase data — the
+    Amazon-style "customers also bought" neighborhood model: items are
+    binary vectors over orders, similarity = co-occurrence cosine
+    c_ij / sqrt(n_i * n_j), top-3 neighbors per item among pairs
+    co-purchased at least twice (c >= 2 kills the coincidence floor).
+
+    Scale shape — why this formulation survives 100 TB: the pair space
+    is generated by a self-join WITHIN orders, and basket size is
+    schema-bounded (<= 7 lineitems), so the fan-out is a constant
+    C(7,2) per order — candidate volume is O(|orders|), never
+    O(|items|^2); hot items inflate partition sizes only
+    (AQE-splittable), not per-row fan-out. The cosine denominators join
+    by item key; the top-3 is a PER-ITEM window (never global). Every
+    similarity is one float op on exact integers, so both engines agree
+    bit-for-bit before the 6dp round; ranking ties break on the
+    neighbor id."""
+    b = (
+        Catalog(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    ni = b.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a2, b2 = b.alias("a"), b.alias("b")
+    co = (
+        a2.join(
+            b2,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("i"), F.col("b.l_partkey").alias("j")
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    sym = co.unionAll(
+        co.select(F.col("j").alias("i"), F.col("i").alias("j"), "c")
+    )
+    scored = (
+        sym.join(ni.select(F.col("l_partkey").alias("i"), F.col("n").alias("n_i")), "i")
+        .join(ni.select(F.col("l_partkey").alias("j"), F.col("n").alias("n_j")), "j")
+        .select(
+            "i",
+            "j",
+            "c",
+            (
+                F.col("c")
+                / F.sqrt(F.col("n_i").cast("double") * F.col("n_j"))
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("i").orderBy(F.col("cosine").desc(), "j")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("neighbor"),
+            F.col("c").alias("n_co_orders"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+@register(
+    "q_mutual_information",
+    oracle="""
+    WITH lab AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(MONTH(o_orderdate) AS VARCHAR) AS om,
+             CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    longf AS (
+      SELECT 'priority' AS feature, o_orderpriority AS level, y FROM lab
+      UNION ALL
+      SELECT 'status' AS feature, o_orderstatus AS level, y FROM lab
+      UNION ALL
+      SELECT 'month' AS feature, om AS level, y FROM lab
+    ),
+    cells AS (
+      SELECT feature, level, y, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM longf GROUP BY 1, 2, 3
+    ),
+    nx AS (SELECT feature, level, SUM(c) AS nx FROM cells GROUP BY 1, 2),
+    ny AS (SELECT feature, y, SUM(c) AS ny FROM cells GROUP BY 1, 2),
+    nt AS (SELECT feature, SUM(c) AS n FROM cells GROUP BY 1),
+    mi AS (
+      SELECT c.feature,
+             SUM(c.c / nt.n * LN(c.c * nt.n / (nx.nx * ny.ny))) AS mi
+      FROM cells c
+      JOIN nx ON nx.feature = c.feature AND nx.level = c.level
+      JOIN ny ON ny.feature = c.feature AND ny.y = c.y
+      JOIN nt ON nt.feature = c.feature
+      GROUP BY c.feature
+    ),
+    hy AS (
+      SELECT ny.feature, -SUM(ny.ny / nt.n * LN(ny.ny / nt.n)) AS h
+      FROM ny JOIN nt ON nt.feature = ny.feature
+      GROUP BY ny.feature
+    ),
+    nl AS (SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_levels
+           FROM nx GROUP BY feature)
+    SELECT mi.feature, nl.n_levels,
+           ROUND(mi.mi, 6) AS mi, ROUND(mi.mi / hy.h, 6) AS nmi
+    FROM mi JOIN hy ON hy.feature = mi.feature
+    JOIN nl ON nl.feature = mi.feature
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking against a binary high-value
+    label — the model-free feature-selection readout (I(X;Y) =
+    sum p(x,y) ln(p(x,y)/(p(x)p(y)))), plus the H(Y)-normalized NMI so
+    features of different cardinality compare fairly. Three candidate
+    features (order priority, status, month) score in one plan.
+
+    All probabilities come from exact integer counts; the only float
+    reduction is the final sum over <= |levels|*2 cells per feature
+    (bounded by construction), far inside the 6dp round.
+
+    Scale shape: ONE pass over the fact table builds the long
+    (feature, level, y) frame in-row (3x bounded fan-out), one hash
+    aggregation collapses it to contingency cells — everything after is
+    algebra on |levels|-sized frames. The 100 TB cost is exactly one
+    map + one shuffle of cell partials."""
+    o = Catalog(spark, sf_dir)["orders"]
+    lab = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        F.month("o_orderdate").cast("string").alias("month"),
+        (F.col("o_totalprice") > 250000).cast("int").alias("y"),
+    )
+    longf = lab.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("priority").alias("feature"),
+                    F.col("priority").alias("level"),
+                ),
+                F.struct(
+                    F.lit("status").alias("feature"),
+                    F.col("status").alias("level"),
+                ),
+                F.struct(
+                    F.lit("month").alias("feature"),
+                    F.col("month").alias("level"),
+                ),
+            )
+        ).alias("fl"),
+        "y",
+    ).select(
+        F.col("fl.feature").alias("feature"),
+        F.col("fl.level").alias("level"),
+        "y",
+    )
+    cells_dist = longf.groupBy("feature", "level", "y").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    # the contingency table is BOUNDED by construction (|levels|*2 <= 40
+    # rows at any corpus size) — collapse it to the driver ONCE and run
+    # the MI algebra on a literal frame, so the fact table is scanned and
+    # shuffled exactly once (without this, each marginal's lineage would
+    # re-run the fact aggregation)
+    cells = spark.createDataFrame(
+        cells_dist.collect(), "feature string, level string, y int, c double"
+    )
+    nx = cells.groupBy("feature", "level").agg(F.sum("c").alias("nx"))
+    ny = cells.groupBy("feature", "y").agg(F.sum("c").alias("ny"))
+    nt = cells.groupBy("feature").agg(F.sum("c").alias("n"))
+    # nx/ny/nt are |levels|-bounded by construction (<= 20 rows for any
+    # corpus size) — forced broadcast is the bounded-frame case the hint
+    # lint allows
+    mi = (
+        cells.join(F.broadcast(nx), ["feature", "level"])
+        .join(F.broadcast(ny), ["feature", "y"])
+        .join(F.broadcast(nt), "feature")
+        .groupBy("feature")
+        .agg(
+            F.sum(
+                F.col("c")
+                / F.col("n")
+                * F.log(
+                    F.col("c") * F.col("n") / (F.col("nx") * F.col("ny"))
+                )
+            ).alias("mi")
+        )
+    )
+    hy = (
+        ny.join(F.broadcast(nt), "feature")
+        .groupBy("feature")
+        .agg(
+            (-F.sum(
+                F.col("ny") / F.col("n") * F.log(F.col("ny") / F.col("n"))
+            )).alias("h")
+        )
+    )
+    nl = nx.groupBy("feature").agg(F.count("*").alias("n_levels"))
+    return (
+        mi.join(F.broadcast(hy), "feature")
+        .join(F.broadcast(nl), "feature")
+        .select(
+            "feature",
+            "n_levels",
+            F.round("mi", 6).alias("mi"),
+            F.round(F.col("mi") / F.col("h"), 6).alias("nmi"),
+        )
+    )

@@ -2131,3 +2131,160 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     qy = F.col("p_partkey") % 1024
     zkey = spread(qx).bitwiseOR(F.shiftleft(spread(qy), 1))
     return part.select("p_partkey", zkey.cast("bigint").alias("zkey"))
+
+
+@register(
+    "q_zorder_pruning",
+    oracle="""
+    WITH q AS (
+      SELECT p_partkey,
+             CAST(p_size AS BIGINT) AS x,
+             p_partkey % 1024 AS y,
+             CAST(p_size AS BIGINT) & 1023 AS qx,
+             p_partkey % 1024 AS qy
+      FROM part
+    ),
+    sx AS (SELECT p_partkey, x, y, qy,
+                  ((qx | (qx << 8)) & 16711935) AS v FROM q),
+    sx2 AS (SELECT p_partkey, x, y, qy,
+                   ((v | (v << 4)) & 252645135) AS v FROM sx),
+    sx3 AS (SELECT p_partkey, x, y, qy,
+                   ((v | (v << 2)) & 858993459) AS v FROM sx2),
+    sx4 AS (SELECT p_partkey, x, y, qy,
+                   ((v | (v << 1)) & 1431655765) AS ex FROM sx3),
+    sy AS (SELECT p_partkey, x, y, ex,
+                  ((qy | (qy << 8)) & 16711935) AS v FROM sx4),
+    sy2 AS (SELECT p_partkey, x, y, ex,
+                   ((v | (v << 4)) & 252645135) AS v FROM sy),
+    sy3 AS (SELECT p_partkey, x, y, ex,
+                   ((v | (v << 2)) & 858993459) AS v FROM sy2),
+    sy4 AS (SELECT p_partkey, x, y, ex,
+                   ((v | (v << 1)) & 1431655765) AS ey FROM sy3),
+    keyed AS (
+      SELECT p_partkey, x, y, CAST(ex | (ey << 1) AS BIGINT) AS zkey
+      FROM sy4
+    ),
+    filed AS (
+      SELECT x, y,
+             NTILE(32) OVER (ORDER BY zkey, p_partkey) AS fz,
+             NTILE(32) OVER (ORDER BY p_partkey) AS fl
+      FROM keyed
+    ),
+    statz AS (
+      SELECT fz, MIN(x) AS lo_x, MAX(x) AS hi_x,
+                 MIN(y) AS lo_y, MAX(y) AS hi_y
+      FROM filed GROUP BY fz
+    ),
+    statl AS (
+      SELECT fl, MIN(x) AS lo_x, MAX(x) AS hi_x,
+                 MIN(y) AS lo_y, MAX(y) AS hi_y
+      FROM filed GROUP BY fl
+    ),
+    hits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_matched
+      FROM filed
+      WHERE x BETWEEN 10 AND 20 AND y BETWEEN 100 AND 300
+    )
+    SELECT CAST(32 AS BIGINT) AS n_files,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM statz
+            WHERE lo_x <= 20 AND hi_x >= 10
+              AND lo_y <= 300 AND hi_y >= 100) AS files_zorder,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM statl
+            WHERE lo_x <= 20 AND hi_x >= 10
+              AND lo_y <= 300 AND hi_y >= 100) AS files_linear,
+           hits.n_rows_matched,
+           (SELECT CASE WHEN
+              (SELECT COUNT(*) FROM statz
+               WHERE lo_x <= 20 AND hi_x >= 10
+                 AND lo_y <= 300 AND hi_y >= 100) <
+              (SELECT COUNT(*) FROM statl
+               WHERE lo_x <= 20 AND hi_x >= 10
+                 AND lo_y <= 300 AND hi_y >= 100)
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+             AS zorder_prunes_more
+    FROM hits
+    """,
+)
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping CERTIFICATE for the Z-order layout (the claim
+    behind q_zorder_key, measured end-to-end): assign every part row to
+    one of 32 simulated files under (a) Z-order layout (exact NTILE
+    over the Morton key) and (b) naive insertion order (NTILE over
+    p_partkey), compute each file's min/max column stats — exactly what
+    parquet row-groups / Delta file stats store — and count how many
+    files a 2-D box predicate (p_size in [10,20], p_partkey%1024 in
+    [100,300]) must touch under each layout. The certificate row pins
+    ``zorder_prunes_more`` = 1: under the linear layout every file
+    spans the full p_size range (files_linear = 32), under Z-order the
+    box touches only the files whose interleaved ranges cross it.
+
+    Both NTILEs ride ONE ``range_ntile_multi`` call (one range
+    exchange for both orderings via the long-format trick — the
+    one-prefix-call-per-plan contract), stats are two 32-row grouped
+    aggregations, and the verdict is scalar algebra on 32-row frames.
+
+    Scale shape: this is the planning-time audit a table-format
+    OPTIMIZE job runs; everything data-proportional is one range
+    exchange + two grouped aggs with map-side partials."""
+    from data_integration_spark.operators.prefix import range_ntile_multi
+
+    part = Catalog(spark, sf_dir)["part"]
+
+    def spread(col):
+        v = col
+        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(16711935))
+        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(252645135))
+        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(858993459))
+        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(1431655765))
+        return v
+
+    qx = F.col("p_size").cast("bigint").bitwiseAND(F.lit(1023))
+    qy = F.col("p_partkey") % 1024
+    keyed = part.select(
+        "p_partkey",
+        F.col("p_size").cast("bigint").alias("x"),
+        (F.col("p_partkey") % 1024).alias("y"),
+        spread(qx)
+        .bitwiseOR(F.shiftleft(spread(qy), 1))
+        .cast("bigint")
+        .alias("zkey"),
+    )
+    filed = range_ntile_multi(
+        keyed, "p_partkey", ["zkey", "p_partkey"], 32
+    ).join(keyed.select("p_partkey", "x", "y"), "p_partkey")
+    statz = filed.groupBy("zkey_bucket").agg(
+        F.min("x").alias("lo_x"),
+        F.max("x").alias("hi_x"),
+        F.min("y").alias("lo_y"),
+        F.max("y").alias("hi_y"),
+    )
+    statl = filed.groupBy("p_partkey_bucket").agg(
+        F.min("x").alias("lo_x"),
+        F.max("x").alias("hi_x"),
+        F.min("y").alias("lo_y"),
+        F.max("y").alias("hi_y"),
+    )
+    box = (
+        (F.col("lo_x") <= 20)
+        & (F.col("hi_x") >= 10)
+        & (F.col("lo_y") <= 300)
+        & (F.col("hi_y") >= 100)
+    )
+    fz = statz.filter(box).agg(F.count("*").alias("files_zorder"))
+    fl = statl.filter(box).agg(F.count("*").alias("files_linear"))
+    hits = filed.filter(
+        F.col("x").between(10, 20) & F.col("y").between(100, 300)
+    ).agg(F.count("*").alias("n_rows_matched"))
+    return (
+        fz.crossJoin(fl)
+        .crossJoin(hits)
+        .select(
+            F.lit(32).cast("long").alias("n_files"),
+            F.col("files_zorder").cast("long").alias("files_zorder"),
+            F.col("files_linear").cast("long").alias("files_linear"),
+            F.col("n_rows_matched").cast("long").alias("n_rows_matched"),
+            (F.col("files_zorder") < F.col("files_linear"))
+            .cast("long")
+            .alias("zorder_prunes_more"),
+        )
+    )

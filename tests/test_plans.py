@@ -337,6 +337,8 @@ _BNLJ_ALLOWED = {
     "q_theil_sen",    # calendar-bounded daily frame: pairwise-slope
                       # inequality self-join + 1-row median crosses
     "q_target_encoding",  # 1-row global-prior scalar cross
+    "q_zorder_pruning",   # 1-row files-touched scalar crosses
+    "q_mutual_information",  # bounded (<=40-row) local contingency frames
 }
 
 
@@ -603,6 +605,25 @@ def test_trend_feature_shuffle_budgets(spark):
         "q_theil_sen": 8,
         "q_holt_linear": 2,
         "q_target_encoding": 4,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        n = count_shuffles(df)
+        assert n <= budget, (name, n, formatted_plan(df))
+
+
+def test_cf_layout_shuffle_budgets(spark):
+    """q_item_item_cf: basket self-join fans out at most C(7,2) per
+    order (schema-bounded), denominators join by item key, per-item
+    top-3 window; q_zorder_pruning: one range exchange carries BOTH
+    NTILE orderings (range_ntile_multi), then two 32-row stat aggs;
+    q_mutual_information: the fact table is scanned/shuffled ONCE —
+    everything after runs on the driver-collapsed (<=40-row)
+    contingency frame."""
+    budgets = {
+        "q_item_item_cf": 11,
+        "q_zorder_pruning": 12,
+        "q_mutual_information": 9,
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, SF)

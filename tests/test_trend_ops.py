@@ -114,3 +114,74 @@ def test_target_encoding_loo_identity(spark):
         assert r["te_loo"] == pytest.approx(want_loo, abs=1e-6)
         assert r["te_smooth"] == pytest.approx(want_sm, abs=1e-6)
     assert len(rows) == len(o)
+
+
+def test_item_item_cf_matches_pandas(spark):
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    n_i = li.groupby("l_partkey").size()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m.l_partkey_x < m.l_partkey_y]
+    co = (
+        m.groupby(["l_partkey_x", "l_partkey_y"]).size().reset_index(name="c")
+    )
+    co = co[co.c >= 2]
+    import math
+
+    scored = {}
+    for _, r in co.iterrows():
+        i, j, c = int(r.l_partkey_x), int(r.l_partkey_y), int(r.c)
+        cos = c / math.sqrt(n_i[i] * n_i[j])
+        scored.setdefault(i, []).append((j, c, cos))
+        scored.setdefault(j, []).append((i, c, cos))
+    want = {}
+    for i, lst in scored.items():
+        lst.sort(key=lambda t: (-t[2], t[0]))
+        for rk, (j, c, cos) in enumerate(lst[:3], start=1):
+            want[(i, j)] = (c, round(cos, 6), rk)
+    got = {
+        (r["item"], r["neighbor"]): (r["n_co_orders"], r["cosine"], r["rk"])
+        for r in QUERIES["q_item_item_cf"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert len(got) > 50  # value-live neighborhood structure
+
+
+def test_mutual_information_matches_numpy(spark):
+    import numpy as np
+
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    o["y"] = (o.o_totalprice > 250000).astype(int)
+    o["month"] = pd.to_datetime(o.o_orderdate).dt.month.astype(str)
+    got = {
+        r["feature"]: (r["n_levels"], r["mi"], r["nmi"])
+        for r in QUERIES["q_mutual_information"](spark, SF_SMALL).collect()
+    }
+    for feat, col in [
+        ("priority", "o_orderpriority"),
+        ("status", "o_orderstatus"),
+        ("month", "month"),
+    ]:
+        tab = o.groupby([col, "y"]).size()
+        n = len(o)
+        px = o[col].value_counts() / n
+        py = o["y"].value_counts() / n
+        mi = 0.0
+        for (lv, y), c in tab.items():
+            pxy = c / n
+            mi += pxy * np.log(pxy / (px[lv] * py[y]))
+        h = -(py * np.log(py)).sum()
+        n_levels, got_mi, got_nmi = got[feat]
+        assert n_levels == o[col].nunique()
+        assert got_mi == pytest.approx(mi, abs=2e-6)
+        assert got_nmi == pytest.approx(mi / h, abs=2e-6)
+
+
+def test_zorder_pruning_certificate_claim(spark):
+    """The layout claim itself: under the linear layout the box touches
+    (nearly) every file; Z-order touches strictly fewer."""
+    r = QUERIES["q_zorder_pruning"](spark, SF_SMALL).collect()[0]
+    assert r["zorder_prunes_more"] == 1
+    assert r["files_zorder"] < r["files_linear"]
+    assert r["n_rows_matched"] > 0  # the box predicate is value-live
