@@ -139,6 +139,9 @@ _SIGN_PRIORITY: list[str] = [
     "q_item_item_cf",
     "q_mutual_information",
     "q_zorder_pruning",
+    "q_tfidf_knn",
+    "q_sorted_neighborhood_multipass",
+    "q_salted_join",
     # (c) r1 rotation: flagship + §2 core first; escape-hatch rows-only
     # names (whose rows carry no hash signal to refresh) last ------------
     "q_report_final",

@@ -420,3 +420,251 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df_welch"),
     )
+
+
+@register(
+    "q_tfidf_knn",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, u.t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts
+            FROM documents),
+           UNNEST(ts) AS u(t)
+      GROUP BY doc_id, u.t
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * LN((1.0 + n.n_docs) / (1.0 + dfreq.df)) AS w
+      FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN n
+    ),
+    nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dot AS (
+      SELECT q.doc_id AS q_id, d.doc_id AS d_id, SUM(q.w * d.w) AS dot
+      FROM w q JOIN w d ON d.term = q.term AND d.doc_id <> q.doc_id
+      WHERE q.doc_id < 20
+      GROUP BY q.doc_id, d.doc_id
+    ),
+    scored AS (
+      SELECT dot.q_id, dot.d_id,
+             ROUND(dot.dot / (nq.nrm * nd.nrm), 6) AS cosine
+      FROM dot
+      JOIN nrm nq ON nq.doc_id = dot.q_id
+      JOIN nrm nd ON nd.doc_id = dot.d_id
+    ),
+    ranked AS (
+      SELECT q_id, d_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, d_id) AS rk
+      FROM scored
+    )
+    SELECT q_id AS query_doc, d_id AS neighbor_doc, cosine,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector k-nearest-neighbors: top-3 TF-IDF cosine neighbors
+    per query doc through the INVERTED INDEX — the lexical-retrieval
+    sibling of the dense ANN stack (q_ann_*): partial dot products
+    accumulate over the shared-term postings join, never over a dense
+    |docs|x|docs| space. Same tokenization and smoothed idf as q_tfidf
+    (ln((1+N)/(1+df))); ranking uses the 6dp-ROUNDED cosine with d_id
+    tie-break (the q_hard_negatives discipline — an unrounded float
+    rank could flip near-ties between engines).
+
+    Scale shape: the postings self-join's partial-product volume is
+    sum over terms of q_postings(t) * df(t) — bounded by |queries| *
+    max-df, linear in corpus size for a bounded query block; a
+    stopword-grade term inflates partition sizes only (AQE-splittable;
+    a production deployment adds the impact-ordered df-cap exactly as
+    q_ngram_jaccard documents). Per-doc norms are a doc-keyed
+    aggregation; top-3 is a per-query window (never global)."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * F.log((1.0 + F.lit(n_docs)) / (1.0 + F.col("df")))
+        ).alias("w"),
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    q = (
+        w.filter(F.col("doc_id") < 20)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            "term",
+            F.col("w").alias("wq"),
+        )
+    )
+    d = w.select(
+        F.col("doc_id").alias("d_id"), "term", F.col("w").alias("wd")
+    )
+    dot = (
+        q.join(d, "term")
+        .filter(F.col("d_id") != F.col("q_id"))
+        .groupBy("q_id", "d_id")
+        .agg(F.sum(F.col("wq") * F.col("wd")).alias("dot"))
+    )
+    scored = (
+        dot.join(
+            nrm.select(F.col("doc_id").alias("q_id"), F.col("nrm").alias("nq")),
+            "q_id",
+        )
+        .join(
+            nrm.select(F.col("doc_id").alias("d_id"), F.col("nrm").alias("nd")),
+            "d_id",
+        )
+        .select(
+            "q_id",
+            "d_id",
+            F.round(F.col("dot") / (F.col("nq") * F.col("nd")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("cosine").desc(), "d_id")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("q_id").alias("query_doc"),
+            F.col("d_id").alias("neighbor_doc"),
+            "cosine",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+@register(
+    "q_sorted_neighborhood_multipass",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (ORDER BY text, doc_id) AS rn_f,
+             ROW_NUMBER() OVER (ORDER BY REVERSE(text), doc_id) AS rn_r
+      FROM documents
+    ),
+    p1 AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.text AS ta, b.text AS tb
+      FROM ranked a JOIN ranked b ON b.rn_f - a.rn_f BETWEEN 1 AND 3
+    ),
+    p2 AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.text AS ta, b.text AS tb
+      FROM ranked a JOIN ranked b ON b.rn_r - a.rn_r BETWEEN 1 AND 3
+    ),
+    cand AS (
+      SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b,
+             ta, tb, MAX(p) AS found_pass1, MAX(1 - p) AS found_pass2
+      FROM (
+        SELECT da, db, ta, tb, 1 AS p FROM p1
+        UNION ALL
+        SELECT da, db, ta, tb, 0 AS p FROM p2
+      )
+      GROUP BY 1, 2, ta, tb
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(SUBSTR(ta, 1, 80), SUBSTR(tb, 1, 80))
+                AS BIGINT) AS lev,
+           CAST(found_pass1 AS BIGINT) AS found_pass1,
+           CAST(found_pass2 AS BIGINT) AS found_pass2
+    FROM cand
+    WHERE levenshtein(SUBSTR(ta, 1, 80), SUBSTR(tb, 1, 80)) <= 20
+    """,
+)
+def q_sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS sorted-neighborhood blocking — the standard answer to
+    the single-pass method's locality bound (q_sorted_neighborhood
+    misses pairs whose sort-key PREFIX differs): a second pass sorts by
+    the REVERSED text, catching pairs that agree at the tail; candidates
+    are the union, each match flagged with the pass(es) that found it —
+    so the output itself measures what the second key buys.
+
+    Both global rankings ride ONE ``range_row_number_multi`` call (the
+    two-orderings-in-one-plan case the operator exists for); each pass's
+    neighbor pairing is an equi-join on its shifted rank with a 3x
+    bounded fan-out; pairs normalize to (min, max) before the verify so
+    the two passes dedupe exactly. Candidate volume stays worst-case
+    2 * 3 * n."""
+    from data_integration_spark.operators.prefix import (
+        range_row_number_multi,
+    )
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    ranked = range_row_number_multi(
+        docs,
+        ["doc_id"],
+        [
+            ([F.col("text"), F.col("doc_id")], "rn_f"),
+            ([F.reverse(F.col("text")), F.col("doc_id")], "rn_r"),
+        ],
+    )
+    deltas = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+
+    def pass_pairs(rank_col: str, flag: int):
+        probe = ranked.select(
+            F.col("doc_id").alias("da"),
+            F.col("text").alias("ta"),
+            F.col(rank_col).alias("rn_a"),
+            deltas.alias("d"),
+        ).withColumn(rank_col, F.col("rn_a") + F.col("d"))
+        return probe.join(
+            ranked.select("doc_id", "text", rank_col), rank_col
+        ).select(
+            F.col("da"),
+            F.col("doc_id").alias("db"),
+            F.col("ta"),
+            F.col("text").alias("tb"),
+            F.lit(flag).alias("p"),
+        )
+
+    both = pass_pairs("rn_f", 1).unionAll(pass_pairs("rn_r", 0))
+    cand = (
+        both.select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "ta",
+            "tb",
+            "p",
+        )
+        .groupBy("doc_a", "doc_b", "ta", "tb")
+        .agg(
+            F.max("p").alias("found_pass1"),
+            F.max(1 - F.col("p")).alias("found_pass2"),
+        )
+    )
+    lev = F.levenshtein(
+        F.substring("ta", 1, 80), F.substring("tb", 1, 80)
+    )
+    return (
+        cand.withColumn("lev", lev.cast("long"))
+        .filter(F.col("lev") <= 20)
+        .select(
+            "doc_a",
+            "doc_b",
+            "lev",
+            F.col("found_pass1").cast("long").alias("found_pass1"),
+            F.col("found_pass2").cast("long").alias("found_pass2"),
+        )
+    )

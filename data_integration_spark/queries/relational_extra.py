@@ -598,3 +598,73 @@ def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, AVG(value) AS type_avg
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(d.type_avg), 6) AS type_avg,
+           ROUND(SUM((e.value - d.type_avg) * (e.value - d.type_avg))
+                 / COUNT(*), 6) AS var_around_avg
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANUAL key-salting for a skewed shuffle join — the mitigation
+    that applies where AQE skew-split cannot (Structured Streaming
+    joins, engines without runtime re-planning, or a key so hot one
+    reducer still OOMs after AQE's byte-based split): the fact side
+    salts its join key with pmod(event_id, 8); the 5-row dim side
+    REPLICATES 8x (explode over the salt domain) so every
+    (type, salt) bucket finds its dim row; the join keys on BOTH
+    columns, spreading each hot event_type over 8 reducers. The
+    ``shuffle_hash`` hint forces the shuffled path (Catalyst would
+    rightly broadcast a 5-row dim — the query demonstrates the salted
+    SHUFFLE topology and certifies it returns the exact unsalted
+    result, which is the oracle).
+
+    Salt invariance is structural: the join output is identical row-set
+    for any salt function, so the oracle is the PLAIN join — a salting
+    bug (dim not fully replicated, salt domain mismatch) drops rows and
+    breaks the count/hash. The variance-around-type-mean aggregate
+    keeps the dim VALUES live in the hash (a stale dim row shifts
+    var_around_avg), and its float path is second-order insensitive to
+    the engines' avg reduction order (sum of (v - a)^2 with
+    sum(v - a) = 0).
+
+    Scale shape: one fact shuffle on (type, salt) — 8x more, 8x
+    smaller partitions on hot keys; dim replication is |dim| * 8 rows.
+    This plus AQE (test_plans.py::test_aqe_skew_join_splits_hot_partition)
+    covers both skew regimes the 100 TB design needs."""
+    ev = Catalog(spark, sf_dir)["events"].select(
+        "event_id", "event_type", "value"
+    )
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    salted_fact = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(8)))
+    salted_dim = dim.select(
+        "event_type",
+        "type_avg",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("salt"),
+    ).withColumn("salt", F.col("salt").cast("long"))
+    joined = salted_fact.join(
+        salted_dim.hint("shuffle_hash"), ["event_type", "salt"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.max("type_avg"), 6).alias("type_avg"),
+        F.round(
+            F.sum(
+                (F.col("value") - F.col("type_avg"))
+                * (F.col("value") - F.col("type_avg"))
+            )
+            / F.count("*"),
+            6,
+        ).alias("var_around_avg"),
+    )

@@ -204,3 +204,89 @@ def test_rank_fusion_is_top20_by_fused_score(spark):
         assert r["rrf"] == pytest.approx(want, abs=1e-9)
     scores = [r["rrf"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_multipass_second_key_buys_recall(spark, tmp_path):
+    """The pair the single-pass method legitimately misses (first-char
+    edit, shared tail) must be found by the REVERSED-key pass and
+    flagged found_pass2-only; exact duplicates are found by both."""
+    filler = [
+        f"{c}{c2} doc number {c}{c2} with some words"
+        for c in "abcdefghijklmnoprstuvwxy"
+        for c2 in "14"
+    ]
+    texts = {i: t for i, t in enumerate(filler)}
+    texts[100] = "kk identical text here"
+    texts[101] = "kk identical text here"
+    texts[102] = "qq same tail but far first char"
+    texts[103] = "zz same tail but far first char"
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    rows = {
+        (r["doc_a"], r["doc_b"]): (
+            r["lev"],
+            r["found_pass1"],
+            r["found_pass2"],
+        )
+        for r in QUERIES["q_sorted_neighborhood_multipass"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert rows[(100, 101)][0] == 0
+    assert rows[(100, 101)][1] == 1  # adjacent under the forward key
+    lev, p1, p2 = rows[(102, 103)]
+    assert (p1, p2) == (0, 1)  # ONLY the reversed key finds it
+    assert lev == 2
+
+
+def test_tfidf_knn_matches_numpy(spark):
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    tf = {
+        int(r.doc_id): Counter(re.findall(r"[a-z0-9]+", r.text))
+        for r in docs.itertuples()
+    }
+    n_docs = len(docs)
+    df_counts = Counter()
+    for c in tf.values():
+        df_counts.update(c.keys())
+    w = {
+        d: {
+            t: cnt * math.log((1.0 + n_docs) / (1.0 + df_counts[t]))
+            for t, cnt in c.items()
+        }
+        for d, c in tf.items()
+    }
+    nrm = {d: math.sqrt(sum(x * x for x in ws.values())) for d, ws in w.items()}
+    want = {}
+    for q in [d for d in w if d < 20]:
+        scored = []
+        for d in w:
+            if d == q:
+                continue
+            dot = sum(w[q][t] * w[d][t] for t in w[q].keys() & w[d].keys())
+            if dot > 0:
+                scored.append((d, round(dot / (nrm[q] * nrm[d]), 6)))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rk, (d, cos) in enumerate(scored[:3], start=1):
+            want[(q, d)] = (cos, rk)
+    got = {
+        (r["query_doc"], r["neighbor_doc"]): (r["cosine"], r["rk"])
+        for r in QUERIES["q_tfidf_knn"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert len(got) >= 30  # 20 queries x top-3, minus degenerate queries
+
+
+def test_salted_join_plan_is_shuffled_on_salted_keys(spark):
+    from data_integration_spark.plans.explain import formatted_plan
+
+    df = QUERIES["q_salted_join"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    # the join must key on BOTH columns — salt really spreads the rows
+    assert "salt" in plan

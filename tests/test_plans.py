@@ -629,3 +629,21 @@ def test_cf_layout_shuffle_budgets(spark):
         df = QUERIES[name](spark, SF)
         n = count_shuffles(df)
         assert n <= budget, (name, n, formatted_plan(df))
+
+
+def test_sparse_retrieval_salting_budgets(spark):
+    """q_tfidf_knn accumulates dots through the postings join (its
+    lineage re-derives the weights frame per branch — at deployment the
+    postings table is materialized once, documented); multipass SN pays
+    one range exchange per ordering inside a single multi call;
+    q_salted_join is exactly: dim agg + salted fact exchange + salted
+    dim exchange + final agg."""
+    budgets = {
+        "q_tfidf_knn": 16,
+        "q_sorted_neighborhood_multipass": 13,
+        "q_salted_join": 4,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        n = count_shuffles(df)
+        assert n <= budget, (name, n, formatted_plan(df))
