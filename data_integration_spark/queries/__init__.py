@@ -142,6 +142,10 @@ _SIGN_PRIORITY: list[str] = [
     "q_tfidf_knn",
     "q_sorted_neighborhood_multipass",
     "q_salted_join",
+    "q_negative_sampling",
+    "q_churn_labels",
+    "q_ndcg",
+    "q_k_anonymity",
     # (c) r1 rotation: flagship + §2 core first; escape-hatch rows-only
     # names (whose rows carry no hash signal to refresh) last ------------
     "q_report_final",

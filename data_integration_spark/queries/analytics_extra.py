@@ -1061,3 +1061,109 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mi") / F.col("h"), 6).alias("nmi"),
         )
     )
+
+
+@register(
+    "q_ndcg",
+    oracle=f"""
+    WITH rel AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN {_md5_uniform_sql('R', 'doc_id')} < 0.5 THEN 0
+                  WHEN {_md5_uniform_sql('R', 'doc_id')} < 0.85 THEN 1
+                  ELSE 2 END AS rel
+      FROM documents
+    ),
+    top20 AS (
+      SELECT rel,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS pos
+      FROM rel QUALIFY pos <= 20
+    ),
+    dcg AS (
+      SELECT SUM((POW(2.0, rel) - 1) / LOG2(pos + 1)) AS dcg FROM top20
+    ),
+    cnt AS (
+      SELECT SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS n1
+      FROM rel
+    ),
+    ideal AS (
+      SELECT SUM(
+               CASE WHEN p.p <= cnt.n2 THEN 3.0 / LOG2(p.p + 1)
+                    WHEN p.p <= cnt.n2 + cnt.n1 THEN 1.0 / LOG2(p.p + 1)
+                    ELSE 0.0 END) AS idcg
+      FROM UNNEST(GENERATE_SERIES(1, 20)) AS p(p), cnt
+    )
+    SELECT CAST(cnt.n2 AS BIGINT) AS n_rel2,
+           CAST(cnt.n1 AS BIGINT) AS n_rel1,
+           ROUND(dcg.dcg, 6) AS dcg,
+           ROUND(ideal.idcg, 6) AS idcg,
+           ROUND(dcg.dcg / ideal.idcg, 6) AS ndcg
+    FROM dcg, ideal, cnt
+    """,
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@20 of a document ranking against graded relevance — the
+    ranking-quality metric that completes the eval suite (q_roc_auc /
+    q_pr_curve judge CLASSIFIERS; NDCG judges the ORDER a retrieval
+    system returns): system ranking = n_chars desc (the same
+    length-as-quality proxy the other eval queries probe), relevance =
+    deterministic 0/1/2 grades from the portable md5 stream, DCG with
+    the (2^rel - 1)/log2(pos+1) gain, IDCG from the corpus-wide grade
+    counts (the best possible top-20 needs only n_rel2/n_rel1 — no
+    second sort).
+
+    Scale shape: top-20 is TakeOrderedAndProject (never a global
+    window over the corpus; the position index is a window over the
+    20-row bounded frame), grade counts are one aggregation with
+    map-side partials, the ideal curve is a 20-row generated series."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    rel = F.when(_md5_uniform("R", F.col("doc_id")) < 0.5, 0).when(
+        _md5_uniform("R", F.col("doc_id")) < 0.85, 1
+    ).otherwise(2)
+    scored = docs.select("doc_id", "n_chars", rel.alias("rel"))
+    top20 = (
+        scored.orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(20)
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(F.col("n_chars").desc(), "doc_id")
+            ),
+        )
+    )
+    dcg = top20.agg(
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1)
+            / F.log2(F.col("pos") + 1)
+        ).alias("dcg")
+    )
+    cnt = scored.agg(
+        F.sum((F.col("rel") == 2).cast("int")).alias("n2"),
+        F.sum((F.col("rel") == 1).cast("int")).alias("n1"),
+    )
+    series = cnt.select(
+        "n2", "n1", F.explode(F.sequence(F.lit(1), F.lit(20))).alias("p")
+    )
+    ideal = series.agg(
+        F.sum(
+            F.when(
+                F.col("p") <= F.col("n2"), 3.0 / F.log2(F.col("p") + 1)
+            )
+            .when(
+                F.col("p") <= F.col("n2") + F.col("n1"),
+                1.0 / F.log2(F.col("p") + 1),
+            )
+            .otherwise(0.0)
+        ).alias("idcg")
+    )
+    return (
+        dcg.crossJoin(ideal)
+        .crossJoin(cnt)
+        .select(
+            F.col("n2").cast("long").alias("n_rel2"),
+            F.col("n1").cast("long").alias("n_rel1"),
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )

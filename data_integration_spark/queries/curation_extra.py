@@ -225,3 +225,63 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT o_orderpriority, o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS sz
+      FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_classes,
+           CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           MIN(sz) AS min_class_size,
+           MAX(sz) AS max_class_size,
+           ROUND(CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS DOUBLE)
+                 / SUM(sz), 6) AS pct_at_risk
+    FROM classes
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k = 10) over the quasi-identifier tuple
+    (priority, status, order date) — the re-identification risk
+    readout a training-data governance pass runs before release: any
+    QI class smaller than k means those rows are re-identifiable by an
+    adversary who knows the quasi-identifiers; the certificate reports
+    the violating-class count, the rows at risk, and the risk fraction.
+    Complements q_pii_redact (which removes direct identifiers — this
+    measures the INDIRECT ones).
+
+    Everything is integer counts off one grouped aggregation; the only
+    float is the final risk ratio of two exact integers.
+
+    Scale shape: ONE hash aggregation on the QI key with map-side
+    partials, then a second aggregation over the class-size table
+    (bounded by |QI cardinality|). The canonical two-level aggregation
+    — nothing else touches the fact table."""
+    o = Catalog(spark, sf_dir)["orders"]
+    classes = o.groupBy(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.count("*").alias("sz"))
+    at_risk = F.sum(F.when(F.col("sz") < 10, F.col("sz")).otherwise(0))
+    return classes.agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum((F.col("sz") < 10).cast("int"))
+        .cast("long")
+        .alias("n_violating_classes"),
+        at_risk.cast("long").alias("rows_at_risk"),
+        F.min("sz").alias("min_class_size"),
+        F.max("sz").alias("max_class_size"),
+        F.round(
+            at_risk.cast("double") / F.sum("sz"), 6
+        ).alias("pct_at_risk"),
+    )

@@ -269,3 +269,198 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_negative_sampling",
+    oracle="""
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey < 300
+    ),
+    pmax AS (SELECT MAX(p_partkey) AS np FROM part),
+    cand AS (
+      SELECT pos.u, pos.i, j.j,
+             1 + (('0x' || SUBSTR(MD5('NS' || CAST(pos.u AS VARCHAR) || ':'
+                   || CAST(pos.i AS VARCHAR) || ':'
+                   || CAST(j.j AS VARCHAR)), 1, 8))::UBIGINT
+                  % (SELECT np FROM pmax)) AS neg
+      FROM pos, UNNEST(GENERATE_SERIES(1, 4)) AS j(j)
+    ),
+    clean AS (
+      SELECT c.u, c.i, c.j, CAST(c.neg AS BIGINT) AS neg
+      FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos p2 WHERE p2.u = c.u AND p2.i = c.neg
+      )
+    ),
+    ranked AS (
+      SELECT u, i, neg, j,
+             ROW_NUMBER() OVER (PARTITION BY u, i ORDER BY j) AS rk
+      FROM clean
+    )
+    SELECT u AS user_id, i AS pos_item, neg AS neg_item,
+           CAST(rk AS BIGINT) AS k
+    FROM ranked WHERE rk <= 2
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (BPR / word2vec-style): for every observed (user, item) positive,
+    draw 4 hash-uniform candidate items, drop any that are actually
+    positives for that user (an anti-join — the correctness step naive
+    samplers skip), keep the first 2 survivors. The 'randomness' is the
+    R2 primitive (md5 over user:item:j — portable, so the oracle
+    redraws the SAME candidates), making a stochastic-looking training
+    op fully value-checkable.
+
+    Scale shape: candidate generation is a 4x in-row fan-out over the
+    positives; the rejection is one LEFT ANTI join on (user, candidate)
+    co-keyed with the positives table; the keep-2 is a per-positive
+    window. Item-catalog size enters only as a bounded MAX scalar.
+    Bounded to o_custkey < 300 to keep the driver-hashed output small —
+    the shapes are corpus-wide capable."""
+    orders = Catalog(spark, sf_dir)["orders"].filter(F.col("o_custkey") < 300)
+    li = Catalog(spark, sf_dir)["lineitem"]
+    pos = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .distinct()
+    )
+    n_parts = (
+        Catalog(spark, sf_dir)["part"].agg(F.max("p_partkey")).collect()[0][0]
+    )
+    cand = pos.select(
+        "u",
+        "i",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("j"),
+    ).withColumn(
+        "neg",
+        1
+        + F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("NS"),
+                        F.col("u").cast("string"),
+                        F.lit(":"),
+                        F.col("i").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(n_parts),
+    )
+    clean = cand.join(
+        pos.select("u", F.col("i").alias("neg")),
+        ["u", "neg"],
+        "left_anti",
+    )
+    rk = F.row_number().over(Window.partitionBy("u", "i").orderBy("j"))
+    return (
+        clean.withColumn("rk", rk)
+        .filter(F.col("rk") <= 2)
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("i").alias("pos_item"),
+            F.col("neg").cast("long").alias("neg_item"),
+            F.col("rk").cast("long").alias("k"),
+        )
+    )
+
+
+@register(
+    "q_churn_labels",
+    oracle="""
+    WITH t0 AS (SELECT MIN(ts) AS t0 FROM events),
+    feat AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases,
+             ROUND(SUM(value), 4) AS total_value,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS days_active
+      FROM events, t0
+      WHERE ts < t0.t0 + INTERVAL 18 DAY
+      GROUP BY user_id
+    ),
+    lab AS (
+      SELECT DISTINCT user_id FROM events, t0
+      WHERE ts >= t0.t0 + INTERVAL 18 DAY
+        AND ts < t0.t0 + INTERVAL 25 DAY
+        AND event_type = 'purchase' AND value > 140
+    )
+    SELECT f.user_id, f.n_events, f.n_purchases, f.total_value,
+           f.days_active,
+           CASE WHEN lab.user_id IS NULL THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS churned
+    FROM feat f LEFT JOIN lab ON lab.user_id = f.user_id
+    """,
+)
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn-label construction — the temporal supervised
+    dataset builder: features aggregate STRICTLY inside the 18-day
+    feature window from the corpus start; the label (churned = no
+    HIGH-VALUE purchase, value > 140 — the bare any-activity flag is
+    saturated on this always-on corpus, the r5 value-dead-path lesson
+    applied at design time) comes STRICTLY from the disjoint
+    [18, 25)-day label window; the windows share no rows, so no
+    feature can leak the label. The single most common thing an ML
+    platform builds from an event stream, as one declarative plan.
+
+    total_value rounds at 4dp: a per-user float SUM over that user's
+    bounded event set (hundreds of ~50-magnitude values — reduction
+    noise ~1e-12, far inside the grid).
+
+    Scale shape: corpus start is ONE bounded MIN scalar; both windows
+    are partition-prunable timestamp filters (pushed to the scan when
+    the table is date-partitioned); one user-keyed aggregation + one
+    user-keyed left-anti-shaped join."""
+    ev = Catalog(spark, sf_dir)["events"]
+    t0 = ev.agg(F.min("ts")).collect()[0][0]
+    f_end = F.lit(t0) + F.expr("INTERVAL 18 DAYS")
+    l_end = F.lit(t0) + F.expr("INTERVAL 25 DAYS")
+    feat = (
+        ev.filter(F.col("ts") < f_end)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct(F.to_date("ts")).alias("days_active"),
+        )
+    )
+    lab = (
+        ev.filter(
+            (F.col("ts") >= f_end)
+            & (F.col("ts") < l_end)
+            & (F.col("event_type") == "purchase")
+            & (F.col("value") > 140)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("active", F.lit(1))
+    )
+    return feat.join(lab, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "total_value",
+        "days_active",
+        F.when(F.col("active").isNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("churned"),
+    )

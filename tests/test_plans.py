@@ -339,6 +339,7 @@ _BNLJ_ALLOWED = {
     "q_target_encoding",  # 1-row global-prior scalar cross
     "q_zorder_pruning",   # 1-row files-touched scalar crosses
     "q_mutual_information",  # bounded (<=40-row) local contingency frames
+    "q_ndcg",             # 1-row DCG x ideal-curve x grade-count crosses
 }
 
 
@@ -642,6 +643,24 @@ def test_sparse_retrieval_salting_budgets(spark):
         "q_tfidf_knn": 16,
         "q_sorted_neighborhood_multipass": 13,
         "q_salted_join": 4,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        n = count_shuffles(df)
+        assert n <= budget, (name, n, formatted_plan(df))
+
+
+def test_label_governance_shuffle_budgets(spark):
+    """q_negative_sampling: positives join + anti-join + per-positive
+    window; q_churn_labels: two window-filtered scans, one user agg,
+    one user join; q_ndcg: TakeOrdered + one grade-count agg (the
+    position window rides a 20-row bounded frame); q_k_anonymity: the
+    canonical two-level aggregation."""
+    budgets = {
+        "q_negative_sampling": 5,
+        "q_churn_labels": 3,
+        "q_ndcg": 3,
+        "q_k_anonymity": 2,
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, SF)

@@ -185,3 +185,127 @@ def test_zorder_pruning_certificate_claim(spark):
     assert r["zorder_prunes_more"] == 1
     assert r["files_zorder"] < r["files_linear"]
     assert r["n_rows_matched"] > 0  # the box predicate is value-live
+
+
+def test_negative_sampling_contract(spark):
+    """No sampled negative may be a true positive for its user; at most
+    2 negatives per positive; the draw is the portable md5 stream so a
+    re-run is bit-identical."""
+    import hashlib
+
+    rows = QUERIES["q_negative_sampling"](spark, SF_SMALL).collect()
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+    n_parts = int(part.p_partkey.max())
+    pos = (
+        o[o.o_custkey < 300]
+        .merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+            ["o_custkey", "l_partkey"]
+        ]
+        .drop_duplicates()
+    )
+    pos_set = set(zip(pos.o_custkey, pos.l_partkey))
+    assert len(rows) > 50
+    per_pos = {}
+    for r in rows:
+        assert (r["user_id"], r["neg_item"]) not in pos_set
+        per_pos.setdefault((r["user_id"], r["pos_item"]), []).append(
+            r["k"]
+        )
+    for ks in per_pos.values():
+        assert sorted(ks) in ([1], [1, 2])
+    # replay one draw end-to-end
+    u, i = next(iter(per_pos))
+    draws = []
+    for j in range(1, 5):
+        h = hashlib.md5(f"NS{u}:{i}:{j}".encode()).hexdigest()[:8]
+        neg = 1 + int(h, 16) % n_parts
+        if (u, neg) not in pos_set:
+            draws.append(neg)
+    want = draws[:2]
+    got = [
+        r["neg_item"]
+        for r in sorted(
+            (r for r in rows if r["user_id"] == u and r["pos_item"] == i),
+            key=lambda r: r["k"],
+        )
+    ]
+    assert got == want
+
+
+def test_churn_labels_are_leakage_safe(spark):
+    rows = QUERIES["q_churn_labels"](spark, SF_SMALL).collect()
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    t0 = ev.ts.min()
+    f_end = t0 + pd.Timedelta(days=18)
+    l_end = t0 + pd.Timedelta(days=25)
+    feat_ev = ev[ev.ts < f_end]
+    lab_users = set(
+        ev[
+            (ev.ts >= f_end)
+            & (ev.ts < l_end)
+            & (ev.event_type == "purchase")
+            & (ev.value > 140)
+        ].user_id
+    )
+    by_user = feat_ev.groupby("user_id")
+    want_n = by_user.size()
+    churn_seen = 0
+    for r in rows:
+        u = r["user_id"]
+        assert r["n_events"] == want_n[u]
+        want_churn = 0 if u in lab_users else 1
+        assert r["churned"] == want_churn
+        churn_seen += r["churned"]
+    assert len(rows) == feat_ev.user_id.nunique()
+    # both classes are value-live on the fixture
+    assert 0 < churn_seen < len(rows)
+
+
+def test_ndcg_matches_numpy(spark):
+    import hashlib
+    import math
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+
+    def rel(doc_id):
+        h = hashlib.md5(f"L{doc_id}".encode())  # placeholder; tag is R
+        u = int(hashlib.md5(f"R{doc_id}".encode()).hexdigest()[:8], 16) / 2**32
+        return 0 if u < 0.5 else (1 if u < 0.85 else 2)
+
+    docs["rel"] = docs.doc_id.map(rel)
+    top = docs.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(20)
+    dcg = sum(
+        (2.0**r - 1) / math.log2(p + 1)
+        for p, r in enumerate(top.rel, start=1)
+    )
+    n2 = int((docs.rel == 2).sum())
+    n1 = int((docs.rel == 1).sum())
+    idcg = sum(
+        (3.0 if p <= n2 else (1.0 if p <= n2 + n1 else 0.0))
+        / math.log2(p + 1)
+        for p in range(1, 21)
+    )
+    r = QUERIES["q_ndcg"](spark, SF_SMALL).collect()[0]
+    assert r["n_rel2"] == n2 and r["n_rel1"] == n1
+    assert r["dcg"] == pytest.approx(dcg, abs=2e-6)
+    assert r["idcg"] == pytest.approx(idcg, abs=2e-6)
+    assert r["ndcg"] == pytest.approx(dcg / idcg, abs=2e-6)
+    assert 0 < r["ndcg"] <= 1
+
+
+def test_k_anonymity_matches_pandas(spark):
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    o["d"] = pd.to_datetime(o.o_orderdate).dt.date
+    sz = o.groupby(["o_orderpriority", "o_orderstatus", "d"]).size()
+    r = QUERIES["q_k_anonymity"](spark, SF_SMALL).collect()[0]
+    assert r["n_rows"] == len(o)
+    assert r["n_classes"] == len(sz)
+    assert r["n_violating_classes"] == int((sz < 10).sum())
+    assert r["rows_at_risk"] == int(sz[sz < 10].sum())
+    assert r["min_class_size"] == int(sz.min())
+    assert r["max_class_size"] == int(sz.max())
+    assert r["pct_at_risk"] == pytest.approx(
+        sz[sz < 10].sum() / len(o), abs=1e-6
+    )
