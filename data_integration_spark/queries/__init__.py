@@ -146,6 +146,10 @@ _SIGN_PRIORITY: list[str] = [
     "q_churn_labels",
     "q_ndcg",
     "q_k_anonymity",
+    "q_oov_rate",
+    "q_out_of_order_audit",
+    "q_deletion_cascade",
+    "q_price_volume_mix",
     # (c) r1 rotation: flagship + §2 core first; escape-hatch rows-only
     # names (whose rows carry no hash signal to refresh) last ------------
     "q_report_final",

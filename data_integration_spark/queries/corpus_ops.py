@@ -1306,3 +1306,73 @@ def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(kept, " ").alias("cleaned_text"),
         )
     )
+
+
+@register(
+    "q_oov_rate",
+    oracle="""
+    WITH train_tok AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM documents WHERE doc_id % 4 <> 0
+    ),
+    vocab AS (
+      SELECT t FROM train_tok WHERE t <> ''
+      GROUP BY t HAVING COUNT(*) >= 5
+    ),
+    held AS (
+      SELECT source, u.t AS t
+      FROM (SELECT source, STRING_SPLIT(text, ' ') AS ts
+            FROM documents WHERE doc_id % 4 = 0),
+           UNNEST(ts) AS u(t)
+      WHERE u.t <> ''
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM held LEFT JOIN vocab v ON v.t = held.t
+    GROUP BY source
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: out-of-vocabulary rate of HELD-OUT
+    documents (doc_id % 4 = 0) per source, against the vocabulary built
+    on the TRAIN split (min-count >= 5 — the q_vocab_build floor on the
+    q_bigram_lm_score split). The go/no-go number for shipping a
+    tokenizer: a source with high OOV will fragment into fallback bytes
+    and waste context length downstream.
+
+    Scale shape: vocabulary is one token aggregation with map-side
+    partials; the held-out coverage check is ONE token-keyed LEFT join
+    (unique right key — Zipf-hot tokens are partition-size skew only,
+    the q_vocab_encode argument) followed by a per-source aggregation."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    train_tok = (
+        docs.filter(F.col("doc_id") % 4 != 0)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    vocab = (
+        train_tok.groupBy("t")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 5)
+        .select("t")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    held = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select("source", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        held.join(vocab, "t", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.cast("long").alias("n_oov"),
+            F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
+        )
+    )

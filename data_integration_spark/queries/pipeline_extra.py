@@ -2288,3 +2288,175 @@ def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("zorder_prunes_more"),
         )
     )
+
+
+@register(
+    "q_deletion_cascade",
+    oracle="""
+    WITH del_cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    del_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+    ),
+    del_li AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+    ),
+    kept_orders AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM del_cust)
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM del_cust) AS n_customers,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM del_orders) AS n_orders,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM del_li) AS n_lineitems,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM kept_orders
+       WHERE o_custkey IN (SELECT c_custkey FROM del_cust))
+        AS orphan_orders_left,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+       WHERE l.l_orderkey IN (SELECT o_orderkey FROM del_orders)
+         AND NOT EXISTS (SELECT 1 FROM del_li d
+                         WHERE d.l_orderkey = l.l_orderkey
+                           AND d.l_linenumber = l.l_linenumber))
+        AS orphan_lineitems_left
+    """,
+)
+def q_deletion_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten CASCADE certificate — the GDPR/CCPA
+    deletion audit a data platform must produce: given a deletion
+    cohort (customers with custkey % 97 = 0), walk the foreign-key
+    chain customer -> orders -> lineitem, count every cascaded row, and
+    certify completeness (the two orphan counts are 0 BY RECOMPUTATION:
+    rows referencing a deleted parent that would survive the delete —
+    a broken cascade leaves them nonzero and breaks the hash).
+
+    Scale shape: each cascade level is one LEFT SEMI join down the key
+    chain (deletion cohorts are small — the semi-join build side stays
+    bounded); the orphan checks are the same joins re-expressed as
+    anti-join counts. No row data moves — only keys."""
+    cust = Catalog(spark, sf_dir)["customer"]
+    orders = Catalog(spark, sf_dir)["orders"]
+    li = Catalog(spark, sf_dir)["lineitem"]
+    del_cust = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_orders = orders.join(
+        del_cust, orders.o_custkey == del_cust.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        del_orders, li.l_orderkey == del_orders.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber")
+    kept_orders = orders.join(
+        del_cust, orders.o_custkey == del_cust.c_custkey, "left_anti"
+    )
+    # completeness: anything the delete would leave behind
+    orphan_orders = kept_orders.join(
+        del_cust, kept_orders.o_custkey == del_cust.c_custkey, "left_semi"
+    ).agg(F.count("*").alias("orphan_orders_left"))
+    orphan_li = (
+        li.join(del_orders, li.l_orderkey == del_orders.o_orderkey, "left_semi")
+        .join(del_li, ["l_orderkey", "l_linenumber"], "left_anti")
+        .agg(F.count("*").alias("orphan_lineitems_left"))
+    )
+    counts = (
+        del_cust.agg(F.count("*").alias("n_customers"))
+        .crossJoin(del_orders.agg(F.count("*").alias("n_orders")))
+        .crossJoin(del_li.agg(F.count("*").alias("n_lineitems")))
+    )
+    return (
+        counts.crossJoin(orphan_orders)
+        .crossJoin(orphan_li)
+        .select(
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_lineitems").cast("long").alias("n_lineitems"),
+            F.col("orphan_orders_left").cast("long").alias(
+                "orphan_orders_left"
+            ),
+            F.col("orphan_lineitems_left").cast("long").alias(
+                "orphan_lineitems_left"
+            ),
+        )
+    )
+
+
+@register(
+    "q_price_volume_mix",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS flag, YEAR(l_shipdate) AS yr,
+             SUM(l_quantity) AS qty,
+             CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS rev_c
+      FROM lineitem
+      WHERE YEAR(l_shipdate) IN (1995, 1996)
+      GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT a.flag,
+             a.qty AS qty_a, a.rev_c AS rev_a_c,
+             b.qty AS qty_b, b.rev_c AS rev_b_c
+      FROM (SELECT * FROM base WHERE yr = 1995) a
+      JOIN (SELECT * FROM base WHERE yr = 1996) b ON b.flag = a.flag
+    )
+    SELECT flag AS l_returnflag,
+           ROUND(rev_a_c / 100.0, 2) AS rev_1995,
+           ROUND(rev_b_c / 100.0, 2) AS rev_1996,
+           ROUND((rev_b_c - rev_a_c) / 100.0, 2) AS delta,
+           ROUND((qty_b - qty_a) * ((rev_a_c / 100.0) / qty_a), 4)
+             AS volume_effect,
+           ROUND(qty_b * ((rev_b_c / 100.0) / qty_b
+                          - (rev_a_c / 100.0) / qty_a), 4)
+             AS price_effect
+    FROM piv
+    """,
+)
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume decomposition of the 1995 -> 1996 revenue change per
+    return flag — the first question every revenue review asks of a
+    delta: volume effect = (q_B - q_A) * p_A (what changed shipping
+    MORE units at old prices) and price effect = q_B * (p_B - p_A)
+    (what changed the realized unit price); the two terms sum to the
+    delta exactly in real arithmetic.
+
+    Numerics: revenue snaps to exact integer cents; quantities are
+    integer-valued so their float sums are exact; the average prices
+    and effects are then identical float expressions on exact inputs
+    in both engines.
+
+    Scale shape: one grouped aggregation over the (year-pruned) fact
+    scan — the year filter reaches the parquet scan — then a
+    |flags|-sized self-join. Nothing else touches the data."""
+    li = Catalog(spark, sf_dir)["lineitem"].filter(
+        F.year("l_shipdate").isin(1995, 1996)
+    )
+    base = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.year("l_shipdate").alias("yr"),
+    ).agg(
+        F.sum("l_quantity").alias("qty"),
+        F.round(F.sum("l_extendedprice") * 100).cast("long").alias("rev_c"),
+    )
+    a = base.filter(F.col("yr") == 1995).select(
+        "flag",
+        F.col("qty").alias("qty_a"),
+        F.col("rev_c").alias("rev_a_c"),
+    )
+    b = base.filter(F.col("yr") == 1996).select(
+        "flag",
+        F.col("qty").alias("qty_b"),
+        F.col("rev_c").alias("rev_b_c"),
+    )
+    p_a = (F.col("rev_a_c") / 100.0) / F.col("qty_a")
+    p_b = (F.col("rev_b_c") / 100.0) / F.col("qty_b")
+    return a.join(b, "flag").select(
+        F.col("flag").alias("l_returnflag"),
+        F.round(F.col("rev_a_c") / 100.0, 2).alias("rev_1995"),
+        F.round(F.col("rev_b_c") / 100.0, 2).alias("rev_1996"),
+        F.round((F.col("rev_b_c") - F.col("rev_a_c")) / 100.0, 2).alias(
+            "delta"
+        ),
+        F.round((F.col("qty_b") - F.col("qty_a")) * p_a, 4).alias(
+            "volume_effect"
+        ),
+        F.round(F.col("qty_b") * (p_b - p_a), 4).alias("price_effect"),
+    )

@@ -766,3 +766,88 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         med.crossJoin(ic)
         .select("n_pairs", "n_days", "slope_per_day", "intercept")
     )
+
+
+@register(
+    "q_out_of_order_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT user_id, event_id, EPOCH_US(ts) AS t_us,
+             MD5('A' || CAST(event_id AS VARCHAR)) AS arrival_key
+      FROM events
+    ),
+    run AS (
+      SELECT user_id, t_us,
+             MAX(t_us) OVER (PARTITION BY user_id ORDER BY arrival_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM arr
+    ),
+    late AS (
+      SELECT CASE WHEN prev_max > t_us
+                  THEN (prev_max - t_us) / 1000000.0 ELSE 0.0 END AS lat
+      FROM run
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN lat > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           CAST(SUM(CASE WHEN lat > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late_30m,
+           ROUND(MAX(lat), 6) AS max_lateness_s,
+           ROUND(CAST(SUM(CASE WHEN lat > 1800 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS pct_late_30m
+    FROM late
+    """,
+)
+def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data audit — the measurement that SIZES a streaming
+    watermark before you deploy one: replay the event stream in a
+    deterministic adversarial ARRIVAL order (md5-permuted within each
+    user — the raw feed arrives time-sorted, which would make the audit
+    value-dead; the permutation models a sharded ingest that interleaves
+    shards) and measure each event's lateness against the per-user
+    running event-time high-water mark. n_late_30m / max_lateness_s are
+    exactly the numbers that justify `withWatermark("ts", X)` — pick X
+    too small and that fraction of events is silently dropped.
+
+    The permutation is the portable md5 stream, so the oracle replays
+    the identical arrival order; lateness values are exact integer
+    microsecond differences scaled once.
+
+    Scale shape: one user-keyed window over the arrival order (per-user
+    state bounded by that user's history — the sessionization argument);
+    the summary is a single 1-row aggregation."""
+    ev = Catalog(spark, sf_dir)["events"]
+    arr = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.md5(F.concat(F.lit("A"), F.col("event_id").cast("string"))).alias(
+            "arrival_key"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = arr.withColumn("prev_max", F.max("t_us").over(w))
+    lat = F.when(
+        F.col("prev_max") > F.col("t_us"),
+        (F.col("prev_max") - F.col("t_us")) / 1e6,
+    ).otherwise(0.0)
+    late = run.select(lat.alias("lat"))
+    return late.agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("lat") > 0).cast("int"))
+        .cast("long")
+        .alias("n_out_of_order"),
+        F.sum((F.col("lat") > 1800).cast("int"))
+        .cast("long")
+        .alias("n_late_30m"),
+        F.round(F.max("lat"), 6).alias("max_lateness_s"),
+        F.round(
+            F.sum((F.col("lat") > 1800).cast("int")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("pct_late_30m"),
+    )

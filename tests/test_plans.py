@@ -340,6 +340,7 @@ _BNLJ_ALLOWED = {
     "q_zorder_pruning",   # 1-row files-touched scalar crosses
     "q_mutual_information",  # bounded (<=40-row) local contingency frames
     "q_ndcg",             # 1-row DCG x ideal-curve x grade-count crosses
+    "q_deletion_cascade", # 1-row cascade-count scalar crosses
 }
 
 
@@ -661,6 +662,24 @@ def test_label_governance_shuffle_budgets(spark):
         "q_churn_labels": 3,
         "q_ndcg": 3,
         "q_k_anonymity": 2,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        n = count_shuffles(df)
+        assert n <= budget, (name, n, formatted_plan(df))
+
+
+def test_governance_audit_shuffle_budgets(spark):
+    """q_oov_rate: one vocab agg + one token-keyed left join + source
+    agg; q_out_of_order_audit: one user window + 1-row fold;
+    q_deletion_cascade: semi/anti joins down the key chain with 1-row
+    count crosses; q_price_volume_mix: one year-pruned fact agg +
+    flags-sized self-join."""
+    budgets = {
+        "q_oov_rate": 3,
+        "q_out_of_order_audit": 2,
+        "q_deletion_cascade": 6,
+        "q_price_volume_mix": 3,
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, SF)

@@ -309,3 +309,65 @@ def test_k_anonymity_matches_pandas(spark):
     assert r["pct_at_risk"] == pytest.approx(
         sz[sz < 10].sum() / len(o), abs=1e-6
     )
+
+
+def test_oov_rate_matches_python(spark):
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    train = docs[docs.doc_id % 4 != 0]
+    held = docs[docs.doc_id % 4 == 0]
+    freq = Counter(
+        t for txt in train.text for t in txt.split(" ") if t
+    )
+    vocab = {t for t, c in freq.items() if c >= 5}
+    want = {}
+    for src, grp in held.groupby("source"):
+        toks = [t for txt in grp.text for t in txt.split(" ") if t]
+        n_oov = sum(1 for t in toks if t not in vocab)
+        want[src] = (len(toks), n_oov, round(n_oov / len(toks), 6))
+    got = {
+        r["source"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in QUERIES["q_oov_rate"](spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_out_of_order_audit_is_value_live(spark):
+    """Under the adversarial md5 arrival permutation the event stream
+    MUST show real lateness (the raw feed is time-sorted — without the
+    permutation this audit reads 0 everywhere and certifies nothing)."""
+    r = QUERIES["q_out_of_order_audit"](spark, SF_SMALL).collect()[0]
+    assert r["n_out_of_order"] > 0
+    assert r["n_late_30m"] > 0
+    assert r["max_lateness_s"] > 1800
+    assert 0 < r["pct_late_30m"] < 1
+
+
+def test_deletion_cascade_complete(spark):
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    del_c = set(cust[cust.c_custkey % 97 == 0].c_custkey)
+    del_o = set(o[o.o_custkey.isin(del_c)].o_orderkey)
+    n_li = int(li.l_orderkey.isin(del_o).sum())
+    r = QUERIES["q_deletion_cascade"](spark, SF_SMALL).collect()[0]
+    assert r["n_customers"] == len(del_c)
+    assert r["n_orders"] == len(del_o)
+    assert r["n_lineitems"] == n_li
+    assert r["orphan_orders_left"] == 0
+    assert r["orphan_lineitems_left"] == 0
+    assert len(del_c) > 0  # the cohort is value-live
+
+
+def test_price_volume_mix_decomposition_sums_to_delta(spark):
+    rows = QUERIES["q_price_volume_mix"](spark, SF_SMALL).collect()
+    assert len(rows) == 3  # A, N, R
+    for r in rows:
+        # the two effects reconstruct the delta (within the 4dp rounds)
+        assert r["volume_effect"] + r["price_effect"] == pytest.approx(
+            r["delta"], abs=0.01
+        )
+        assert r["rev_1996"] - r["rev_1995"] == pytest.approx(
+            r["delta"], abs=0.01
+        )
