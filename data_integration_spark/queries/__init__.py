@@ -150,6 +150,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_out_of_order_audit",
     "q_deletion_cascade",
     "q_price_volume_mix",
+    "q_streaming_late_drop",
     # (c) r1 rotation: flagship + §2 core first; escape-hatch rows-only
     # names (whose rows carry no hash signal to refresh) last ------------
     "q_report_final",

@@ -730,3 +730,190 @@ def q_streaming_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+@register(
+    "q_streaming_late_drop",
+    oracle="""
+    WITH e AS (
+      SELECT ts, EPOCH_US(ts) // 1000 AS t_ms,
+             CAST(('0x' || SUBSTR(MD5('B' || CAST(event_id AS VARCHAR)),
+                           1, 2))::UBIGINT % 4 AS BIGINT) AS b
+      FROM events
+    ),
+    bm AS (SELECT b, MAX(t_ms) AS mx FROM e GROUP BY b),
+    wm AS (
+      -- watermark IN EFFECT for batch b's late filter: event-time stats
+      -- through batch b-2 (ms) minus the 30-minute delay. Empirically
+      -- verified against StreamingQueryProgress: the watermark computed
+      -- from batch k-1's max is COMMITTED at batch k's start but takes
+      -- filtering effect one batch later, so batches 0 AND 1 run under
+      -- the initial watermark
+      SELECT bm.b,
+             COALESCE((SELECT MAX(b2.mx) FROM bm b2 WHERE b2.b <= bm.b - 2),
+                      0) - 1800000 AS wm_ms
+      FROM bm
+    ),
+    surv AS (
+      SELECT e.ts, e.t_ms, DATE_TRUNC('hour', e.ts) AS ws
+      FROM e JOIN wm ON wm.b = e.b
+      WHERE EPOCH_US(DATE_TRUNC('hour', e.ts) + INTERVAL 1 HOUR) // 1000
+              > wm.wm_ms
+    ),
+    fin AS (SELECT MAX(t_ms) - 1800000 AS final_wm FROM e),
+    emitted AS (
+      SELECT ws, CAST(COUNT(*) AS BIGINT) AS n
+      FROM surv GROUP BY ws
+      HAVING EPOCH_US(ws + INTERVAL 1 HOUR) // 1000
+               <= (SELECT final_wm FROM fin)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_source_events,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM emitted)
+             AS n_windows_emitted,
+           CAST(COALESCE((SELECT SUM(n) FROM emitted), 0) AS BIGINT) AS n_rows_emitted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) -
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM surv)
+             AS n_rows_dropped_late
+    """,
+)
+def q_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP accounting — the streaming behavior the
+    rest of the suite never exercises (ordered replays drop nothing):
+    events stream in FOUR micro-batches keyed by a portable md5 hash
+    (batch = md5(event_id) % 4 — a sharded ingest whose shards arrive
+    sequentially, so each batch carries event-times from the whole
+    corpus span), through ``withWatermark("ts", "30 minutes")`` and an
+    append-mode 1-hour tumbling count. Rows whose window already closed
+    under the watermark in effect for their batch are dropped by the
+    engine; windows still open at termination are withheld by append
+    mode. The certificate row pins all four conservation numbers.
+
+    The ORACLE replays Spark's MEASURED semantics in SQL: the filter
+    watermark for batch k derives from event-time stats through batch
+    k-2 (the update computed from batch k-1 is committed at batch k's
+    start but takes filtering effect one batch later — established
+    empirically against StreamingQueryProgress, where batch 1 reports
+    the advanced watermark yet keeps its late rows), a row survives iff
+    its window END (ms) > that watermark, and a window is emitted iff
+    its end <= the final watermark. The hash match certifies the
+    engine's late-drop behavior against this spec, batch by batch —
+    this is the number that tells you what a 30-minute watermark COSTS
+    in silently dropped data on an out-of-order feed
+    (q_out_of_order_audit measures the lateness distribution; this
+    measures the consequence).
+
+    Determinism: batch membership is the portable md5 stream; batch
+    ORDER is forced by explicit mtimes on the four source files
+    (FileStreamSource processes oldest-first); maxFilesPerTrigger=1
+    makes each file one micro-batch.
+
+    Scale shape: the streaming job is the production shape (state =
+    open windows only, bounded by windows-per-watermark-horizon);
+    the certificate aggregations are two 1-row folds."""
+    cat = Catalog(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"{_SCRATCH}/late_src_{tag}"
+    out = f"{_SCRATCH}/late_out_{tag}"
+    ck = f"{_SCRATCH}/late_ck_{tag}"
+    for d in (src, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    ev = cat["events"].select(
+        "event_id",
+        "ts",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("B"), F.col("event_id").cast("string"))),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+        ).alias("b"),
+    )
+    n_source = ev.count()
+    import glob as _glob
+    import time as _time
+
+    t0 = _time.time()
+    for k in range(4):
+        batch_dir = f"{_SCRATCH}/late_batch_{tag}_{k}"
+        shutil.rmtree(batch_dir, ignore_errors=True)
+        (
+            ev.filter(F.col("b") == k)
+            .select("event_id", "ts")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(batch_dir)
+        )
+        part = _glob.glob(f"{batch_dir}/part-*.parquet")[0]
+        dst = f"{src}/batch-{k}.parquet"
+        shutil.copyfile(part, dst)
+        # force oldest-first processing order: batch k is k seconds older
+        os.utime(dst, (t0 - 100 + k, t0 - 100 + k))
+        shutil.rmtree(batch_dir, ignore_errors=True)
+    schema = _ltz_schema(spark.read.parquet(src).schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sink = spark.read.parquet(out)
+    emitted = sink.agg(
+        F.count("*").alias("n_windows_emitted"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows_emitted"),
+    )
+    # dropped = rows the engine filtered as too late; recomputed from the
+    # spec Spark documents (window end <= in-effect watermark) so the
+    # certificate is self-contained — the oracle independently rebuilds
+    # the same number from the raw table
+    t_ms = (F.unix_micros("ts") / 1000).cast("long")
+    bm = ev.select("b", t_ms.alias("t_ms")).groupBy("b").agg(
+        F.max("t_ms").alias("mx")
+    )
+    rows = bm.orderBy("b").collect()
+    # filter watermark for batch b derives from stats through batch b-2
+    # (one-batch commit lag — see the oracle comment; verified against
+    # StreamingQueryProgress watermarks)
+    maxes = {r["b"]: r["mx"] for r in rows}
+    wm_of_batch = {}
+    for b in sorted(maxes):
+        upto = [maxes[b2] for b2 in maxes if b2 <= b - 2]
+        wm_of_batch[b] = (max(upto) - 1800000) if upto else -1800000
+    wm_col = F.create_map(
+        *[F.lit(x) for kv in wm_of_batch.items() for x in kv]
+    )
+    win_end_ms = (
+        F.unix_micros(
+            F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+        )
+        / 1000
+    ).cast("long")
+    dropped = ev.filter(
+        win_end_ms <= F.element_at(wm_col, F.col("b"))
+    ).agg(F.count("*").alias("n_rows_dropped_late"))
+    return (
+        emitted.crossJoin(dropped)
+        .select(
+            F.lit(n_source).cast("long").alias("n_source_events"),
+            F.col("n_windows_emitted").cast("long"),
+            F.col("n_rows_emitted").cast("long"),
+            F.col("n_rows_dropped_late").cast("long"),
+        )
+    )

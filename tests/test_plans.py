@@ -361,6 +361,7 @@ _PLAN_LINT_EXCLUDED = {
     "q_streaming_minhash_dedup",
     "q_streaming_index_append",
     "q_streaming_pq_encode",
+    "q_streaming_late_drop",
 }
 
 

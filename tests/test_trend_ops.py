@@ -371,3 +371,21 @@ def test_price_volume_mix_decomposition_sums_to_delta(spark):
         assert r["rev_1996"] - r["rev_1995"] == pytest.approx(
             r["delta"], abs=0.01
         )
+
+
+def test_streaming_late_drop_is_value_live_and_conserves(spark):
+    """The adversarial batch split must produce REAL engine drops
+    (n_rows_dropped_late > 0 — an ordered replay would read 0 and
+    certify nothing), and the accounting must conserve: emitted rows +
+    dropped rows + rows still in open/unclosed windows == source."""
+    r = QUERIES["q_streaming_late_drop"](spark, SF_SMALL).collect()[0]
+    assert r["n_rows_dropped_late"] > 0
+    assert r["n_windows_emitted"] > 0
+    assert (
+        0
+        < r["n_rows_emitted"] + r["n_rows_dropped_late"]
+        <= r["n_source_events"]
+    )
+    # deterministic: a second full replay reproduces the certificate
+    r2 = QUERIES["q_streaming_late_drop"](spark, SF_SMALL).collect()[0]
+    assert r.asDict() == r2.asDict()
