@@ -151,6 +151,8 @@ _SIGN_PRIORITY: list[str] = [
     "q_deletion_cascade",
     "q_price_volume_mix",
     "q_streaming_late_drop",
+    "q_raking_weights",
+    "q_cuped",
     # (c) r1 rotation: flagship + §2 core first; escape-hatch rows-only
     # names (whose rows carry no hash signal to refresh) last ------------
     "q_report_final",

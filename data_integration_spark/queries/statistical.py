@@ -313,3 +313,239 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
     )
+
+
+@register(
+    "q_raking_weights",
+    oracle="""
+    WITH samp AS (
+      SELECT o_orderpriority AS pr, o_orderstatus AS st
+      FROM orders
+      WHERE (('0x' || SUBSTR(MD5('S' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+             ::UBIGINT) / 4294967296.0
+            < CASE WHEN o_orderpriority = '1-URGENT' THEN 0.3 ELSE 0.7 END
+    ),
+    cells AS (
+      SELECT pr, st, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM samp GROUP BY pr, st
+    ),
+    tp AS (SELECT o_orderpriority AS pr, CAST(COUNT(*) AS DOUBLE) AS t
+           FROM orders GROUP BY 1),
+    ts AS (SELECT o_orderstatus AS st, CAST(COUNT(*) AS DOUBLE) AS t
+           FROM orders GROUP BY 1),
+    w0 AS (SELECT pr, st, n, 1.0 AS w FROM cells),
+    r1 AS (
+      SELECT w0.pr, w0.st, n,
+             w * (tp.t / SUM(w * n) OVER (PARTITION BY w0.pr)) AS w
+      FROM w0 JOIN tp ON tp.pr = w0.pr
+    ),
+    c1 AS (
+      SELECT r1.pr, r1.st, n,
+             w * (ts.t / SUM(w * n) OVER (PARTITION BY r1.st)) AS w
+      FROM r1 JOIN ts ON ts.st = r1.st
+    ),
+    r2 AS (
+      SELECT c1.pr, c1.st, n,
+             w * (tp.t / SUM(w * n) OVER (PARTITION BY c1.pr)) AS w
+      FROM c1 JOIN tp ON tp.pr = c1.pr
+    ),
+    c2 AS (
+      SELECT r2.pr, r2.st, n,
+             w * (ts.t / SUM(w * n) OVER (PARTITION BY r2.st)) AS w
+      FROM r2 JOIN ts ON ts.st = r2.st
+    ),
+    r3 AS (
+      SELECT c2.pr, c2.st, n,
+             w * (tp.t / SUM(w * n) OVER (PARTITION BY c2.pr)) AS w
+      FROM c2 JOIN tp ON tp.pr = c2.pr
+    ),
+    c3 AS (
+      SELECT r3.pr, r3.st, n,
+             w * (ts.t / SUM(w * n) OVER (PARTITION BY r3.st)) AS w
+      FROM r3 JOIN ts ON ts.st = r3.st
+    )
+    SELECT pr AS o_orderpriority, st AS o_orderstatus,
+           CAST(n AS BIGINT) AS n_sample,
+           ROUND(w, 6) AS rake_weight
+    FROM c3
+    """,
+)
+def q_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking / iterative proportional fitting — the classic
+    survey-statistics reweighting op (thematically the reference's home
+    turf: its EBP pipeline consumes design weights exactly like these,
+    ``Rmd:100-140``): a deterministically BIASED subsample of orders
+    (md5-acceptance 0.3 for urgent, 0.7 otherwise — urgent orders
+    underrepresented ~2.3x) is raked in three IPF iterations so its
+    weighted margins match the FULL population's priority and status
+    margins. Output = per-cell rake weights; after the closing column
+    pass the status margins match exactly and the priority margins to
+    IPF convergence.
+
+    The sample membership is the portable md5 stream and the cell table
+    is BOUNDED (|priorities| x |statuses| <= 15 cells), so the whole
+    iteration is exact bounded-frame arithmetic: each scaling pass is
+    one window-sum over <= 15 rows, identical float ops in both engines
+    (the oracle unrolls the same three iterations as CTE steps).
+
+    Scale shape: two fact passes (sample cells + population margins),
+    both map-side-partial aggregations to bounded frames; the IPF loop
+    itself never touches data-proportional state — which is exactly why
+    raking deploys fine at 100 TB."""
+    o = Catalog(spark, sf_dir)["orders"]
+    accept = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.lit(0.3)
+    ).otherwise(F.lit(0.7))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("S"), F.col("o_orderkey").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    samp = o.filter(u < accept).select(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    cells = samp.groupBy("pr", "st").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    tp = o.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.count("*").cast("double").alias("t_pr")
+    )
+    ts = o.groupBy(F.col("o_orderstatus").alias("st")).agg(
+        F.count("*").cast("double").alias("t_st")
+    )
+    cur = (
+        cells.join(F.broadcast(tp), "pr")
+        .join(F.broadcast(ts), "st")
+        .withColumn("w", F.lit(1.0))
+    )
+    w_pr = Window.partitionBy("pr")
+    w_st = Window.partitionBy("st")
+    for _ in range(3):
+        cur = cur.withColumn(
+            "w",
+            F.col("w")
+            * (F.col("t_pr") / F.sum(F.col("w") * F.col("n")).over(w_pr)),
+        )
+        cur = cur.withColumn(
+            "w",
+            F.col("w")
+            * (F.col("t_st") / F.sum(F.col("w") * F.col("n")).over(w_st)),
+        )
+    return cur.select(
+        F.col("pr").alias("o_orderpriority"),
+        F.col("st").alias("o_orderstatus"),
+        F.col("n").cast("long").alias("n_sample"),
+        F.round("w", 6).alias("rake_weight"),
+    )
+
+
+@register(
+    "q_cuped",
+    oracle="""
+    WITH t0 AS (SELECT MIN(ts) AS t0 FROM events),
+    per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN ts < t0.t0 + INTERVAL 15 DAY
+                      THEN value ELSE 0 END) AS pre,
+             SUM(CASE WHEN ts >= t0.t0 + INTERVAL 15 DAY
+                      THEN value ELSE 0 END) AS post
+      FROM events, t0 GROUP BY user_id
+    ),
+    m AS (
+      SELECT AVG(pre) AS m_pre, AVG(post) AS m_post,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM per_user
+    ),
+    cv AS (
+      SELECT SUM((pre - m.m_pre) * (post - m.m_post)) AS sxy,
+             SUM((pre - m.m_pre) * (pre - m.m_pre)) AS sxx,
+             SUM((post - m.m_post) * (post - m.m_post)) AS syy
+      FROM per_user, m
+    ),
+    th AS (SELECT ROUND(cv.sxy / cv.sxx, 6) AS theta FROM cv),
+    adj AS (
+      SELECT SUM((post - th.theta * (pre - m.m_pre) - m.m_post)
+                 * (post - th.theta * (pre - m.m_pre) - m.m_post)) AS sadj
+      FROM per_user, m, th
+    )
+    SELECT m.n AS n_users,
+           th.theta,
+           ROUND(cv.syy / (m.n - 1), 4) AS var_post,
+           ROUND(adj.sadj / (m.n - 1), 4) AS var_adjusted,
+           ROUND(1.0 - adj.sadj / cv.syy, 6) AS var_reduction
+    FROM m, cv, th, adj
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the experimentation
+    platform's standard trick for sharper A/B metrics: adjust each
+    user's post-period metric by their PRE-period activity
+    (adjusted = post - theta*(pre - mean_pre), theta = cov/var), and
+    report how much metric variance the adjustment removes. With
+    theta at its OLS optimum the reduction equals the squared
+    pre/post correlation — more user-level memory in the metric means
+    smaller experiments. On THIS corpus users are memoryless (uniform
+    activity, iid values), so the measured reduction is honestly small
+    (~0.1%): the certificate quantifies that, which is exactly what an
+    experimentation platform runs it for before trusting CUPED on a new
+    metric (the pytest pins both the numpy match and the honest
+    magnitude).
+
+    Numerics: the two-pass sum-of-squares discipline throughout
+    (q_anova); theta is ROUNDED at 6dp before the adjustment pass so
+    both engines adjust with the identical scalar (decoupling the
+    float paths — the q_theil_sen intercept discipline).
+
+    Scale shape: one user-keyed aggregation builds (pre, post), then
+    three 1-row passes over the per-user frame (means, cross-products,
+    adjusted variance) — each a full-parallel aggregation with map-side
+    partials; the windows are pushdown-friendly timestamp CASE filters
+    inside ONE scan."""
+    ev = Catalog(spark, sf_dir)["events"]
+    t0 = ev.agg(F.min("ts")).collect()[0][0]
+    split = F.lit(t0) + F.expr("INTERVAL 15 DAYS")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias(
+            "pre"
+        ),
+        F.sum(
+            F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)
+        ).alias("post"),
+    )
+    # the means / theta are BOUNDED scalars — collect them (the EM/EBP
+    # driver-scalar precedent) so the per-user frame is aggregated in
+    # exactly two further passes instead of re-deriving its lineage per
+    # branch; IEEE doubles round-trip the driver exactly
+    m_pre, m_post, n = per_user.agg(
+        F.avg("pre"), F.avg("post"), F.count("*")
+    ).collect()[0]
+    sxy, sxx, syy = per_user.agg(
+        F.sum((F.col("pre") - m_pre) * (F.col("post") - m_post)),
+        F.sum((F.col("pre") - m_pre) * (F.col("pre") - m_pre)),
+        F.sum((F.col("post") - m_post) * (F.col("post") - m_post)),
+    ).collect()[0]
+    theta = round(sxy / sxx, 6)
+    adj_expr = (
+        F.col("post") - F.lit(theta) * (F.col("pre") - m_pre) - m_post
+    )
+    return per_user.agg(
+        F.lit(n).cast("long").alias("n_users"),
+        F.lit(theta).alias("theta"),
+        F.lit(round(syy / (n - 1), 4)).alias("var_post"),
+        F.round(F.sum(adj_expr * adj_expr) / (n - 1), 4).alias(
+            "var_adjusted"
+        ),
+        F.round(
+            1.0 - F.sum(adj_expr * adj_expr) / syy, 6
+        ).alias("var_reduction"),
+    )

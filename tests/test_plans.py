@@ -686,3 +686,18 @@ def test_governance_audit_shuffle_budgets(spark):
         df = QUERIES[name](spark, SF)
         n = count_shuffles(df)
         assert n <= budget, (name, n, formatted_plan(df))
+
+
+def test_experimentation_shuffle_budgets(spark):
+    """q_raking_weights: two fact aggregations to bounded frames + the
+    <=15-cell IPF windows; q_cuped: one user-keyed aggregation whose
+    bounded means/theta collect to the driver, then two 1-row passes
+    (no per-branch lineage re-derivation)."""
+    budgets = {
+        "q_raking_weights": 9,
+        "q_cuped": 6,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        n = count_shuffles(df)
+        assert n <= budget, (name, n, formatted_plan(df))

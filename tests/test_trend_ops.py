@@ -389,3 +389,80 @@ def test_streaming_late_drop_is_value_live_and_conserves(spark):
     # deterministic: a second full replay reproduces the certificate
     r2 = QUERIES["q_streaming_late_drop"](spark, SF_SMALL).collect()[0]
     assert r.asDict() == r2.asDict()
+
+
+def test_raking_recovers_population_margins(spark):
+    """After the closing status pass, weighted status margins equal the
+    population EXACTLY (up to float); priority margins to IPF
+    convergence; and the downsampled urgent cells get the largest
+    upweight (the bias the raking exists to correct)."""
+    import hashlib
+
+    rows = QUERIES["q_raking_weights"](spark, SF_SMALL).collect()
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+
+    def u(k):
+        return int(hashlib.md5(f"S{k}".encode()).hexdigest()[:8], 16) / 2**32
+
+    acc = o.o_orderpriority.map(lambda p: 0.3 if p == "1-URGENT" else 0.7)
+    samp = o[[u(k) < a for k, a in zip(o.o_orderkey, acc)]]
+    t_st = o.groupby("o_orderstatus").size()
+    t_pr = o.groupby("o_orderpriority").size()
+    got_st = {}
+    got_pr = {}
+    urgent_w, other_w = [], []
+    n_cells = samp.groupby(["o_orderpriority", "o_orderstatus"]).size()
+    for r in rows:
+        assert r["n_sample"] == n_cells[
+            (r["o_orderpriority"], r["o_orderstatus"])
+        ]
+        got_st[r["o_orderstatus"]] = got_st.get(r["o_orderstatus"], 0) + (
+            r["rake_weight"] * r["n_sample"]
+        )
+        got_pr[r["o_orderpriority"]] = got_pr.get(
+            r["o_orderpriority"], 0
+        ) + (r["rake_weight"] * r["n_sample"])
+        (urgent_w if r["o_orderpriority"] == "1-URGENT" else other_w).append(
+            r["rake_weight"]
+        )
+    for st, t in t_st.items():
+        assert got_st[st] == pytest.approx(t, rel=1e-4)
+    for pr, t in t_pr.items():
+        assert got_pr[pr] == pytest.approx(t, rel=0.02)  # IPF convergence
+    assert min(urgent_w) > max(other_w)  # bias corrected the right way
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    import numpy as np
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    t0 = ev.ts.min()
+    split = t0 + pd.Timedelta(days=15)
+    per = ev.groupby("user_id").apply(
+        lambda g: pd.Series(
+            {
+                "pre": g.loc[g.ts < split, "value"].sum(),
+                "post": g.loc[g.ts >= split, "value"].sum(),
+            }
+        ),
+        include_groups=False,
+    )
+    pre, post = per.pre.to_numpy(), per.post.to_numpy()
+    theta = round(
+        ((pre - pre.mean()) * (post - post.mean())).sum()
+        / ((pre - pre.mean()) ** 2).sum(),
+        6,
+    )
+    adjusted = post - theta * (pre - pre.mean())
+    r = QUERIES["q_cuped"](spark, SF_SMALL).collect()[0]
+    assert r["n_users"] == len(per)
+    assert r["theta"] == pytest.approx(theta, abs=2e-6)
+    assert r["var_post"] == pytest.approx(post.var(ddof=1), rel=1e-6)
+    assert r["var_adjusted"] == pytest.approx(
+        adjusted.var(ddof=0) * len(per) / (len(per) - 1), rel=1e-4
+    )
+    # this synthetic corpus has MEMORYLESS users (uniform activity, iid
+    # values), so the true reduction is small — the certificate measures
+    # exactly that; it must be nonzero (the estimator is live) and small
+    # (the honest reading), not an artifact in either direction
+    assert 0 < r["var_reduction"] < 0.05
