@@ -89,16 +89,25 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm, same spec) — the hash match IS the exact-recall theorem
     checked end-to-end."""
     docs = Catalog(spark, sf_dir)["documents"]
+    # split ONCE per row (a transform lambda that re-calls split(text)
+    # per index is O(len^2) per doc), and take the doc-keyed exchange
+    # BEFORE the CPU-heavy shingle explode: a small parquet input scans
+    # as few partitions, and this same partitioning is exactly what the
+    # downstream per-doc collect_list needs — one exchange, two jobs
     sh_raw = (
-        docs.select(
+        docs.select("doc_id", F.split("text", " ").alias("ts"))
+        .repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
                     "array_distinct(transform("
-                    " sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-                    " i -> concat(try_element_at(split(text, ' '), i), ' ',"
-                    "            try_element_at(split(text, ' '), i + 1), ' ',"
-                    "            try_element_at(split(text, ' '), i + 2))))"
+                    " sequence(1, greatest(size(ts) - 2, 1)),"
+                    " i -> concat(try_element_at(ts, i), ' ',"
+                    "            try_element_at(ts, i + 1), ' ',"
+                    "            try_element_at(ts, i + 2))))"
                 )
             ).alias("g"),
         )
@@ -110,8 +119,8 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = sh_raw.groupBy("g").agg(F.count("*").alias("df"))
     sh = sh_raw.join(dfreq.filter(F.col("df") <= 150), "g")
     # per-doc canonical-order token array + size; prefix length
-    # p = s - ceil(s/2) + 1 = s div 2 + 1  (t = 1/2, integer arithmetic)
-    sets = (
+    # p = s - ceil(t*s) + 1 = s div 2 + 1  (t = 1/2, integer arithmetic)
+    sets_lazy = (
         sh.groupBy("doc_id")
         .agg(
             F.expr(
@@ -129,6 +138,19 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("slice(toks, 1, CAST(s DIV 2 AS INT) + 1)"),
         )
     )
+    # MATERIALIZE the per-doc set table once: three consumers (prefix
+    # explode + both verify sides) would otherwise each re-derive the
+    # tokenize -> df-count -> token-join -> collect_list lineage. This is
+    # the postings-materialization step a deployment performs anyway (the
+    # q_tfidf_knn docstring's note, done for real here) — at 100 TB the
+    # set table is written once per release and every similarity job
+    # reads it
+    import os as _os
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    sets_path = f"/root/repo/.scratch/setsim_sets_{tag}"
+    sets_lazy.write.mode("overwrite").parquet(sets_path)
+    sets = spark.read.parquet(sets_path)
     pre = sets.select(
         "doc_id", "s", F.explode("prefix").alias("g")
     )
