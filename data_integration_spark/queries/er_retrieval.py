@@ -505,8 +505,12 @@ def q_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ngram_jaccard documents). Per-doc norms are a doc-keyed
     aggregation; top-3 is a per-query window (never global)."""
     docs = Catalog(spark, sf_dir)["documents"]
+    # parallelize the CPU-heavy tokenize+explode beyond the small
+    # input's scan partitioning (the q_setsim_prefix_join fix)
     tf = (
-        docs.select(
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
             "doc_id",
             F.explode(
                 F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")

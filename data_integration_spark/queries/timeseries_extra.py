@@ -744,27 +744,21 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("b.x") - F.col("a.x"))
         ).alias("slope")
     )
-    med = slopes.agg(
-        F.round(F.expr("percentile(slope, 0.5)") / 100.0, 6).alias(
-            "slope_per_day"
-        ),
-        F.count("*").alias("n_pairs"),
-    )
-    ic = (
-        daily.crossJoin(F.broadcast(med.select("slope_per_day")))
-        .agg(
-            F.round(
-                F.expr(
-                    "percentile(rev_c / 100.0 - slope_per_day * x, 0.5)"
-                ),
-                6,
-            ).alias("intercept"),
-            F.count("*").alias("n_days"),
-        )
-    )
-    return (
-        med.crossJoin(ic)
-        .select("n_pairs", "n_days", "slope_per_day", "intercept")
+    # the median slope is ONE bounded scalar — collect it (the q_cuped
+    # driver-scalar discipline) so the pairwise-slope join runs once,
+    # not once per consuming branch
+    slope_per_day, n_pairs = slopes.agg(
+        F.round(F.expr("percentile(slope, 0.5)") / 100.0, 6),
+        F.count("*"),
+    ).collect()[0]
+    return daily.agg(
+        F.lit(int(n_pairs)).cast("long").alias("n_pairs"),
+        F.count("*").alias("n_days"),
+        F.lit(float(slope_per_day)).alias("slope_per_day"),
+        F.round(
+            F.expr(f"percentile(rev_c / 100.0 - {slope_per_day!r} * x, 0.5)"),
+            6,
+        ).alias("intercept"),
     )
 
 
