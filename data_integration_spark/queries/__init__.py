@@ -153,6 +153,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_streaming_late_drop",
     "q_raking_weights",
     "q_cuped",
+    "q_mrl_truncation_recall",
     # (c) r1 rotation: flagship + §2 core first; escape-hatch rows-only
     # names (whose rows carry no hash signal to refresh) last ------------
     "q_report_final",

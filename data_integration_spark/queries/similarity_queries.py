@@ -1368,3 +1368,139 @@ def q_ann_recall_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "mean_truth_cosine",
     )
+
+
+@register(
+    "q_mrl_truncation_recall",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+    ),
+    nf AS (
+      SELECT vec_id,
+             SQRT(SUM(CAST(embedding[u.i] AS DOUBLE)
+                      * CAST(embedding[u.i] AS DOUBLE))) AS nrm
+      FROM e, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS u(i)
+      GROUP BY vec_id
+    ),
+    nt AS (
+      SELECT vec_id,
+             SQRT(SUM(CAST(embedding[u.i] AS DOUBLE)
+                      * CAST(embedding[u.i] AS DOUBLE))) AS nrm
+      FROM e, UNNEST(GENERATE_SERIES(1, 16)) AS u(i)
+      GROUP BY vec_id
+    ),
+    pf AS (
+      SELECT q.vec_id AS qid, m.vec_id AS mid,
+             SUM(CAST(q.embedding[u.i] AS DOUBLE)
+                 * CAST(m.embedding[u.i] AS DOUBLE)) AS dot
+      FROM e q JOIN e m ON q.vec_id < 20 AND q.vec_id <> m.vec_id,
+           UNNEST(GENERATE_SERIES(1, LEN(q.embedding))) AS u(i)
+      GROUP BY q.vec_id, m.vec_id
+    ),
+    pt AS (
+      SELECT q.vec_id AS qid, m.vec_id AS mid,
+             SUM(CAST(q.embedding[u.i] AS DOUBLE)
+                 * CAST(m.embedding[u.i] AS DOUBLE)) AS dot
+      FROM e q JOIN e m ON q.vec_id < 20 AND q.vec_id <> m.vec_id,
+           UNNEST(GENERATE_SERIES(1, 16)) AS u(i)
+      GROUP BY q.vec_id, m.vec_id
+    ),
+    rf AS (
+      SELECT qid, mid FROM (
+        SELECT p.qid, p.mid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY ROUND(p.dot / (nq.nrm * nm.nrm), 6) DESC, p.mid
+               ) AS rk
+        FROM pf p
+        JOIN nf nq ON nq.vec_id = p.qid
+        JOIN nf nm ON nm.vec_id = p.mid
+      ) WHERE rk <= 5
+    ),
+    rt AS (
+      SELECT qid, mid FROM (
+        SELECT p.qid, p.mid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY ROUND(p.dot / (nq.nrm * nm.nrm), 6) DESC, p.mid
+               ) AS rk
+        FROM pt p
+        JOIN nt nq ON nq.vec_id = p.qid
+        JOIN nt nm ON nm.vec_id = p.mid
+      ) WHERE rk <= 5
+    ),
+    per AS (
+      SELECT q.qid,
+             (SELECT COUNT(*) FROM rf, rt
+              WHERE rf.qid = q.qid AND rt.qid = q.qid
+                AND rf.mid = rt.mid) AS c
+      FROM (SELECT DISTINCT qid FROM rf) q
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(c / 5.0), 6) AS mean_recall_at5,
+           ROUND(MIN(c / 5.0), 6) AS min_recall_at5,
+           CAST(SUM(CASE WHEN c = 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_perfect
+    FROM per
+    """,
+)
+def q_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: how much top-5 retrieval
+    quality survives keeping only the FIRST 16 of 64 embedding
+    dimensions? (The MRL deployment question: truncated prefixes give
+    4x cheaper storage/ANN if — and only if — recall holds; on MRL-
+    trained embeddings it does, on these isotropic gaussian test vectors
+    it measurably does not, and THIS certificate is the tool that tells
+    you which world you are in before you ship the truncation.)
+
+    Both rankings are exact brute-force top-5 with the repo's
+    deterministic rank discipline (6dp-rounded cosine, id tie-break);
+    recall@5 per query is an exact multiple of 0.2, so the certificate
+    row (mean/min/perfect-count over the 20-query block) is
+    engine-exact.
+
+    Scale shape: two bounded |Q|x|corpus| scoring passes (the same
+    guarded brute-force path as q_ann_topk — a fat query set must ride
+    the LSH/IVF index instead); the truncated pass reads the SAME
+    column and slices in-row, which is exactly the storage argument for
+    prefix-truncation over a separate small-dim index."""
+    from data_integration_spark.similarity.ann import (
+        as_double_array,
+        cosine_topk,
+    )
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    emb_t = emb.select("vec_id", F.slice("e", 1, 16).alias("e"))
+    q_full = emb.filter(F.col("vec_id") < 20)
+    q_trunc = emb_t.filter(F.col("vec_id") < 20)
+    full5 = cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5).select(
+        "qid", F.col("mid").alias("mid_f")
+    )
+    trunc5 = cosine_topk(q_trunc, emb_t, k=5).select(
+        "qid", F.col("mid").alias("mid_t")
+    )
+    ov = (
+        full5.join(
+            trunc5,
+            (full5.qid == trunc5.qid) & (full5.mid_f == trunc5.mid_t),
+        )
+        .groupBy(full5.qid)
+        .agg(F.count("*").alias("c"))
+    )
+    per = (
+        full5.select("qid")
+        .distinct()
+        .join(ov, "qid", "left")
+        .select("qid", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg(F.col("c") / 5.0), 6).alias("mean_recall_at5"),
+        F.round(F.min(F.col("c") / 5.0), 6).alias("min_recall_at5"),
+        F.sum((F.col("c") == 5).cast("int"))
+        .cast("long")
+        .alias("n_perfect"),
+    )

@@ -341,6 +341,8 @@ _BNLJ_ALLOWED = {
     "q_mutual_information",  # bounded (<=40-row) local contingency frames
     "q_ndcg",             # 1-row DCG x ideal-curve x grade-count crosses
     "q_deletion_cascade", # 1-row cascade-count scalar crosses
+    "q_mrl_truncation_recall",  # bounded 20-query block x corpus scoring
+                                # (the guarded cosine_topk brute path x2)
 }
 
 

@@ -466,3 +466,16 @@ def test_cuped_matches_numpy_and_reduces_variance(spark):
     # exactly that; it must be nonzero (the estimator is live) and small
     # (the honest reading), not an artifact in either direction
     assert 0 < r["var_reduction"] < 0.05
+
+
+def test_mrl_truncation_recall_is_honest(spark):
+    """On isotropic gaussian embeddings the first-16-dims prefix carries
+    only 1/4 of the signal, so truncation recall MUST be visibly below
+    1 — a certificate that read 1.0 here would be measuring nothing
+    (on MRL-trained embeddings the same query reads high, which is the
+    deployment decision it exists to inform)."""
+    r = QUERIES["q_mrl_truncation_recall"](spark, SF_SMALL).collect()[0]
+    assert r["n_queries"] == 20
+    assert 0 < r["mean_recall_at5"] < 0.9
+    assert r["min_recall_at5"] <= r["mean_recall_at5"]
+    assert 0 <= r["n_perfect"] < 20
