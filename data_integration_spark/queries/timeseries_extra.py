@@ -751,6 +751,15 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(slope, 0.5)") / 100.0, 6),
         F.count("*"),
     ).collect()[0]
+    if slope_per_day is None:
+        # degenerate series (fewer than two days): mirror the oracle's
+        # NULL slope/intercept instead of interpolating "None" into SQL
+        return daily.agg(
+            F.lit(0).cast("long").alias("n_pairs"),
+            F.count("*").alias("n_days"),
+            F.lit(None).cast("double").alias("slope_per_day"),
+            F.lit(None).cast("double").alias("intercept"),
+        )
     return daily.agg(
         F.lit(int(n_pairs)).cast("long").alias("n_pairs"),
         F.count("*").alias("n_days"),
