@@ -688,3 +688,179 @@ def q_sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("found_pass2").cast("long").alias("found_pass2"),
         )
     )
+
+
+@register(
+    "q_spearman_rank_corr",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             LEN(LIST(DISTINCT t.tk)) AS n_distinct
+      FROM documents,
+           UNNEST(string_split(text, ' ')) AS t(tk)
+      GROUP BY doc_id, n_chars
+    ),
+    ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS ra,
+             ROW_NUMBER() OVER (ORDER BY n_distinct DESC, doc_id) AS rb
+      FROM scored
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ra - rb AS DOUBLE) * (ra - rb)) AS d2
+      FROM ranked
+    )
+    SELECT n,
+           ROUND(1.0 - 6.0 * d2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+                 * n - 1)), 6) AS spearman_rho
+    FROM s
+    """,
+)
+def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two document-quality signals
+    (length vs lexical diversity — the same pair q_rank_fusion merges):
+    rho = 1 - 6*sum(d^2)/(n(n^2-1)) over the tie-broken permutation
+    ranks (doc_id tie-break, both engines — ties are resolved
+    identically, so the statistic is exact, a documented spec choice
+    over midrank averaging). The monotone-association readout that
+    tells you whether two ranking signals are redundant BEFORE you pay
+    for fusing them.
+
+    Scale shape: both global rankings ride ONE
+    ``range_row_number_multi`` call (a range exchange per ordering, all
+    caches live in one top-level call), then a single 1-row fold of
+    integer rank differences — d^2 sums are exact integers well under
+    2^53 for any plausible corpus, so only the final division is
+    float."""
+    from data_integration_spark.operators.prefix import (
+        range_row_number_multi,
+    )
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+    )
+    ranked = range_row_number_multi(
+        scored,
+        ["doc_id"],
+        [
+            ([F.col("n_chars").desc(), F.col("doc_id")], "ra"),
+            ([F.col("n_distinct").desc(), F.col("doc_id")], "rb"),
+        ],
+    )
+    d = (F.col("ra") - F.col("rb")).cast("double")
+    return ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            1.0
+            - 6.0
+            * F.sum(d * d)
+            / (
+                F.count("*").cast("double")
+                * (F.count("*").cast("double") * F.count("*") - 1)
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "q_semantic_threshold_sweep",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    norms AS (
+      SELECT vec_id,
+             SQRT(SUM(CAST(embedding[u.i] AS DOUBLE)
+                      * CAST(embedding[u.i] AS DOUBLE))) AS nrm
+      FROM e, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS u(i)
+      GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT q.vec_id AS qid, m.vec_id AS mid,
+             SUM(CAST(q.embedding[u.i] AS DOUBLE)
+                 * CAST(m.embedding[u.i] AS DOUBLE)) AS dot
+      FROM e q JOIN e m ON q.vec_id < 100 AND q.vec_id < m.vec_id,
+           UNNEST(GENERATE_SERIES(1, LEN(q.embedding))) AS u(i)
+      GROUP BY q.vec_id, m.vec_id
+    ),
+    cos AS (
+      SELECT ROUND(p.dot / (nq.nrm * nm.nrm), 6) AS c
+      FROM pairs p
+      JOIN norms nq ON nq.vec_id = p.qid
+      JOIN norms nm ON nm.vec_id = p.mid
+    ),
+    th(t) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (0.2), (0.3),
+              (0.4), (0.5), (0.6), (0.7)) v(x))
+    SELECT th.t AS threshold,
+           CAST(SUM(CASE WHEN cos.c >= th.t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs,
+           CAST((SELECT COUNT(DISTINCT qid) FROM pairs) AS BIGINT)
+             AS n_block_docs
+    FROM th, cos
+    GROUP BY th.t
+    """,
+)
+def q_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup threshold-picking table — the PR-curve idea
+    (q_pr_curve) applied to embedding dedup: for a bounded probe block
+    (vec_id < 100 against its successors), count candidate duplicate
+    pairs at EVERY candidate cosine threshold in one pass. Before
+    running corpus-wide semantic dedup you sweep this table to pick the
+    threshold where the pair count elbows — too low floods the
+    verifier, too high misses paraphrases; this is the measurement that
+    decides q_semantic_dedup_clusters' operating point.
+
+    Scale shape: one bounded |probe| x |corpus| scoring pass (the same
+    guarded brute shape as the ANN baselines — a full-corpus sweep rides
+    the LSH bucketed path), then a 6-threshold x pair-count conditional
+    aggregation (in-row fan-out over the threshold list, one tiny
+    shuffle)."""
+    from data_integration_spark.similarity.ann import as_double_array
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    q = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("eq")
+    )
+    m = emb.select(F.col("vec_id").alias("mid"), F.col("e").alias("em"))
+    dot = F.aggregate(
+        F.zip_with("eq", "em", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.transform("eq", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nm = F.sqrt(
+        F.aggregate(
+            F.transform("em", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = (
+        q.join(m, F.col("qid") < F.col("mid"))
+        .select("qid", F.round(dot / (nq * nm), 6).alias("c"))
+    )
+    n_block = cos.select("qid").distinct().count()
+    th = F.explode(
+        F.array(*[F.lit(t) for t in (0.2, 0.3, 0.4, 0.5, 0.6, 0.7)])
+    )
+    return (
+        cos.select("c", th.alias("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.sum((F.col("c") >= F.col("threshold")).cast("int"))
+            .cast("long")
+            .alias("n_pairs"),
+            F.lit(n_block).cast("long").alias("n_block_docs"),
+        )
+    )

@@ -343,6 +343,7 @@ _BNLJ_ALLOWED = {
     "q_deletion_cascade", # 1-row cascade-count scalar crosses
     "q_mrl_truncation_recall",  # bounded 20-query block x corpus scoring
                                 # (the guarded cosine_topk brute path x2)
+    "q_semantic_threshold_sweep",  # bounded 100-probe block x corpus
 }
 
 
@@ -703,6 +704,20 @@ def test_experimentation_shuffle_budgets(spark):
     budgets = {
         "q_raking_weights": 9,
         "q_cuped": 6,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        n = count_shuffles(df)
+        assert n <= budget, (name, n, formatted_plan(df))
+
+
+def test_rank_corr_sweep_shuffle_budgets(spark):
+    """q_spearman_rank_corr: one range exchange per ordering inside one
+    multi call + a 1-row integer fold; q_semantic_threshold_sweep: the
+    bounded probe-block cross (allowlisted) + one 6-key aggregation."""
+    budgets = {
+        "q_spearman_rank_corr": 7,
+        "q_semantic_threshold_sweep": 2,
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, SF)

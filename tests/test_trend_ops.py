@@ -479,3 +479,44 @@ def test_mrl_truncation_recall_is_honest(spark):
     assert 0 < r["mean_recall_at5"] < 0.9
     assert r["min_recall_at5"] <= r["mean_recall_at5"]
     assert 0 <= r["n_perfect"] < 20
+
+
+def test_spearman_matches_scipy_free_formula(spark):
+    import re
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    docs["n_distinct"] = docs.text.map(lambda t: len(set(t.split(" "))))
+    ra = (
+        docs.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+        .assign(ra=lambda d: d.index + 1)
+        .set_index("doc_id")["ra"]
+    )
+    rb = (
+        docs.sort_values(["n_distinct", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+        .assign(rb=lambda d: d.index + 1)
+        .set_index("doc_id")["rb"]
+    )
+    n = len(docs)
+    d2 = float(((ra - rb) ** 2).sum())
+    rho = 1 - 6 * d2 / (n * (n * n - 1))
+    r = QUERIES["q_spearman_rank_corr"](spark, SF_SMALL).collect()[0]
+    assert r["n"] == n
+    assert r["spearman_rho"] == pytest.approx(rho, abs=1e-6)
+    # the two signals are genuinely positively associated on this corpus
+    assert r["spearman_rho"] > 0.3
+
+
+def test_semantic_threshold_sweep_is_monotone(spark):
+    rows = {
+        r["threshold"]: r["n_pairs"]
+        for r in QUERIES["q_semantic_threshold_sweep"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    ts = sorted(rows)
+    assert len(ts) == 6
+    for a, b in zip(ts, ts[1:]):
+        assert rows[a] >= rows[b]  # higher threshold, fewer pairs
+    assert rows[ts[0]] > 0  # the sweep is value-live at the low end
