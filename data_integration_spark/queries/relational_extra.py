@@ -668,3 +668,71 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_around_avg"),
     )
+
+
+@register(
+    "q_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             MAX(n) AS max_key_rows,
+             MEDIAN(n) AS med,
+             CAST(SUM(CASE WHEN n > 10 * (SELECT MEDIAN(n) FROM k)
+                           THEN n ELSE 0 END) AS BIGINT) AS rows_on_hot
+      FROM k
+    )
+    SELECT n_keys, n_rows, max_key_rows,
+           ROUND(CAST(max_key_rows AS DOUBLE) / med, 4) AS skew_factor,
+           rows_on_hot,
+           CASE WHEN CAST(max_key_rows AS DOUBLE) / med > 10
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             AS needs_mitigation
+    FROM s
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the measurement that comes BEFORE
+    choosing a mitigation (AQE skew-split, manual salting, broadcast):
+    per-key row counts of the intended join key (l_partkey), summarized
+    as max/median skew factor, the row mass sitting on hot keys
+    (> 10x median), and a needs_mitigation flag at the 10x rule of
+    thumb. Together with q_salted_join (the manual fix) and the AQE
+    skew-split demonstration (test_plans) this closes the loop:
+    measure -> decide -> mitigate -> verify.
+
+    Scale shape: ONE hash aggregation on the key with map-side partials
+    collapses the fact table to |keys| rows; every summary statistic
+    (including the exact median via percentile over the key-count
+    table) runs on that collapsed frame. A hot key inflates one
+    GROUP's count cell, never a partition of raw rows."""
+    li = Catalog(spark, sf_dir)["lineitem"]
+    k = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    # the median key-count is ONE bounded scalar over the collapsed
+    # |keys| frame — collect it (the q_cuped driver-scalar discipline)
+    # so the hot-key conditional does not nest aggregates
+    med = float(
+        k.agg(F.expr("percentile(n, 0.5)")).collect()[0][0]
+    )
+    return k.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.round(F.max("n").cast("double") / F.lit(med), 4).alias(
+            "skew_factor"
+        ),
+        F.sum(
+            F.when(F.col("n") > 10 * F.lit(med), F.col("n")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_on_hot"),
+        (F.max("n").cast("double") / F.lit(med) > 10)
+        .cast("long")
+        .alias("needs_mitigation"),
+    )

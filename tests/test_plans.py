@@ -723,3 +723,10 @@ def test_rank_corr_sweep_shuffle_budgets(spark):
         df = QUERIES[name](spark, SF)
         n = count_shuffles(df)
         assert n <= budget, (name, n, formatted_plan(df))
+
+
+def test_skew_report_shuffle_budget(spark):
+    """One key aggregation collapses the fact table; the median collects
+    as one scalar; the summary is a 1-row fold over |keys| rows."""
+    df = QUERIES["q_skew_report"](spark, SF)
+    assert count_shuffles(df) <= 3, formatted_plan(df)

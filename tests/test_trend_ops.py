@@ -520,3 +520,16 @@ def test_semantic_threshold_sweep_is_monotone(spark):
     for a, b in zip(ts, ts[1:]):
         assert rows[a] >= rows[b]  # higher threshold, fewer pairs
     assert rows[ts[0]] > 0  # the sweep is value-live at the low end
+
+
+def test_skew_report_matches_pandas(spark):
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    counts = li.groupby("l_partkey").size()
+    med = float(counts.median())
+    r = QUERIES["q_skew_report"](spark, SF_SMALL).collect()[0]
+    assert r["n_keys"] == len(counts)
+    assert r["n_rows"] == len(li)
+    assert r["max_key_rows"] == int(counts.max())
+    assert r["skew_factor"] == pytest.approx(counts.max() / med, abs=1e-4)
+    assert r["rows_on_hot"] == int(counts[counts > 10 * med].sum())
+    assert r["needs_mitigation"] == int(counts.max() / med > 10)
