@@ -285,3 +285,67 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             at_risk.cast("double") / F.sum("sz"), 6
         ).alias("pct_at_risk"),
     )
+
+
+@register(
+    "q_l_diversity",
+    oracle="""
+    WITH rows_q AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(FLOOR(o_totalprice / 100000) AS BIGINT) AS sens
+      FROM orders
+    ),
+    cls AS (
+      SELECT o_orderpriority, o_orderstatus, d,
+             CAST(COUNT(*) AS BIGINT) AS sz,
+             CAST(COUNT(DISTINCT sens) AS BIGINT) AS l
+      FROM rows_q GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           MIN(l) AS min_l,
+           CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_homogeneous_classes,
+           CAST(SUM(CASE WHEN l < 2 THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_disclosed,
+           ROUND(CAST(SUM(CASE WHEN l < 2 THEN sz ELSE 0 END) AS DOUBLE)
+                 / SUM(sz), 6) AS pct_disclosed
+    FROM cls
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the privacy failure k-anonymity misses: a QI
+    class can be large (k-anonymous) yet HOMOGENEOUS in the sensitive
+    attribute, disclosing it for every member anyway. Over the same
+    quasi-identifier tuple as q_k_anonymity, count the distinct
+    sensitive values (price band, 100k-wide) per class and report the
+    classes with l < 2 — their rows' price band is disclosed by QI
+    knowledge alone. The pair of certificates is the standard release
+    gate (k for re-identification, l for attribute disclosure).
+
+    Scale shape: one hash aggregation on (QI, sensitive) -> one on QI
+    (the COUNT DISTINCT collapses to exact counting over the first
+    aggregation's keys) -> a 1-row fold over the bounded class table."""
+    o = Catalog(spark, sf_dir)["orders"]
+    cls = o.groupBy(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        F.count("*").alias("sz"),
+        F.countDistinct(
+            F.floor(F.col("o_totalprice") / 100000).cast("long")
+        ).alias("l"),
+    )
+    disclosed = F.sum(F.when(F.col("l") < 2, F.col("sz")).otherwise(0))
+    return cls.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("l").alias("min_l"),
+        F.sum((F.col("l") < 2).cast("int"))
+        .cast("long")
+        .alias("n_homogeneous_classes"),
+        disclosed.cast("long").alias("rows_disclosed"),
+        F.round(disclosed.cast("double") / F.sum("sz"), 6).alias(
+            "pct_disclosed"
+        ),
+    )

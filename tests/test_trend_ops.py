@@ -533,3 +533,22 @@ def test_skew_report_matches_pandas(spark):
     assert r["skew_factor"] == pytest.approx(counts.max() / med, abs=1e-4)
     assert r["rows_on_hot"] == int(counts[counts > 10 * med].sum())
     assert r["needs_mitigation"] == int(counts.max() / med > 10)
+
+
+def test_l_diversity_matches_pandas(spark):
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    o["d"] = pd.to_datetime(o.o_orderdate).dt.date
+    o["sens"] = (o.o_totalprice // 100000).astype(int)
+    g = o.groupby(["o_orderpriority", "o_orderstatus", "d"]).agg(
+        sz=("sens", "size"), l=("sens", "nunique")
+    )
+    r = QUERIES["q_l_diversity"](spark, SF_SMALL).collect()[0]
+    assert r["n_classes"] == len(g)
+    assert r["min_l"] == int(g.l.min())
+    assert r["n_homogeneous_classes"] == int((g.l < 2).sum())
+    assert r["rows_disclosed"] == int(g.loc[g.l < 2, "sz"].sum())
+    assert r["pct_disclosed"] == pytest.approx(
+        g.loc[g.l < 2, "sz"].sum() / len(o), abs=1e-6
+    )
+    # the audit is value-live: homogeneous classes exist on this corpus
+    assert r["n_homogeneous_classes"] > 0
