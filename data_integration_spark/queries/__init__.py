@@ -118,10 +118,13 @@ _SIGN_PRIORITY: list[str] = [
     "q_ks_test",
     "q_mann_whitney",
     "q_ntile_percent_rank",
-    # (d→r8) NEW post-window queries (this continuation session): the r7
-    # window is exactly full, so these five lead the r8 queue instead of
-    # displacing never-signed r7 names; all five are full-oracle and
-    # harness-verified at sf0.001/0.01/0.1 in-session ---------------------
+    # (d→r8) NEW post-window queries (the two r7 continuation sessions):
+    # the r7 window is exactly full, so these 36 lead the r8 queue instead
+    # of displacing never-signed r7 names; ALL are full-oracle,
+    # harness-verified at sf0.001/0.01/0.1 in-session, and carry value
+    # pytests + plan budgets (see NOTES.md for the per-batch inventory).
+    # r8 window arithmetic: 36 never-signed here + the 45-name r1
+    # rotation below = the r8 and r9 windows are already fully planned ---
     "q_roc_auc",
     "q_calibration_bins",
     "q_cohens_kappa",
