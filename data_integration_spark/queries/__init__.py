@@ -161,6 +161,8 @@ _SIGN_PRIORITY: list[str] = [
     "q_semantic_threshold_sweep",
     "q_skew_report",
     "q_l_diversity",
+    "q_ece",
+    "q_time_to_convert",
     # (c) r1 rotation: flagship + §2 core first; escape-hatch rows-only
     # names (whose rows carry no hash signal to refresh) last ------------
     "q_report_final",

@@ -1167,3 +1167,146 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
     )
+
+
+@register(
+    "q_ece",
+    oracle=f"""
+    WITH scored AS (
+      SELECT 1.0 / (1.0 + EXP(-(n_chars - 300) / 80.0)) AS p_pred,
+             CASE WHEN {_md5_uniform_sql('L', 'doc_id')}
+                  < 1.0 / (1.0 + EXP(-(n_chars - 280) / 70.0))
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    bins AS (
+      SELECT CAST(FLOOR(p_pred * 10) AS INTEGER) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(p_pred) AS mean_pred,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS obs_rate
+      FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS nt FROM bins)
+    SELECT CAST(tot.nt AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM bins) AS BIGINT) AS n_bins,
+           ROUND(SUM(bins.n * ABS(bins.mean_pred - bins.obs_rate))
+                 / tot.nt, 6) AS ece,
+           ROUND(MAX(ABS(bins.mean_pred - bins.obs_rate)), 6) AS mce
+    FROM bins, tot
+    GROUP BY tot.nt
+    """,
+)
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error — the one-number summary of
+    q_calibration_bins' reliability table (same two sigmoid links, same
+    md5 label stream, so the two queries describe one classifier): ECE
+    = bin-weighted mean |predicted - observed|, MCE = the worst bin.
+    The number a model-monitoring dashboard alerts on when the
+    classifier drifts out of calibration.
+
+    Scale shape: one map-side expression per row, one <=10-key hash
+    aggregation, one 1-row fold over the bin table."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    p_pred = 1.0 / (
+        1.0 + F.exp(-(F.col("n_chars") - 300) / F.lit(80.0))
+    )
+    p_true = 1.0 / (
+        1.0 + F.exp(-(F.col("n_chars") - 280) / F.lit(70.0))
+    )
+    scored = docs.select(
+        p_pred.alias("p_pred"),
+        (_md5_uniform("L", F.col("doc_id")) < p_true)
+        .cast("int")
+        .alias("y"),
+    )
+    bins = scored.groupBy(
+        F.floor(F.col("p_pred") * 10).cast("int").alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.avg("p_pred").alias("mean_pred"),
+        (F.sum("y").cast("double") / F.count("*")).alias("obs_rate"),
+    )
+    gap = F.abs(F.col("mean_pred") - F.col("obs_rate"))
+    return bins.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(F.sum(F.col("n") * gap) / F.sum("n"), 6).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )
+
+
+@register(
+    "q_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT (EPOCH_US(p.t_purchase) - EPOCH_US(v.t_view)) / 1000000.0
+               AS sec
+      FROM v JOIN p ON p.user_id = v.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewers,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 6) AS conversion_rate,
+           ROUND(QUANTILE_CONT(sec, 0.5), 2) AS p50_seconds,
+           ROUND(QUANTILE_CONT(sec, 0.9), 2) AS p90_seconds
+    FROM lat
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert latency profile: per user, first 'view' to the
+    first SUBSEQUENT 'purchase', summarized as conversion rate and
+    exact p50/p90 latency — the funnel metric
+    q_funnel_conversion_window's step counts don't expose (how LONG
+    conversion takes, which sets retargeting windows and attribution
+    horizons).
+
+    Latencies are exact integer-microsecond differences scaled once;
+    the percentiles interpolate between two such values (round 2 —
+    interpolation-formula ulps are far below centiseconds).
+
+    Scale shape: the funnel discipline — two conditional-MIN
+    aggregations joined forward on user_id (never a window over the
+    raw stream), then ONE distributed percentile aggregation over the
+    |converted-users| latency frame."""
+    ev = Catalog(spark, sf_dir)["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_viewers = v.count()
+    lat = (
+        v.join(p, "user_id")
+        .select(
+            (
+                (F.unix_micros("t_purchase") - F.unix_micros("t_view"))
+                / 1e6
+            ).alias("sec")
+        )
+    )
+    return lat.agg(
+        F.lit(n_viewers).cast("long").alias("n_viewers"),
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(
+            F.count("*").cast("double") / F.lit(n_viewers), 6
+        ).alias("conversion_rate"),
+        F.round(F.expr("percentile(sec, 0.5)"), 2).alias("p50_seconds"),
+        F.round(F.expr("percentile(sec, 0.9)"), 2).alias("p90_seconds"),
+    )

@@ -730,3 +730,17 @@ def test_skew_report_shuffle_budget(spark):
     as one scalar; the summary is a 1-row fold over |keys| rows."""
     df = QUERIES["q_skew_report"](spark, SF)
     assert count_shuffles(df) <= 3, formatted_plan(df)
+
+
+def test_calibration_funnel_latency_budgets(spark):
+    """q_ece: one <=10-key aggregation + 1-row fold;
+    q_time_to_convert: two conditional-MIN user aggregations joined
+    forward + one distributed percentile fold."""
+    budgets = {
+        "q_ece": 2,
+        "q_time_to_convert": 4,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        n = count_shuffles(df)
+        assert n <= budget, (name, n, formatted_plan(df))

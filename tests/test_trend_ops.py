@@ -552,3 +552,62 @@ def test_l_diversity_matches_pandas(spark):
     )
     # the audit is value-live: homogeneous classes exist on this corpus
     assert r["n_homogeneous_classes"] > 0
+
+
+def test_theil_sen_degenerate_single_day(spark, tmp_path):
+    """A one-day series has no pairwise slopes: the query must return
+    the oracle's NULL slope/intercept row, not crash interpolating None
+    into SQL."""
+    d0 = datetime.datetime(1995, 6, 1)
+    rows = [(i, 100.0 + i, d0, "1-URGENT") for i in range(5)]
+    sf_dir = _write_orders(spark, tmp_path, rows)
+    r = QUERIES["q_theil_sen"](spark, sf_dir).collect()[0]
+    assert r["n_pairs"] == 0
+    assert r["n_days"] == 1
+    assert r["slope_per_day"] is None
+    assert r["intercept"] is None
+
+
+def test_ece_matches_pandas(spark):
+    import hashlib
+
+    import numpy as np
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    p_pred = 1 / (1 + np.exp(-(docs.n_chars - 300) / 80.0))
+    p_true = 1 / (1 + np.exp(-(docs.n_chars - 280) / 70.0))
+    u = docs.doc_id.map(
+        lambda d: int(hashlib.md5(f"L{d}".encode()).hexdigest()[:8], 16)
+        / 2**32
+    )
+    y = (u < p_true).astype(int)
+    df = pd.DataFrame({"p": p_pred, "y": y})
+    df["bin"] = np.floor(df.p * 10).astype(int)
+    g = df.groupby("bin").agg(n=("p", "size"), mp=("p", "mean"), o=("y", "mean"))
+    ece = (g.n * (g.mp - g.o).abs()).sum() / g.n.sum()
+    mce = (g.mp - g.o).abs().max()
+    r = QUERIES["q_ece"](spark, SF_SMALL).collect()[0]
+    assert r["n_docs"] == len(docs)
+    assert r["ece"] == pytest.approx(ece, abs=2e-6)
+    assert r["mce"] == pytest.approx(mce, abs=2e-6)
+    # miscalibration between the two links is real on this corpus
+    assert r["ece"] > 0.01
+
+
+def test_time_to_convert_matches_pandas(spark):
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    v = ev[ev.event_type == "view"].groupby("user_id").ts.min()
+    lat = []
+    for u, tv in v.items():
+        after = ev[
+            (ev.user_id == u) & (ev.event_type == "purchase") & (ev.ts > tv)
+        ]
+        if len(after):
+            lat.append((after.ts.min() - tv).total_seconds())
+    r = QUERIES["q_time_to_convert"](spark, SF_SMALL).collect()[0]
+    assert r["n_viewers"] == len(v)
+    assert r["n_converted"] == len(lat)
+    s = pd.Series(lat)
+    assert r["p50_seconds"] == pytest.approx(s.quantile(0.5), abs=0.02)
+    assert r["p90_seconds"] == pytest.approx(s.quantile(0.9), abs=0.02)
+    assert 0 < r["conversion_rate"] <= 1
