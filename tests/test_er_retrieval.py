@@ -290,3 +290,54 @@ def test_salted_join_plan_is_shuffled_on_salted_keys(spark):
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     # the join must key on BOTH columns — salt really spreads the rows
     assert "salt" in plan
+
+
+def test_range_row_number_multi_three_orderings_heavy_ties(spark):
+    """Three orderings in one call, with a constant column (maximal
+    ties — the tie-break id must fully determine every rank) and an
+    empty input (each rank column must still appear, NULL-typed)."""
+    from data_integration_spark.operators.prefix import (
+        range_row_number_multi,
+    )
+
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        F.lit(7).alias("c"),                     # all-tied metric
+        (F.col("id") % 5).alias("m"),            # 60-way ties
+        (F.col("id") * 11 % 97).alias("u"),
+    )
+    got = range_row_number_multi(
+        df,
+        ["id"],
+        [
+            ([F.col("c"), F.col("id")], "rc"),
+            ([F.col("m"), F.col("id").desc()], "rm"),
+            ([F.col("u").desc(), F.col("id")], "ru"),
+        ],
+        num_partitions=8,
+    )
+    rows = {r["id"]: r for r in got.collect()}
+    assert len(rows) == 300
+    # all-tied metric: rank == id order exactly
+    assert all(rows[i]["rc"] == i + 1 for i in range(300))
+    # each rank column is a permutation of 1..300
+    for col in ("rm", "ru"):
+        assert sorted(r[col] for r in rows.values()) == list(
+            range(1, 301)
+        )
+    # spot-check rm semantics: m asc, id desc
+    want_rm = {
+        rid: rk + 1
+        for rk, rid in enumerate(
+            sorted(range(300), key=lambda i: (i % 5, -i))
+        )
+    }
+    assert all(rows[i]["rm"] == want_rm[i] for i in range(300))
+
+    empty = df.filter(F.col("id") < 0)
+    got_e = range_row_number_multi(
+        empty, ["id"], [([F.col("m"), F.col("id")], "r1")],
+        num_partitions=4,
+    )
+    assert got_e.count() == 0
+    assert "r1" in got_e.columns
