@@ -53,78 +53,21 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # ever shrinks. Maintained per round: names signed in CORRECTNESS_r{N} leave,
 # new queries join at the tail of the front block.
 _SIGN_PRIORITY: list[str] = [
-    # --- r7 window. The r6 signing run went 50/50 green, so every name
-    # registered through r6 has a current driver row. r7 slots go to
-    # (a) queries NEW this round, (b) _RESIGN names whose r6 row no
-    # longer describes the current code, then (c) the RE-SIGN ROTATION
-    # (VERDICT r6 #3): the 46 oldest-signed names — the SURVEY §2
-    # relational core, last signed in r1, five rounds of refactors ago.
-    # New queries always register inside the window so they sign the
-    # round they land; rotation overflow past slot 50 rolls to r8.
-    # (a) new r7 queries (incl. the late-session batch: training-order /
-    # k-fold / windowed count-distinct / ANOVA / graph census / ANN
-    # recall certificate / rolling regression / paths / gini /
-    # association rules / mode / group-concat). 43 new+re-sign names →
-    # 7 r1-rotation slots fit the 50-window this round; the remaining r1
-    # names (q_cast_numeric … q_bernoulli) lead the r8 rotation. --------
-    "q_em_convergence",
-    "q_ann_ivf_invariants",
-    "q_sketch_bounds",
-    "q_pca_invariants",
-    "q_rng_certificate",
-    "q_ann_pq",
-    "q_ann_pq_invariants",
-    "q_streaming_index_append",
-    "q_bigram_lm_score",
-    "q_quality_classifier",
-    "q_zorder_key",
-    "q_funnel_analysis",
-    "q_funnel_conversion_window",
-    "q_streaming_pq_encode",
-    "q_attribution",
-    "q_ab_conversion_ztest",
-    "q_kaplan_meier",
-    "q_ewma_smoothing",
-    "q_incremental_agg_maintenance",
-    "q_corpus_diff",
-    "q_ann_ivfpq",
-    "q_ann_ivfpq_invariants",
-    "q_substring_dedup",
-    "q_retention_value",
-    "q_bpe_train",
-    "q_bpe_invariants",
-    "q_dsir_importance",
-    "q_distinct_ngrams",
-    "q_hard_negatives",
-    "q_substring_dedup_apply",
-    "q_training_order_shuffle",
-    "q_kfold_assign",
-    "q_window_count_distinct",
-    "q_anova",
-    "q_triangle_count",
-    "q_local_clustering",
-    "q_ann_recall_certificate",
-    "q_rolling_regression",
-    "q_event_paths",
-    "q_gini",
-    "q_association_rules",
-    "q_mode_per_group",
-    "q_group_concat",
-    "q_time_gapfill",
-    "q_interval_merge",
-    "q_dau_wau",
-    "q_rfm_segments",
-    # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
-    "q_ks_test",
-    "q_mann_whitney",
-    "q_ntile_percent_rank",
-    # (d→r8) NEW post-window queries (the two r7 continuation sessions):
-    # the r7 window is exactly full, so these 36 lead the r8 queue instead
-    # of displacing never-signed r7 names; ALL are full-oracle,
-    # harness-verified at sf0.001/0.01/0.1 in-session, and carry value
-    # pytests + plan budgets (see NOTES.md for the per-batch inventory).
-    # r8 window arithmetic: 36 never-signed here + the 45-name r1
-    # rotation below = the r8 and r9 windows are already fully planned ---
+    # --- r8 window. The r7 signing run went 50/50 (47 oracle + 3
+    # contract rows-only), so every r7-window name has a current driver
+    # row and leaves the list. r8 slots, per VERDICT r7 #1/#2/#3/#6:
+    # (a) the 38 late-r7 queries that have never had a driver row
+    # (they pass the builder's full DuckDB sweep; the driver has never
+    # co-signed them);
+    # (b) _RESIGN names whose prior row no longer describes the code:
+    # the sketch trio re-emitted as full-oracle bounds certificates
+    # (VERDICT #3) and q_multimodal_decode after the real in-container
+    # codec landed (VERDICT #7);
+    # (c) q_survey_pipeline_certificate — NEW this round (VERDICT #6),
+    # registers inside the window so it signs the round it lands;
+    # (d) 7 slots of the 46-name r1 re-sign rotation, flagship + §2
+    # core first; the remaining 39 r1 names exactly fill the r9 window.
+    # (a) never-driver-signed (late-r7 batches) -------------------------
     "q_roc_auc",
     "q_calibration_bins",
     "q_cohens_kappa",
@@ -163,8 +106,17 @@ _SIGN_PRIORITY: list[str] = [
     "q_l_diversity",
     "q_ece",
     "q_time_to_convert",
-    # (c) r1 rotation: flagship + §2 core first; escape-hatch rows-only
-    # names (whose rows carry no hash signal to refresh) last ------------
+    # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
+    "q_approx_distinct",
+    "q_approx_quantile",
+    "q_freq_items",
+    "q_multimodal_decode",
+    # (c) new this round --------------------------------------------------
+    "q_survey_pipeline_certificate",
+    # (d) r1 rotation: flagship + §2 core first; escape-hatch rows-only
+    # names (whose rows carry no hash signal to refresh) last. 7 slots
+    # fit the 50-window this round; q_withcolumn_linear … q_bernoulli
+    # (39 names) lead the r9 rotation. -----------------------------------
     "q_report_final",
     "q_scan_parquet",
     "q_sink_roundtrip",
@@ -172,6 +124,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_drop_cols",
     "q_rename",
     "q_todf_headers",
+    # --- r9 queue (r1 rotation overflow) --------------------------------
     "q_withcolumn_linear",
     "q_rowid_rownumber",
     "q_cast_numeric",
@@ -211,35 +164,23 @@ _SIGN_PRIORITY: list[str] = [
     "q_glm_fit",
     "q_randn",
     "q_bernoulli",
-]  # the driver's r7 window = first 50 registered
+]  # the driver's r8 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
-# because r7 changed what the row attests to:
-# - q_ks_test / q_mann_whitney: both ride range_prefix_sum, whose offset
-#   fold was reworked for SQL NULL semantics (ADVICE r6: all-NULL
-#   partitions fold as absent offsets via when/coalesce instead of a bare
-#   add) — same values on non-NULL data, re-sign to pin the new plans'
-#   expressions;
-# - q_ntile_percent_rank: percent_rank denominator now guarded for the
-#   1-row-input 0/0 (ADVICE r6) and range_ntile's empty-input schema
-#   fixed — same values at every tested SF, re-sign to pin the new plan.
-# The other prefix-family riders (q_skyline via range_prefix_max — its
-# column expressions are untouched, only the driver fold and empty-path
-# changed — and the range_row_number family: q_curriculum_buckets,
-# q_vocab_build/encode, q_window_gather) share the reworked module but
-# their emitted plans are expression-identical.
-# q_ann_ivf/_persist/_append: the coarse quantizer moved to driver-side
-# Lloyd on the bounded sample (r7), so centroid VALUES changed — but
-# their rows are rows-only (shape-only: top-5 × 20 queries, unchanged),
-# the new in-window q_ann_ivf_invariants certificate oracle-checks the
-# shared assignment arithmetic under the new centroids, and pytest pins
-# recall + persist/append equality; burning three window slots that
-# would displace oracle-backed r1 rotation names buys no hash signal.
+# because r8 changed what the row attests to:
+# - q_approx_distinct / q_approx_quantile / q_freq_items: re-emitted as
+#   full-oracle bounds certificates (VERDICT r7 #3) — the prior rows-only
+#   r3 rows attested to raw sketch outputs, the new rows attest to
+#   violation-count==0 literals that DuckDB hash-matches;
+# - q_multimodal_decode: the decode path now runs a real pure-Python
+#   BMP/WAV codec in-container (VERDICT r7 #7) instead of the deterministic
+#   fake, so the decoded VALUES changed.
 _RESIGN: frozenset[str] = frozenset(
     {
-        "q_ks_test",
-        "q_mann_whitney",
-        "q_ntile_percent_rank",
+        "q_approx_distinct",
+        "q_approx_quantile",
+        "q_freq_items",
+        "q_multimodal_decode",
     }
 )
 
