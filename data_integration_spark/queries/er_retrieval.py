@@ -595,14 +595,18 @@ def q_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked a JOIN ranked b ON b.rn_r - a.rn_r BETWEEN 1 AND 3
     ),
     cand AS (
+      -- swap the text columns TOGETHER with the ids: a pair found in
+      -- opposite relative order by the two passes must land in ONE group
       SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b,
-             ta, tb, MAX(p) AS found_pass1, MAX(1 - p) AS found_pass2
+             CASE WHEN da <= db THEN ta ELSE tb END AS ta,
+             CASE WHEN da <= db THEN tb ELSE ta END AS tb,
+             MAX(p) AS found_pass1, MAX(1 - p) AS found_pass2
       FROM (
         SELECT da, db, ta, tb, 1 AS p FROM p1
         UNION ALL
         SELECT da, db, ta, tb, 0 AS p FROM p2
       )
-      GROUP BY 1, 2, ta, tb
+      GROUP BY 1, 2, 3, 4
     )
     SELECT doc_a, doc_b,
            CAST(levenshtein(SUBSTR(ta, 1, 80), SUBSTR(tb, 1, 80))
@@ -660,12 +664,17 @@ def q_sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> DataFra
         )
 
     both = pass_pairs("rn_f", 1).unionAll(pass_pairs("rn_r", 0))
+    # normalize the TEXT columns together with the ids — a pair whose
+    # forward and reversed sort orders disagree is emitted (x,y) by one
+    # pass and (y,x) by the other; id-only normalization would split it
+    # into two rows with complementary pass flags
+    fwd = F.col("da") <= F.col("db")
     cand = (
         both.select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
-            "ta",
-            "tb",
+            F.when(fwd, F.col("ta")).otherwise(F.col("tb")).alias("ta"),
+            F.when(fwd, F.col("tb")).otherwise(F.col("ta")).alias("tb"),
             "p",
         )
         .groupBy("doc_a", "doc_b", "ta", "tb")

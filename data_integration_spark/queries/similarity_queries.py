@@ -1476,7 +1476,7 @@ def q_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_t = emb.select("vec_id", F.slice("e", 1, 16).alias("e"))
     q_full = emb.filter(F.col("vec_id") < 20)
     q_trunc = emb_t.filter(F.col("vec_id") < 20)
-    full5 = cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5).select(
+    full5 = cosine_topk(q_full, emb, k=5).select(
         "qid", F.col("mid").alias("mid_f")
     )
     trunc5 = cosine_topk(q_trunc, emb_t, k=5).select(

@@ -529,19 +529,25 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_pre, m_post, n = per_user.agg(
         F.avg("pre"), F.avg("post"), F.count("*")
     ).collect()[0]
-    sxy, sxx, syy = per_user.agg(
-        F.sum((F.col("pre") - m_pre) * (F.col("post") - m_post)),
-        F.sum((F.col("pre") - m_pre) * (F.col("pre") - m_pre)),
-        F.sum((F.col("post") - m_post) * (F.col("post") - m_post)),
+    # theta and var_post are rounded IN-ENGINE (F.round = HALF_UP, the
+    # same rule as DuckDB's ROUND) and the rounded scalars collected —
+    # Python round() is banker's (half-to-even) and would diverge from
+    # the oracle on an exact 6dp/4dp tie (the q_theil_sen discipline)
+    sxy_e = F.sum((F.col("pre") - m_pre) * (F.col("post") - m_post))
+    sxx_e = F.sum((F.col("pre") - m_pre) * (F.col("pre") - m_pre))
+    syy_e = F.sum((F.col("post") - m_post) * (F.col("post") - m_post))
+    syy, theta, var_post = per_user.agg(
+        syy_e,
+        F.round(sxy_e / sxx_e, 6),
+        F.round(syy_e / (n - 1), 4),
     ).collect()[0]
-    theta = round(sxy / sxx, 6)
     adj_expr = (
         F.col("post") - F.lit(theta) * (F.col("pre") - m_pre) - m_post
     )
     return per_user.agg(
         F.lit(n).cast("long").alias("n_users"),
         F.lit(theta).alias("theta"),
-        F.lit(round(syy / (n - 1), 4)).alias("var_post"),
+        F.lit(var_post).alias("var_post"),
         F.round(F.sum(adj_expr * adj_expr) / (n - 1), 4).alias(
             "var_adjusted"
         ),

@@ -220,22 +220,35 @@ def test_multipass_second_key_buys_recall(spark, tmp_path):
     texts[101] = "kk identical text here"
     texts[102] = "qq same tail but far first char"
     texts[103] = "zz same tail but far first char"
+    # a pair whose forward and reversed sort orders DISAGREE: forward
+    # puts 104 ("ab…") before 105 ("ba…"); reversed text puts 105
+    # ("w xiffus ab") before 104 ("x xiffus ba"). Both passes find it,
+    # in opposite orientations — it must still collapse to ONE row
+    # flagged (1, 1), not two rows with split pass flags.
+    texts[104] = "ab suffix x"
+    texts[105] = "ba suffix w"
     sf_dir = _write_docs(spark, tmp_path, texts)
+    collected = QUERIES["q_sorted_neighborhood_multipass"](
+        spark, sf_dir
+    ).collect()
+    keys = [(r["doc_a"], r["doc_b"]) for r in collected]
+    assert len(keys) == len(set(keys)), "duplicate (doc_a, doc_b) rows"
     rows = {
         (r["doc_a"], r["doc_b"]): (
             r["lev"],
             r["found_pass1"],
             r["found_pass2"],
         )
-        for r in QUERIES["q_sorted_neighborhood_multipass"](
-            spark, sf_dir
-        ).collect()
+        for r in collected
     }
     assert rows[(100, 101)][0] == 0
     assert rows[(100, 101)][1] == 1  # adjacent under the forward key
     lev, p1, p2 = rows[(102, 103)]
     assert (p1, p2) == (0, 1)  # ONLY the reversed key finds it
     assert lev == 2
+    lev, p1, p2 = rows[(104, 105)]
+    assert (p1, p2) == (1, 1)  # both passes, opposite orientations
+    assert lev == 3
 
 
 def test_tfidf_knn_matches_numpy(spark):
