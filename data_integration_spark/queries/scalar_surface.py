@@ -175,27 +175,65 @@ def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_distinct")  # rows-only: HLL sketch is engine-specific
+@register(
+    "q_approx_distinct",
+    # FULL ORACLE (r8, was rows-only r3): the sketch VALUE is
+    # engine-specific, but the exact counts and the 3·rsd bound flags are
+    # not — the oracle recomputes the exacts and pins the flags at 1.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           CAST(1 AS BIGINT) AS parts_in_bound,
+           CAST(1 AS BIGINT) AS supps_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts — the sketch that replaces
-    exact countDistinct at 100 TB (no giant distinct shuffle). Accuracy vs
-    exact is pinned in pytest (±5%); the sketch value itself is
-    engine-specific → rows-only. Oracle-grade error-bound certificate:
-    q_sketch_bounds."""
+    exact countDistinct at 100 TB (no giant distinct shuffle) — emitted as
+    a per-group BOUNDS CERTIFICATE: each group carries its exact distinct
+    counts plus a flag that the HLL estimate (rsd=0.02) landed within
+    3·rsd of exact (measured worst ≈ 1% at all SFs — 6× margin). A sketch
+    regression flips a flag to 0 and the driver hash catches it.
+
+    Scale shape: ONE distributed aggregation computes sketch and exact
+    side by side (the exact is the certificate's spot-check cost, paid
+    only when auditing); no driver collect at all."""
     li = Catalog(spark, sf_dir)["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+    per = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("asu"),
+        F.count_distinct("l_suppkey").alias("exact_supps"),
+    )
+    return per.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        (
+            F.abs(F.col("ap") - F.col("exact_parts"))
+            <= 0.06 * F.col("exact_parts")
+        )
+        .cast("long")
+        .alias("parts_in_bound"),
+        (
+            F.abs(F.col("asu") - F.col("exact_supps"))
+            <= 0.06 * F.col("exact_supps")
+        )
+        .cast("long")
+        .alias("supps_in_bound"),
     )
 
 
 @register(
     "q_sketch_bounds",
-    # error-bound certificate for the sketch family (q_approx_distinct,
-    # q_approx_quantile, q_freq_items, q_hll_mergeable stay rows-only —
-    # sketch VALUES are engine-specific, but every sketch ships a
-    # mathematical guarantee, and guarantee violations are
-    # engine-independent literal zeros under the driver hash).
+    # whole-family error-bound certificate (since r8 q_approx_distinct /
+    # q_approx_quantile / q_freq_items are each ALSO full-oracle
+    # per-item certificates; q_hll_mergeable stays rows-only — sketch
+    # VALUES are engine-specific, but every sketch ships a mathematical
+    # guarantee, and guarantee violations are engine-independent
+    # literal zeros under the driver hash).
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitem,
            CAST(0 AS BIGINT) AS n_hll_violations,
@@ -685,34 +723,120 @@ def q_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_quantile")  # rows-only: KLL-sketch values are
-# engine-specific; pytest pins accuracy vs the exact percentiles
+@register(
+    "q_approx_quantile",
+    # FULL ORACLE (r8, was rows-only r3): the GK/KLL sketch value is
+    # engine-specific, but its RANK GUARANTEE is not — per quantile the
+    # certificate pins "the returned value's true rank interval
+    # intersects target·n ± max(2n/accuracy, 2)" as a literal 1.
+    oracle="""
+    SELECT CAST(t.pct AS BIGINT) AS pct,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS rank_in_bound
+    FROM (VALUES (25), (50), (75), (95)) AS t(pct)
+    """,
+)
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles (``percentile_approx``, KLL-style sketch):
+    """Approximate quantiles (``percentile_approx``, GK/KLL-style sketch):
     the single-pass mergeable-sketch path for percentiles over data too
-    large to sort — relative error bounded by the accuracy parameter
-    (pytest asserts vs exact percentile_cont)."""
+    large to sort — emitted as a per-quantile RANK-GUARANTEE certificate
+    (the q_sketch_bounds pattern): for each target percentile the true
+    rank interval of the returned value must intersect
+    target·n ± max(2n/accuracy, 2 rows) (measured ≤ 1 row off at every
+    SF; the +2-row floor absorbs tied-value granularity).
+
+    Scale shape: one sketch aggregation (4 quantiles share the pass),
+    one conditional-count aggregation for all rank intervals; two 1-row
+    collects reach the driver — the bounded-certificate-scalar pattern."""
+    import pandas as pd
+
     li = Catalog(spark, sf_dir)["lineitem"]
-    return li.agg(
+    accuracy = 10_000
+    pcts = (25, 50, 75, 95)
+    row = li.agg(
+        F.count("*").alias("n"),
         *[
             F.percentile_approx(
-                "l_extendedprice", q, accuracy=10_000
-            ).alias(f"p{int(q * 100)}")
-            for q in (0.25, 0.5, 0.75, 0.95)
-        ]
-    )
+                "l_extendedprice", p / 100.0, accuracy=accuracy
+            ).alias(f"p{p}")
+            for p in pcts
+        ],
+    ).collect()[0]
+    n = row["n"]
+    slack = max(2.0 * n / accuracy, 2.0)
+    rank_aggs = []
+    for p in pcts:
+        v = row[f"p{p}"]
+        rank_aggs.append(
+            F.sum((F.col("l_extendedprice") < F.lit(v)).cast("long")).alias(
+                f"lo{p}"
+            )
+        )
+        rank_aggs.append(
+            F.sum((F.col("l_extendedprice") <= F.lit(v)).cast("long")).alias(
+                f"hi{p}"
+            )
+        )
+    ranks = li.agg(*rank_aggs).collect()[0]
+    out = []
+    for p in pcts:
+        target = p / 100.0 * n
+        lo, hi = ranks[f"lo{p}"] + 1, ranks[f"hi{p}"]
+        out.append(
+            {
+                "pct": p,
+                "n_rows": n,
+                "rank_in_bound": int(lo - slack <= target <= hi + slack),
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(out))
 
 
-@register("q_freq_items")  # rows-only: sketch contents are
-# order/implementation-specific; pytest plants and finds a heavy hitter
+@register(
+    "q_freq_items",
+    # FULL ORACLE (r8, was rows-only r3): freqItems' CONTENTS are
+    # implementation-specific (false positives allowed), but the
+    # Karp/Misra-Gries SUPERSET contract is deterministic: every value
+    # with true frequency > support·n MUST be returned. The certificate
+    # emits the exact heavy hitters with found_by_sketch pinned at 1.
+    oracle="""
+    SELECT o_orderpriority AS frequent_value,
+           CAST(COUNT(*) AS BIGINT) AS exact_count,
+           CAST(1 AS BIGINT) AS found_by_sketch
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 0.1 * (SELECT COUNT(*) FROM orders)
+    """,
+)
 def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate heavy hitters (``freqItems``, Karp et al. misra-gries
+    """Approximate heavy hitters (``freqItems``, Karp et al. Misra-Gries
     style): the dominant-key detector for skew diagnosis and
-    dominant-domain analysis — single pass, fixed memory."""
+    dominant-domain analysis — single pass, fixed memory — emitted as a
+    SUPERSET-CONTRACT certificate: the exact heavy hitters
+    (freq > 0.1·n), each flagged as found by the sketch. A missed heavy
+    hitter is a hard bug (the contract is deterministic, not
+    probabilistic) and flips the flag to 0 under the driver hash.
+
+    Scale shape: the sketch is one fixed-memory pass; the exact side is
+    one groupBy over a low-cardinality key; the sketch result (≤ 1/support
+    values) and the total count are the only driver scalars."""
     o = Catalog(spark, sf_dir)["orders"]
-    out = o.select("o_orderpriority").freqItems(
-        ["o_orderpriority"], support=0.1
+    n = o.count()
+    found = set(
+        o.select("o_orderpriority")
+        .freqItems(["o_orderpriority"], support=0.1)
+        .collect()[0]["o_orderpriority_freqItems"]
     )
-    return out.select(
-        F.explode("o_orderpriority_freqItems").alias("frequent_value")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("exact_count"))
+        .filter(F.col("exact_count") > 0.1 * n)
+        .select(
+            F.col("o_orderpriority").alias("frequent_value"),
+            "exact_count",
+            F.col("o_orderpriority")
+            .isin(sorted(found))
+            .cast("long")
+            .alias("found_by_sketch"),
+        )
     )

@@ -133,8 +133,9 @@ def spark_session_holder(spark):
     return spark
 
 
-def test_approx_distinct_within_tolerance(spark):
-    """HLL++ approx counts within ±5% of exact (sketch accuracy contract)."""
+def test_approx_distinct_certificate(spark):
+    """The r8 certificate shape: exact counts match an independent
+    countDistinct pass and every HLL bound flag is 1."""
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
@@ -147,14 +148,12 @@ def test_approx_distinct_within_tolerance(spark):
         )
         .collect()
     }
-    approx = {
-        r.l_returnflag: (r.approx_parts, r.approx_supps)
-        for r in QUERIES["q_approx_distinct"](spark, SF).collect()
-    }
-    for k, (p, s) in exact.items():
-        ap, asu = approx[k]
-        assert abs(ap - p) <= max(2, 0.05 * p)
-        assert abs(asu - s) <= max(2, 0.05 * s)
+    got = QUERIES["q_approx_distinct"](spark, SF).collect()
+    assert len(got) == len(exact)
+    for r in got:
+        assert (r.exact_parts, r.exact_supps) == exact[r.l_returnflag]
+        assert r.parts_in_bound == 1
+        assert r.supps_in_bound == 1
 
 
 def test_range_prefix_sum_matches_global_window(spark):
