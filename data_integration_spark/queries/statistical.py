@@ -50,23 +50,25 @@ def q_ebp_scoring_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_survey_pipeline")  # rows-only: full model pipeline output
-def q_survey_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE reference pipeline end-to-end (``Rmd`` entire file): synthetic
-    PEW/CPS/actuals fixtures → EM (adjusted ML) → EBP → direct estimates →
-    comparison → bootstrap MSPE → final report — returned as the report
-    table (state, name, actual_val, direct_est, EBP_est, direct_SE, EBP_SE).
+# q_survey_pipeline and its r8 certificate share ONE pipeline execution
+# per Spark context (the EM + bootstrap fit is the expensive part; the
+# certificate audits the SAME result the rows-only query returns).
+_PIPELINE_MEMO: dict = {}
 
-    Deterministic end-to-end (hash RNG), but optimizer outputs are not
-    SQL-expressible → rows-only. Statistical correctness is pinned by
-    tests/test_stats_pipeline.py (parameter recovery, EBP-beats-direct,
-    golden report)."""
+
+def _fixture_pipeline(spark: SparkSession):
+    """Run the reference's full pipeline on the FIXTURES.md family-B
+    surveys (parquet round-trip through .scratch, like the reference reads
+    its survey inputs); memoized per Spark context."""
     import os
 
     from data_integration_spark.stats.em import EMEstimator
     from data_integration_spark.stats.fixtures import make_fixtures
     from data_integration_spark.stats.pipeline import run_pipeline
 
+    key = id(spark.sparkContext)
+    if key in _PIPELINE_MEMO:
+        return _PIPELINE_MEMO[key]
     base = "/root/repo/.scratch/survey_fixtures"
     if not os.path.exists(os.path.join(base, "survey_small.parquet")):
         fx = make_fixtures()
@@ -88,7 +90,129 @@ def q_survey_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         bootstrap_reps=2,
         bootstrap_em=EMEstimator(n_reps=80, tol=0.05, max_iter=10, seed=43),
     )
+    _PIPELINE_MEMO.clear()
+    _PIPELINE_MEMO[key] = (res, small)
+    return _PIPELINE_MEMO[key]
+
+
+@register("q_survey_pipeline")  # rows-only: full model pipeline output
+def q_survey_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference pipeline end-to-end (``Rmd`` entire file): synthetic
+    PEW/CPS/actuals fixtures → EM (adjusted ML) → EBP → direct estimates →
+    comparison → bootstrap MSPE → final report — returned as the report
+    table (state, name, actual_val, direct_est, EBP_est, direct_SE, EBP_SE).
+
+    Deterministic end-to-end (hash RNG), but optimizer outputs are not
+    SQL-expressible → rows-only. Statistical correctness is pinned by
+    tests/test_stats_pipeline.py (parameter recovery, EBP-beats-direct,
+    golden report) and by the full-oracle q_survey_pipeline_certificate."""
+    res, _ = _fixture_pipeline(spark)
     return res.report
+
+
+@register(
+    "q_survey_pipeline_certificate",
+    # FULL-ORACLE certificate (r8, VERDICT r7 #6) for the reference's
+    # flagship end-to-end (``Rmd:406-507``), mirroring q_em_convergence:
+    # the pipeline's report values are optimizer outputs (rows-only in
+    # q_survey_pipeline), but the INVARIANTS they must satisfy are
+    # engine-independent literals under the driver hash. Fixture
+    # constants: 51 areas, 2 held out of the small survey
+    # (stats/fixtures.py N_STATES / n_absent defaults, seed 42).
+    oracle="""
+    SELECT CAST(51 AS BIGINT) AS n_areas,
+           CAST(2 AS BIGINT) AS n_absent_direct,
+           CAST(51 AS BIGINT) AS ebp_nonnull,
+           CAST(0.0 AS DOUBLE) AS direct_recompute_resid,
+           CAST(1 AS BIGINT) AS ebp_beats_direct_asd,
+           CAST(1 AS BIGINT) AS ebp_beats_direct_aad,
+           CAST(0 AS BIGINT) AS range_violations,
+           CAST(0 AS BIGINT) AS mspe_violations
+    """,
+)
+def q_survey_pipeline_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Invariant CERTIFICATE for the full survey pipeline (C1-C3 + report):
+
+    - ``n_areas`` == 51, ``ebp_nonnull`` == 51: the comparison fold covers
+      every area and the v=0 path (``Rmd:433-435``) scores the 2 areas
+      absent from the small survey;
+    - ``n_absent_direct`` == 2: exactly the held-out areas have NULL
+      direct estimates (full-outer-join semantics, ``Rmd:466-472``);
+    - ``direct_recompute_resid`` == 0.0: the pipeline's direct estimates
+      (C2, survey_mean_se path) match an INDEPENDENT inline Hájek
+      weighted mean ×100 on the small survey to 6dp (measured ~1e-12 —
+      pure float-reduction noise);
+    - ``ebp_beats_direct_asd`` / ``aad`` == 1: the paper's headline claim
+      (``Rmd:481-507``) — model-based EBP beats the direct estimator on
+      both error measures (deterministic under hash RNG);
+    - ``range_violations`` == 0: every estimate is a valid percentage;
+    - ``mspe_violations`` == 0: every area's bootstrap sqrt-MSPE (C3) is
+      present and non-negative.
+
+    One 8-scalar row reaches the driver; every audit is a DataFrame
+    aggregation over the cached comparison table / small survey."""
+    import pandas as pd
+
+    res, small = _fixture_pipeline(spark)
+    comp = res.comparison  # unrounded: state, name, actual, direct,
+    # direct_SE, EM_est
+    stats = comp.agg(
+        F.count("*").alias("n_areas"),
+        F.sum(F.col("direct").isNull().cast("long")).alias("n_absent"),
+        F.sum(F.col("EM_est").isNotNull().cast("long")).alias("ebp_nonnull"),
+        F.sum(
+            (
+                ~F.col("EM_est").between(0.0, 100.0)
+                | ~F.coalesce(F.col("direct"), F.lit(50.0)).between(
+                    0.0, 100.0
+                )
+            ).cast("long")
+        ).alias("range_violations"),
+    ).collect()[0]
+    # independent C2 recompute: inline Hájek weighted mean, not the
+    # survey_mean_se helper the pipeline used
+    inline = small.groupBy("state").agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.col("weight") * F.col("demvote"))
+            / F.sum("weight")
+        ).alias("direct_inline")
+    )
+    resid = (
+        comp.join(inline, "state")
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("direct") - F.col("direct_inline"))), 6
+            ).alias("r")
+        )
+        .collect()[0]["r"]
+    )
+    err = res.errors.set_index("estimator")
+    mspe_violations = res.report.filter(
+        F.col("EBP_SE").isNull() | (F.col("EBP_SE") < 0)
+    ).count()
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_areas": stats["n_areas"],
+                    "n_absent_direct": stats["n_absent"],
+                    "ebp_nonnull": stats["ebp_nonnull"],
+                    "direct_recompute_resid": float(resid),
+                    "ebp_beats_direct_asd": int(
+                        err.loc["EM_est", "asd"] < err.loc["direct", "asd"]
+                    ),
+                    "ebp_beats_direct_aad": int(
+                        err.loc["EM_est", "aad"] < err.loc["direct", "aad"]
+                    ),
+                    "range_violations": stats["range_violations"],
+                    "mspe_violations": mspe_violations,
+                }
+            ]
+        )
+    )
 
 
 @register("q_bootstrap_skeleton")  # rows-only: contains seeded draws
