@@ -1,10 +1,14 @@
-"""Multimodal-column t2 queries: binary payload plumbing over a synthetic
-binary column (documents.text encoded to bytes — the container has no real
-media files; the Spark-side schema/batch/UDF mechanics are the real thing).
+"""Multimodal-column t2 queries: binary payload plumbing over synthetic
+binary columns (the container has no real media files; the Spark-side
+schema/batch/UDF mechanics are the real thing).
 
-``q_multimodal_decode`` has a FULL oracle: the deterministic stub decode
-derives dims from sha256 bytes, which DuckDB reproduces with hex-digit
-arithmetic on its own sha256.
+``q_multimodal_decode`` (r8) exercises the REAL pure-Python BMP codec
+end-to-end: documents are encoded Spark-side into genuine 24-bit BMP files
+whose dimensions and constant fill derive from SQL-expressible column
+arithmetic, then decoded back by parsing the actual headers and pixel rows
+— so DuckDB reproduces the expected decode output from the base table.
+The metadata/features/frames queries keep UTF-8 text payloads (their
+oracles ride DuckDB's sha256 hex arithmetic).
 """
 
 from __future__ import annotations
@@ -15,6 +19,7 @@ from pyspark.sql import functions as F
 from data_integration_spark.multimodal.binary_ops import (
     attach_binary_metadata,
     decode_images,
+    encode_bmp,
     extract_features,
     sample_frames,
 )
@@ -32,14 +37,16 @@ def _hexbyte_sql(h: str, i: int) -> str:
     )
 
 
-_DECODE_ORACLE = f"""
-WITH h AS (SELECT doc_id AS item_id, SHA256(text) AS hx FROM documents)
-SELECT item_id,
-       CAST(16 + {_hexbyte_sql('hx', 0)} % 64 AS INT) AS width,
-       CAST(16 + {_hexbyte_sql('hx', 1)} % 64 AS INT) AS height,
+# the BMP payload parameters are SQL-expressible column arithmetic, so
+# DuckDB predicts the REAL decoder's output from the base table alone
+_DECODE_ORACLE = """
+SELECT doc_id AS item_id,
+       CAST(4 + doc_id % 29 AS INT) AS width,
+       CAST(4 + n_chars % 23 AS INT) AS height,
        CAST(3 AS INT) AS n_channels,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_pixel,
        TRUE AS ok
-FROM h
+FROM documents
 """
 
 
@@ -51,11 +58,41 @@ def _payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each document as a genuine 24-bit BMP whose (width, height,
+    fill) derive from column arithmetic — the encode half of the real
+    codec path, itself an Arrow-batched mapInPandas pass."""
+    import pandas as pd
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["doc_id"],
+                    "payload": [
+                        encode_bmp(
+                            int(4 + d % 29), int(4 + n % 23), int(d % 256)
+                        )
+                        for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(enc, "item_id long, payload binary")
+
+
 @register("q_multimodal_decode", oracle=_DECODE_ORACLE)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode of a binary column (stubbed codec, real Arrow
-    plumbing) — dims reproduced by the oracle from sha256 hex digits."""
-    return decode_images(_payload_df(spark, sf_dir))
+    """REAL image decode end-to-end (r8, VERDICT r7 #7): encode each
+    document into an actual 24-bit BMP (mapInPandas), then decode by
+    parsing the real headers + pixel rows (``_decode_bmp``). The decoded
+    dims come from the BITMAPINFOHEADER and the mean pixel from the pixel
+    array — the constant-fill mean equals the fill EXACTLY only if the
+    decoder honors the 4-byte row padding, so a padding bug breaks the
+    driver hash."""
+    return decode_images(_bmp_payload_df(spark, sf_dir))
 
 
 @register(

@@ -139,6 +139,99 @@ def test_decode_uses_real_codec_when_present(monkeypatch):
     assert B._decode_bytes(b"imgz" + b"\0" * 100) == (640, 480, 4)
 
 
+def test_bmp_decoder_against_handbuilt_bytes():
+    """REAL-codec pin (VERDICT r7 #7): a byte-by-byte hand-constructed
+    2x2 24-bit BMP (stride 8 = 6 pixel bytes + 2 padding) must decode to
+    its exact dimensions and pixel mean — independently of encode_bmp."""
+    import struct
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    pixels = bytes([10, 20, 30, 40, 50, 60, 0, 0,  # bottom row + pad
+                    70, 80, 90, 100, 110, 120, 0, 0])  # top row + pad
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    w, h, c, mean = B._decode_bmp(header + info + pixels)
+    assert (w, h, c) == (2, 2, 3)
+    assert mean == 780 / 12  # padding bytes excluded — else 780/16
+
+
+def test_bmp_encode_decode_roundtrip_odd_width():
+    """Odd widths force nonzero row padding; constant fill means the
+    decoded mean equals the fill exactly IFF padding is skipped."""
+    from data_integration_spark.multimodal import binary_ops as B
+
+    for width, height, fill in [(5, 3, 200), (1, 1, 0), (7, 2, 255)]:
+        w, h, c, mean = B._decode_bmp(B.encode_bmp(width, height, fill))
+        assert (w, h, c, mean) == (width, height, 3, float(fill))
+
+
+def test_bmp_corrupt_payload_yields_ok_false(spark):
+    """A BMP magic with truncated pixel data must surface as ok=False
+    through the Spark decode path, not an executor exception."""
+    from pyspark.sql import Row
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    good = B.encode_bmp(4, 4, 9)
+    df = spark.createDataFrame(
+        [
+            Row(item_id=1, payload=bytearray(good)),
+            Row(item_id=2, payload=bytearray(good[:40])),
+        ]
+    )
+    rows = {r.item_id: r for r in B.decode_images(df).collect()}
+    assert rows[1].ok and rows[1].mean_pixel == 9.0
+    assert not rows[2].ok
+
+
+def test_wav_decoder_against_handbuilt_bytes():
+    """Hand-constructed RIFF/WAVE (PCM16 mono, 8 kHz, 4 known samples)
+    pins the stdlib-wave decode path."""
+    import struct
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    data = struct.pack("<4h", 0, 16384, -16384, 32767)
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    chunk = b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(chunk)) + b"WAVE" + fmt + chunk
+    c, rate, n, mean_abs = B._decode_wav(wav)
+    assert (c, rate, n) == (1, 8000, 4)
+    assert mean_abs == (0 + 16384 + 16384 + 32767) / 4 / 32768.0
+
+
+def test_wav_decode_audio_spark_path(spark):
+    """decode_audio through mapInPandas: stdlib-written stereo WAV decodes
+    with correct channel/rate/frame counts; junk bytes yield ok=False."""
+    import io as _io
+    import struct
+    import wave
+
+    from pyspark.sql import Row
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack("<6h", 100, -100, 200, -200, 300, -300))
+    df = spark.createDataFrame(
+        [
+            Row(item_id=1, payload=bytearray(buf.getvalue())),
+            Row(item_id=2, payload=bytearray(b"not audio at all")),
+        ]
+    )
+    rows = {r.item_id: r for r in B.decode_audio(df).collect()}
+    assert (rows[1].n_channels, rows[1].sample_rate, rows[1].n_frames) == (2, 16000, 3)
+    assert rows[1].mean_abs == 200.0 / 32768.0
+    assert not rows[2].ok
+
+
 def test_multimodal_features_shape(payloads):
     rows = extract_features(payloads).collect()
     assert all(len(r.feature) == 16 for r in rows)
