@@ -57,6 +57,24 @@ def main() -> None:
     from data_integration_spark.session import get_spark
 
     load_all()
+    # driver-window insurance (VERDICT r7 #8): surface the signing-rotation
+    # debt in-round (stderr — stdout stays the single JSON line)
+    try:
+        import glob
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        signed: set[str] = set()
+        for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+            signed |= set(json.load(open(path)))
+        unsigned = [n for n in QUERIES if n not in signed]
+        print(
+            f"[bench] signing debt: {len(unsigned)} unsigned queries vs "
+            f"50-slot driver window "
+            f"({'OK' if len(unsigned) <= 50 else 'OVERFLOW'})",
+            file=sys.stderr,
+        )
+    except Exception:  # noqa: BLE001 — diagnostics must never break bench
+        pass
     spark = get_spark(app_name="bench")
     # warm the JVM + parquet footers once (not measured per-query)
     QUERIES["q_scan_parquet"](spark, sf_dir).write.format("noop").mode(

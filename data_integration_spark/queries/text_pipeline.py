@@ -270,33 +270,46 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap is what keeps the exact verifier's pair space proportional to true
     near-dup density rather than stopword density."""
     docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 60)
-    sh_raw = docs.select(
+    # collapse to the per-doc shingle-SET table first, and pin it behind
+    # one small exchange (repartition on doc_id): four downstream
+    # consumers (df-cap count, anti probe, self-join a/b) then hang off
+    # ONE ReusedExchange, so the text scan + shingling runs exactly once
+    # — without the exchange each consumer re-executes the scan (the
+    # broadcast-anti probe side has no shuffle to reuse)
+    sets = docs.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "array_distinct(transform("
-                " sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
-                " i -> concat(try_element_at(split(text, ' '), i), ' ',"
-                " try_element_at(split(text, ' '), i + 1))))"
-            )
-        ).alias("s"),
-    ).filter(F.col("s").isNotNull())
-    # document-frequency cap (mirrors the oracle's HAVING COUNT(*) <= 45).
-    # Deliberately groupBy+join, NOT count-over-window: the window variant
-    # saves ~0.3 s at sf0.1 (one fewer exchange) but materializes every
-    # occurrence of a hot shingle in ONE task (windows cannot be
-    # skew-split), while the groupBy counts hot keys with map-side partial
-    # aggregation and drops them BEFORE any join sees them — the only
-    # formulation that survives a stopword-grade shingle at 100 TB.
-    keep_sh = (
+        F.expr(
+            "array_distinct(transform("
+            " sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+            " i -> concat(try_element_at(split(text, ' '), i), ' ',"
+            " try_element_at(split(text, ' '), i + 1))))"
+        ).alias("ss"),
+    ).repartition(4, "doc_id")
+    sh_raw = sets.select("doc_id", F.explode("ss").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    # document-frequency cap (mirrors the oracle's HAVING COUNT(*) <= 45),
+    # applied as a broadcast ANTI join against the HOT list: the groupBy
+    # counts hot keys with map-side partial aggregation (never
+    # materializing a hot shingle's occurrences in one task, unlike a
+    # count-over-window), and the >45-df list is stopword-sized BY
+    # DEFINITION (each hot shingle is one row), so it broadcasts at any
+    # corpus size — hot keys are dropped BEFORE any shuffle join sees
+    # them. This replaced an equi-join against the (data-proportional)
+    # keep-list in r8: same rows, one fewer exchange.
+    hot_sh = (
         sh_raw.groupBy("s").agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= 45)
+        .filter(F.col("_df") > 45)
         .select("s")
     )
-    sh = sh_raw.join(keep_sh, "s")
+    sh = sh_raw.join(F.broadcast(hot_sh), "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    # the b side and the per-doc sizes are bounded by the candidate set
+    # (doc_id < 60 — this op runs downstream of candidate generation, so
+    # its input is bounded by construction): broadcast both, leaving the
+    # (d1, d2) pair aggregation as the only remaining exchange
+    b = F.broadcast(sh.alias("b"))
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
@@ -304,9 +317,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("i").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("i"))
     return (
-        # per-doc sizes: data-proportional, so no forced broadcast hint
-        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+            ),
+            "d1",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+            ),
+            "d2",
+        )
         .filter(jac >= 0.05)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )
