@@ -165,7 +165,13 @@ def test_no_data_proportional_broadcast_hints(spark):
     expected_hints = {
         "q_revenue_by_nation": 2,   # nation + region dims; customer un-hinted
         "q_retention_cohorts": 0,   # cohort via MIN window — no join at all
-        "q_ngram_jaccard": 0,       # per-doc sizes joins left to AQE
+        "q_ngram_jaccard": 7,       # all bounded (r8): stopword-sized hot
+                                    # list (anti — appears 4x, once per
+                                    # copy of the sh subtree in the
+                                    # analyzed tree), candidate-set b side
+                                    # + 2 per-doc size frames (doc_id < 60
+                                    # by construction — this op runs
+                                    # downstream of candidate generation)
         "q_report_final": 3,        # three per-NATION aggregate frames only
         "q_dedup_minhash": 0,       # per-doc sizes joins left to AQE
         "q_skyline": 0,             # frontier is #distinct-prices-sized — AQE decides
