@@ -46,43 +46,32 @@ def minhash_signatures(
     seed: int = 1,
 ) -> DataFrame:
     """Per-doc MinHash signature: for each of k hash functions, the min of
-    ``xxhash64(shingle, salt_j)`` over the doc's shingles — computed
-    IN-ROW (r8): the distinct shingle set stays an array inside the row
-    and each hash function is one ``array_min(transform(...))``, so the
-    signature stage is a pure projection with ZERO shuffle (previously:
-    explode + k-min groupBy = one corpus-sized exchange; same total hash
-    work either way, and map-side partials only ever reduced the exchange,
-    not the hashing). Values are identical — min over the same distinct
-    set — and docs with fewer than ``n_gram`` tokens (empty shingle set)
-    are excluded exactly as the groupBy form excluded them.
+    ``xxhash64(shingle, salt_j)`` over the doc's shingles — one groupBy, k
+    ``min`` aggregates (map-side partials make this one narrow shuffle:
+    each mapper emits at most one k-column row per doc it holds, so the
+    exchange is ~|docs|·k longs, never |shingle instances|).
 
-    At 100 TB this is the difference between signing a corpus with a scan
-    and signing it with a scan PLUS a shingle-instance-sized shuffle."""
-    concat_parts = ", ' ', ".join(
-        f"try_element_at(_mh_ts, i + {j})" for j in range(n_gram)
-    )
-    shingles = (
-        f"filter(array_distinct(transform("
-        f" sequence(1, greatest(size(_mh_ts) - {n_gram - 1}, 1)),"
-        f" i -> concat({concat_parts}))), s -> s IS NOT NULL)"
-    )
-    out = (
-        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_mh_ts"))
-        .withColumn("_mh_sh", F.expr(shingles))
-        .filter(F.size("_mh_sh") > 0)
-    )
-
-    def _min_for(j: int):
-        # one-arg lambda on purpose — see with_minhash_signature's NOTE on
-        # the (element, index) transform-closure trap
-        return F.array_min(
-            F.transform(
-                F.col("_mh_sh"),
-                lambda s: F.xxhash64(s, F.lit(seed * 1000 + j)),
-            )
-        ).alias(f"h{j}")
-
-    return out.select(F.col(id_col), *[_min_for(j) for j in range(k)])
+    KEEP THIS FORM (r8 measurement): the tempting in-row alternative —
+    the shingle set as an array and each hash as
+    ``array_min(transform(...))``, zero shuffle — is ~2x SLOWER end to
+    end at every SF tried, for two compounding reasons: (a) higher-order
+    function lambdas evaluate INTERPRETED, outside whole-stage codegen,
+    paying per-element closure overhead on every one of the k·|shingles|
+    hash calls, while the explode+groupBy form hashes inside codegen with
+    a vectorized min aggregate; (b) k sibling HOF columns referencing one
+    shingle-set alias get inlined by CollapseProject (HOFs have no
+    codegen CSE), re-shingling each row k times — and even with an
+    explode(array(...)) Generate barrier pinning the shingle set to one
+    evaluation, (a) alone keeps the in-row form behind. The streaming
+    form (with_minhash_signature) accepts that cost because
+    dropDuplicates needs a stateless per-row value; the batch path has no
+    such constraint."""
+    sh = shingle_df(df, id_col, text_col, n_gram)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed * 1000 + j))).alias(f"h{j}")
+        for j in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def band_buckets(
