@@ -242,35 +242,41 @@ def with_minhash_signature(
         f" sequence(1, greatest(size(_mh_ts) - {n_gram - 1}, 1)),"
         f" i -> concat({concat_parts}))), s -> s IS NOT NULL)"
     )
-    out = df.withColumn("_mh_ts", F.split(F.col(text_col), " ")).withColumn(
-        "_mh_sh", F.expr(shingles)
-    )
+    # per-shingle hash_j as SQL over the k-index lambda var `j` (int32,
+    # matching the previous F.lit(seed*1000+j) int literal bit-for-bit)
     if base == "xxhash64":
-        hash_j = lambda s, j: F.xxhash64(s, F.lit(seed * 1000 + j))  # noqa: E731
+        hash_sql = f"xxhash64(s, {seed * 1000} + j)"
     else:
-        hash_j = lambda s, j: F.conv(  # noqa: E731
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed * 1000 + j}:"), s)), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-    # NOTE the closure shape: a two-parameter lambda (`lambda s, j=j`) is
-    # treated by F.transform as an (element, INDEX) lambda — the index
-    # column silently overrides the default and every "hash function"
-    # becomes the same position-salted hash (k collapses to 1). Bind j
-    # through a factory so each transform lambda has exactly one arg.
-    def _min_for(j: int):
-        return F.array_min(F.transform(F.col("_mh_sh"), lambda s: hash_j(s, j)))
-
-    min_cols = [_min_for(j) for j in range(k)]
+        hash_sql = (
+            f"cast(conv(substring(md5(concat("
+            f"cast({seed * 1000} + j as string), ':', s)), 1, 15),"
+            f" 16, 10) as bigint)"
+        )
+    # all k mins in ONE nested-transform expression behind an
+    # explode(array(...)) GENERATE BARRIER (the r8 minhash lesson, see
+    # minhash_signatures' docstring): k sibling HOF columns over the
+    # _mh_sh alias would be CollapseProject-inlined (HOFs have no codegen
+    # CSE), re-shingling every row k times; a Generate node evaluates its
+    # generator exactly once per row, and the signature hash above it
+    # reads plain array gathers. The per-row statelessness dropDuplicates
+    # needs is preserved (one input row → exactly one output row).
+    mins = (
+        f"transform(sequence(0, {k - 1}),"
+        f" j -> array_min(transform(_mh_sh, s -> {hash_sql})))"
+    )
+    gen = (
+        df.withColumn("_mh_ts", F.split(F.col(text_col), " "))
+        .withColumn("_mh_sh", F.expr(shingles))
+        .withColumn("_mh_mins", F.explode(F.array(F.expr(mins))))
+    )
+    elems = [F.col("_mh_mins").getItem(j) for j in range(k)]
     if base == "xxhash64":
-        sig = F.xxhash64(*min_cols)
+        sig = F.xxhash64(*elems)
     else:
         # concat_ws skips NULLs: the all-NULL (empty-shingle-set) row maps
         # to md5("") on both engines
-        sig = F.md5(F.concat_ws(",", *[c.cast("string") for c in min_cols]))
-    return out.withColumn(out_col, sig).drop("_mh_ts", "_mh_sh")
+        sig = F.md5(F.concat_ws(",", *[e.cast("string") for e in elems]))
+    return gen.withColumn(out_col, sig).drop("_mh_ts", "_mh_sh", "_mh_mins")
 
 
 def minhash_lsh_pairs(
