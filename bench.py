@@ -62,15 +62,21 @@ def main() -> None:
     try:
         import glob
 
+        from data_integration_spark.queries import _RESIGN
+
         repo = os.path.dirname(os.path.abspath(__file__))
         signed: set[str] = set()
         for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-            signed |= set(json.load(open(path)))
+            with open(path) as fh:
+                signed |= set(json.load(fh))
         unsigned = [n for n in QUERIES if n not in signed]
+        # declared re-signs consume window slots too — count the full demand
+        resigns = [n for n in _RESIGN if n in QUERIES and n in signed]
+        demand = len(unsigned) + len(resigns)
         print(
-            f"[bench] signing debt: {len(unsigned)} unsigned queries vs "
-            f"50-slot driver window "
-            f"({'OK' if len(unsigned) <= 50 else 'OVERFLOW'})",
+            f"[bench] signing debt: {len(unsigned)} unsigned + "
+            f"{len(resigns)} re-signs = {demand} vs 50-slot driver window "
+            f"({'OK' if demand <= 50 else 'OVERFLOW'})",
             file=sys.stderr,
         )
     except Exception:  # noqa: BLE001 — diagnostics must never break bench

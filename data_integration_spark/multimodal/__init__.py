@@ -1,13 +1,17 @@
 from data_integration_spark.multimodal.binary_ops import (
     attach_binary_metadata,
+    decode_audio,
     decode_images,
+    encode_bmp,
     extract_features,
     sample_frames,
 )
 
 __all__ = [
     "attach_binary_metadata",
+    "decode_audio",
     "decode_images",
+    "encode_bmp",
     "extract_features",
     "sample_frames",
 ]

@@ -144,30 +144,51 @@ def attach_binary_metadata(
     )
 
 
+def _route_bmp_or(payload: bytes, pil_fn, fake_fn):
+    """Shared decode routing. A BM magic byte tries the built-in parser
+    first, but a BMP variant OUTSIDE its 8/24/32-bit uncompressed subset
+    (BI_BITFIELDS, RLE, 16-bpp) falls through to PIL when PIL is
+    importable — the sniff must not make a previously-PIL-decodable
+    payload undecodable. With no PIL, the parse error propagates (a
+    BM-claiming payload we cannot parse is a decode FAILURE, never a
+    hash-fake success)."""
+    if payload[:2] == b"BM":
+        try:
+            return _decode_bmp(payload)
+        except ValueError:
+            if not (_HAS_CODECS and _PIL_Image is not None):
+                raise
+    elif not (_HAS_CODECS and _PIL_Image is not None):
+        return fake_fn(payload)
+    return pil_fn(payload)
+
+
 def _decode_bytes(payload: bytes) -> tuple[int, int, int]:
     """Decode one payload to (width, height, channels).
 
-    BMP payloads decode with the REAL built-in parser; other formats use
-    the real codec (PIL) when it is importable, otherwise a deterministic
-    byte-hash fake with the same shape and failure modes (corrupt bytes
-    raise inside the codec → callers map to ``ok=False``)."""
-    if payload[:2] == b"BM":
-        w, h, c, _ = _decode_bmp(payload)
-        return w, h, c
-    if _HAS_CODECS and _PIL_Image is not None:
-        with _PIL_Image.open(io.BytesIO(payload)) as im:
+    BMP payloads decode with the REAL built-in parser (PIL fallback for
+    exotic BMP variants); other formats use the real codec (PIL) when it
+    is importable, otherwise a deterministic byte-hash fake with the same
+    shape and failure modes (corrupt bytes raise inside the codec →
+    callers map to ``ok=False``)."""
+
+    def pil(p):
+        with _PIL_Image.open(io.BytesIO(p)) as im:
             return int(im.width), int(im.height), len(im.getbands())
-    h = hashlib.sha256(payload).digest()
-    return 16 + h[0] % 64, 16 + h[1] % 64, 3
+
+    def fake(p):
+        h = hashlib.sha256(p).digest()
+        return 16 + h[0] % 64, 16 + h[1] % 64, 3
+
+    return _route_bmp_or(payload, pil, fake)[:3]
 
 
 def _decode_bytes_full(payload: bytes) -> tuple[int, int, int, float]:
     """Like ``_decode_bytes`` but with the mean pixel value (real for BMP
     and PIL; hash-derived for the fake path)."""
-    if payload[:2] == b"BM":
-        return _decode_bmp(payload)
-    if _HAS_CODECS and _PIL_Image is not None:
-        with _PIL_Image.open(io.BytesIO(payload)) as im:
+
+    def pil(p):
+        with _PIL_Image.open(io.BytesIO(p)) as im:
             arr = np.asarray(im, dtype=np.float64)
             return (
                 int(im.width),
@@ -175,8 +196,12 @@ def _decode_bytes_full(payload: bytes) -> tuple[int, int, int, float]:
                 len(im.getbands()),
                 float(arr.mean()),
             )
-    h = hashlib.sha256(payload).digest()
-    return 16 + h[0] % 64, 16 + h[1] % 64, 3, float(h[2])
+
+    def fake(p):
+        h = hashlib.sha256(p).digest()
+        return 16 + h[0] % 64, 16 + h[1] % 64, 3, float(h[2])
+
+    return _route_bmp_or(payload, pil, fake)
 
 
 def decode_images(

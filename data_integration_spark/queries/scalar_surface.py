@@ -763,6 +763,15 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).collect()[0]
     n = row["n"]
+    if n == 0:
+        # empty input: percentile_approx returns NULL and there is no rank
+        # to violate — emit the vacuously-true certificate the oracle's
+        # literal SELECT also produces (rows must exist either way)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [{"pct": p, "n_rows": 0, "rank_in_bound": 1} for p in pcts]
+            )
+        )
     slack = max(2.0 * n / accuracy, 2.0)
     rank_aggs = []
     for p in pcts:

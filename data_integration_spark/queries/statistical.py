@@ -66,7 +66,10 @@ def _fixture_pipeline(spark: SparkSession):
     from data_integration_spark.stats.fixtures import make_fixtures
     from data_integration_spark.stats.pipeline import run_pipeline
 
-    key = id(spark.sparkContext)
+    # applicationId, not id(sparkContext): a CPython id can be reused by a
+    # NEW context allocated after the old one is stopped and collected,
+    # which would serve DataFrames bound to a dead JVM context
+    key = spark.sparkContext.applicationId
     if key in _PIPELINE_MEMO:
         return _PIPELINE_MEMO[key]
     base = "/root/repo/.scratch/survey_fixtures"

@@ -232,6 +232,52 @@ def test_wav_decode_audio_spark_path(spark):
     assert not rows[2].ok
 
 
+def test_exotic_bmp_variant_falls_through_to_pil(monkeypatch):
+    """A BM-magic payload OUTSIDE the built-in parser's uncompressed
+    8/24/32-bit subset (e.g. BI_BITFIELDS compression) must fall through
+    to PIL when PIL is importable — the magic-byte sniff must not make a
+    previously-PIL-decodable payload undecodable. Without PIL the parse
+    error must propagate (ok=False), never the hash-fake."""
+    import struct
+
+    import pytest as _pytest
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    pixels = b"\x00" * 16
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 32, 3, len(pixels), 2835, 2835, 0, 0
+    )  # compression=3 (BI_BITFIELDS) — unsupported by the built-in parser
+    payload = header + info + pixels
+
+    class _FakeIm:
+        width, height = 2, 2
+
+        def getbands(self):
+            return ("R", "G", "B", "A")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    class _FakePIL:
+        @staticmethod
+        def open(fp):
+            assert fp.read(2) == b"BM"
+            return _FakeIm()
+
+    monkeypatch.setattr(B, "_HAS_CODECS", True)
+    monkeypatch.setattr(B, "_PIL_Image", _FakePIL)
+    assert B._decode_bytes(payload) == (2, 2, 4)
+    monkeypatch.setattr(B, "_HAS_CODECS", False)
+    monkeypatch.setattr(B, "_PIL_Image", None)
+    with _pytest.raises(ValueError):
+        B._decode_bytes(payload)
+
+
 def test_multimodal_features_shape(payloads):
     rows = extract_features(payloads).collect()
     assert all(len(r.feature) == 16 for r in rows)

@@ -42,9 +42,9 @@ def main() -> None:
     for name in ops:
         fn = QUERIES[name]
         t_small = timed(fn, spark, SF01, passes=2)
-        t0 = time.time()
-        fn(spark, SF10).write.format("noop").mode("overwrite").save()
-        t_big = time.time() - t0
+        # same warm-then-time methodology at sf10 (a cold pass would fold
+        # parquet-footer / codegen start-up into the scaling ratio)
+        t_big = timed(fn, spark, SF10, passes=1)
         print(
             json.dumps(
                 {
