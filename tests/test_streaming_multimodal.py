@@ -158,6 +158,32 @@ def test_bmp_decoder_against_handbuilt_bytes():
     assert mean == 780 / 12  # padding bytes excluded — else 780/16
 
 
+def test_bmp_decoder_8bit_32bit_and_topdown_variants():
+    """The parser's full declared subset: 8-bit (1 byte/px, stride pads),
+    32-bit (no padding ever), and top-down rows (negative height) — each
+    hand-built, each with a known exact mean."""
+    import struct
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    def bmp(width, height, bpp, pixels):
+        header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(pixels),
+            2835, 2835, 0, 0,
+        )
+        return header + info + pixels
+
+    # 8-bit 3x2: stride 4 (3 px + 1 pad); mean of the six pixel bytes
+    px8 = bytes([10, 20, 30, 0, 40, 50, 60, 0])
+    assert B._decode_bmp(bmp(3, 2, 8, px8)) == (3, 2, 1, 210 / 6)
+    # 32-bit 1x2: stride exactly 4 bytes/px, no padding
+    px32 = bytes([1, 2, 3, 4, 5, 6, 7, 8])
+    assert B._decode_bmp(bmp(1, 2, 32, px32)) == (1, 2, 4, 36 / 8)
+    # top-down (negative height): same bytes, same mean, dims positive
+    assert B._decode_bmp(bmp(3, -2, 8, px8)) == (3, 2, 1, 210 / 6)
+
+
 def test_bmp_encode_decode_roundtrip_odd_width():
     """Odd widths force nonzero row padding; constant fill means the
     decoded mean equals the fill exactly IFF padding is skipped."""
