@@ -1,5 +1,6 @@
 from data_integration_spark.multimodal.binary_ops import (
     attach_binary_metadata,
+    audio_features,
     decode_audio,
     decode_images,
     encode_bmp,
@@ -9,6 +10,7 @@ from data_integration_spark.multimodal.binary_ops import (
 
 __all__ = [
     "attach_binary_metadata",
+    "audio_features",
     "decode_audio",
     "decode_images",
     "encode_bmp",

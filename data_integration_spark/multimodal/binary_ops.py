@@ -232,6 +232,88 @@ def decode_images(
     ).mapInPandas(decode, DECODED_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "item_id long, n_frames int, feature array<float>, ok boolean"
+)
+
+
+def _wav_band_features(
+    payload: bytes, n_fft: int, hop: int, n_bands: int
+) -> tuple[int, list[float]]:
+    """REAL spectral features from one PCM WAV payload (numpy only, no
+    third-party audio libs): decode samples via the stdlib RIFF parser,
+    average channels to mono, frame with ``hop``, Hann-window each frame,
+    take |rFFT|² power, average the power spectrum into ``n_bands`` equal
+    frequency bands, then log1p and mean over frames → a fixed-size
+    loudness-of-band profile. Returns (n_frames, feature)."""
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        n_frames = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n_frames)
+    if width == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 127.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        raise ValueError("unsupported PCM sample width")
+    if n_channels > 1:
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    if len(x) < n_fft:  # zero-pad one short frame
+        x = np.pad(x, (0, n_fft - len(x)))
+    starts = range(0, len(x) - n_fft + 1, hop)
+    win = np.hanning(n_fft)
+    frames = np.stack([x[s : s + n_fft] * win for s in starts])
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (n_frames, n_fft//2+1)
+    # equal-width bands over the positive spectrum (drop the Nyquist bin
+    # remainder into the last band)
+    n_bins = power.shape[1]
+    edges = np.linspace(0, n_bins, n_bands + 1).astype(int)
+    bands = np.stack(
+        [power[:, edges[b] : edges[b + 1]].mean(axis=1) for b in range(n_bands)],
+        axis=1,
+    )
+    feat = np.log1p(bands).mean(axis=0)
+    return len(frames), [float(v) for v in feat]
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "item_id",
+    binary_col: str = "payload",
+    n_fft: int = 256,
+    hop: int = 128,
+    n_bands: int = 8,
+) -> DataFrame:
+    """mapInPandas REAL audio feature extraction: PCM WAV → per-item
+    ``n_bands`` log band-energy profile (array<float>, ann.py-ready) +
+    frame count. Same Arrow batch flow as ``decode_images``; junk
+    payloads surface as ok=False. The FFT work rides inside the
+    scan-partitioned map — no shuffle, no driver traffic."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    nf, feat = _wav_band_features(
+                        bytes(payload), n_fft, hop, n_bands
+                    )
+                    rows.append((item_id, nf, feat, True))
+                except Exception:  # noqa: BLE001 — corrupt payloads yield ok=False
+                    rows.append((item_id, 0, [0.0] * n_bands, False))
+            yield pd.DataFrame(
+                rows, columns=["item_id", "n_frames", "feature", "ok"]
+            )
+
+    return df.select(
+        F.col(id_col).alias("item_id"), F.col(binary_col)
+    ).mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
+
+
 def decode_audio(
     df: DataFrame, id_col: str = "item_id", binary_col: str = "payload"
 ) -> DataFrame:

@@ -304,6 +304,52 @@ def test_exotic_bmp_variant_falls_through_to_pil(monkeypatch):
         B._decode_bytes(payload)
 
 
+def test_audio_features_spectral_peak_lands_in_right_band(spark):
+    """REAL spectral features: a pure sine at a known frequency must put
+    its energy in exactly the predicted FFT band; silence maps to the
+    zero vector; junk bytes surface ok=False. (n_fft=256 at 8 kHz →
+    31.25 Hz bins; 8 bands over 129 rfft bins → band 2 covers bins
+    32..47 ≈ 1000-1469 Hz, so a 1250 Hz tone peaks there.)"""
+    import io as _io
+    import struct
+    import wave
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    def wav_bytes(samples):
+        buf = _io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(
+                struct.pack(f"<{len(samples)}h", *[int(s) for s in samples])
+            )
+        return buf.getvalue()
+
+    t = np.arange(2048)
+    sine = 20000 * np.sin(2 * np.pi * 1250.0 / 8000.0 * t)
+    df = spark.createDataFrame(
+        [
+            Row(item_id=1, payload=bytearray(wav_bytes(sine))),
+            Row(item_id=2, payload=bytearray(wav_bytes(np.zeros(2048)))),
+            Row(item_id=3, payload=bytearray(b"junk bytes, not RIFF")),
+        ]
+    )
+    rows = {r.item_id: r for r in B.audio_features(df).collect()}
+    assert rows[1].ok and rows[1].n_frames == 15  # (2048-256)//128 + 1
+    feats = list(rows[1].feature)
+    assert len(feats) == 8
+    assert feats.index(max(feats)) == 2  # 1250 Hz → band 2
+    assert max(feats) > 10 * sorted(feats)[-2]  # sharply peaked, not smeared
+    assert all(v == 0.0 for v in rows[2].feature)  # silence → log1p(0)
+    assert rows[2].ok
+    assert not rows[3].ok
+
+
 def test_multimodal_features_shape(payloads):
     rows = extract_features(payloads).collect()
     assert all(len(r.feature) == 16 for r in rows)
