@@ -5,6 +5,7 @@ from data_integration_spark.multimodal.binary_ops import (
     decode_images,
     encode_bmp,
     extract_features,
+    resize_images,
     sample_frames,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "decode_images",
     "encode_bmp",
     "extract_features",
+    "resize_images",
     "sample_frames",
 ]

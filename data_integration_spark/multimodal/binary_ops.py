@@ -73,13 +73,11 @@ def encode_bmp(width: int, height: int, fill: int) -> bytes:
     return header + info + pixels
 
 
-def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
-    """REAL pure-Python BMP decoder: parse the file + info headers, then
-    read every pixel row (honoring the 4-byte row padding and bottom-up
-    layout) and return (width, height, channels, mean pixel value).
-    Supports uncompressed 8/24/32-bit BITMAPINFOHEADER files — the
-    standard interchange subset. Raises on anything malformed, which
-    ``decode_images`` maps to ok=False."""
+def _parse_bmp_header(payload: bytes) -> tuple[int, int, int, int, int, bool]:
+    """Validate and parse a BITMAPINFOHEADER BMP: returns (pixel-data
+    offset, width, height, channels, row stride, top_down). Supports the
+    uncompressed 8/24/32-bit interchange subset; raises on anything
+    malformed or outside it."""
     if payload[:2] != b"BM" or len(payload) < 54:
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", payload, 10)[0]
@@ -97,11 +95,53 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
     stride = (width * ch + 3) // 4 * 4
     if offset + stride * height > len(payload):
         raise ValueError("truncated BMP pixel data")
+    return offset, width, height, ch, stride, height_raw < 0
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL pure-Python BMP decoder: parse the file + info headers, then
+    read every pixel row (honoring the 4-byte row padding and bottom-up
+    layout) and return (width, height, channels, mean pixel value).
+    Raises on anything malformed, which ``decode_images`` maps to
+    ok=False."""
+    offset, width, height, ch, stride, _ = _parse_bmp_header(payload)
     total = 0
     for y in range(height):
         row = payload[offset + y * stride : offset + y * stride + width * ch]
         total += sum(row)
     return width, height, ch, total / float(width * height * ch)
+
+
+def _decode_bmp_pixels(payload: bytes) -> np.ndarray:
+    """Pixel-level BMP decode → (height, width, channels) uint8 array in
+    natural top-down row order (bottom-up files are flipped; padding
+    stripped)."""
+    offset, width, height, ch, stride, top_down = _parse_bmp_header(payload)
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=offset
+    ).reshape(height, stride)[:, : width * ch]
+    arr = rows.reshape(height, width, ch)
+    return arr if top_down else arr[::-1]
+
+
+def _encode_bmp_pixels(arr: np.ndarray) -> bytes:
+    """Encode a (height, width, 3) uint8 array as a 24-bit uncompressed
+    BMP (bottom-up, rows padded to 4 bytes) — the inverse of
+    ``_decode_bmp_pixels`` for 3-channel data."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("need (h, w, 3) uint8 pixels")
+    height, width = arr.shape[:2]
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * 3] = arr[::-1].reshape(height, width * 3)
+    pixels = rows.tobytes()
+    offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    return header + info + pixels
 
 
 def _decode_wav(payload: bytes) -> tuple[int, int, int, float]:
@@ -230,6 +270,56 @@ def decode_images(
     return df.select(
         F.col(id_col).alias("item_id"), F.col(binary_col)
     ).mapInPandas(decode, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "item_id long, payload binary, width int, height int, ok boolean"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "item_id",
+    binary_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize over a binary column: decode BMP pixels,
+    nearest-neighbor resample to (width, height) in numpy, re-encode as
+    24-bit BMP. 8-bit gray inputs replicate to 3 channels; 32-bit inputs
+    drop alpha; undecodable payloads surface ok=False with an empty
+    payload. One Arrow-batched mapInPandas pass — the thumbnail /
+    normalize-resolution stage of a multimodal pipeline, entirely inside
+    the scan partitioning."""
+    if width <= 0 or height <= 0:
+        raise ValueError("target dims must be positive")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    arr = _decode_bmp_pixels(bytes(payload))
+                    if arr.shape[2] == 1:
+                        arr = np.repeat(arr, 3, axis=2)
+                    elif arr.shape[2] == 4:
+                        arr = arr[:, :, :3]
+                    ys = (np.arange(height) * arr.shape[0]) // height
+                    xs = (np.arange(width) * arr.shape[1]) // width
+                    out = np.ascontiguousarray(arr[ys][:, xs])
+                    rows.append(
+                        (item_id, _encode_bmp_pixels(out), width, height, True)
+                    )
+                except Exception:  # noqa: BLE001 — corrupt payloads yield ok=False
+                    rows.append((item_id, b"", 0, 0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["item_id", "payload", "width", "height", "ok"],
+            )
+
+    return df.select(
+        F.col(id_col).alias("item_id"), F.col(binary_col)
+    ).mapInPandas(resize, RESIZED_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = (

@@ -304,6 +304,37 @@ def test_exotic_bmp_variant_falls_through_to_pil(monkeypatch):
         B._decode_bytes(payload)
 
 
+def test_resize_images_nearest_neighbor_exact(spark):
+    """REAL resize: a hand-valued 4x2 BMP downsampled to 2x1 must select
+    exactly the nearest-neighbor source pixels ((y*h_src)//h_tgt rows,
+    (x*w_src)//w_tgt cols → row 0, cols 0 and 2); upsampling replicates;
+    junk payloads surface ok=False with empty bytes."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    src = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    df = spark.createDataFrame(
+        [
+            Row(item_id=1, payload=bytearray(B._encode_bmp_pixels(src))),
+            Row(item_id=2, payload=bytearray(b"not a bmp")),
+        ]
+    )
+    rows = {r.item_id: r for r in B.resize_images(df, 2, 1).collect()}
+    assert rows[1].ok and (rows[1].width, rows[1].height) == (2, 1)
+    out = B._decode_bmp_pixels(bytes(rows[1].payload))
+    assert (out == src[[0]][:, [0, 2]]).all()
+    assert not rows[2].ok and bytes(rows[2].payload) == b""
+    # upsample 1x1 -> 3x2 replicates the single pixel
+    one = np.full((1, 1, 3), 7, dtype=np.uint8)
+    df2 = spark.createDataFrame(
+        [Row(item_id=1, payload=bytearray(B._encode_bmp_pixels(one)))]
+    )
+    r = B.resize_images(df2, 3, 2).collect()[0]
+    assert (B._decode_bmp_pixels(bytes(r.payload)) == 7).all()
+
+
 def test_audio_features_spectral_peak_lands_in_right_band(spark):
     """REAL spectral features: a pure sine at a known frequency must put
     its energy in exactly the predicted FFT band; silence maps to the
