@@ -4,9 +4,11 @@ from data_integration_spark.multimodal.binary_ops import (
     decode_audio,
     decode_images,
     encode_bmp,
+    encode_video,
     extract_features,
     resize_images,
     sample_frames,
+    sample_video_frames,
 )
 
 __all__ = [
@@ -15,7 +17,9 @@ __all__ = [
     "decode_audio",
     "decode_images",
     "encode_bmp",
+    "encode_video",
     "extract_features",
     "resize_images",
     "sample_frames",
+    "sample_video_frames",
 ]

@@ -272,6 +272,78 @@ def decode_images(
     ).mapInPandas(decode, DECODED_SCHEMA)
 
 
+VIDEO_FRAME_SCHEMA = (
+    "item_id long, frame_index int, width int, height int, "
+    "mean_pixel double, ok boolean"
+)
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Pack encoded image frames into the minimal length-prefixed
+    container ``b'VID0' + [<u32 length><frame bytes>]*`` — an
+    uncompressed MJPEG-shaped stand-in (no video codec ships in this
+    container) whose STRUCTURE is really parsed back by
+    ``sample_video_frames``."""
+    out = [b"VID0"]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    max_frames: int = 8,
+    id_col: str = "item_id",
+    binary_col: str = "payload",
+) -> DataFrame:
+    """REAL frame extraction over a video-shaped binary column: walk the
+    VID0 container's length-prefixed frame table, take every
+    ``every_n``-th frame up to ``max_frames``, and DECODE each sampled
+    frame (real BMP parse → dims + pixel mean). One row out per sampled
+    frame (UDTF shape, 1→N); malformed containers or frames surface as a
+    single ok=False row. Complements ``sample_frames`` (byte-chunk
+    sampling for opaque payloads) with the parse-the-container path a
+    real video pipeline uses."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(payload)
+                try:
+                    if data[:4] != b"VID0":
+                        raise ValueError("not a VID0 container")
+                    pos, idx, taken = 4, 0, 0
+                    while pos < len(data) and taken < max_frames:
+                        if pos + 4 > len(data):
+                            raise ValueError("truncated frame header")
+                        (ln,) = struct.unpack_from("<I", data, pos)
+                        pos += 4
+                        if pos + ln > len(data):
+                            raise ValueError("truncated frame body")
+                        if idx % every_n == 0:
+                            w, h, _c, m = _decode_bmp(data[pos : pos + ln])
+                            rows.append((item_id, idx, w, h, m, True))
+                            taken += 1
+                        pos += ln
+                        idx += 1
+                except Exception:  # noqa: BLE001 — corrupt containers yield ok=False
+                    rows.append((item_id, -1, 0, 0, 0.0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "item_id", "frame_index", "width", "height",
+                    "mean_pixel", "ok",
+                ],
+            )
+
+    return df.select(
+        F.col(id_col).alias("item_id"), F.col(binary_col)
+    ).mapInPandas(sample, VIDEO_FRAME_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "item_id long, payload binary, width int, height int, ok boolean"
 )

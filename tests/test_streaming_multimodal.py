@@ -304,6 +304,37 @@ def test_exotic_bmp_variant_falls_through_to_pil(monkeypatch):
         B._decode_bytes(payload)
 
 
+def test_video_container_frame_sampling_real_decode(spark):
+    """VID0 container parse + per-frame REAL BMP decode: 5 frames with
+    distinct fills, every_n=2 → frames 0/2/4 with their exact dims and
+    means; a truncated container and a non-container both yield one
+    ok=False row."""
+    from pyspark.sql import Row
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    frames = [B.encode_bmp(3 + i, 2, 40 + 10 * i) for i in range(5)]
+    vid = B.encode_video(frames)
+    df = spark.createDataFrame(
+        [
+            Row(item_id=1, payload=bytearray(vid)),
+            Row(item_id=2, payload=bytearray(vid[:-3])),  # truncated body
+            Row(item_id=3, payload=bytearray(b"mp4? no.")),
+        ]
+    )
+    rows = B.sample_video_frames(df, every_n=2, max_frames=8).collect()
+    got = {(r.item_id, r.frame_index): r for r in rows}
+    assert sorted(i for (it, i) in got if it == 1) == [0, 2, 4]
+    for i in (0, 2, 4):
+        r = got[(1, i)]
+        assert (r.width, r.height) == (3 + i, 2)
+        assert r.mean_pixel == float(40 + 10 * i)
+        assert r.ok
+    # frame 4 sits in the truncated tail → container 2 fails as a whole
+    assert not got[(2, -1)].ok
+    assert not got[(3, -1)].ok
+
+
 def test_resize_images_nearest_neighbor_exact(spark):
     """REAL resize: a hand-valued 4x2 BMP downsampled to 2x1 must select
     exactly the nearest-neighbor source pixels ((y*h_src)//h_tgt rows,
