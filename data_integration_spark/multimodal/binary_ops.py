@@ -61,16 +61,9 @@ def encode_bmp(width: int, height: int, fill: int) -> bytes:
     fill EXACTLY, and only if the decoder skips the row padding)."""
     if not (0 < width and 0 < height and 0 <= fill <= 255):
         raise ValueError("bad BMP parameters")
-    row = bytes([fill]) * (width * 3)
-    pad = b"\x00" * ((-len(row)) % 4)
-    pixels = (row + pad) * height
-    offset = 14 + 40
-    header = b"BM" + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
-    info = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
-        2835, 2835, 0, 0,
+    return _encode_bmp_pixels(
+        np.full((height, width, 3), fill, dtype=np.uint8)
     )
-    return header + info + pixels
 
 
 def _parse_bmp_header(payload: bytes) -> tuple[int, int, int, int, int, bool]:
@@ -99,28 +92,33 @@ def _parse_bmp_header(payload: bytes) -> tuple[int, int, int, int, int, bool]:
 
 
 def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
-    """REAL pure-Python BMP decoder: parse the file + info headers, then
-    read every pixel row (honoring the 4-byte row padding and bottom-up
-    layout) and return (width, height, channels, mean pixel value).
-    Raises on anything malformed, which ``decode_images`` maps to
-    ok=False."""
-    offset, width, height, ch, stride, _ = _parse_bmp_header(payload)
-    total = 0
-    for y in range(height):
-        row = payload[offset + y * stride : offset + y * stride + width * ch]
-        total += sum(row)
-    return width, height, ch, total / float(width * height * ch)
+    """REAL pure-Python BMP decoder: header parse + pixel read (row
+    padding, bottom-up layout, 8-bit palette lookup) → (width, height,
+    channels, mean pixel value). Raises on anything malformed, which
+    ``decode_images`` maps to ok=False."""
+    arr = _decode_bmp_pixels(payload)
+    return arr.shape[1], arr.shape[0], arr.shape[2], float(arr.mean())
 
 
 def _decode_bmp_pixels(payload: bytes) -> np.ndarray:
     """Pixel-level BMP decode → (height, width, channels) uint8 array in
     natural top-down row order (bottom-up files are flipped; padding
-    stripped)."""
+    stripped). 8-bit files with a color table map indices through it
+    (BGR, → 3 channels); palette-less 8-bit files (pixel data directly
+    after the 54-byte headers) are treated as grayscale intensities."""
     offset, width, height, ch, stride, top_down = _parse_bmp_header(payload)
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=stride * height, offset=offset
     ).reshape(height, stride)[:, : width * ch]
     arr = rows.reshape(height, width, ch)
+    if ch == 1 and offset > 54:
+        n_pal = (offset - 54) // 4  # BGRA entries between headers and data
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_pal * 4, offset=54
+        ).reshape(-1, 4)[:, :3]
+        if int(arr.max()) >= n_pal:
+            raise ValueError("palette index out of range")
+        arr = pal[arr[:, :, 0]]  # (h, w, 3) BGR
     return arr if top_down else arr[::-1]
 
 
@@ -144,10 +142,11 @@ def _encode_bmp_pixels(arr: np.ndarray) -> bytes:
     return header + info + pixels
 
 
-def _decode_wav(payload: bytes) -> tuple[int, int, int, float]:
-    """REAL WAV decoder via the stdlib ``wave`` RIFF parser: returns
-    (n_channels, sample_rate, n_frames, mean |sample| normalized to
-    [0, 1]). 8-bit (unsigned) and 16-bit (signed LE) PCM supported."""
+def _wav_samples(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Shared PCM WAV decode (stdlib ``wave`` RIFF parser): returns
+    (n_channels, sample_rate, n_frames, centered float64 samples in
+    [-1, 1], interleaved). 8-bit unsigned (centered at 128, /127) and
+    16-bit signed LE (/32768) supported."""
     import wave
 
     with wave.open(io.BytesIO(payload), "rb") as w:
@@ -157,13 +156,20 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, float]:
         width = w.getsampwidth()
         raw = w.readframes(n_frames)
     if width == 1:
-        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
-        mean_abs = float(np.abs(samples - 128.0).mean() / 127.0) if samples.size else 0.0
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 127.0
     elif width == 2:
-        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
-        mean_abs = float(np.abs(samples).mean() / 32768.0) if samples.size else 0.0
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     else:
         raise ValueError("unsupported PCM sample width")
+    return n_channels, rate, n_frames, x
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL WAV decoder: (n_channels, sample_rate, n_frames, mean
+    |sample| normalized to [0, 1])."""
+    n_channels, rate, n_frames, x = _wav_samples(payload)
+    mean_abs = float(np.abs(x).mean()) if x.size else 0.0
     return n_channels, rate, n_frames, mean_abs
 
 
@@ -302,16 +308,25 @@ def sample_video_frames(
     VID0 container's length-prefixed frame table, take every
     ``every_n``-th frame up to ``max_frames``, and DECODE each sampled
     frame (real BMP parse → dims + pixel mean). One row out per sampled
-    frame (UDTF shape, 1→N); malformed containers or frames surface as a
-    single ok=False row. Complements ``sample_frames`` (byte-chunk
+    frame (UDTF shape, 1→N); a malformed container or frame surfaces as
+    EXACTLY one ok=False row (no partial ok=True rows from corrupt
+    videos), and a valid zero-frame container yields one
+    frame_index=-1/ok=True marker row — every input item is accounted
+    for in the output. Complements ``sample_frames`` (byte-chunk
     sampling for opaque payloads) with the parse-the-container path a
-    real video pipeline uses."""
+    real video pipeline uses.
+
+    Caller-parameter errors raise HERE, before any Spark job (the
+    executor's broad except must only ever see data errors)."""
+    if every_n < 1 or max_frames < 1:
+        raise ValueError("need every_n >= 1 and max_frames >= 1")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for item_id, payload in zip(pdf[id_col], pdf[binary_col]):
                 data = bytes(payload)
+                item_rows = []  # committed only if the WHOLE walk succeeds
                 try:
                     if data[:4] != b"VID0":
                         raise ValueError("not a VID0 container")
@@ -325,10 +340,13 @@ def sample_video_frames(
                             raise ValueError("truncated frame body")
                         if idx % every_n == 0:
                             w, h, _c, m = _decode_bmp(data[pos : pos + ln])
-                            rows.append((item_id, idx, w, h, m, True))
+                            item_rows.append((item_id, idx, w, h, m, True))
                             taken += 1
                         pos += ln
                         idx += 1
+                    if not item_rows:  # valid but zero-frame container
+                        item_rows.append((item_id, -1, 0, 0, 0.0, True))
+                    rows.extend(item_rows)
                 except Exception:  # noqa: BLE001 — corrupt containers yield ok=False
                     rows.append((item_id, -1, 0, 0, 0.0, False))
             yield pd.DataFrame(
@@ -408,20 +426,7 @@ def _wav_band_features(
     take |rFFT|² power, average the power spectrum into ``n_bands`` equal
     frequency bands, then log1p and mean over frames → a fixed-size
     loudness-of-band profile. Returns (n_frames, feature)."""
-    import wave as _wave
-
-    with _wave.open(io.BytesIO(payload), "rb") as w:
-        n_channels = w.getnchannels()
-        n_frames = w.getnframes()
-        width = w.getsampwidth()
-        raw = w.readframes(n_frames)
-    if width == 1:
-        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
-        x = (x - 128.0) / 127.0
-    elif width == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    else:
-        raise ValueError("unsupported PCM sample width")
+    n_channels, _rate, _nf, x = _wav_samples(payload)
     if n_channels > 1:
         x = x.reshape(-1, n_channels).mean(axis=1)
     if len(x) < n_fft:  # zero-pad one short frame
@@ -454,7 +459,18 @@ def audio_features(
     ``n_bands`` log band-energy profile (array<float>, ann.py-ready) +
     frame count. Same Arrow batch flow as ``decode_images``; junk
     payloads surface as ok=False. The FFT work rides inside the
-    scan-partitioned map — no shuffle, no driver traffic."""
+    scan-partitioned map — no shuffle, no driver traffic.
+
+    Caller-parameter errors raise HERE (before any Spark job), never
+    inside the executor loop where the broad except would convert them
+    into universal ok=False rows indistinguishable from corrupt data."""
+    if n_fft < 2 or hop < 1:
+        raise ValueError("need n_fft >= 2 and hop >= 1")
+    if not (1 <= n_bands <= n_fft // 2 + 1):
+        raise ValueError(
+            f"n_bands must be in [1, n_fft//2+1] = [1, {n_fft // 2 + 1}] "
+            "(more bands than rfft bins yields empty bands -> NaN)"
+        )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

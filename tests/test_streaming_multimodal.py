@@ -330,9 +330,64 @@ def test_video_container_frame_sampling_real_decode(spark):
         assert (r.width, r.height) == (3 + i, 2)
         assert r.mean_pixel == float(40 + 10 * i)
         assert r.ok
-    # frame 4 sits in the truncated tail → container 2 fails as a whole
+    # a corrupt container yields EXACTLY one ok=False row — earlier
+    # frames that decoded before the truncation must NOT leak as ok=True
+    assert sorted(i for (it, i) in got if it == 2) == [-1]
     assert not got[(2, -1)].ok
     assert not got[(3, -1)].ok
+    # a valid zero-frame container yields one ok=True marker row
+    df_empty = spark.createDataFrame(
+        [Row(item_id=9, payload=bytearray(B.encode_video([])))]
+    )
+    marker = B.sample_video_frames(df_empty).collect()
+    assert [(r.frame_index, r.ok) for r in marker] == [(-1, True)]
+    # caller-parameter errors raise at call time, not as ok=False rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        B.sample_video_frames(df, every_n=0)
+
+
+def test_bmp_8bit_palette_is_mapped(spark):
+    """A palettized 8-bit BMP (color table between the 54-byte headers
+    and the pixel data) must decode THROUGH the palette: index bytes are
+    not intensities. Palette-less 8-bit files stay grayscale; an index
+    past the table raises (→ ok=False via decode_images)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    # 2-entry palette: index 0 -> BGR(5,6,7), index 1 -> BGR(200,210,220)
+    pal = bytes([5, 6, 7, 0, 200, 210, 220, 0])
+    pixels = bytes([1, 0, 0, 0])  # 2x1 image, stride 4: px (1, 0) + pad
+    offset = 54 + len(pal)
+    header = b"BM" + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 2, 1, 1, 8, 0, len(pixels), 2835, 2835, 2, 2
+    )
+    bmp = header + info + pal + pixels
+    arr = B._decode_bmp_pixels(bmp)
+    assert arr.shape == (1, 2, 3)
+    assert (arr[0, 0] == [200, 210, 220]).all()  # index 1 via palette
+    assert (arr[0, 1] == [5, 6, 7]).all()
+    w, h, c, mean = B._decode_bmp(bmp)
+    assert (w, h, c) == (2, 1, 3)
+    assert mean == float(np.mean([200, 210, 220, 5, 6, 7]))
+    # out-of-range palette index must be a hard decode failure
+    bad = header + info + pal + bytes([2, 0, 0, 0])
+    with _pytest.raises(ValueError):
+        B._decode_bmp_pixels(bad)
+    # audio parameter validation raises at call time too
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(item_id=1, payload=bytearray(b"x"))])
+    with _pytest.raises(ValueError):
+        B.audio_features(df, n_bands=200)
+    with _pytest.raises(ValueError):
+        B.audio_features(df, hop=0)
 
 
 def test_resize_images_nearest_neighbor_exact(spark):
