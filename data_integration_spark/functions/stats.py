@@ -11,15 +11,23 @@ Reference parity (SURVEY.md §2.6):
   form — columnar and shuffle-friendly at any number of reps.
 - A8 survey-weighted mean + linearized SE (``svyby``/``svymean``,
   ``Rmd:459-462``): Hájek mean and Taylor-linearized SE for an
-  element-sampling design, computed in a SINGLE pass via sum-of-squares
-  algebra (no join-back of the group mean, no UDAF).
+  element-sampling design, computed TWO-PASS (group mean joined back,
+  ``Σ(w(y−ŷ))²`` aggregated directly). The earlier single-pass
+  sufficient-statistics expansion ``Σw²y² − 2ŷΣw²y + ŷ²Σw²`` suffers
+  catastrophic cancellation on (near-)constant-y groups — the residue is
+  O(‖y‖²·ε·n), which a round-8 Hypothesis probe surfaced as SE≈1.4e-4
+  where the true SE is exactly 0 — so the stable form is not optional.
 
-Scale notes: every helper is one shuffle; with few group keys (51 states)
-AQE coalesces partitions, and partial aggregation means the shuffle carries
-one row per (mapper, key) — these hold at 100 TB.
+Scale notes: every helper shuffles only map-side-combined partial rows (one
+per (mapper, key)); the two-pass SE joins a one-row-per-group mean table
+back (broadcast-sized at any realistic group count — AQE picks BHJ), so the
+full fact table is scanned twice but never fully shuffled. These hold at
+100 TB.
 """
 
 from __future__ import annotations
+
+import functools
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -60,12 +68,21 @@ def survey_mean_se(
     an ``ids=~1`` design, INCLUDING its n/(n−1) finite-sample factor):
         ŷ_w = Σ w_i y_i / Σ w_i
         SE  = sqrt( n/(n−1) · Σ (w_i (y_i − ŷ_w))² ) / Σ w_i
-    Expanded to sufficient statistics so one aggregation pass suffices:
-        Σ w²(y−ŷ)² = Σ w²y² − 2 ŷ Σ w²y + ŷ² Σ w²
+
+    Numerically stable TWO-PASS form (SURVEY §2.6 A8 sanctions it): pass 1
+    computes the per-group Hájek mean; the one-row-per-group mean table is
+    joined back (null-safe on the keys, AQE broadcasts it) and pass 2
+    aggregates ``Σ(w(y−ŷ))²`` on centered values. The single-pass
+    sufficient-statistics expansion ``Σw²y² − 2ŷΣw²y + ŷ²Σw²`` leaves a
+    cancellation residue of order ‖y‖²·ε·n that survives a
+    ``greatest(·, 0)`` clip when positive — on a constant-y group the true
+    SE is exactly 0 but the expansion reported ~1e-4·|y| (Hypothesis
+    counterexample ``[(1.05, w=1.0), (1.05, w=2.0)]``, round 8). The
+    centered form is exact at 0 for constant y by construction.
 
     NULL semantics = ``svymean(na.rm=TRUE)``: rows with NULL y are dropped
-    ENTIRELY (their weights too) — every sum below conditions on y being
-    non-null. This differs from the reference's manual weighted mean (A1,
+    ENTIRELY (their weights too) — the first ``where`` below enforces it.
+    This differs from the reference's manual weighted mean (A1,
     ``sum(y*w, na.rm)/sum(w)``) which keeps NULL rows' weights in the
     denominator; weighted_mean_by_group implements that convention.
     Single-observation groups report SE = 0 (the n/(n−1) factor is skipped
@@ -73,23 +90,40 @@ def survey_mean_se(
     """
     group = [group] if isinstance(group, str) else list(group)
     v = _c(value)
-    w = F.when(v.isNotNull(), _c(weight))  # drop NA rows' weights entirely
-    agg = df.groupBy(*group).agg(
-        F.sum(w).alias("_sw"),
-        F.sum(w * v).alias("_swy"),
-        F.sum(w * w).alias("_sw2"),
-        F.sum(w * w * v).alias("_sw2y"),
-        F.sum(w * w * v * v).alias("_sw2y2"),
-        F.count(w).alias("_n"),
+    base = df.where(v.isNotNull()).select(
+        *group, v.alias("_y"), _c(weight).alias("_w")
     )
-    mean = F.col("_swy") / F.col("_sw")
-    ss = F.col("_sw2y2") - 2.0 * mean * F.col("_sw2y") + mean * mean * F.col("_sw2")
+    # Pass 1: Hájek mean per group — shuffle carries only partial-agg rows.
+    means = base.groupBy(*group).agg(
+        (F.sum(F.col("_w") * F.col("_y")) / F.sum("_w")).alias("_mean")
+    )
+    # Null-safe key equality so NULL group keys keep forming a group, as
+    # groupBy treats them (a plain `on=group` inner join would drop them).
+    means = means.select(
+        *[F.col(g).alias(f"_mk_{i}") for i, g in enumerate(group)], "_mean"
+    )
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(g).eqNullSafe(F.col(f"_mk_{i}")) for i, g in enumerate(group)],
+    )
+    dev = F.col("_w") * (F.col("_y") - F.col("_mean"))
+    # Pass 2: centered sum of squares. `means` is one row per group — AQE
+    # broadcasts it, so the fact table is never shuffled for the join.
+    agg = (
+        base.join(means, cond)
+        .groupBy(*group)
+        .agg(
+            F.first("_mean").alias("_gmean"),  # constant within group
+            F.sum(dev * dev).alias("_ssd"),
+            F.sum(F.when(dev.isNotNull(), F.col("_w"))).alias("_sw"),
+            F.count(dev).alias("_n"),
+        )
+    )
     n = F.col("_n")
     fs = F.when(n > 1, n / (n - F.lit(1))).otherwise(F.lit(1.0))
-    # numeric guard: ss can be ~ -1e-18 from cancellation
-    se = F.sqrt(fs * F.greatest(ss, F.lit(0.0))) / F.col("_sw")
+    se = F.sqrt(fs * F.col("_ssd")) / F.col("_sw")
     return agg.select(
-        *group, mean.alias(mean_alias), se.alias(se_alias)
+        *group, F.col("_gmean").alias(mean_alias), se.alias(se_alias)
     )
 
 
