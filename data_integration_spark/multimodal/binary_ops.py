@@ -66,29 +66,43 @@ def encode_bmp(width: int, height: int, fill: int) -> bytes:
     )
 
 
-def _parse_bmp_header(payload: bytes) -> tuple[int, int, int, int, int, bool]:
-    """Validate and parse a BITMAPINFOHEADER BMP: returns (pixel-data
-    offset, width, height, channels, row stride, top_down). Supports the
-    uncompressed 8/24/32-bit interchange subset; raises on anything
-    malformed or outside it."""
+def _parse_bmp_header(
+    payload: bytes,
+) -> tuple[int, int, int, int, int, bool, int]:
+    """Validate and parse a BITMAPINFOHEADER-family BMP: returns
+    (pixel-data offset, width, height, channels, row stride, top_down,
+    DIB header size). Supports the uncompressed 8/24/32-bit interchange
+    subset with a DIB size of 40 (BITMAPINFOHEADER) or its
+    layout-compatible extensions 52/56/108/124 (V2INFO…V5) — the first 40
+    bytes share one layout, so the field offsets below hold for all of
+    them; anything else (e.g. the 12-byte BITMAPCOREHEADER, whose width
+    field is 16-bit at a different offset) raises. Raises on anything
+    malformed or outside the subset, including a pixel-data offset that
+    points back INTO the headers (a crafted offset in [0, 14+dib) would
+    otherwise read header bytes as pixels and report ok=True garbage)."""
     if payload[:2] != b"BM" or len(payload) < 54:
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
     width = struct.unpack_from("<i", payload, 18)[0]
     height_raw = struct.unpack_from("<i", payload, 22)[0]
     planes = struct.unpack_from("<H", payload, 26)[0]
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
+    if dib_size not in (40, 52, 56, 108, 124):
+        raise ValueError("unsupported DIB header size")
     if planes != 1 or compression != 0 or bpp not in (8, 24, 32):
         raise ValueError("unsupported BMP variant")
     height = abs(height_raw)
     if width <= 0 or height == 0:
         raise ValueError("bad BMP dimensions")
+    if offset < 14 + dib_size:
+        raise ValueError("pixel-data offset inside headers")
     ch = bpp // 8
     stride = (width * ch + 3) // 4 * 4
     if offset + stride * height > len(payload):
         raise ValueError("truncated BMP pixel data")
-    return offset, width, height, ch, stride, height_raw < 0
+    return offset, width, height, ch, stride, height_raw < 0, dib_size
 
 
 def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
@@ -105,16 +119,22 @@ def _decode_bmp_pixels(payload: bytes) -> np.ndarray:
     natural top-down row order (bottom-up files are flipped; padding
     stripped). 8-bit files with a color table map indices through it
     (BGR, → 3 channels); palette-less 8-bit files (pixel data directly
-    after the 54-byte headers) are treated as grayscale intensities."""
-    offset, width, height, ch, stride, top_down = _parse_bmp_header(payload)
+    after the file + DIB headers) are treated as grayscale intensities.
+    The color table sits at 14 + dib_size — NOT a hardcoded 54 — so a
+    palettized V4/V5-header BMP maps through its actual palette instead
+    of silently reading trailing header bytes as colors."""
+    offset, width, height, ch, stride, top_down, dib_size = _parse_bmp_header(
+        payload
+    )
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=stride * height, offset=offset
     ).reshape(height, stride)[:, : width * ch]
     arr = rows.reshape(height, width, ch)
-    if ch == 1 and offset > 54:
-        n_pal = (offset - 54) // 4  # BGRA entries between headers and data
+    pal_at = 14 + dib_size
+    if ch == 1 and offset > pal_at:
+        n_pal = (offset - pal_at) // 4  # BGRA entries between headers & data
         pal = np.frombuffer(
-            payload, dtype=np.uint8, count=n_pal * 4, offset=54
+            payload, dtype=np.uint8, count=n_pal * 4, offset=pal_at
         ).reshape(-1, 4)[:, :3]
         if int(arr.max()) >= n_pal:
             raise ValueError("palette index out of range")
@@ -220,6 +240,10 @@ def _decode_bytes(payload: bytes) -> tuple[int, int, int]:
 
     def pil(p):
         with _PIL_Image.open(io.BytesIO(p)) as im:
+            # palette mode reports true colors (3ch), matching the
+            # built-in 8-bit-palette BMP path
+            if getattr(im, "mode", None) == "P":
+                im = im.convert("RGB")
             return int(im.width), int(im.height), len(im.getbands())
 
     def fake(p):
@@ -235,6 +259,11 @@ def _decode_bytes_full(payload: bytes) -> tuple[int, int, int, float]:
 
     def pil(p):
         with _PIL_Image.open(io.BytesIO(p)) as im:
+            # palette mode must average COLORS, not palette indices —
+            # consistent with the built-in BMP path, which maps 8-bit
+            # indices through the color table before the mean
+            if getattr(im, "mode", None) == "P":
+                im = im.convert("RGB")
             arr = np.asarray(im, dtype=np.float64)
             return (
                 int(im.width),
@@ -308,11 +337,16 @@ def sample_video_frames(
     VID0 container's length-prefixed frame table, take every
     ``every_n``-th frame up to ``max_frames``, and DECODE each sampled
     frame (real BMP parse → dims + pixel mean). One row out per sampled
-    frame (UDTF shape, 1→N); a malformed container or frame surfaces as
-    EXACTLY one ok=False row (no partial ok=True rows from corrupt
-    videos), and a valid zero-frame container yields one
+    frame (UDTF shape, 1→N); a malformed container structure or a corrupt
+    WALKED frame surfaces as EXACTLY one ok=False row (no partial ok=True
+    rows), and a valid zero-frame container yields one
     frame_index=-1/ok=True marker row — every input item is accounted
-    for in the output. Complements ``sample_frames`` (byte-chunk
+    for in the output. Validation scope: the walk stops once
+    ``max_frames`` samples are taken (early exit is the point of
+    sampling), so bytes AFTER the last sampled frame are never inspected;
+    frames skipped by ``every_n`` inside the walked prefix get their
+    length-prefixed structure checked and a BMP magic sniff, but only
+    sampled frames are fully decoded. Complements ``sample_frames`` (byte-chunk
     sampling for opaque payloads) with the parse-the-container path a
     real video pipeline uses.
 
@@ -342,6 +376,11 @@ def sample_video_frames(
                             w, h, _c, m = _decode_bmp(data[pos : pos + ln])
                             item_rows.append((item_id, idx, w, h, m, True))
                             taken += 1
+                        elif data[pos : pos + 2] != b"BM":
+                            # skipped frames in the walked prefix still get
+                            # a magic sniff — cheap corruption detection
+                            # without a full decode
+                            raise ValueError("skipped frame not a BMP")
                         pos += ln
                         idx += 1
                     if not item_rows:  # valid but zero-frame container

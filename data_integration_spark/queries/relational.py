@@ -599,43 +599,60 @@ def q_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_returnflag,
              ROUND(SUM(l_quantity), 2) AS sw,
              ROUND(SUM(l_quantity * l_extendedprice), 2) AS swy,
-             ROUND(SUM(l_quantity * l_quantity), 2) AS sw2,
-             ROUND(SUM(l_quantity * l_quantity * l_extendedprice), 2) AS sw2y,
-             ROUND(SUM(l_quantity * l_quantity * l_extendedprice * l_extendedprice), 4)
-               AS sw2y2,
-             COUNT(*) AS n
+             COUNT(*) AS n,
+             VAR_POP(l_quantity * l_extendedprice) AS vzz,
+             COVAR_POP(l_quantity * l_extendedprice, l_quantity) AS vzw,
+             VAR_POP(l_quantity) AS vww
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
            swy / sw AS mean,
-           SQRT((CASE WHEN n > 1 THEN CAST(n AS DOUBLE) / (n - 1)
-                      ELSE 1.0 END)
-                * GREATEST(sw2y2 - 2.0 * (swy / sw) * sw2y
-                           + (swy / sw) * (swy / sw) * sw2, 0.0)) / sw AS se
+           ROUND(SQRT((CASE WHEN n > 1 THEN CAST(n AS DOUBLE) / (n - 1)
+                            ELSE 1.0 END)
+                      * GREATEST(n * (vzz - 2.0 * (swy / sw) * vzw
+                                      + (swy / sw) * (swy / sw) * vww),
+                                 0.0)) / sw, 6) AS se
     FROM s
     """,
 )
 def q_survey_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 survey-weighted Hájek mean + Taylor-linearized SE per group
-    (``svyby(~demvote, ~state, svymean)``, ``Rmd:459-462``) — single-pass
-    sufficient-statistics form (see functions/stats.py::survey_mean_se for
-    the general API; this t2 variant grid-rounds the sufficient statistics
-    so both engines compute identical IEEE arithmetic downstream)."""
+    (``svyby(~demvote, ~state, svymean)``, ``Rmd:459-462``) — SINGLE-SCAN
+    stable form via central co-moments.
+
+    Identity: with z = w·y and ŷ = Σz/Σw, the group mean of z minus
+    ŷ·(group mean of w) is identically 0, so
+        Σ (w(y−ŷ))² = Σ (dz − ŷ·dw)² = n·(Var(z) − 2ŷ·Cov(z,w) + ŷ²·Var(w))
+    where Var/Cov are POPULATION central (co)moments. Both engines compute
+    var_pop/covar_pop with numerically stable streaming updates, so —
+    unlike the round-8 raw-moment expansion Σw²y² − 2ŷΣw²y + ŷ²Σw², whose
+    cancellation residue scales with the RAW second moment ‖wy‖² — the
+    residue here scales with the central moments themselves (near 0 on
+    near-constant data, where it matters). The general API in
+    functions/stats.py::survey_mean_se uses the exact two-pass centered
+    form; this t2 variant trades that second scan for the co-moment
+    identity plus grid-rounded first moments (bit-identical mean across
+    engines) and a 6dp final rounding (absorbing last-ulp var_pop
+    accumulation-order differences).
+
+    Scale shape: ONE grouped aggregation — partial-agg co-moment rows on
+    the wire (Spark's CentralMomentAgg merges partials), no second scan,
+    no join."""
     li = Catalog(spark, sf_dir)["lineitem"]
     w, y = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
         F.round(F.sum(w), 2).alias("sw"),
         F.round(F.sum(w * y), 2).alias("swy"),
-        F.round(F.sum(w * w), 2).alias("sw2"),
-        F.round(F.sum(w * w * y), 2).alias("sw2y"),
-        F.round(F.sum(w * w * y * y), 4).alias("sw2y2"),
         F.count("*").alias("n"),
+        F.var_pop(w * y).alias("vzz"),
+        F.covar_pop(w * y, w).alias("vzw"),
+        F.var_pop(w).alias("vww"),
     )
     mean = F.col("swy") / F.col("sw")
-    ss = (
-        F.col("sw2y2")
-        - F.lit(2.0) * mean * F.col("sw2y")
-        + mean * mean * F.col("sw2")
+    ssd = F.col("n") * (
+        F.col("vzz")
+        - F.lit(2.0) * mean * F.col("vzw")
+        + mean * mean * F.col("vww")
     )
     # n > 1 guard: a single-row group would hit ANSI DIVIDE_BY_ZERO (matches
     # functions/stats.py::survey_mean_se, which has had the guard all along)
@@ -645,7 +662,9 @@ def q_survey_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         mean.alias("mean"),
-        (F.sqrt(fs * F.greatest(ss, F.lit(0.0))) / F.col("sw")).alias("se"),
+        F.round(
+            F.sqrt(fs * F.greatest(ssd, F.lit(0.0))) / F.col("sw"), 6
+        ).alias("se"),
     )
 
 

@@ -390,6 +390,73 @@ def test_bmp_8bit_palette_is_mapped(spark):
         B.audio_features(df, hop=0)
 
 
+def test_bmp_v4_header_palette_and_offset_validation(spark):
+    """Round-9 ADVICE regressions: (1) a palettized 8-bit BMP with a
+    108-byte BITMAPV4HEADER must read its color table at 14 + dib_size,
+    not a hardcoded 54 — the old code silently averaged trailing header
+    bytes as colors; (2) a pixel-data offset pointing back inside the
+    headers must be a hard decode failure, not ok=True garbage; (3) DIB
+    header sizes outside the layout-compatible family raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    def build(dib_size, offset_override=None, pal=b"", pixels=b"",
+              width=2, height=1, bpp=8):
+        offset = (
+            offset_override
+            if offset_override is not None
+            else 14 + dib_size + len(pal)
+        )
+        header = b"BM" + struct.pack(
+            "<IHHI", offset + len(pixels), 0, 0, offset
+        )
+        info = struct.pack(
+            "<IiiHHIIiiII", dib_size, width, height, 1, bpp, 0,
+            len(pixels), 2835, 2835, len(pal) // 4, len(pal) // 4,
+        )
+        info += b"\x00" * (dib_size - 40)  # V4/V5 extension fields
+        return header + info + pal + pixels
+
+    # white 2-entry palette under a V4 header: mean must be 255, not the
+    # 0.0 the hardcoded-54 code produced by reading extension zeros
+    pal = bytes([255, 255, 255, 0, 255, 255, 255, 0])
+    bmp = build(108, pal=pal, pixels=bytes([1, 0, 0, 0]))
+    arr = B._decode_bmp_pixels(bmp)
+    assert arr.shape == (1, 2, 3)
+    assert float(np.mean(arr)) == 255.0
+    # offset inside the headers: hard failure
+    with _pytest.raises(ValueError):
+        B._decode_bmp_pixels(build(40, offset_override=20,
+                                   pixels=bytes([1, 0, 0, 0])))
+    # BITMAPCOREHEADER-sized DIB (different field layout): rejected
+    with _pytest.raises(ValueError):
+        B._decode_bmp_pixels(build(12, pixels=bytes([1, 0, 0, 0])))
+
+
+def test_video_skipped_frame_magic_sniff(spark):
+    """A corrupt NON-SAMPLED frame inside the walked prefix must surface
+    as one ok=False row (the every_n-skipped frames get a BMP magic
+    sniff), never an all-ok=True output."""
+    from pyspark.sql import Row
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    good = B.encode_bmp(2, 2, 9)
+    vid = B.encode_video([good, b"JUNKFRAME", good])
+    df = spark.createDataFrame([Row(item_id=1, payload=bytearray(vid))])
+    rows = B.sample_video_frames(df, every_n=2, max_frames=8).collect()
+    assert [(r.frame_index, r.ok) for r in rows] == [(-1, False)]
+    # a clean every_n walk over valid skipped frames stays fully ok=True
+    vid_ok = B.encode_video([good, good, good])
+    df_ok = spark.createDataFrame([Row(item_id=2, payload=bytearray(vid_ok))])
+    rows_ok = B.sample_video_frames(df_ok, every_n=2, max_frames=8).collect()
+    assert [(r.frame_index, r.ok) for r in rows_ok] == [(0, True), (2, True)]
+
+
 def test_resize_images_nearest_neighbor_exact(spark):
     """REAL resize: a hand-valued 4x2 BMP downsampled to 2x1 must select
     exactly the nearest-neighbor source pixels ((y*h_src)//h_tgt rows,
