@@ -53,78 +53,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # ever shrinks. Maintained per round: names signed in CORRECTNESS_r{N} leave,
 # new queries join at the tail of the front block.
 _SIGN_PRIORITY: list[str] = [
-    # --- r8 window. The r7 signing run went 50/50 (47 oracle + 3
-    # contract rows-only), so every r7-window name has a current driver
-    # row and leaves the list. r8 slots, per VERDICT r7 #1/#2/#3/#6:
-    # (a) the 38 late-r7 queries that have never had a driver row
-    # (they pass the builder's full DuckDB sweep; the driver has never
-    # co-signed them);
-    # (b) _RESIGN names whose prior row no longer describes the code:
-    # the sketch trio re-emitted as full-oracle bounds certificates
-    # (VERDICT #3) and q_multimodal_decode after the real in-container
-    # codec landed (VERDICT #7);
-    # (c) q_survey_pipeline_certificate — NEW this round (VERDICT #6),
-    # registers inside the window so it signs the round it lands;
-    # (d) 7 slots of the 46-name r1 re-sign rotation, flagship + §2
-    # core first; the remaining 39 r1 names exactly fill the r9 window.
-    # (a) never-driver-signed (late-r7 batches) -------------------------
-    "q_roc_auc",
-    "q_calibration_bins",
-    "q_cohens_kappa",
-    "q_seasonal_decompose",
-    "q_linear_interpolation",
-    "q_pr_curve",
-    "q_setsim_prefix_join",
-    "q_sorted_neighborhood",
-    "q_rank_fusion",
-    "q_welch_ttest",
-    "q_changepoint",
-    "q_holt_linear",
-    "q_theil_sen",
-    "q_target_encoding",
-    "q_item_item_cf",
-    "q_mutual_information",
-    "q_zorder_pruning",
-    "q_tfidf_knn",
-    "q_sorted_neighborhood_multipass",
-    "q_salted_join",
-    "q_negative_sampling",
-    "q_churn_labels",
-    "q_ndcg",
-    "q_k_anonymity",
-    "q_oov_rate",
-    "q_out_of_order_audit",
-    "q_deletion_cascade",
-    "q_price_volume_mix",
-    "q_streaming_late_drop",
-    "q_raking_weights",
-    "q_cuped",
-    "q_mrl_truncation_recall",
-    "q_spearman_rank_corr",
-    "q_semantic_threshold_sweep",
-    "q_skew_report",
-    "q_l_diversity",
-    "q_ece",
-    "q_time_to_convert",
-    # (b) re-signs (see _RESIGN for the per-name reasons) ----------------
-    "q_approx_distinct",
-    "q_approx_quantile",
-    "q_freq_items",
-    "q_multimodal_decode",
-    # (c) new this round --------------------------------------------------
-    "q_survey_pipeline_certificate",
-    # (d) r1 rotation: flagship + §2 core first; escape-hatch rows-only
-    # names (whose rows carry no hash signal to refresh) last. 7 slots
-    # fit the 50-window this round; q_withcolumn_linear … q_bernoulli
-    # (39 names) lead the r9 rotation. -----------------------------------
-    "q_report_final",
-    "q_scan_parquet",
-    "q_sink_roundtrip",
-    "q_select_project",
-    "q_drop_cols",
-    "q_rename",
-    "q_todf_headers",
-    # --- r9 queue (r1 rotation overflow) --------------------------------
+    # --- r9 window. The r8 signing run went 50/50, so every r8-window
+    # name has a current driver row and leaves the list. r9 slots, per
+    # VERDICT r8 #2/#3:
+    # (a) the 39 remaining r1-era names (queued since r7; every one has
+    # seven rounds of refactors between its r1 row and today's code);
+    # (b) 11 of the 19 r2-era names — the window/OLAP block first (three
+    # of them are headline bench queries) — leaving an 8-name r2 backlog
+    # that closes in r10.
+    # q_survey_mean_se is additionally a GENUINE re-sign (_RESIGN): the
+    # round-9 co-moment rework changed its se values (now 6dp-rounded).
+    # (a) r1 rotation: flagship-adjacent §2 core first ---------------------
     "q_withcolumn_linear",
     "q_rowid_rownumber",
     "q_cast_numeric",
@@ -164,23 +103,41 @@ _SIGN_PRIORITY: list[str] = [
     "q_glm_fit",
     "q_randn",
     "q_bernoulli",
-]  # the driver's r8 window = first 50 registered
+    # (b) r2 rotation, first 11: the window/OLAP block ---------------------
+    "q_asof_join",
+    "q_rank_window",
+    "q_window_tumbling",
+    "q_lag_window",
+    "q_running_window",
+    "q_first_last_value",
+    "q_cume_dist",
+    "q_cube_rollup",
+    "q_grouping_sets",
+    "q_percentiles",
+    "q_interval_join",
+    # --- r10 queue: the remaining 8 r2-era names, then the r10-planned
+    # NEW registrations (multimodal audio_features/resize/video t2
+    # queries, pinned-centroid IVF persist/append certificates) which
+    # must land INSIDE that round's window ------------------------------
+    "q_curation_pipeline",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_exists_subquery",
+    "q_paragraph_dedup",
+    "q_pii_redact",
+    "q_repetition_score",
+    "q_train_test_split",
+]  # the driver's r9 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
-# because r8 changed what the row attests to:
-# - q_approx_distinct / q_approx_quantile / q_freq_items: re-emitted as
-#   full-oracle bounds certificates (VERDICT r7 #3) — the prior rows-only
-#   r3 rows attested to raw sketch outputs, the new rows attest to
-#   violation-count==0 literals that DuckDB hash-matches;
-# - q_multimodal_decode: the decode path now runs a real pure-Python
-#   BMP/WAV codec in-container (VERDICT r7 #7) instead of the deterministic
-#   fake, so the decoded VALUES changed.
+# because the code change invalidated what the row attests to:
+# - q_survey_mean_se: the r9 numerical-stability rework (central co-moment
+#   identity replacing the raw-moment expansion) changed the emitted se
+#   values — they are now rounded at 6dp, the prior r1 row carried the
+#   unrounded single-pass values.
 _RESIGN: frozenset[str] = frozenset(
     {
-        "q_approx_distinct",
-        "q_approx_quantile",
-        "q_freq_items",
-        "q_multimodal_decode",
+        "q_survey_mean_se",
     }
 )
 

@@ -40,7 +40,13 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
     index.centroids.write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
-    index.assigned.write.mode("overwrite").parquet(
+    # The inverted lists are PARTITIONED BY CELL on disk (r9): a search
+    # over a loaded index joins the tiny probed-cells frame against this
+    # table on `cell`, and Spark's dynamic partition pruning turns that
+    # join into directory pruning — nprobe/n_cells of the corpus is READ,
+    # not scanned-and-filtered. At 100 TB with n_cells ~ sqrt(N) this is
+    # the difference between touching ~0.1% and 100% of the index.
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "assigned")
     )
     meta = {"format": _FORMAT, "n_cells": index.n_cells, "seed": index.seed}

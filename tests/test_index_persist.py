@@ -54,6 +54,31 @@ def test_ivf_loaded_search_equals_fit_search(spark, emb):
     assert (loaded.n_cells, loaded.seed) == (6, 11)
 
 
+def test_ivf_loaded_search_prunes_cell_partitions(spark, emb):
+    """r9: the persisted inverted lists are partitionBy("cell") parquet,
+    and a loaded-index search must hit them through DYNAMIC PARTITION
+    PRUNING (the probed-cells side broadcasts, the scan's
+    PartitionFilters gains a dynamicpruning IN-subquery) — at scale only
+    nprobe/n_cells of the index is READ, the rest is never opened."""
+    import re
+
+    # reuse (or rebuild) the artifact from the roundtrip test
+    path = SCRATCH + "/ivf"
+    try:
+        loaded = load_ivf_index(spark, path)
+    except Exception:
+        index = IVFIndex(n_cells=6, seed=11).fit(emb)
+        save_ivf_index(index, path)
+        loaded = load_ivf_index(spark, path)
+    df = loaded.search(emb.filter(F.col("vec_id") < 12), k=4, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("dynamicpruning" in pf for pf in pfs), (
+        "loaded-index search lost dynamic partition pruning on the "
+        f"assigned scan; PartitionFilters seen: {pfs}"
+    )
+
+
 def test_ivf_save_requires_fit(spark):
     with pytest.raises(ValueError, match="fit"):
         save_ivf_index(IVFIndex(n_cells=4), SCRATCH + "/ivf_unfit")

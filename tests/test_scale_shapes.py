@@ -134,6 +134,39 @@ def test_survey_mean_se_matches_numpy(spark_session_holder, data):
     assert abs(r["se"] - se) < 1e-8 * max(1, abs(se))
 
 
+def test_survey_se_comoment_identity_stable_on_constant_y(spark):
+    """The t2 q_survey_mean_se co-moment identity
+    n·(Var(wy) − 2ŷ·Cov(wy,w) + ŷ²·Var(w)) must round to se == 0.0 at 6dp
+    on a constant-y group — the shape the round-8 raw-moment expansion
+    failed (its residue scaled with Σw²y², the central-moment residue
+    scales with Var, which is 0-adjacent here)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(g="a", y=1.0517578125, w=float(w)) for w in (1.0, 2.0, 7.3, 0.1)]
+    )
+    z = F.col("w") * F.col("y")
+    s = df.groupBy("g").agg(
+        F.sum("w").alias("sw"),
+        F.sum(z).alias("swy"),
+        F.count("*").alias("n"),
+        F.var_pop(z).alias("vzz"),
+        F.covar_pop(z, F.col("w")).alias("vzw"),
+        F.var_pop("w").alias("vww"),
+    )
+    m = F.col("swy") / F.col("sw")
+    ssd = F.col("n") * (
+        F.col("vzz") - 2.0 * m * F.col("vzw") + m * m * F.col("vww")
+    )
+    fs = F.col("n").cast("double") / (F.col("n") - 1)
+    row = s.select(
+        F.round(
+            F.sqrt(fs * F.greatest(ssd, F.lit(0.0))) / F.col("sw"), 6
+        ).alias("se")
+    ).collect()[0]
+    assert row["se"] == 0.0
+
+
 @pytest.fixture(scope="module")
 def spark_session_holder(spark):
     return spark
