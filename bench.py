@@ -66,17 +66,26 @@ def main() -> None:
 
         repo = os.path.dirname(os.path.abspath(__file__))
         signed: set[str] = set()
+        latest: dict[str, int] = {}
         for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+            rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
             with open(path) as fh:
-                signed |= set(json.load(fh))
+                names = set(json.load(fh))
+            signed |= names
+            for n in names:
+                latest[n] = max(latest.get(n, 0), rnd)
         unsigned = [n for n in QUERIES if n not in signed]
         # declared re-signs consume window slots too — count the full demand
         resigns = [n for n in _RESIGN if n in QUERIES and n in signed]
         demand = len(unsigned) + len(resigns)
+        # the rotation backlog: signed names whose latest driver row is
+        # r1/r2-era (stale signatures queued for refresh, r8-r10 plan)
+        stale = [n for n in QUERIES if latest.get(n, 99) <= 2]
         print(
             f"[bench] signing debt: {len(unsigned)} unsigned + "
             f"{len(resigns)} re-signs = {demand} vs 50-slot driver window "
-            f"({'OK' if demand <= 50 else 'OVERFLOW'})",
+            f"({'OK' if demand <= 50 else 'OVERFLOW'}); "
+            f"r1/r2-era rotation backlog: {len(stale)}",
             file=sys.stderr,
         )
     except Exception:  # noqa: BLE001 — diagnostics must never break bench
