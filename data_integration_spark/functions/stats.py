@@ -89,41 +89,59 @@ def survey_mean_se(
     to avoid 0/0; svymean would return NaN there).
     """
     group = [group] if isinstance(group, str) else list(group)
+
+    # internal working names must not collide with the caller's group
+    # columns (or each other) — a group key literally named "_mean" would
+    # otherwise become ambiguous after the join-back
+    taken = set(df.columns) | set(group) | {mean_alias, se_alias}
+
+    def fresh(base_name: str) -> str:
+        name = base_name
+        while name in taken:
+            name = "_" + name
+        taken.add(name)
+        return name
+
+    cy, cw, cm = fresh("_y"), fresh("_w"), fresh("_mean")
     v = _c(value)
     base = df.where(v.isNotNull()).select(
-        *group, v.alias("_y"), _c(weight).alias("_w")
+        *group, v.alias(cy), _c(weight).alias(cw)
     )
     # Pass 1: Hájek mean per group — shuffle carries only partial-agg rows.
     means = base.groupBy(*group).agg(
-        (F.sum(F.col("_w") * F.col("_y")) / F.sum("_w")).alias("_mean")
+        (F.sum(F.col(cw) * F.col(cy)) / F.sum(cw)).alias(cm)
     )
     # Null-safe key equality so NULL group keys keep forming a group, as
     # groupBy treats them (a plain `on=group` inner join would drop them).
+    mks = [fresh(f"_mk_{i}") for i in range(len(group))]
     means = means.select(
-        *[F.col(g).alias(f"_mk_{i}") for i, g in enumerate(group)], "_mean"
+        *[F.col(g).alias(mk) for g, mk in zip(group, mks)], cm
     )
     cond = functools.reduce(
         lambda a, b: a & b,
-        [F.col(g).eqNullSafe(F.col(f"_mk_{i}")) for i, g in enumerate(group)],
+        [F.col(g).eqNullSafe(F.col(mk)) for g, mk in zip(group, mks)],
     )
-    dev = F.col("_w") * (F.col("_y") - F.col("_mean"))
+    dev = F.col(cw) * (F.col(cy) - F.col(cm))
     # Pass 2: centered sum of squares. `means` is one row per group — AQE
     # broadcasts it, so the fact table is never shuffled for the join.
+    cgm, cssd, csw, cn = (
+        fresh("_gmean"), fresh("_ssd"), fresh("_sw"), fresh("_n")
+    )
     agg = (
         base.join(means, cond)
         .groupBy(*group)
         .agg(
-            F.first("_mean").alias("_gmean"),  # constant within group
-            F.sum(dev * dev).alias("_ssd"),
-            F.sum(F.when(dev.isNotNull(), F.col("_w"))).alias("_sw"),
-            F.count(dev).alias("_n"),
+            F.first(cm).alias(cgm),  # constant within group
+            F.sum(dev * dev).alias(cssd),
+            F.sum(F.when(dev.isNotNull(), F.col(cw))).alias(csw),
+            F.count(dev).alias(cn),
         )
     )
-    n = F.col("_n")
+    n = F.col(cn)
     fs = F.when(n > 1, n / (n - F.lit(1))).otherwise(F.lit(1.0))
-    se = F.sqrt(fs * F.col("_ssd")) / F.col("_sw")
+    se = F.sqrt(fs * F.col(cssd)) / F.col(csw)
     return agg.select(
-        *group, F.col("_gmean").alias(mean_alias), se.alias(se_alias)
+        *group, F.col(cgm).alias(mean_alias), se.alias(se_alias)
     )
 
 

@@ -73,10 +73,11 @@ def _parse_bmp_header(
     (pixel-data offset, width, height, channels, row stride, top_down,
     DIB header size). Supports the uncompressed 8/24/32-bit interchange
     subset with a DIB size of 40 (BITMAPINFOHEADER) or its
-    layout-compatible extensions 52/56/108/124 (V2INFO…V5) — the first 40
-    bytes share one layout, so the field offsets below hold for all of
-    them; anything else (e.g. the 12-byte BITMAPCOREHEADER, whose width
-    field is 16-bit at a different offset) raises. Raises on anything
+    layout-compatible extensions 52/56/64/108/124 (V2INFO…V5 + the
+    64-byte OS/2 2.x header) — the first 40 bytes share one layout, so
+    the field offsets below hold for all of them; anything else (e.g.
+    the 12-byte BITMAPCOREHEADER, whose width field is 16-bit at a
+    different offset) raises. Raises on anything
     malformed or outside the subset, including a pixel-data offset that
     points back INTO the headers (a crafted offset in [0, 14+dib) would
     otherwise read header bytes as pixels and report ok=True garbage)."""
@@ -89,7 +90,7 @@ def _parse_bmp_header(
     planes = struct.unpack_from("<H", payload, 26)[0]
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if dib_size not in (40, 52, 56, 108, 124):
+    if dib_size not in (40, 52, 56, 64, 108, 124):
         raise ValueError("unsupported DIB header size")
     if planes != 1 or compression != 0 or bpp not in (8, 24, 32):
         raise ValueError("unsupported BMP variant")
@@ -376,10 +377,13 @@ def sample_video_frames(
                             w, h, _c, m = _decode_bmp(data[pos : pos + ln])
                             item_rows.append((item_id, idx, w, h, m, True))
                             taken += 1
-                        elif data[pos : pos + 2] != b"BM":
+                        elif ln < 54 or data[pos : pos + 2] != b"BM":
                             # skipped frames in the walked prefix still get
-                            # a magic sniff — cheap corruption detection
-                            # without a full decode
+                            # a structure check — cheap corruption detection
+                            # without a full decode. The ln guard keeps the
+                            # sniff INSIDE the frame: a <2-byte frame's
+                            # slice would otherwise read the next frame's
+                            # length prefix (and no valid BMP is <54 bytes)
                             raise ValueError("skipped frame not a BMP")
                         pos += ln
                         idx += 1

@@ -74,6 +74,33 @@ def test_survey_mean_se_hand_computed(spark):
     assert abs(r["se"] - math.sqrt(2.0 * (0.25 + 0.25)) / 2) < 1e-12
 
 
+def test_survey_mean_se_awkward_column_names(spark):
+    """The two-pass rework's internal working columns must not collide
+    with caller columns: a group key literally named '_mean' (or
+    '_y'/'_w'/'_mk_0') has to keep working — the helper picks fresh
+    internal names around whatever the caller brought."""
+    rows = [
+        Row(**{"_mean": "a", "_y": 1.0, "_w": 1.0}),
+        Row(**{"_mean": "a", "_y": 2.0, "_w": 1.0}),
+        Row(**{"_mean": "b", "_y": 5.0, "_w": 2.0}),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["_mean"]: (r["mean"], r["se"])
+        for r in survey_mean_se(df, "_mean", "_y", "_w").collect()
+    }
+    assert abs(out["a"][0] - 1.5) < 1e-12
+    assert abs(out["a"][1] - math.sqrt(2.0 * 0.5) / 2) < 1e-12
+    assert out["b"] == (5.0, 0.0)
+    # group key named like an internal mk slot
+    df2 = df.withColumnRenamed("_mean", "_mk_0")
+    r2 = {
+        r["_mk_0"]: r["mean"]
+        for r in survey_mean_se(df2, "_mk_0", "_y", "_w").collect()
+    }
+    assert r2 == {"a": 1.5, "b": 5.0}
+
+
 def test_error_measures_hand_computed(spark):
     df = spark.createDataFrame([Row(e=1.0, a=0.0), Row(e=3.0, a=1.0)])
     r = error_measures(df, "e", "a").collect()[0]

@@ -62,14 +62,12 @@ def test_ivf_loaded_search_prunes_cell_partitions(spark, emb):
     nprobe/n_cells of the index is READ, the rest is never opened."""
     import re
 
-    # reuse (or rebuild) the artifact from the roundtrip test
-    path = SCRATCH + "/ivf"
-    try:
-        loaded = load_ivf_index(spark, path)
-    except Exception:
-        index = IVFIndex(n_cells=6, seed=11).fit(emb)
-        save_ivf_index(index, path)
-        loaded = load_ivf_index(spark, path)
+    # always rebuild: a stale pre-r9 artifact (written without
+    # partitionBy) loads fine but has no cell= directories to prune
+    path = SCRATCH + "/ivf_dpp"
+    shutil.rmtree(path, ignore_errors=True)
+    save_ivf_index(IVFIndex(n_cells=6, seed=11).fit(emb), path)
+    loaded = load_ivf_index(spark, path)
     df = loaded.search(emb.filter(F.col("vec_id") < 12), k=4, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)

@@ -435,6 +435,10 @@ def test_bmp_v4_header_palette_and_offset_validation(spark):
     # BITMAPCOREHEADER-sized DIB (different field layout): rejected
     with _pytest.raises(ValueError):
         B._decode_bmp_pixels(build(12, pixels=bytes([1, 0, 0, 0])))
+    # the 64-byte OS/2 2.x header shares the 40-byte prefix layout and
+    # must decode (it did before the r9 whitelist — no regression)
+    arr64 = B._decode_bmp_pixels(build(64, pal=pal, pixels=bytes([1, 0, 0, 0])))
+    assert arr64.shape == (1, 2, 3) and float(np.mean(arr64)) == 255.0
 
 
 def test_video_skipped_frame_magic_sniff(spark):
@@ -450,6 +454,20 @@ def test_video_skipped_frame_magic_sniff(spark):
     df = spark.createDataFrame([Row(item_id=1, payload=bytearray(vid))])
     rows = B.sample_video_frames(df, every_n=2, max_frames=8).collect()
     assert [(r.frame_index, r.ok) for r in rows] == [(-1, False)]
+    # a skipped frame SHORTER than the sniff window must not pass by
+    # reading past its own end: a 1-byte frame b"B" whose NEXT frame's
+    # u32 length prefix has low byte 0x4D ("M", length 77) would have
+    # spoofed b"BM" under a naive data[pos:pos+2] sniff. every_n=3 keeps
+    # both middle frames skipped (the 77-byte one carries a BM magic so
+    # only the length guard can catch the 1-byte one).
+    spoof = B.encode_video([good, b"B", b"BM" + b"x" * 75, good])
+    df_spoof = spark.createDataFrame(
+        [Row(item_id=3, payload=bytearray(spoof))]
+    )
+    rows_spoof = B.sample_video_frames(
+        df_spoof, every_n=3, max_frames=8
+    ).collect()
+    assert [(r.frame_index, r.ok) for r in rows_spoof] == [(-1, False)]
     # a clean every_n walk over valid skipped frames stays fully ok=True
     vid_ok = B.encode_video([good, good, good])
     df_ok = spark.createDataFrame([Row(item_id=2, payload=bytearray(vid_ok))])
