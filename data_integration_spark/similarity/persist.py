@@ -214,7 +214,14 @@ def save_ivfpq_index(index, path: str) -> None:
     index.ivf.centroids.write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
-    index.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    # partitioned by cell (r9): search filters the codes table with a
+    # STATIC probed-cell IN-list, so on a loaded index that filter lands
+    # in PartitionFilters — nprobe/n_cells of the codes files are read,
+    # the rest never opened (cheaper even than the IVF DPP path: no
+    # broadcast subquery needed)
+    index.codes.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
     meta = {
         "format": _FORMAT,
         "n_cells": int(index.n_cells),

@@ -158,12 +158,14 @@ def test_append_and_load_reproduce_codes(spark, emb, tmp_path):
     assert mismatch == 0
 
 
-def test_probe_filter_pushes_down_on_persisted_codes(spark, emb, tmp_path):
-    """The 100-TB probe path: searching a LOADED index starts from a
-    cell-membership filter directly above the codes parquet scan, so
-    with the codes table partitioned/clustered by cell only probed
-    cells' files are read — assert the In(cell, ...) predicate reaches
-    the scan as a pushed filter."""
+def test_probe_filter_prunes_partitions_on_persisted_codes(spark, emb, tmp_path):
+    """The 100-TB probe path: the persisted codes table is
+    partitionBy("cell") parquet (r9) and search filters it with a STATIC
+    probed-cell IN-list, so on a loaded index the predicate lands in the
+    scan's PartitionFilters — only probed cells' directories are READ
+    (strictly stronger than the pre-r9 row-level PushedFilters)."""
+    import re
+
     index = IVFPQIndex(n_cells=8, m=16, k_codes=16, seed=17).fit(emb)
     path = str(tmp_path / "ivfpq_scan")
     save_ivfpq_index(index, path)
@@ -175,4 +177,7 @@ def test_probe_filter_pushes_down_on_persisted_codes(spark, emb, tmp_path):
         .executedPlan()
         .toString()
     )
-    assert "PushedFilters" in plan and "In(cell" in plan, plan
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in pf and "IN" in pf for pf in pfs), (
+        f"probed-cell filter did not become partition pruning: {pfs}"
+    )
