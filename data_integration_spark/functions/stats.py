@@ -92,14 +92,16 @@ def survey_mean_se(
 
     # internal working names must not collide with the caller's group
     # columns (or each other) — a group key literally named "_mean" would
-    # otherwise become ambiguous after the join-back
-    taken = set(df.columns) | set(group) | {mean_alias, se_alias}
+    # otherwise become ambiguous after the join-back. Comparison is
+    # LOWERCASED: Spark resolves column names case-insensitively by
+    # default, so "_Y" vs "_y" is a collision too.
+    taken = {c.lower() for c in (*df.columns, *group, mean_alias, se_alias)}
 
     def fresh(base_name: str) -> str:
         name = base_name
-        while name in taken:
+        while name.lower() in taken:
             name = "_" + name
-        taken.add(name)
+        taken.add(name.lower())
         return name
 
     cy, cw, cm = fresh("_y"), fresh("_w"), fresh("_mean")

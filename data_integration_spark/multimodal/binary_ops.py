@@ -41,6 +41,11 @@ except ImportError:  # pragma: no cover — the shipped environment
 # formats with REAL in-container decoders (no third-party libs needed)
 BUILTIN_CODECS = ("bmp", "wav")
 
+# smallest possible BMP in the supported family: 14-byte file header +
+# 40-byte BITMAPINFOHEADER. Shared by the header parser and the video
+# walk's skipped-frame sniff so the two cannot drift apart.
+_BMP_MIN_SIZE = 14 + 40
+
 DECODED_SCHEMA = (
     "item_id long, width int, height int, n_channels int, "
     "mean_pixel double, ok boolean"
@@ -81,7 +86,7 @@ def _parse_bmp_header(
     malformed or outside the subset, including a pixel-data offset that
     points back INTO the headers (a crafted offset in [0, 14+dib) would
     otherwise read header bytes as pixels and report ok=True garbage)."""
-    if payload[:2] != b"BM" or len(payload) < 54:
+    if payload[:2] != b"BM" or len(payload) < _BMP_MIN_SIZE:
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", payload, 10)[0]
     dib_size = struct.unpack_from("<I", payload, 14)[0]
@@ -377,13 +382,14 @@ def sample_video_frames(
                             w, h, _c, m = _decode_bmp(data[pos : pos + ln])
                             item_rows.append((item_id, idx, w, h, m, True))
                             taken += 1
-                        elif ln < 54 or data[pos : pos + 2] != b"BM":
+                        elif ln < _BMP_MIN_SIZE or data[pos : pos + 2] != b"BM":
                             # skipped frames in the walked prefix still get
                             # a structure check — cheap corruption detection
                             # without a full decode. The ln guard keeps the
                             # sniff INSIDE the frame: a <2-byte frame's
                             # slice would otherwise read the next frame's
-                            # length prefix (and no valid BMP is <54 bytes)
+                            # length prefix (and no valid BMP is smaller
+                            # than _BMP_MIN_SIZE)
                             raise ValueError("skipped frame not a BMP")
                         pos += ln
                         idx += 1

@@ -30,6 +30,18 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """All PartitionFilters entries across scans in the EXECUTED plan
+    (one string per scan, possibly empty). Dynamic partition pruning
+    shows as a ``dynamicpruning…`` expression, static pruning as a
+    plain predicate on the partition column — callers assert whichever
+    contract they rely on."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [
+        m.group(1) for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan)
+    ]
+
+
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """Column lists of each parquet ReadSchema in the plan."""
     plan = formatted_plan(df)

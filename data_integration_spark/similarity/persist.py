@@ -31,6 +31,11 @@ from data_integration_spark.similarity.ann import make_planes
 from data_integration_spark.similarity.ivf import IVFIndex
 
 _FORMAT = 1
+# On-disk layout marker for the corpus-sized IVF/IVF-PQ tables. Pre-r9
+# artifacts were written UNPARTITIONED — loading one would silently
+# deliver none of the partition pruning the search path is built around,
+# so the loaders refuse artifacts without this marker (re-save to fix).
+_CELL_PARTITIONED = "cell_partitioned"
 
 
 def save_ivf_index(index: IVFIndex, path: str) -> None:
@@ -46,10 +51,18 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
     # join into directory pruning — nprobe/n_cells of the corpus is READ,
     # not scanned-and-filtered. At 100 TB with n_cells ~ sqrt(N) this is
     # the difference between touching ~0.1% and 100% of the index.
-    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "assigned")
-    )
-    meta = {"format": _FORMAT, "n_cells": index.n_cells, "seed": index.seed}
+    # repartition("cell") first: without it every upstream task writes a
+    # file into every cell directory (tasks × n_cells small files); with
+    # it each cell is one task's output — one file per cell.
+    index.assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(path, "assigned"))
+    meta = {
+        "format": _FORMAT,
+        "layout": _CELL_PARTITIONED,
+        "n_cells": index.n_cells,
+        "seed": index.seed,
+    }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -61,6 +74,11 @@ def load_ivf_index(spark: SparkSession, path: str) -> IVFIndex:
         meta = json.load(f)
     if meta.get("format") != _FORMAT:
         raise ValueError(f"unsupported IVF index format: {meta.get('format')}")
+    if meta.get("layout") != _CELL_PARTITIONED:
+        raise ValueError(
+            "IVF artifact predates cell-partitioned layout (no partition "
+            "pruning at search) — re-save it with save_ivf_index"
+        )
     index = IVFIndex(n_cells=meta["n_cells"], seed=meta["seed"])
     index.centroids = spark.read.parquet(os.path.join(path, "centroids"))
     index.assigned = spark.read.parquet(os.path.join(path, "assigned"))
@@ -218,12 +236,14 @@ def save_ivfpq_index(index, path: str) -> None:
     # STATIC probed-cell IN-list, so on a loaded index that filter lands
     # in PartitionFilters — nprobe/n_cells of the codes files are read,
     # the rest never opened (cheaper even than the IVF DPP path: no
-    # broadcast subquery needed)
-    index.codes.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "codes")
-    )
+    # broadcast subquery needed). repartition("cell") keeps it to one
+    # file per cell instead of (tasks × n_cells) small files.
+    index.codes.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(path, "codes"))
     meta = {
         "format": _FORMAT,
+        "layout": _CELL_PARTITIONED,
         "n_cells": int(index.n_cells),
         "m": int(index.m),
         "k_codes": int(index.k_codes),
@@ -251,6 +271,12 @@ def load_ivfpq_index(spark: SparkSession, path: str):
     if meta.get("format") != _FORMAT:
         raise ValueError(
             f"unsupported IVF-PQ index format: {meta.get('format')}"
+        )
+    if meta.get("layout") != _CELL_PARTITIONED:
+        raise ValueError(
+            "IVF-PQ artifact predates cell-partitioned layout (no "
+            "partition pruning at search) — re-save it with "
+            "save_ivfpq_index"
         )
     index = IVFPQIndex(
         n_cells=meta["n_cells"],

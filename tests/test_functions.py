@@ -99,6 +99,20 @@ def test_survey_mean_se_awkward_column_names(spark):
         for r in survey_mean_se(df2, "_mk_0", "_y", "_w").collect()
     }
     assert r2 == {"a": 1.5, "b": 5.0}
+    # Spark resolves names case-INsensitively by default, so a group
+    # column differing from an internal name only in case ("_Y" vs the
+    # helper's "_y") collides too — fresh() must compare lowercased
+    rows3 = [
+        Row(**{"_Y": "a", "yy": 1.0, "_w": 1.0}),
+        Row(**{"_Y": "a", "yy": 2.0, "_w": 1.0}),
+        Row(**{"_Y": "b", "yy": 5.0, "_w": 2.0}),
+    ]
+    df3 = spark.createDataFrame(rows3)
+    r3 = {
+        r["_Y"]: r["mean"]
+        for r in survey_mean_se(df3, "_Y", "yy", "_w").collect()
+    }
+    assert r3 == {"a": 1.5, "b": 5.0}
 
 
 def test_error_measures_hand_computed(spark):

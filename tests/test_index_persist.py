@@ -60,7 +60,7 @@ def test_ivf_loaded_search_prunes_cell_partitions(spark, emb):
     PRUNING (the probed-cells side broadcasts, the scan's
     PartitionFilters gains a dynamicpruning IN-subquery) — at scale only
     nprobe/n_cells of the index is READ, the rest is never opened."""
-    import re
+    from data_integration_spark.plans.explain import partition_filters
 
     # always rebuild: a stale pre-r9 artifact (written without
     # partitionBy) loads fine but has no cell= directories to prune
@@ -69,8 +69,7 @@ def test_ivf_loaded_search_prunes_cell_partitions(spark, emb):
     save_ivf_index(IVFIndex(n_cells=6, seed=11).fit(emb), path)
     loaded = load_ivf_index(spark, path)
     df = loaded.search(emb.filter(F.col("vec_id") < 12), k=4, nprobe=2)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    pfs = partition_filters(df)
     assert any("dynamicpruning" in pf for pf in pfs), (
         "loaded-index search lost dynamic partition pruning on the "
         f"assigned scan; PartitionFilters seen: {pfs}"
@@ -80,6 +79,27 @@ def test_ivf_loaded_search_prunes_cell_partitions(spark, emb):
 def test_ivf_save_requires_fit(spark):
     with pytest.raises(ValueError, match="fit"):
         save_ivf_index(IVFIndex(n_cells=4), SCRATCH + "/ivf_unfit")
+
+
+def test_pre_partitioned_layout_artifacts_refused(spark, emb):
+    """A pre-r9 artifact (no layout marker in meta.json) must FAIL to
+    load, not silently search without partition pruning — the loader
+    checks the on-disk-layout contract the search path is built
+    around."""
+    import json
+    import os
+
+    path = SCRATCH + "/ivf_stale"
+    shutil.rmtree(path, ignore_errors=True)
+    save_ivf_index(IVFIndex(n_cells=6, seed=11).fit(emb), path)
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta.pop("layout")  # what a pre-r9 writer produced
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="re-save"):
+        load_ivf_index(spark, path)
 
 
 def test_lsh_spec_roundtrip_and_search_equivalence(spark, emb):

@@ -164,20 +164,14 @@ def test_probe_filter_prunes_partitions_on_persisted_codes(spark, emb, tmp_path)
     probed-cell IN-list, so on a loaded index the predicate lands in the
     scan's PartitionFilters — only probed cells' directories are READ
     (strictly stronger than the pre-r9 row-level PushedFilters)."""
-    import re
+    from data_integration_spark.plans.explain import partition_filters
 
     index = IVFPQIndex(n_cells=8, m=16, k_codes=16, seed=17).fit(emb)
     path = str(tmp_path / "ivfpq_scan")
     save_ivfpq_index(index, path)
     loaded = load_ivfpq_index(spark, path)
     q_pd = emb.filter(F.col("vec_id") < 5).toPandas()
-    plan = (
-        loaded.search(q_pd, k=5, nprobe=2)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    pfs = partition_filters(loaded.search(q_pd, k=5, nprobe=2))
     assert any("cell" in pf and "IN" in pf for pf in pfs), (
         f"probed-cell filter did not become partition pruning: {pfs}"
     )
