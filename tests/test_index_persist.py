@@ -81,6 +81,40 @@ def test_ivf_save_requires_fit(spark):
         save_ivf_index(IVFIndex(n_cells=4), SCRATCH + "/ivf_unfit")
 
 
+def test_ivf_pinned_centroid_assignment_matches_numpy(spark, emb):
+    """r10-prep (VERDICT r8 #7 pattern): with centroids PINNED to literal
+    vectors — the load_ivf_index mechanism, no k-means — ``assign`` must
+    reproduce an independent numpy argmin over squared Euclidean with the
+    documented (distance, cell) tie-break, for EVERY vector. This is the
+    invariance the planned full-oracle persist/append certificates will
+    state in SQL; proving the fixture here de-risks the registration."""
+    import numpy as np
+
+    pdf = emb.toPandas()
+    X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+    dim = X.shape[1]
+    # deterministic literal centroids spanning the embedding scale —
+    # NOT derived from the data, so any engine can restate them
+    cents = np.array(
+        [[(0.1 * c + 0.01 * (j % 7)) for j in range(dim)] for c in range(5)]
+    )
+    index = IVFIndex(n_cells=5, seed=0)
+    index.centroids = spark.createDataFrame(
+        [(int(c), [float(x) for x in cents[c]]) for c in range(5)],
+        "cell int, ce array<double>",
+    )
+    got = {
+        r["mid"]: r["cell"]
+        for r in index.assign(emb).select("mid", "cell").collect()
+    }
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)  # (n, 5)
+    want = {
+        int(m): int(np.lexsort((np.arange(5), d2[i]))[0])
+        for i, m in enumerate(pdf["vec_id"].to_numpy())
+    }
+    assert got == want
+
+
 def test_pre_partitioned_layout_artifacts_refused(spark, emb):
     """A pre-r9 artifact (no layout marker in meta.json) must FAIL to
     load, not silently search without partition pruning — the loader
