@@ -71,6 +71,47 @@ def encode_bmp(width: int, height: int, fill: int) -> bytes:
     )
 
 
+def encode_bmp_row_gradient(width: int, height: int, base: int) -> bytes:
+    """24-bit BMP whose every pixel in top-down row ``r`` has gray level
+    ``(base + r) % 256`` — the deterministic NON-constant payload builder
+    for the resize certificate: nearest-neighbor resampling picks specific
+    source rows (``(i * height) // out_height``), so the resized image's
+    mean is exact integer arithmetic over WHICH rows were chosen — an
+    off-by-one in the resample index map changes the mean and breaks the
+    oracle hash (a constant fill could not see that)."""
+    if not (0 < width and 0 < height and 0 <= base <= 255):
+        raise ValueError("bad BMP parameters")
+    rows = ((base + np.arange(height)) % 256).astype(np.uint8)
+    return _encode_bmp_pixels(
+        np.repeat(rows[:, None, None], 3, axis=2).repeat(width, axis=1)
+    )
+
+
+def encode_wav(
+    samples: np.ndarray, rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Minimal 16-bit PCM WAV writer (stdlib ``wave``) — the deterministic
+    payload builder for the audio certificates; the encode inverse of
+    ``_wav_samples``'s 16-bit path. Float samples in [-1, 1] quantize by
+    ``round(x * 32767)`` (clipped); multichannel input is interleaved
+    frame-major, matching the RIFF layout the decoder hands back."""
+    import wave
+
+    if rate < 1 or n_channels < 1:
+        raise ValueError("need rate >= 1 and n_channels >= 1")
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    if x.size % n_channels:
+        raise ValueError("sample count not divisible by n_channels")
+    pcm = np.round(x * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def _parse_bmp_header(
     payload: bytes,
 ) -> tuple[int, int, int, int, int, bool, int]:

@@ -45,6 +45,36 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# --- r10 staged registrations -------------------------------------------
+# Queries BUILT and oracle-verified in round 9 whose registration is
+# deferred to the r10 window: the r9 window is fully consumed by the
+# prescribed r1/r2 re-sign rotation (VERDICT r8 #2/#3), so a new unsigned
+# registration would either displace a rotation name or sit outside the
+# driver's first-50 window unattested (test_registry_order enforces the
+# invariant either way). Each entry: name -> (fn, oracle_sql or None).
+# tests/test_pending_r10.py runs EVERY entry through the same DuckDB
+# parity harness as the live registry, so the r10 flip — move each entry
+# into @register, lead _SIGN_PRIORITY with the names, add replaced names
+# to _RESIGN — is attestation, not discovery.
+#
+# A name that ALREADY exists in QUERIES marks a REPLACEMENT: the staged
+# fn+oracle upgrade a currently rows-only query to full-oracle (the
+# pinned-centroid IVF persist/append certificates, VERDICT r8 #7).
+PENDING_R10: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register_pending(name: str, oracle: str | None = None):
+    """Stage a query for the r10 signing window (see ``PENDING_R10``)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in PENDING_R10:
+            raise ValueError(f"duplicate pending query name {name!r}")
+        PENDING_R10[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
 # Names with no driver CORRECTNESS row in any prior round, in the order they
 # should be (re-)signed: the external driver checks exactly the FIRST 50
 # registered queries per round (CORRECTNESS_r01/r02 == the first 50 of their
@@ -116,9 +146,10 @@ _SIGN_PRIORITY: list[str] = [
     "q_percentiles",
     "q_interval_join",
     # --- r10 queue: the remaining 8 r2-era names, then the r10-planned
-    # NEW registrations (multimodal audio_features/resize/video t2
-    # queries, pinned-centroid IVF persist/append certificates) which
-    # must land INSIDE that round's window ------------------------------
+    # NEW registrations — already BUILT and oracle-verified as
+    # ``PENDING_R10`` entries (multimodal audio_features/resize/video t2
+    # queries, pinned-centroid IVF persist/append upgrades) which must
+    # land INSIDE that round's window -----------------------------------
     "q_curation_pipeline",
     "q_decontaminate",
     "q_dedup_clusters",

@@ -18,12 +18,18 @@ from pyspark.sql import functions as F
 
 from data_integration_spark.multimodal.binary_ops import (
     attach_binary_metadata,
+    audio_features,
     decode_images,
     encode_bmp,
+    encode_bmp_row_gradient,
+    encode_video,
+    encode_wav,
     extract_features,
+    resize_images,
     sample_frames,
+    sample_video_frames,
 )
-from data_integration_spark.queries import register
+from data_integration_spark.queries import register, register_pending
 from data_integration_spark.sources.catalog import Catalog
 
 
@@ -179,3 +185,207 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually fans out (1–8 frames per doc); the oracle re-slices and
     re-hashes the same chunks in SQL."""
     return sample_frames(_payload_df(spark, sf_dir), every_n_bytes=64)
+
+
+# --- r10-staged queries (PENDING_R10): the r8 multimodal LIBRARY ops
+# (VERDICT r8 #4) as registry-grade t2 queries with arithmetic oracles.
+# Same fixture discipline as q_multimodal_decode: payload parameters are
+# SQL-expressible column arithmetic, the op runs the REAL codec path, and
+# DuckDB predicts the decoder's output from the base table alone.
+
+
+# nearest-neighbor resample rows: out row i reads source row (i*h)//5, so
+# the resized mean is the average of the 5 chosen gradient values — exact
+# integer arithmetic DuckDB reproduces (each chosen row is constant across
+# width and channels; equal rationals ⇒ equal IEEE doubles on both sides)
+_RESIZE_ORACLE = """
+SELECT doc_id AS item_id,
+       CAST(7 AS INT) AS width,
+       CAST(5 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       ROUND(SUM(CAST((doc_id + (u.i * (4 + n_chars % 23)) // 5) % 256
+                      AS DOUBLE)) / 5.0, 6) AS mean_pixel,
+       TRUE AS ok
+FROM documents, UNNEST(GENERATE_SERIES(0, 4)) AS u(i)
+GROUP BY doc_id
+"""
+
+
+def _gradient_bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each document as a genuine 24-bit BMP with a row GRADIENT
+    (top-down row r holds gray ``(doc_id + r) % 256``) — non-constant
+    pixels so the resize certificate can see WHICH rows the resampler
+    chose, not just that bytes survived."""
+    import pandas as pd
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["doc_id"],
+                    "payload": [
+                        encode_bmp_row_gradient(
+                            int(4 + d % 29), int(4 + n % 23), int(d % 256)
+                        )
+                        for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(enc, "item_id long, payload binary")
+
+
+@register_pending("q_multimodal_resize", oracle=_RESIZE_ORACLE)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end (``binary_ops.resize_images``): encode
+    a row-gradient BMP per document, nearest-neighbor resample to 7×5
+    (decode pixels → index-map resample → re-encode), then DECODE the
+    RESIZED payload with the real parser — three codec passes chained, all
+    inside scan partitioning (two mapInPandas stages, no shuffle, no
+    driver traffic). The decoded mean is exact arithmetic over which
+    source rows ``(i * height) // 5`` selected, so an off-by-one in the
+    resample index map (or a padding bug in the re-encode, 7×3 bytes = a
+    non-multiple-of-4 stride) breaks the oracle hash."""
+    src = _gradient_bmp_payload_df(spark, sf_dir)
+    resized = resize_images(src, width=7, height=5)
+    out = decode_images(resized.select("item_id", "payload"))
+    return out.select(
+        "item_id",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        "ok",
+    )
+
+
+# synthesized pure tone at bin k = 4*(doc_id%8)+2 — the Hann main lobe
+# (k±1) sits strictly inside band doc_id%8 of the 8 equal bands over the
+# 33 rfft bins, so the peak band is exact integer arithmetic; frame count
+# is (n_samples − n_fft)/hop + 1 with n_samples = 64 + 32*(doc_id%5)
+_AUDIO_ORACLE = """
+SELECT doc_id AS item_id,
+       CAST(1 + doc_id % 5 AS INT) AS n_frames,
+       CAST(8 AS INT) AS dim,
+       CAST(doc_id % 8 AS INT) AS peak_band,
+       TRUE AS ok
+FROM documents
+"""
+
+
+def _tone_wav_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each document as a genuine 16-bit PCM WAV holding a pure
+    sine at an exact FFT bin: k = 4*(doc_id%8)+2 cycles per 64-sample
+    frame, so every analysis frame sees the identical spectrum and the
+    tone's Hann main lobe lands wholly inside one predicted band."""
+    import numpy as np
+    import pandas as pd
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = 4 * (d % 8) + 2
+                n = 64 + 32 * (d % 5)
+                t = np.arange(n)
+                payloads.append(
+                    encode_wav(0.5 * np.sin(2.0 * np.pi * k * t / 64.0))
+                )
+            yield pd.DataFrame(
+                {"item_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(enc, "item_id long, payload binary")
+
+
+@register_pending("q_multimodal_audio_features", oracle=_AUDIO_ORACLE)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral audio features end-to-end
+    (``binary_ops.audio_features``): encode a pure tone per document as a
+    genuine PCM WAV, decode through the stdlib RIFF parser, Hann-window +
+    rFFT + band-average (numpy, inside the Arrow batch — no shuffle), and
+    emit the certificate projection: frame count (exact hop arithmetic)
+    and argmax band (the tone's band — spectral leakage stays inside it
+    by construction). A wrong hop, window length, rfft bin count, or band
+    edge map moves n_frames or peak_band and breaks the oracle hash; the
+    float band ENERGIES stay pytest-pinned (tone-peak test), since their
+    exact values are FFT-implementation arithmetic no SQL engine
+    reproduces."""
+    feats = audio_features(
+        _tone_wav_payload_df(spark, sf_dir), n_fft=64, hop=32, n_bands=8
+    )
+    return feats.select(
+        "item_id",
+        "n_frames",
+        F.size("feature").alias("dim"),
+        (F.array_position("feature", F.array_max("feature")) - 1)
+        .cast("int")
+        .alias("peak_band"),
+        "ok",
+    )
+
+
+# every_n=2 over n = 1 + doc_id%5 frames ⇒ sampled indices are exactly
+# GENERATE_SERIES(0, doc_id%5, 2); each frame's constant fill is
+# (doc_id + index) % 256, so a walk that miscounts the length-prefixed
+# frame table surfaces as a fill/index mismatch
+_VIDEO_ORACLE = """
+SELECT doc_id AS item_id,
+       CAST(u.i AS INT) AS frame_index,
+       CAST(4 + doc_id % 13 AS INT) AS width,
+       CAST(3 + doc_id % 7 AS INT) AS height,
+       CAST((doc_id + u.i) % 256 AS DOUBLE) AS mean_pixel,
+       TRUE AS ok
+FROM documents, UNNEST(GENERATE_SERIES(0, doc_id % 5, 2)) AS u(i)
+"""
+
+
+def _video_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each document as a VID0 length-prefixed container of
+    1 + doc_id%5 genuine BMP frames (per-frame constant fill varies with
+    the frame index, dims with the doc)."""
+    import pandas as pd
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payloads.append(
+                    encode_video(
+                        [
+                            encode_bmp(
+                                4 + d % 13, 3 + d % 7, (d + i) % 256
+                            )
+                            for i in range(1 + d % 5)
+                        ]
+                    )
+                )
+            yield pd.DataFrame(
+                {"item_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(enc, "item_id long, payload binary")
+
+
+@register_pending("q_multimodal_video_frames", oracle=_VIDEO_ORACLE)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL parsed frame extraction end-to-end
+    (``binary_ops.sample_video_frames``): pack per-document BMP frames
+    into the VID0 length-prefixed container Spark-side, then walk the
+    frame table, sample every 2nd frame, and fully DECODE each sampled
+    frame (real BMP parse → dims + exact constant-fill mean). One row per
+    sampled frame (UDTF shape); the oracle re-derives the sampled index
+    set and each frame's dims/fill from the base table, so a walk that
+    misreads a length prefix, samples the wrong stride, or decodes the
+    wrong byte span breaks the hash."""
+    return sample_video_frames(
+        _video_payload_df(spark, sf_dir), every_n=2, max_frames=8
+    )

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_integration_spark.dedup.minhash import minhash_lsh_pairs
-from data_integration_spark.queries import register
+from data_integration_spark.queries import register, register_pending
 from data_integration_spark.similarity.ann import (
     as_double_array,
     cosine_pairs,
@@ -348,6 +348,170 @@ def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = emb.filter(F.col("vec_id") < 50)
     index = IVFIndex(n_cells=8, seed=11).fit(old).append(new)
     return index.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
+
+
+# --- r10-staged PINNED-CENTROID upgrades (PENDING_R10, VERDICT r8 #7):
+# q_ann_ivf_persist / q_ann_ivf_append re-emitted with centroids set to
+# LITERAL vectors via the load-path mechanism (the r6 pinned-plane LSH
+# oracle pattern), so the ENTIRE persisted/appended-index search — cell
+# assignment, probe ranking, candidate generation, cosine, top-k —
+# becomes DuckDB-recomputable and the pair leaves rows-only (16 → 14).
+# The k-means FIT path keeps its own coverage: q_ann_ivf (rows-only) +
+# q_ann_ivf_invariants (full-oracle assignment certificate) + the
+# loaded==fit and append==assign pytests in tests/test_index_persist.py.
+
+_PIN_CELLS = 8
+_PIN_DIM = 64
+
+
+_IVF_PIN_ORACLE_BODY = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cents AS (
+  SELECT CAST(c.c AS INT) AS cell, CAST(j.j AS INT) AS j,
+         CAST((c.c * 7 + (j.j - 1) * 13) % 11 - 5 AS DOUBLE) / 10.0 AS cv
+  FROM UNNEST(GENERATE_SERIES(0, 7)) AS c(c),
+       UNNEST(GENERATE_SERIES(1, 64)) AS j(j)
+),
+d2 AS (
+  SELECT e.vec_id, cents.cell,
+         SUM((CAST(e.embedding[cents.j] AS DOUBLE) - cents.cv)
+             * (CAST(e.embedding[cents.j] AS DOUBLE) - cents.cv)) AS dd
+  FROM e, cents
+  GROUP BY e.vec_id, cents.cell
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS crank
+    FROM d2 WHERE vec_id < 20
+  ) WHERE crank <= 3
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS mid
+  FROM probe p
+  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid
+),
+norms AS (
+  SELECT vec_id,
+         SQRT(SUM(CAST(embedding[u.i] AS DOUBLE)
+                  * CAST(embedding[u.i] AS DOUBLE))) AS nrm
+  FROM e, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS u(i)
+  GROUP BY vec_id
+),
+dots AS (
+  SELECT c.qid, c.mid,
+         SUM(CAST(q.embedding[u.i] AS DOUBLE)
+             * CAST(m.embedding[u.i] AS DOUBLE)) AS dot
+  FROM cand c
+  JOIN e q ON q.vec_id = c.qid
+  JOIN e m ON m.vec_id = c.mid,
+  UNNEST(GENERATE_SERIES(1, LEN(q.embedding))) AS u(i)
+  GROUP BY c.qid, c.mid
+),
+cos AS (
+  SELECT d.qid, d.mid, ROUND(d.dot / (nq.nrm * nm.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.qid
+  JOIN norms nm ON nm.vec_id = d.mid
+),
+ranked AS (
+  SELECT qid, mid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, mid)
+           AS rank
+  FROM cos
+)
+"""
+
+
+def _pinned_ivf_centroids_df(spark: SparkSession):
+    """Literal centroid table: cell c, dim j holds
+    ``((c*7 + j*13) % 11 - 5) / 10.0`` — pure integer arithmetic then one
+    exact-operand IEEE division, so any engine restates the values
+    bit-identically; the grid spans the testdata embedding range
+    ([-0.53, 0.46]) so cells are non-degenerate."""
+    rows = [
+        (
+            c,
+            [((c * 7 + j * 13) % 11 - 5) / 10.0 for j in range(_PIN_DIM)],
+        )
+        for c in range(_PIN_CELLS)
+    ]
+    return spark.createDataFrame(rows, "cell int, ce array<double>")
+
+
+@register_pending(
+    "q_ann_ivf_persist",
+    oracle=_IVF_PIN_ORACLE_BODY
+    + "SELECT qid, mid, cosine, rank FROM ranked WHERE rank <= 5",
+)
+def q_ann_ivf_persist_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-persistence round-trip under PINNED literal centroids: build
+    the index via the load-path mechanism (centroids set from literal
+    vectors, corpus assigned with the index's own metric), SAVE it
+    (cell-partitioned inverted lists + centroids + meta), LOAD it back,
+    and search FROM THE LOADED ARTIFACT — the once-per-release fit /
+    many-jobs-load shape, now with a FULL oracle: DuckDB restates the
+    literal centroid grid and recomputes assignment argmin, probe
+    ranking, and the top-5 cosine search end to end, so the hash checks
+    the persisted artifact's round-trip fidelity AND the loaded-search
+    path (including its dynamic partition pruning) value-for-value.
+    The k-means fit path stays covered by q_ann_ivf(_invariants) and the
+    loaded==fit pytest."""
+    from data_integration_spark.similarity.ivf import IVFIndex
+    from data_integration_spark.similarity.persist import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    index = IVFIndex(n_cells=_PIN_CELLS, seed=0)
+    index.centroids = _pinned_ivf_centroids_df(spark)
+    index.assigned = index.assign(emb)
+    path = _index_path("ivf_pin", sf_dir)
+    save_ivf_index(index, path)
+    loaded = load_ivf_index(spark, path)
+    return loaded.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
+
+
+@register_pending(
+    "q_ann_ivf_append",
+    oracle=_IVF_PIN_ORACLE_BODY
+    + """SELECT qid, mid, cosine, rank, mid < 50 AS from_new_batch
+FROM ranked WHERE rank <= 5""",
+)
+def q_ann_ivf_append_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index update under PINNED literal centroids: build the
+    index over the EXISTING corpus slice (vec_id ≥ 50) via the load-path
+    mechanism, APPEND the new batch (vec_id < 50) by assigning it to the
+    frozen centroids (no refit — cell boundaries and old results stay
+    reproducible), then search the grown index. FULL oracle: with the
+    centroids literal, append-assignment is the same argmin DuckDB
+    recomputes, so the search over old∪new — provenance-flagged by
+    ``from_new_batch`` to pin that the grown index serves BOTH batches —
+    hash-checks the whole incremental-update path value-for-value."""
+    from data_integration_spark.similarity.ivf import IVFIndex
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    old = emb.filter(F.col("vec_id") >= 50)
+    new = emb.filter(F.col("vec_id") < 50)
+    index = IVFIndex(n_cells=_PIN_CELLS, seed=0)
+    index.centroids = _pinned_ivf_centroids_df(spark)
+    index.assigned = index.assign(old)
+    index.append(new)
+    return index.search(
+        emb.filter(F.col("vec_id") < 20), k=5, nprobe=3
+    ).withColumn("from_new_batch", F.col("mid") < 50)
 
 
 @register("q_ann_pq")  # rows-only: PQ codes/centroids are sample-dependent

@@ -380,20 +380,27 @@ def test_no_unexpected_nested_loop_joins(spark):
     is an all-pairs scale bug waiting for 100×. A query whose builder
     errors is NOT silently exempt (ADVICE r4) — it fails the lint by name
     so un-lintable plans are a visible, deliberate decision."""
+    from data_integration_spark.queries import PENDING_R10
+
     failures = []
     errored: dict[str, str] = {}
-    for name, fn in sorted(QUERIES.items()):
+    # r10-staged queries (PENDING_R10) are linted under the SAME per-name
+    # allowlist they will register with — plan discipline is part of what
+    # the staging gate pre-verifies
+    staged = [(f"{n} [staged]", n, fn) for n, (fn, _o) in PENDING_R10.items()]
+    live = [(n, n, fn) for n, fn in QUERIES.items()]
+    for label, name, fn in sorted(staged + live):
         if name in _PLAN_LINT_EXCLUDED:
             continue
         try:
             plan = formatted_plan(fn(spark, SF))
         except Exception as exc:  # noqa: BLE001 — reported below, not swallowed
-            errored[name] = f"{type(exc).__name__}: {exc}"[:200]
+            errored[label] = f"{type(exc).__name__}: {exc}"[:200]
             continue
         if "CartesianProduct" in plan:
-            failures.append(f"{name}: CartesianProduct")
+            failures.append(f"{label}: CartesianProduct")
         elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
-            failures.append(f"{name}: BroadcastNestedLoopJoin not allowlisted")
+            failures.append(f"{label}: BroadcastNestedLoopJoin not allowlisted")
     assert not failures, failures
     assert not errored, (
         "query builders errored during plan lint — fix them or add to "

@@ -552,6 +552,56 @@ def test_audio_features_spectral_peak_lands_in_right_band(spark):
     assert not rows[3].ok
 
 
+def test_encode_wav_roundtrips_through_decoder():
+    """The new public WAV writer (r9, fixture builder for the staged
+    audio certificate) must be the exact encode inverse of
+    ``_wav_samples``'s 16-bit path: decoded samples equal
+    round(x*32767)/32768 bit-for-bit, channel/rate/frame metadata
+    survive, interleave order is frame-major, and parameter errors raise
+    before any bytes are written."""
+    import numpy as np
+    import pytest
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    x = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 0.123456])
+    nch, rate, nframes, decoded = B._wav_samples(B.encode_wav(x, rate=4000))
+    assert (nch, rate, nframes) == (1, 4000, 6)
+    assert np.array_equal(decoded, np.round(x * 32767.0) / 32768.0)
+    # clipping: out-of-range input saturates at ±32767, not wraparound
+    _, _, _, clipped = B._wav_samples(B.encode_wav(np.array([2.0, -2.0])))
+    assert np.array_equal(clipped, np.array([32767.0, -32767.0]) / 32768.0)
+    # stereo interleave: frame-major layout round-trips
+    stereo = np.array([0.25, -0.25, 0.5, -0.5])  # L0 R0 L1 R1
+    nch, _, nframes, d = B._wav_samples(B.encode_wav(stereo, n_channels=2))
+    assert (nch, nframes) == (2, 2)
+    assert np.array_equal(d, np.round(stereo * 32767.0) / 32768.0)
+    with pytest.raises(ValueError):
+        B.encode_wav(np.zeros(3), n_channels=2)  # not frame-divisible
+    with pytest.raises(ValueError):
+        B.encode_wav(np.zeros(2), rate=0)
+
+
+def test_encode_bmp_row_gradient_exact_rows():
+    """The gradient fixture builder writes top-down row r at gray
+    ``(base + r) % 256`` in all 3 channels — verified through the real
+    decoder (so the bottom-up flip in encode and decode cancel exactly),
+    including the wrap past 255."""
+    import numpy as np
+    import pytest
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    arr = B._decode_bmp_pixels(B.encode_bmp_row_gradient(5, 4, 254))
+    assert arr.shape == (4, 5, 3)
+    for r, want in enumerate([254, 255, 0, 1]):
+        assert (arr[r] == want).all()
+    with pytest.raises(ValueError):
+        B.encode_bmp_row_gradient(0, 4, 10)
+    with pytest.raises(ValueError):
+        B.encode_bmp_row_gradient(4, 4, 256)
+
+
 def test_multimodal_features_shape(payloads):
     rows = extract_features(payloads).collect()
     assert all(len(r.feature) == 16 for r in rows)
