@@ -81,11 +81,15 @@ def main() -> None:
         # the rotation backlog: signed names whose latest driver row is
         # r1/r2-era (stale signatures queued for refresh, r8-r10 plan)
         stale = [n for n in QUERIES if latest.get(n, 99) <= 2]
+        from data_integration_spark.queries import PENDING_R10
+
         print(
             f"[bench] signing debt: {len(unsigned)} unsigned + "
             f"{len(resigns)} re-signs = {demand} vs 50-slot driver window "
             f"({'OK' if demand <= 50 else 'OVERFLOW'}); "
-            f"r1/r2-era rotation backlog: {len(stale)}",
+            f"r1/r2-era rotation backlog: {len(stale)}; "
+            f"r10-staged (PENDING_R10, oracle-verified, will claim window "
+            f"slots at flip): {len(PENDING_R10)}",
             file=sys.stderr,
         )
     except Exception:  # noqa: BLE001 — diagnostics must never break bench

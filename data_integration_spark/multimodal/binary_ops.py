@@ -457,6 +457,18 @@ RESIZED_SCHEMA = (
 )
 
 
+def _resize_pixels(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor index-map resample of a (h, w, ch) array to
+    (height, width, ch): output pixel (i, j) reads source pixel
+    ``((i*h_src)//height, (j*w_src)//width)`` — the standard floor map
+    (downsampling selects, upsampling replicates). Factored out of
+    ``resize_images`` so the index arithmetic is property-testable
+    against a brute-force per-pixel reference without a Spark job."""
+    ys = (np.arange(height) * arr.shape[0]) // height
+    xs = (np.arange(width) * arr.shape[1]) // width
+    return np.ascontiguousarray(arr[ys][:, xs])
+
+
 def resize_images(
     df: DataFrame,
     width: int,
@@ -484,9 +496,7 @@ def resize_images(
                         arr = np.repeat(arr, 3, axis=2)
                     elif arr.shape[2] == 4:
                         arr = arr[:, :, :3]
-                    ys = (np.arange(height) * arr.shape[0]) // height
-                    xs = (np.arange(width) * arr.shape[1]) // width
-                    out = np.ascontiguousarray(arr[ys][:, xs])
+                    out = _resize_pixels(arr, width, height)
                     rows.append(
                         (item_id, _encode_bmp_pixels(out), width, height, True)
                     )

@@ -1,0 +1,84 @@
+"""Property tests for the pure-Python multimodal codecs (no Spark jobs —
+the Arrow/mapInPandas plumbing is covered by the deterministic Spark tests
+and the oracle certificates; here Hypothesis sweeps the CODEC arithmetic
+itself, the same discipline that caught the survey-SE cancellation in r8).
+
+Targets:
+- BMP pixel encode/decode round-trip at arbitrary dims (row padding: every
+  width % 4 residue class), including the bottom-up flip cancelling;
+- the nearest-neighbor resample index map vs a brute-force per-pixel
+  reference (down- AND up-sampling, the exact floor-map contract the
+  staged resize certificate's oracle arithmetic assumes);
+- WAV 16-bit quantize/encode/decode round-trip incl. clipping and stereo
+  interleave (the staged audio certificate's fixture path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_integration_spark.multimodal import binary_ops as B
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    height=st.integers(1, 9),
+    width=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_pixel_roundtrip_any_dims(height, width, seed):
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    out = B._decode_bmp_pixels(B._encode_bmp_pixels(arr))
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    src_h=st.integers(1, 10),
+    src_w=st.integers(1, 10),
+    out_h=st.integers(1, 10),
+    out_w=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_resize_index_map_matches_bruteforce(src_h, src_w, out_h, out_w, seed):
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(src_h, src_w, 3), dtype=np.uint8)
+    got = B._resize_pixels(arr, out_w, out_h)
+    assert got.shape == (out_h, out_w, 3)
+    for i in range(out_h):
+        for j in range(out_w):
+            assert np.array_equal(
+                got[i, j], arr[(i * src_h) // out_h, (j * src_w) // out_w]
+            )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    samples=st.lists(
+        st.floats(-2.0, 2.0, allow_nan=False), min_size=1, max_size=64
+    ),
+    rate=st.integers(1, 48000),
+)
+def test_wav_quantize_roundtrip(samples, rate):
+    x = np.asarray(samples)
+    nch, r, nframes, decoded = B._wav_samples(B.encode_wav(x, rate=rate))
+    assert (nch, r, nframes) == (1, rate, len(samples))
+    want = np.round(np.clip(x, -1.0, 1.0) * 32767.0) / 32768.0
+    assert np.array_equal(decoded, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    frames=st.lists(
+        st.floats(-1.0, 1.0, allow_nan=False), min_size=2, max_size=64
+    ).filter(lambda xs: len(xs) % 2 == 0),
+)
+def test_wav_stereo_interleave_roundtrip(frames):
+    x = np.asarray(frames)
+    nch, _r, nframes, decoded = B._wav_samples(B.encode_wav(x, n_channels=2))
+    assert (nch, nframes) == (2, len(frames) // 2)
+    assert np.array_equal(decoded, np.round(x * 32767.0) / 32768.0)
