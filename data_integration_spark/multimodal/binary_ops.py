@@ -71,19 +71,24 @@ def encode_bmp(width: int, height: int, fill: int) -> bytes:
     )
 
 
-def encode_bmp_row_gradient(width: int, height: int, base: int) -> bytes:
-    """24-bit BMP whose every pixel in top-down row ``r`` has gray level
-    ``(base + r) % 256`` — the deterministic NON-constant payload builder
-    for the resize certificate: nearest-neighbor resampling picks specific
-    source rows (``(i * height) // out_height``), so the resized image's
-    mean is exact integer arithmetic over WHICH rows were chosen — an
-    off-by-one in the resample index map changes the mean and breaks the
-    oracle hash (a constant fill could not see that)."""
+def encode_bmp_gradient(width: int, height: int, base: int) -> bytes:
+    """24-bit BMP whose pixel at top-down (row r, col c) has gray level
+    ``(base + r + 2*c) % 256`` in all 3 channels — the deterministic
+    NON-constant payload builder for the resize certificate:
+    nearest-neighbor resampling picks specific source rows AND columns
+    (``(i*h_src)//out_h``, ``(j*w_src)//out_w``), so the resized image's
+    mean is exact integer arithmetic over WHICH (row, col) pairs were
+    chosen. An off-by-one on either axis — or a row/col transposition,
+    which the asymmetric 1·r + 2·c coefficients expose — changes the
+    mean and breaks the oracle hash (a constant fill, or a row-only
+    gradient, would be blind to the column half of the index map)."""
     if not (0 < width and 0 < height and 0 <= base <= 255):
         raise ValueError("bad BMP parameters")
-    rows = ((base + np.arange(height)) % 256).astype(np.uint8)
+    grid = (
+        base + np.arange(height)[:, None] + 2 * np.arange(width)[None, :]
+    ) % 256
     return _encode_bmp_pixels(
-        np.repeat(rows[:, None, None], 3, axis=2).repeat(width, axis=1)
+        np.repeat(grid.astype(np.uint8)[:, :, None], 3, axis=2)
     )
 
 
@@ -99,7 +104,13 @@ def encode_wav(
 
     if rate < 1 or n_channels < 1:
         raise ValueError("need rate >= 1 and n_channels >= 1")
-    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    x = np.asarray(samples, dtype=np.float64)
+    if not np.isfinite(x).all():
+        # np.clip passes NaN through and int16-casting NaN is
+        # platform-UNDEFINED — a nondeterministic payload from a builder
+        # whose purpose is deterministic bytes must fail loudly instead
+        raise ValueError("non-finite sample values")
+    x = np.clip(x, -1.0, 1.0)
     if x.size % n_channels:
         raise ValueError("sample count not divisible by n_channels")
     pcm = np.round(x * 32767.0).astype("<i2")

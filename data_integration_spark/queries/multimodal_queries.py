@@ -21,7 +21,7 @@ from data_integration_spark.multimodal.binary_ops import (
     audio_features,
     decode_images,
     encode_bmp,
-    encode_bmp_row_gradient,
+    encode_bmp_gradient,
     encode_video,
     encode_wav,
     extract_features,
@@ -194,28 +194,31 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB predicts the decoder's output from the base table alone.
 
 
-# nearest-neighbor resample rows: out row i reads source row (i*h)//5, so
-# the resized mean is the average of the 5 chosen gradient values — exact
-# integer arithmetic DuckDB reproduces (each chosen row is constant across
-# width and channels; equal rationals ⇒ equal IEEE doubles on both sides)
+# nearest-neighbor resample: out pixel (i, j) reads source pixel
+# ((i*h)//5, (j*w)//7), whose gradient value is (doc_id + row + 2*col) %
+# 256 — the resized mean is exact integer arithmetic over BOTH halves of
+# the index map (equal rationals ⇒ equal IEEE doubles on both sides)
 _RESIZE_ORACLE = """
 SELECT doc_id AS item_id,
        CAST(7 AS INT) AS width,
        CAST(5 AS INT) AS height,
        CAST(3 AS INT) AS n_channels,
-       ROUND(SUM(CAST((doc_id + (u.i * (4 + n_chars % 23)) // 5) % 256
-                      AS DOUBLE)) / 5.0, 6) AS mean_pixel,
+       ROUND(SUM(CAST((doc_id + (u.i * (4 + n_chars % 23)) // 5
+                       + 2 * ((v.j * (4 + doc_id % 29)) // 7)) % 256
+                      AS DOUBLE)) / 35.0, 6) AS mean_pixel,
        TRUE AS ok
-FROM documents, UNNEST(GENERATE_SERIES(0, 4)) AS u(i)
+FROM documents,
+     UNNEST(GENERATE_SERIES(0, 4)) AS u(i),
+     UNNEST(GENERATE_SERIES(0, 6)) AS v(j)
 GROUP BY doc_id
 """
 
 
 def _gradient_bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode each document as a genuine 24-bit BMP with a row GRADIENT
-    (top-down row r holds gray ``(doc_id + r) % 256``) — non-constant
-    pixels so the resize certificate can see WHICH rows the resampler
-    chose, not just that bytes survived."""
+    """Encode each document as a genuine 24-bit BMP with a 2-D GRADIENT
+    (top-down pixel (r, c) holds gray ``(doc_id + r + 2*c) % 256``) —
+    non-constant on both axes so the resize certificate sees WHICH rows
+    AND columns the resampler chose, not just that bytes survived."""
     import pandas as pd
 
     docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "n_chars")
@@ -226,7 +229,7 @@ def _gradient_bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "item_id": pdf["doc_id"],
                     "payload": [
-                        encode_bmp_row_gradient(
+                        encode_bmp_gradient(
                             int(4 + d % 29), int(4 + n % 23), int(d % 256)
                         )
                         for d, n in zip(pdf["doc_id"], pdf["n_chars"])
@@ -240,14 +243,16 @@ def _gradient_bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_pending("q_multimodal_resize", oracle=_RESIZE_ORACLE)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize end-to-end (``binary_ops.resize_images``): encode
-    a row-gradient BMP per document, nearest-neighbor resample to 7×5
+    a 2-D-gradient BMP per document, nearest-neighbor resample to 7×5
     (decode pixels → index-map resample → re-encode), then DECODE the
     RESIZED payload with the real parser — three codec passes chained, all
     inside scan partitioning (two mapInPandas stages, no shuffle, no
     driver traffic). The decoded mean is exact arithmetic over which
-    source rows ``(i * height) // 5`` selected, so an off-by-one in the
-    resample index map (or a padding bug in the re-encode, 7×3 bytes = a
-    non-multiple-of-4 stride) breaks the oracle hash."""
+    source rows ``(i*h)//5`` AND columns ``(j*w)//7`` were selected
+    (asymmetric 1·row + 2·col coefficients), so an off-by-one or
+    transposition on either axis of the resample index map — or a padding
+    bug in the re-encode, 7×3 bytes = a non-multiple-of-4 stride — breaks
+    the oracle hash."""
     src = _gradient_bmp_payload_df(spark, sf_dir)
     resized = resize_images(src, width=7, height=5)
     out = decode_images(resized.select("item_id", "payload"))

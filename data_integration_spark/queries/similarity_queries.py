@@ -359,6 +359,15 @@ def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The k-means FIT path keeps its own coverage: q_ann_ivf (rows-only) +
 # q_ann_ivf_invariants (full-oracle assignment certificate) + the
 # loaded==fit and append==assign pytests in tests/test_index_persist.py.
+#
+# Float-safety of the cross-engine argmin (the one UNROUNDED comparison
+# here): Spark folds each squared distance sequentially, DuckDB sums
+# unnested terms in unspecified order — disagreement requires a decision
+# margin at the ~1e-13 reduction-noise scale. The measured margins on
+# the harness data are ≥ 3e-5 (assignment) / ≥ 4e-5 (probe boundary),
+# eight orders above the floor, and pinned per-SF by
+# tests/test_pending_r10.py::test_pinned_centroid_margins_dominate_fp_noise
+# so a testdata change re-derives the argument before an oracle flake.
 
 _PIN_CELLS = 8
 _PIN_DIM = 64
@@ -495,9 +504,15 @@ def q_ann_ivf_append_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     frozen centroids (no refit — cell boundaries and old results stay
     reproducible), then search the grown index. FULL oracle: with the
     centroids literal, append-assignment is the same argmin DuckDB
-    recomputes, so the search over old∪new — provenance-flagged by
-    ``from_new_batch`` to pin that the grown index serves BOTH batches —
-    hash-checks the whole incremental-update path value-for-value."""
+    recomputes, so the search over old∪new hash-checks the whole
+    incremental-update path value-for-value. ``from_new_batch`` is
+    provenance carried on the INDEX's inverted-list rows (tagged at
+    assign time, before the union) and joined back onto the search
+    output — so every served neighbor must be backed by exactly ONE
+    inverted-list row labeled with the batch that contributed it: an
+    append that dropped, duplicated, or mis-batched rows changes the
+    output multiset, which ``mid < 50`` recomputed after the fact could
+    never detect."""
     from data_integration_spark.similarity.ivf import IVFIndex
 
     emb = Catalog(spark, sf_dir)["embeddings"].select(
@@ -507,11 +522,22 @@ def q_ann_ivf_append_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = emb.filter(F.col("vec_id") < 50)
     index = IVFIndex(n_cells=_PIN_CELLS, seed=0)
     index.centroids = _pinned_ivf_centroids_df(spark)
-    index.assigned = index.assign(old)
-    index.append(new)
-    return index.search(
-        emb.filter(F.col("vec_id") < 20), k=5, nprobe=3
-    ).withColumn("from_new_batch", F.col("mid") < 50)
+    # the append step with provenance-tagged inverted-list rows: this
+    # unionByName of two frozen-centroid assign() passes IS what
+    # IVFIndex.append performs (whose own equivalence to this stays
+    # pinned by tests/test_index_persist.py) — tagging must happen
+    # before the union or batch origin is unrecoverable from the index
+    index.assigned = (
+        index.assign(old)
+        .withColumn("from_new_batch", F.lit(False))
+        .unionByName(
+            index.assign(new).withColumn("from_new_batch", F.lit(True))
+        )
+    )
+    res = index.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
+    return res.join(
+        index.assigned.select("mid", "from_new_batch"), "mid"
+    ).select("qid", "mid", "cosine", "rank", "from_new_batch")
 
 
 @register("q_ann_pq")  # rows-only: PQ codes/centroids are sample-dependent

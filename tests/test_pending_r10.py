@@ -53,6 +53,40 @@ def test_pending_replacements_upgrade_rows_only_queries():
             assert oracle is not None, f"{name}: replacement drops the oracle"
 
 
+def test_pinned_centroid_margins_dominate_fp_noise():
+    """The staged IVF oracles compare UNROUNDED squared-distance argmins
+    across engines whose summation ORDERS differ (Spark: sequential
+    zip_with fold; DuckDB: unordered SUM over unnest) — safe only if the
+    decision margins dwarf reduction-order noise (~dd·ε·dims ≈ 1e-13 at
+    dd≈6.5). This pins the measured margins on every harness SF: the
+    smallest best-vs-second-best assignment gap and the smallest
+    probe-boundary (3rd-vs-4th cell) gap are ≥ 1e-5 — eight orders above
+    the noise floor, so a cross-engine argmin flip cannot occur on this
+    data. (The sf10 rehearsal corpus replicates sf0.1's embeddings, so
+    its margins are identical.) If the testdata ever changes, this test
+    re-derives the safety argument or fails loudly BEFORE an oracle
+    flake would."""
+    import duckdb
+    import numpy as np
+
+    C = np.array(
+        [
+            [((c * 7 + j * 13) % 11 - 5) / 10.0 for j in range(64)]
+            for c in range(8)
+        ]
+    )
+    for sf in ("0.001", "0.01", "0.1"):
+        pdf = duckdb.sql(
+            "SELECT embedding FROM "
+            f"'/root/testdata/sf{sf}/embeddings.parquet'"
+        ).df()
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        s = np.sort(d, axis=1)
+        assert (s[:, 1] - s[:, 0]).min() > 1e-5, sf  # assignment argmin
+        assert (s[:, 3] - s[:, 2]).min() > 1e-5, sf  # nprobe=3 boundary
+
+
 @pytest.mark.parametrize("name", sorted(PENDING_R10))
 def test_pending_query_matches_oracle(spark, name):
     """Driver-mimic value gate at sf0.001 (identical code paths to the

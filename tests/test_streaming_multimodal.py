@@ -582,24 +582,41 @@ def test_encode_wav_roundtrips_through_decoder():
         B.encode_wav(np.zeros(2), rate=0)
 
 
-def test_encode_bmp_row_gradient_exact_rows():
-    """The gradient fixture builder writes top-down row r at gray
-    ``(base + r) % 256`` in all 3 channels — verified through the real
-    decoder (so the bottom-up flip in encode and decode cancel exactly),
-    including the wrap past 255."""
+def test_encode_bmp_gradient_exact_pixels():
+    """The 2-D gradient fixture builder writes top-down pixel (r, c) at
+    gray ``(base + r + 2*c) % 256`` in all 3 channels — verified through
+    the real decoder (so the bottom-up flip in encode and decode cancel
+    exactly), including the wrap past 255 and the row/col asymmetry."""
     import numpy as np
     import pytest
 
     from data_integration_spark.multimodal import binary_ops as B
 
-    arr = B._decode_bmp_pixels(B.encode_bmp_row_gradient(5, 4, 254))
+    arr = B._decode_bmp_pixels(B.encode_bmp_gradient(5, 4, 250))
     assert arr.shape == (4, 5, 3)
-    for r, want in enumerate([254, 255, 0, 1]):
-        assert (arr[r] == want).all()
+    for r in range(4):
+        for c in range(5):
+            assert (arr[r, c] == (250 + r + 2 * c) % 256).all(), (r, c)
+    # asymmetric coefficients: a transposed builder could not produce this
+    assert arr[1, 0, 0] != arr[0, 1, 0]
     with pytest.raises(ValueError):
-        B.encode_bmp_row_gradient(0, 4, 10)
+        B.encode_bmp_gradient(0, 4, 10)
     with pytest.raises(ValueError):
-        B.encode_bmp_row_gradient(4, 4, 256)
+        B.encode_bmp_gradient(4, 4, 256)
+
+
+def test_encode_wav_rejects_non_finite_samples():
+    """NaN/inf samples must raise, never silently int16-cast to a
+    platform-dependent payload — the fixture builder's determinism
+    contract."""
+    import numpy as np
+    import pytest
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    for bad in (np.nan, np.inf, -np.inf):
+        with pytest.raises(ValueError):
+            B.encode_wav(np.array([0.0, bad]))
 
 
 def test_multimodal_features_shape(payloads):
