@@ -48,6 +48,24 @@ def main() -> None:
         f"{len(QUERIES) - n_oracle} rows-only.**",
         "",
     ]
+    from data_integration_spark.queries import PENDING_R10  # noqa: E402
+
+    if PENDING_R10:
+        lines += [
+            "## Staged for the r10 window (PENDING_R10 — not yet registered)",
+            "",
+            "Built and oracle-verified ahead of their signing round "
+            "(tests/test_pending_r10.py); names already in the table above "
+            "are rows-only → full-oracle upgrades at the flip.",
+            "",
+            "| staged query | module | what it does |",
+            "|---|---|---|",
+        ]
+        for name, (fn, _oracle) in PENDING_R10.items():
+            mod = fn.__module__.rsplit(".", 1)[-1]
+            desc = first_sentence(fn.__doc__).replace("|", "\\|")
+            lines.append(f"| `{name}` | {mod} | {desc} |")
+        lines.append("")
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "QUERIES.md",
