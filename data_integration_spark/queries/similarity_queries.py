@@ -439,19 +439,24 @@ ranked AS (
 """
 
 
-def _pinned_ivf_centroids_df(spark: SparkSession):
-    """Literal centroid table: cell c, dim j holds
+def pinned_centroid_grid() -> list[list[float]]:
+    """The literal centroid grid as pure Python: cell c, dim j holds
     ``((c*7 + j*13) % 11 - 5) / 10.0`` — pure integer arithmetic then one
     exact-operand IEEE division, so any engine restates the values
     bit-identically; the grid spans the testdata embedding range
-    ([-0.53, 0.46]) so cells are non-degenerate."""
-    rows = [
-        (
-            c,
-            [((c * 7 + j * 13) % 11 - 5) / 10.0 for j in range(_PIN_DIM)],
-        )
+    ([-0.53, 0.46]) so cells are non-degenerate. SINGLE SOURCE OF TRUTH
+    for the Spark builder below AND the float-safety margin pin
+    (tests/test_pending_r10.py) — only the DuckDB oracle necessarily
+    restates the formula in SQL, and the staged parity tests hash-check
+    that restatement against this one at every SF."""
+    return [
+        [((c * 7 + j * 13) % 11 - 5) / 10.0 for j in range(_PIN_DIM)]
         for c in range(_PIN_CELLS)
     ]
+
+
+def _pinned_ivf_centroids_df(spark: SparkSession):
+    rows = [(c, v) for c, v in enumerate(pinned_centroid_grid())]
     return spark.createDataFrame(rows, "cell int, ce array<double>")
 
 
@@ -522,18 +527,12 @@ def q_ann_ivf_append_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = emb.filter(F.col("vec_id") < 50)
     index = IVFIndex(n_cells=_PIN_CELLS, seed=0)
     index.centroids = _pinned_ivf_centroids_df(spark)
-    # the append step with provenance-tagged inverted-list rows: this
-    # unionByName of two frozen-centroid assign() passes IS what
-    # IVFIndex.append performs (whose own equivalence to this stays
-    # pinned by tests/test_index_persist.py) — tagging must happen
-    # before the union or batch origin is unrecoverable from the index
-    index.assigned = (
-        index.assign(old)
-        .withColumn("from_new_batch", F.lit(False))
-        .unionByName(
-            index.assign(new).withColumn("from_new_batch", F.lit(True))
-        )
+    # provenance must be stamped at assign/append time — after the union
+    # the batch origin is unrecoverable from the index itself
+    index.assigned = index.assign(old).withColumn(
+        "from_new_batch", F.lit(False)
     )
+    index.append(new, extra_cols={"from_new_batch": F.lit(True)})
     res = index.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
     return res.join(
         index.assigned.select("mid", "from_new_batch"), "mid"

@@ -192,17 +192,30 @@ class IVFIndex:
         )
 
     def append(
-        self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "e"
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "e",
+        extra_cols: dict | None = None,
     ) -> "IVFIndex":
         """Append new vectors to the inverted lists (assign-only, centroids
         frozen) — the index grows without a refit, so search results over
         old vectors are unchanged and reproducibility across jobs holds.
         Re-fit deliberately stays a separate, explicit operation: centroid
-        drift is a corpus-release decision, not a side effect."""
+        drift is a corpus-release decision, not a side effect.
+
+        ``extra_cols``: optional {name: Column} annotations stamped onto
+        the appended inverted-list rows before the union — batch
+        provenance (which release/crawl contributed a row) travels ON the
+        index rather than being re-derived after the fact. When the
+        existing ``assigned`` table carries annotation columns, every
+        append must supply the same ones (unionByName resolves by name
+        and fails loudly on a mismatch, never silently NULL-fills)."""
         assert self.assigned is not None, "fit or load first"
-        self.assigned = self.assigned.unionByName(
-            self.assign(vectors, id_col, vec_col)
-        )
+        add = self.assign(vectors, id_col, vec_col)
+        for name, col in (extra_cols or {}).items():
+            add = add.withColumn(name, col)
+        self.assigned = self.assigned.unionByName(add)
         return self
 
     def search(

@@ -190,6 +190,30 @@ def test_ivf_append_matches_quantizer_assignment(spark, emb):
     del full_fit
 
 
+def test_ivf_append_extra_cols_provenance(spark, emb):
+    """``append(extra_cols=...)`` stamps annotations onto the appended
+    inverted-list rows (batch provenance travels ON the index — the
+    staged q_ann_ivf_append certificate's mechanism); once the assigned
+    table carries an annotation column, an UNTAGGED append must fail
+    loudly (never silently NULL-fill a provenance column)."""
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException
+
+    old = emb.filter(F.col("vec_id") >= 50)
+    new = emb.filter(F.col("vec_id") < 50)
+    idx = IVFIndex(n_cells=4, seed=11).fit(old)
+    idx.assigned = idx.assigned.withColumn("from_new_batch", F.lit(False))
+    idx.append(new, extra_cols={"from_new_batch": F.lit(True)})
+    tags = {r.mid: r.from_new_batch for r in idx.assigned.collect()}
+    assert len(tags) == emb.count()
+    assert all(tagged == (mid < 50) for mid, tagged in tags.items())
+    # untagged append into an annotated index: loud schema failure
+    idx2 = IVFIndex(n_cells=4, seed=11).fit(old)
+    idx2.assigned = idx2.assigned.withColumn("src", F.lit("r1"))
+    with _pytest.raises(AnalysisException):
+        idx2.append(new).assigned.collect()
+
+
 def test_ivf_append_preserves_old_search_results(spark, emb):
     """Search restricted to the old corpus must return identical rows
     before and after an append (frozen centroids ⇒ old cells unchanged)."""

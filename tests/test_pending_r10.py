@@ -69,12 +69,11 @@ def test_pinned_centroid_margins_dominate_fp_noise():
     import duckdb
     import numpy as np
 
-    C = np.array(
-        [
-            [((c * 7 + j * 13) % 11 - 5) / 10.0 for j in range(64)]
-            for c in range(8)
-        ]
+    from data_integration_spark.queries.similarity_queries import (
+        pinned_centroid_grid,
     )
+
+    C = np.array(pinned_centroid_grid())
     for sf in ("0.001", "0.01", "0.1"):
         pdf = duckdb.sql(
             "SELECT embedding FROM "

@@ -10,7 +10,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from data_integration_spark.queries import ORACLES, QUERIES, load_all  # noqa: E402
+from data_integration_spark.queries import (  # noqa: E402
+    ORACLES,
+    PENDING_R10,
+    QUERIES,
+    load_all,
+)
 
 
 def first_sentence(doc: str | None) -> str:
@@ -48,8 +53,6 @@ def main() -> None:
         f"{len(QUERIES) - n_oracle} rows-only.**",
         "",
     ]
-    from data_integration_spark.queries import PENDING_R10  # noqa: E402
-
     if PENDING_R10:
         lines += [
             "## Staged for the r10 window (PENDING_R10 — not yet registered)",
