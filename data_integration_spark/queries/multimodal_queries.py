@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_integration_spark.dedup.simhash import hamming_near_pairs
 from data_integration_spark.multimodal.binary_ops import (
     attach_binary_metadata,
     audio_features,
@@ -25,6 +26,7 @@ from data_integration_spark.multimodal.binary_ops import (
     encode_video,
     encode_wav,
     extract_features,
+    image_dhash,
     resize_images,
     sample_frames,
     sample_video_frames,
@@ -378,6 +380,110 @@ def _video_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(enc, "item_id long, payload binary")
+
+
+# Fixture bit-pattern contract (shared by the Spark encoder and the SQL
+# oracle): docs form groups of 4 (g = doc_id // 4, member m = doc_id % 4);
+# the 56 target bits are md5(g)'s first 14 hex chars with member m
+# flipping bits k < m — so within-group Hamming distances are EXACTLY
+# |m1 − m2| ∈ {1, 2, 3} and cross-group distances are md5-random (~28).
+# Pixels realize the bits as a ±10 random walk from 100 (range [30, 170]),
+# so the REAL decode → gray → resample → compare pipeline must recover
+# every bit for the pair table to hash-match.
+_DHASH_ORACLE = """
+WITH v AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTRING(MD5(CAST(doc_id // 4 AS VARCHAR)), 1, 14)
+              AS BIGINT) AS base
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN ((base >> u.k) & 1 = 1) <> (u.k < doc_id % 4)
+                       THEN CAST(1 AS BIGINT) << u.k
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dh
+  FROM v, UNNEST(GENERATE_SERIES(0, 55)) AS u(k)
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(BIT_COUNT(XOR(a.dh, b.dh)) AS BIGINT) AS distance
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.dh, b.dh)) <= 3
+"""
+
+
+def _dhash_bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each document as a genuine 8×8 BMP whose dHash bits are the
+    PLANNED pattern (see _DHASH_ORACLE contract): bit (r, c) drives the
+    ±10 step from pixel (r, c) to (r, c+1), so the image realizes the
+    target difference structure exactly."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from data_integration_spark.multimodal.binary_ops import (
+        _encode_bmp_pixels,
+    )
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, m = d // 4, d % 4
+                base = int(
+                    hashlib.md5(str(g).encode()).hexdigest()[:14], 16
+                )
+                arr = np.zeros((8, 8), dtype=np.int64)
+                arr[:, 0] = 100
+                for r in range(8):
+                    for c in range(7):
+                        k = r * 7 + c
+                        bit = ((base >> k) & 1 == 1) != (k < m)
+                        arr[r, c + 1] = arr[r, c] + (10 if bit else -10)
+                payloads.append(
+                    _encode_bmp_pixels(
+                        np.repeat(
+                            arr.astype(np.uint8)[:, :, None], 3, axis=2
+                        )
+                    )
+                )
+            yield pd.DataFrame(
+                {"item_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(enc, "item_id long, payload binary")
+
+
+@register_pending("q_image_dedup_dhash", oracle=_DHASH_ORACLE)
+def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE near-dup pairing — the multimodal×dedup
+    intersection (image dedup was byte-sha exact only): REAL 56-bit
+    dHash per image (``binary_ops.image_dhash`` — decode → gray →
+    NN-resample to 7×8 differences), then ALL pairs within Hamming
+    distance 3 via the generic pigeonhole block join
+    (``dedup/simhash.py::hamming_near_pairs`` — exact recall by theorem,
+    4 blocks of 14 bits, never O(N²)). The fixture plants groups of 4
+    near-identical images with within-group distances EXACTLY
+    {1, 2, 3}; the oracle recomputes the planned bit pattern (md5
+    arithmetic both engines share), the hashes, and the all-pairs
+    answer — so a wrong gray conversion, resample index, comparison
+    direction, bit packing, block split, OR a recall-losing pair join
+    all break the driver hash."""
+    sig = image_dhash(_dhash_bmp_payload_df(spark, sf_dir))
+    pairs = hamming_near_pairs(
+        sig.filter(F.col("ok")).select(F.col("item_id"), F.col("dhash")),
+        bits=56,
+        max_distance=3,
+        id_col="item_id",
+        sig_col="dhash",
+    )
+    return pairs.select(
+        "d1", "d2", F.col("distance").cast("long").alias("distance")
+    )
 
 
 @register_pending("q_multimodal_video_frames", oracle=_VIDEO_ORACLE)

@@ -82,3 +82,36 @@ def test_wav_stereo_interleave_roundtrip(frames):
     nch, _r, nframes, decoded = B._wav_samples(B.encode_wav(x, n_channels=2))
     assert (nch, nframes) == (2, len(frames) // 2)
     assert np.array_equal(decoded, np.round(x * 32767.0) / 32768.0)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    factor=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_dhash_invariant_under_integer_nn_upscale(factor, seed):
+    """The perceptual property that makes dHash a NEAR-dup fingerprint:
+    an integer-factor nearest-neighbor upscale of an image hashes
+    IDENTICALLY (the 8×(7+1) resample picks exactly the original pixels
+    back: (i*(8f))//8 = i*f, a pixel the upscale copied from source i)."""
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    up = arr.repeat(factor, axis=0).repeat(factor, axis=1)
+    h1 = B._dhash_bits(B._encode_bmp_pixels(arr), 7, 8)
+    h2 = B._dhash_bits(B._encode_bmp_pixels(up), 7, 8)
+    assert h1 == h2
+    assert 0 <= h1 < (1 << 56)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), r=st.integers(0, 7), c=st.integers(0, 6))
+def test_dhash_bit_positions_match_definition(seed, r, c):
+    """Bit k = r*7 + c of the packed hash equals the (gray[r,c+1] >
+    gray[r,c]) comparison computed independently — pins the row-major
+    little-endian packing the SQL oracle's bit arithmetic assumes."""
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    h = B._dhash_bits(B._encode_bmp_pixels(arr), 7, 8)
+    gray = arr.astype(np.float64).mean(axis=2)
+    want = gray[r, c + 1] > gray[r, c]
+    assert ((h >> (r * 7 + c)) & 1 == 1) == want

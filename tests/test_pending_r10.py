@@ -35,6 +35,7 @@ def test_pending_block_is_populated_and_well_formed():
         "q_multimodal_audio_features",
         "q_multimodal_resize",
         "q_multimodal_video_frames",
+        "q_image_dedup_dhash",
         "q_ann_ivf_persist",
         "q_ann_ivf_append",
     }

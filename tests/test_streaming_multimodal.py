@@ -619,6 +619,32 @@ def test_encode_wav_rejects_non_finite_samples():
             B.encode_wav(np.array([0.0, bad]))
 
 
+def test_image_dhash_spark_path(spark):
+    """image_dhash over a DataFrame: a hand-built image yields the
+    hash _dhash_bits computes directly; junk payloads surface ok=False
+    with dhash=0; hash_w*hash_h > 62 raises before any job."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    payload = B._encode_bmp_pixels(arr)
+    df = spark.createDataFrame(
+        [
+            Row(item_id=1, payload=bytearray(payload)),
+            Row(item_id=2, payload=bytearray(b"not an image")),
+        ]
+    )
+    rows = {r.item_id: r for r in B.image_dhash(df).collect()}
+    assert rows[1].ok and rows[1].dhash == B._dhash_bits(payload, 7, 8)
+    assert not rows[2].ok and rows[2].dhash == 0
+    with pytest.raises(ValueError):
+        B.image_dhash(df, hash_w=8, hash_h=8)  # 64 bits > signed range
+
+
 def test_multimodal_features_shape(payloads):
     rows = extract_features(payloads).collect()
     assert all(len(r.feature) == 16 for r in rows)
