@@ -104,13 +104,30 @@ def hamming_near_pairs(
     SCALE SIZING: random-fingerprint candidate volume ≈
     N²·(d+1)·2^(−width) with width = bits//(d+1). 56 bits at d=3 (14-bit
     blocks) keeps the join linear-ish to ~10⁷ images (measured: 500k
-    images → 750k true pairs + ~0 random collisions, 15 s local); at
-    10⁸–10⁹ use a WIDER fingerprint so width grows with log₂(N) — the
-    function is generic over ``bits`` (e.g. a 256-bit perceptual hash at
-    d=3 gives 64-bit blocks and a vanishing collision rate). Recall
-    stays exact at any width; width only buys candidate pruning."""
+    images → 750k true pairs + ~0 random collisions, 15 s local). This
+    single-long implementation supports ``bits ≤ 64`` with block width
+    ``bits // (d+1)`` in [1, 63] (the fingerprint lives in one int64;
+    wider block masks don't fit LongType) — at 10⁸–10⁹
+    items, where wider blocks are needed, extend the fingerprint to
+    MULTIPLE long columns (one per block, e.g. a 256-bit hash as 4
+    64-bit block columns: join per block column, sum per-block
+    bit_counts for the distance). Recall stays exact at any width;
+    width only buys candidate pruning."""
     n_blocks = max_distance + 1
+    if max_distance < 0 or bits > 64:
+        raise ValueError(
+            f"need 0 <= max_distance and bits <= 64 (single-long "
+            f"fingerprint), got bits={bits}, max_distance={max_distance}"
+        )
     width = bits // n_blocks
+    if not (1 <= width <= 63):
+        # width 0 collapses every block key to 0 and the join silently
+        # degrades to the O(N²) cross product this function exists to
+        # avoid; width 64's mask (2⁶⁴−1) does not fit a Spark long
+        raise ValueError(
+            f"block width bits//(max_distance+1) = {width} outside "
+            f"[1, 63]: raise bits or max_distance"
+        )
     blocks = F.array(
         *[
             F.struct(

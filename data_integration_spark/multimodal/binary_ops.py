@@ -346,7 +346,7 @@ def decode_images(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for item_id, payload in zip(pdf[id_col], pdf[binary_col]):
+            for item_id, payload in zip(pdf["item_id"], pdf[binary_col]):
                 try:
                     w, h, c, m = _decode_bytes_full(bytes(payload))
                     rows.append((item_id, w, h, c, m, True))
@@ -416,7 +416,7 @@ def sample_video_frames(
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for item_id, payload in zip(pdf[id_col], pdf[binary_col]):
+            for item_id, payload in zip(pdf["item_id"], pdf[binary_col]):
                 data = bytes(payload)
                 item_rows = []  # committed only if the WHOLE walk succeeds
                 try:
@@ -500,7 +500,7 @@ def resize_images(
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for item_id, payload in zip(pdf[id_col], pdf[binary_col]):
+            for item_id, payload in zip(pdf["item_id"], pdf[binary_col]):
                 try:
                     arr = _decode_bmp_pixels(bytes(payload))
                     if arr.shape[2] == 1:
@@ -567,7 +567,7 @@ def image_dhash(
     def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for item_id, payload in zip(pdf[id_col], pdf[binary_col]):
+            for item_id, payload in zip(pdf["item_id"], pdf[binary_col]):
                 try:
                     rows.append(
                         (item_id, _dhash_bits(bytes(payload), hash_w, hash_h), True)
@@ -644,7 +644,7 @@ def audio_features(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for item_id, payload in zip(pdf[id_col], pdf[binary_col]):
+            for item_id, payload in zip(pdf["item_id"], pdf[binary_col]):
                 try:
                     nf, feat = _wav_band_features(
                         bytes(payload), n_fft, hop, n_bands
@@ -671,7 +671,7 @@ def decode_audio(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for item_id, payload in zip(pdf[id_col], pdf[binary_col]):
+            for item_id, payload in zip(pdf["item_id"], pdf[binary_col]):
                 try:
                     c, r, n, m = _decode_wav(bytes(payload))
                     rows.append((item_id, c, r, n, m, True))
@@ -700,7 +700,7 @@ def extract_features(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, feats = [], []
-            for item_id, payload in zip(pdf[id_col], pdf[binary_col]):
+            for item_id, payload in zip(pdf["item_id"], pdf[binary_col]):
                 h = hashlib.sha256(bytes(payload)).digest()
                 vec = (
                     np.frombuffer(h[:FEATURE_DIM * 2], dtype=np.uint8)
@@ -732,7 +732,7 @@ def sample_frames(
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for item_id, payload in zip(pdf[id_col], pdf[binary_col]):
+            for item_id, payload in zip(pdf["item_id"], pdf[binary_col]):
                 data = bytes(payload)
                 for i in range(min(max_frames, max(1, len(data) // every_n_bytes))):
                     chunk = data[i * every_n_bytes : (i + 1) * every_n_bytes]

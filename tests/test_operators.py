@@ -87,6 +87,24 @@ def test_minhash_signature_deterministic(spark):
     assert s1 == s2
 
 
+def test_hamming_near_pairs_rejects_degenerate_widths(spark):
+    """Guard contract: block width bits//(d+1) must land in [1, 63] —
+    width 0 silently collapses the join keys to a single value (the
+    O(N²) cross product the pigeonhole exists to avoid) and width 64's
+    mask does not fit a Spark long, so both must raise up front."""
+    import pytest as _pytest
+
+    from data_integration_spark.dedup.simhash import hamming_near_pairs
+
+    sig = spark.createDataFrame([(1, 5)], "doc_id long, simhash long")
+    for bits, d in ((3, 3), (0, 1), (64, 0), (65, 3), (8, -1)):
+        with _pytest.raises(ValueError):
+            hamming_near_pairs(sig, bits=bits, max_distance=d)
+    # the boundary cases stay valid: 64-bit/d=3 (simhash64) and 63/d=0
+    hamming_near_pairs(sig, bits=64, max_distance=3).collect()
+    hamming_near_pairs(sig, bits=63, max_distance=0).collect()
+
+
 def test_simhash_identical_docs_same_hash(spark):
     df = spark.createDataFrame(
         [
