@@ -10,6 +10,14 @@ query per operator row of SURVEY.md §2 plus the training-data-pipeline
 extensions (dedup / similarity / text / windows). Names without an oracle
 entry are rows-only by the contract's escape hatch (stochastic draws or
 hash functions DuckDB cannot reproduce).
+
+Environment-gated by contract: ``q_transform_with_state`` (Spark 4
+``transformWithStateInPandas``) registers ONLY where ``google.protobuf``
+is importable — this sandbox lacks protobuf, so the name never enters a
+driver window. The stateful-streaming capability itself is attested by
+``q_stateful_stream`` (``applyInPandasWithState``, full oracle +
+batch-equivalence pytest); see COVERAGE.md "Environment-gated by
+contract".
 """
 
 from __future__ import annotations

@@ -100,6 +100,23 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # box-drift calibration (VERDICT r9 #8): a fixed-cost reference job —
+    # the plain lineitem scan through the noop sink — timed with the SAME
+    # min-of-N methodology. Its cost is dominated by scheduler + scan
+    # machinery that drifts with box load exactly like the real queries,
+    # so "calibrated_ratio" (headline total / calibration sec) lets a
+    # cross-round reader separate code regressions from the documented
+    # ±20%/day box swings that made r8→r9 look like a uniform +13%.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    cal_passes = []
+    for _ in range(n_passes):
+        t0 = time.perf_counter()
+        QUERIES["q_scan_parquet"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        cal_passes.append(time.perf_counter() - t0)
+    calibration = round(min(cal_passes), 3)
+
     times: dict[str, float] = {}
     llm_times: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -112,7 +129,6 @@ def main() -> None:
         # SPARK_GRAFT_BENCH_PASSES raises the timed pass count (e.g. 5) for
         # drift investigations; the recorded default stays 3 so per-round
         # numbers remain methodology-comparable
-        n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         passes = []
         for _ in range(n_passes):
@@ -135,6 +151,14 @@ def main() -> None:
                 "queries": times,
                 "llm_ops": llm_times,
                 "llm_ops_total": round(sum(llm_times.values()), 3),
+                # fixed-cost reference job + box-drift-normalized headline:
+                # compare calibrated_ratio across rounds, not raw seconds
+                "calibration_sec": calibration,
+                "calibrated_ratio": round(
+                    sum(times.values()) / calibration, 2
+                )
+                if calibration > 0
+                else None,
                 "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

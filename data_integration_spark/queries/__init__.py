@@ -45,26 +45,25 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# --- r10 staged registrations -------------------------------------------
-# Queries BUILT and oracle-verified in round 9 whose registration is
-# deferred to the r10 window: the r9 window is fully consumed by the
-# prescribed r1/r2 re-sign rotation (VERDICT r8 #2/#3), so a new unsigned
-# registration would either displace a rotation name or sit outside the
-# driver's first-50 window unattested (test_registry_order enforces the
-# invariant either way). Each entry: name -> (fn, oracle_sql or None).
-# tests/test_pending_r10.py runs EVERY entry through the same DuckDB
-# parity harness as the live registry, so the r10 flip — move each entry
-# into @register, lead _SIGN_PRIORITY with the names, add replaced names
-# to _RESIGN — is attestation, not discovery.
+# --- staged registrations (empty since the r10 flip) ---------------------
+# When a driver signing window is already fully planned, NEW queries stage
+# here instead of registering (each entry: name -> (fn, oracle_sql or
+# None)); tests/test_pending_r10.py runs every entry through the same
+# DuckDB parity harness as the live registry, so the eventual flip — move
+# each entry into @register, lead _SIGN_PRIORITY with the names, add
+# replaced names to _RESIGN — is attestation, not discovery. The round-9
+# payload (3 multimodal t2 certificates, the pinned-centroid IVF
+# persist/append full-oracle upgrades, q_image_dedup_dhash) flipped into
+# @register at the r10 window exactly as staged; the block is kept for
+# future rounds with full windows.
 #
 # A name that ALREADY exists in QUERIES marks a REPLACEMENT: the staged
-# fn+oracle upgrade a currently rows-only query to full-oracle (the
-# pinned-centroid IVF persist/append certificates, VERDICT r8 #7).
+# fn+oracle upgrade a currently rows-only query to full-oracle.
 PENDING_R10: dict[str, tuple[QueryFn, str | None]] = {}
 
 
 def register_pending(name: str, oracle: str | None = None):
-    """Stage a query for the r10 signing window (see ``PENDING_R10``)."""
+    """Stage a query for a future signing window (see ``PENDING_R10``)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in PENDING_R10:
@@ -83,73 +82,23 @@ def register_pending(name: str, oracle: str | None = None):
 # ever shrinks. Maintained per round: names signed in CORRECTNESS_r{N} leave,
 # new queries join at the tail of the front block.
 _SIGN_PRIORITY: list[str] = [
-    # --- r9 window. The r8 signing run went 50/50, so every r8-window
-    # name has a current driver row and leaves the list. r9 slots, per
-    # VERDICT r8 #2/#3:
-    # (a) the 39 remaining r1-era names (queued since r7; every one has
-    # seven rounds of refactors between its r1 row and today's code);
-    # (b) 11 of the 19 r2-era names — the window/OLAP block first (three
-    # of them are headline bench queries) — leaving an 8-name r2 backlog
-    # that closes in r10.
-    # q_survey_mean_se is additionally a GENUINE re-sign (_RESIGN): the
-    # round-9 co-moment rework changed its se values (now 6dp-rounded).
-    # (a) r1 rotation: flagship-adjacent §2 core first ---------------------
-    "q_withcolumn_linear",
-    "q_rowid_rownumber",
-    "q_cast_numeric",
-    "q_onehot_when",
-    "q_bind_via_join",
-    "q_filter_eq",
-    "q_filter_isin",
-    "q_when_indicator",
-    "q_when_multiway",
-    "q_full_outer_fold",
-    "q_broadcast_lookup",
-    "q_union_by_name",
-    "q_semi_join",
-    "q_anti_join",
-    "q_weighted_mean_by_group",
-    "q_groupby_count",
-    "q_group_collect",
-    "q_table_agg",
-    "q_error_measures",
-    "q_mspe_by_group",
-    "q_distinct",
-    "q_count_distinct",
-    "q_distinct_sorted",
-    "q_survey_mean_se",
-    "q_logit",
-    "q_expit",
-    "q_math_scalars",
-    "q_mc_explode",
-    "q_json_extract",
-    "q_csv_roundtrip",
-    "q_partitioned_sink",
-    "q_pricing_summary",
-    "q_top_orders",
-    "q_revenue_by_nation",
-    "q_array_functions",
-    "q_em_fit",
-    "q_glm_fit",
-    "q_randn",
-    "q_bernoulli",
-    # (b) r2 rotation, first 11: the window/OLAP block ---------------------
-    "q_asof_join",
-    "q_rank_window",
-    "q_window_tumbling",
-    "q_lag_window",
-    "q_running_window",
-    "q_first_last_value",
-    "q_cume_dist",
-    "q_cube_rollup",
-    "q_grouping_sets",
-    "q_percentiles",
-    "q_interval_join",
-    # --- r10 queue: the remaining 8 r2-era names, then the r10-planned
-    # NEW registrations — already BUILT and oracle-verified as
-    # ``PENDING_R10`` entries (multimodal audio_features/resize/video t2
-    # queries, pinned-centroid IVF persist/append upgrades) which must
-    # land INSIDE that round's window -----------------------------------
+    # --- r10 window (VERDICT r9 #1/#2/#6). The r9 signing run went 50/50,
+    # so every r9-window name has a current driver row and leaves the
+    # list. r10 slots:
+    # (a) the 8-name r2-era backlog — closes the entire r1/r2 rotation;
+    # (b) the 6 PENDING_R10 flips: 4 brand-new full-oracle queries (3
+    # multimodal t2 certificates + q_image_dedup_dhash) and the 2
+    # pinned-centroid IVF upgrades (q_ann_ivf_persist/q_ann_ivf_append —
+    # GENUINE re-signs, in _RESIGN: the full-oracle rewrites replace the
+    # rows-only fit-path variants their prior rows attested to);
+    # (c) q_ann_ivf — re-sign (_RESIGN): n_cells is now scale-derived
+    # (√N, VERDICT r9 #2), which changes the emitted neighbor values;
+    # (d) 35 of the 45 r3-era names (oldest live signatures after this
+    # window), statistical flagships and format/IO round-trips first.
+    # The 10 deferred r3 names (scalar-function surface — lowest refactor
+    # exposure, re-verified by our own harness at every SF each round)
+    # queue behind the window for r11.
+    # (a) the r2 backlog ---------------------------------------------------
     "q_curation_pipeline",
     "q_decontaminate",
     "q_dedup_clusters",
@@ -158,17 +107,77 @@ _SIGN_PRIORITY: list[str] = [
     "q_pii_redact",
     "q_repetition_score",
     "q_train_test_split",
-]  # the driver's r9 window = first 50 registered
+    # (b) the PENDING_R10 flips --------------------------------------------
+    "q_multimodal_audio_features",
+    "q_multimodal_resize",
+    "q_multimodal_video_frames",
+    "q_image_dedup_dhash",
+    "q_ann_ivf_persist",
+    "q_ann_ivf_append",
+    # (c) the re-parameterized IVF fit-path query ---------------------------
+    "q_ann_ivf",
+    # (d) r3-era rotation, 35 of 45: flagship stats + pipeline first --------
+    "q_survey_pipeline",
+    "q_bootstrap_skeleton",
+    "q_ebp_scoring_skeleton",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_pandas_udf",
+    "q_map_in_arrow",
+    "q_python_udtf",
+    "q_python_datasource",
+    "q_json_source",
+    "q_jsonl_roundtrip",
+    "q_orc_roundtrip",
+    "q_schema_evolution",
+    "q_variant_json",
+    "q_merge_upsert",
+    "q_compaction",
+    "q_keep_latest",
+    "q_referential_integrity",
+    "q_bucketed_join",
+    "q_salted_agg",
+    "q_range_join",
+    "q_range_frame_window",
+    "q_cube",
+    "q_pivot",
+    "q_unpivot",
+    "q_conditional_agg",
+    "q_corr_stats",
+    "q_histogram",
+    "q_profile_stats",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_explode_tokens",
+    "q_explode_outer",
+    "q_hash_sample",
+    "q_stratified_sample",
+    # --- r11 queue: the 10 deferred r3-era scalar-surface names ------------
+    "q_bitwise_ops",
+    "q_try_arithmetic",
+    "q_null_functions",
+    "q_string_functions",
+    "q_struct_functions",
+    "q_map_functions",
+    "q_regexp_functions",
+    "q_datetime_functions",
+    "q_minby_maxby",
+    "q_intersect_except",
+]  # the driver's r10 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
 # because the code change invalidated what the row attests to:
-# - q_survey_mean_se: the r9 numerical-stability rework (central co-moment
-#   identity replacing the raw-moment expansion) changed the emitted se
-#   values — they are now rounded at 6dp, the prior r1 row carried the
-#   unrounded single-pass values.
+# - q_ann_ivf_persist / q_ann_ivf_append: the r10 pinned-centroid
+#   full-oracle rewrites REPLACE the rows-only fit-path variants the prior
+#   rows attested to (different centroids → different output values, and
+#   the check upgrades rows-only → full hash).
+# - q_ann_ivf: n_cells is now scale-derived (√N) instead of the pinned 8
+#   (VERDICT r9 #2) — different cells, different emitted neighbors.
 _RESIGN: frozenset[str] = frozenset(
     {
-        "q_survey_mean_se",
+        "q_ann_ivf_persist",
+        "q_ann_ivf_append",
+        "q_ann_ivf",
     }
 )
 

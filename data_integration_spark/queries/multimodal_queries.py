@@ -31,7 +31,7 @@ from data_integration_spark.multimodal.binary_ops import (
     sample_frames,
     sample_video_frames,
 )
-from data_integration_spark.queries import register, register_pending
+from data_integration_spark.queries import register
 from data_integration_spark.sources.catalog import Catalog
 
 
@@ -242,7 +242,7 @@ def _gradient_bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(enc, "item_id long, payload binary")
 
 
-@register_pending("q_multimodal_resize", oracle=_RESIZE_ORACLE)
+@register("q_multimodal_resize", oracle=_RESIZE_ORACLE)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize end-to-end (``binary_ops.resize_images``): encode
     a 2-D-gradient BMP per document, nearest-neighbor resample to 7×5
@@ -310,7 +310,7 @@ def _tone_wav_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(enc, "item_id long, payload binary")
 
 
-@register_pending("q_multimodal_audio_features", oracle=_AUDIO_ORACLE)
+@register("q_multimodal_audio_features", oracle=_AUDIO_ORACLE)
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL spectral audio features end-to-end
     (``binary_ops.audio_features``): encode a pure tone per document as a
@@ -458,7 +458,7 @@ def _dhash_bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(enc, "item_id long, payload binary")
 
 
-@register_pending("q_image_dedup_dhash", oracle=_DHASH_ORACLE)
+@register("q_image_dedup_dhash", oracle=_DHASH_ORACLE)
 def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual IMAGE near-dup pairing — the multimodal×dedup
     intersection (image dedup was byte-sha exact only): REAL 56-bit
@@ -486,7 +486,7 @@ def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_pending("q_multimodal_video_frames", oracle=_VIDEO_ORACLE)
+@register("q_multimodal_video_frames", oracle=_VIDEO_ORACLE)
 def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL parsed frame extraction end-to-end
     (``binary_ops.sample_video_frames``): pack per-document BMP frames

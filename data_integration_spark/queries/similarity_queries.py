@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_integration_spark.dedup.minhash import minhash_lsh_pairs
-from data_integration_spark.queries import register, register_pending
+from data_integration_spark.queries import register
 from data_integration_spark.similarity.ann import (
     as_double_array,
     cosine_pairs,
@@ -221,6 +221,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs(emb, dim=64, n_planes=8, threshold=0.25, n_tables=4)
 
 
+def _scale_n_cells(n: int, floor: int = 8, cap: int = 4096) -> int:
+    """The FAISS deployment rule n_cells ≈ √N, clamped: ``floor`` keeps
+    tiny test corpora from degenerating to nearly-exhaustive scans with
+    too few cells to probe, ``cap`` bounds the broadcast centroid table
+    (cap × dim doubles ≈ 2 MB at dim=64) and the driver-side Lloyd
+    sample. At a fixed nprobe the probed fraction is nprobe/√N — it
+    SHRINKS as the corpus grows, which is exactly what keeps per-query
+    candidate volume ~nprobe·√N instead of a constant corpus fraction
+    (the pre-r10 pinned n_cells=8 scanned 37.5% of ANY corpus;
+    SCALING.md's sf10 n_cells experiment measured the win)."""
+    return max(floor, min(cap, int(n**0.5)))
+
+
 @register("q_ann_ivf")  # rows-only: k-means centroids are engine-internal
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: sample-trained k-means coarse quantizer (driver-side
@@ -228,37 +241,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe cell probing + exact cosine within probed cells
     (similarity/ivf.py). Recall vs the exact top-k baseline is asserted
     in pytest; inverted-list validity is oracle-certified by
-    q_ann_ivf_invariants."""
+    q_ann_ivf_invariants.
+
+    n_cells is SCALE-DERIVED (√N — ``_scale_n_cells``, VERDICT r9 #2)
+    rather than pinned: the registered/benched query now exercises the
+    knob setting a 100 TB deployment would use, so the benched probed
+    fraction is nprobe/√N (≈7% at sf0.1, ≈0.7% at sf10) instead of the
+    pre-r10 constant 37.5%. The corpus count that sizes the quantizer is
+    one metadata-cheap aggregation over the scan."""
     from data_integration_spark.similarity.ivf import IVFIndex
 
     emb = Catalog(spark, sf_dir)["embeddings"].select(
         "vec_id", as_double_array("embedding", "e")
     )
-    index = IVFIndex(n_cells=8, seed=11).fit(emb)
+    index = IVFIndex(n_cells=_scale_n_cells(emb.count()), seed=11).fit(emb)
     return index.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
-
-
-@register("q_ann_ivf_persist")  # rows-only: centroids engine-internal
-def q_ann_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index-persistence round-trip: fit the IVF quantizer, SAVE it
-    (centroids + inverted lists + params), LOAD it back, and search from
-    the loaded artifact — the once-per-release fit / many-jobs-load shape
-    a 100 TB corpus requires (re-fitting changes cell boundaries and
-    breaks cross-job reproducibility). pytest pins loaded-search ==
-    fit-search row-for-row (tests/test_index_persist.py)."""
-    from data_integration_spark.similarity.ivf import IVFIndex
-    from data_integration_spark.similarity.persist import (
-        load_ivf_index,
-        save_ivf_index,
-    )
-
-    emb = Catalog(spark, sf_dir)["embeddings"].select(
-        "vec_id", as_double_array("embedding", "e")
-    )
-    path = _index_path("ivf", sf_dir)
-    save_ivf_index(IVFIndex(n_cells=8, seed=11).fit(emb), path)
-    loaded = load_ivf_index(spark, path)
-    return loaded.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
 
 
 # Top-5-per-query tail over the probed set — shared by q_ann_lsh_topk and
@@ -330,32 +327,15 @@ def q_ann_lsh_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_ann_ivf_append")  # rows-only: centroids engine-internal
-def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental index update: fit the IVF quantizer on the EXISTING
-    corpus slice (vec_id ≥ 50), APPEND the new batch (vec_id < 50) by
-    assigning it to the frozen centroids (no refit — cell boundaries and
-    old results stay reproducible), then search the grown index. pytest
-    pins append-assignment == quantizer-assignment cell-for-cell and that
-    old-corpus search results are unchanged by the append
-    (tests/test_index_persist.py)."""
-    from data_integration_spark.similarity.ivf import IVFIndex
-
-    emb = Catalog(spark, sf_dir)["embeddings"].select(
-        "vec_id", as_double_array("embedding", "e")
-    )
-    old = emb.filter(F.col("vec_id") >= 50)
-    new = emb.filter(F.col("vec_id") < 50)
-    index = IVFIndex(n_cells=8, seed=11).fit(old).append(new)
-    return index.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
-
-
-# --- r10-staged PINNED-CENTROID upgrades (PENDING_R10, VERDICT r8 #7):
+# --- r10 PINNED-CENTROID upgrades (flipped from PENDING_R10 in the r10
+# window, VERDICT r8 #7 → r9 #1):
 # q_ann_ivf_persist / q_ann_ivf_append re-emitted with centroids set to
 # LITERAL vectors via the load-path mechanism (the r6 pinned-plane LSH
 # oracle pattern), so the ENTIRE persisted/appended-index search — cell
 # assignment, probe ranking, candidate generation, cosine, top-k —
 # becomes DuckDB-recomputable and the pair leaves rows-only (16 → 14).
+# The pre-r10 rows-only fit-path variants they replace are deleted; the
+# k-means fit remains covered as described below.
 # The k-means FIT path keeps its own coverage: q_ann_ivf (rows-only) +
 # q_ann_ivf_invariants (full-oracle assignment certificate) + the
 # loaded==fit and append==assign pytests in tests/test_index_persist.py.
@@ -460,7 +440,7 @@ def _pinned_ivf_centroids_df(spark: SparkSession):
     return spark.createDataFrame(rows, "cell int, ce array<double>")
 
 
-@register_pending(
+@register(
     "q_ann_ivf_persist",
     oracle=_IVF_PIN_ORACLE_BODY
     + "SELECT qid, mid, cosine, rank FROM ranked WHERE rank <= 5",
@@ -496,7 +476,7 @@ def q_ann_ivf_persist_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loaded.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
 
 
-@register_pending(
+@register(
     "q_ann_ivf_append",
     oracle=_IVF_PIN_ORACLE_BODY
     + """SELECT qid, mid, cosine, rank, mid < 50 AS from_new_batch

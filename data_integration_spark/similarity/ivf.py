@@ -210,8 +210,17 @@ class IVFIndex:
         index rather than being re-derived after the fact. When the
         existing ``assigned`` table carries annotation columns, every
         append must supply the same ones (unionByName resolves by name
-        and fails loudly on a mismatch, never silently NULL-fills)."""
+        and fails loudly on a mismatch, never silently NULL-fills).
+        Annotation names must not collide with the inverted-list schema
+        ({'mid', 'me', 'cell'}): withColumn would silently OVERWRITE the
+        id/vector/cell columns and corrupt the index (ADVICE r9)."""
         assert self.assigned is not None, "fit or load first"
+        reserved = {"mid", "me", "cell"} & set(extra_cols or {})
+        if reserved:
+            raise ValueError(
+                f"extra_cols would overwrite inverted-list columns: "
+                f"{sorted(reserved)} (reserved: mid, me, cell)"
+            )
         add = self.assign(vectors, id_col, vec_col)
         for name, col in (extra_cols or {}).items():
             add = add.withColumn(name, col)

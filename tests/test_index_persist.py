@@ -212,6 +212,12 @@ def test_ivf_append_extra_cols_provenance(spark, emb):
     idx2.assigned = idx2.assigned.withColumn("src", F.lit("r1"))
     with _pytest.raises(AnalysisException):
         idx2.append(new).assigned.collect()
+    # an annotation named like an inverted-list column would silently
+    # overwrite the index schema via withColumn — must raise (ADVICE r9)
+    idx3 = IVFIndex(n_cells=4, seed=11).fit(old)
+    for bad in ("mid", "me", "cell"):
+        with _pytest.raises(ValueError, match="reserved"):
+            idx3.append(new, extra_cols={bad: F.lit(0)})
 
 
 def test_ivf_append_preserves_old_search_results(spark, emb):

@@ -115,3 +115,67 @@ def test_dhash_bit_positions_match_definition(seed, r, c):
     gray = arr.astype(np.float64).mean(axis=2)
     want = gray[r, c + 1] > gray[r, c]
     assert ((h >> (r * 7 + c)) & 1 == 1) == want
+
+
+# every DIB size _parse_bmp_header accepts (BITMAPINFOHEADER + its
+# layout-compatible V2/V3/OS2-2.x/V4/V5 extensions) — the r9 ADVICE fix
+# located palettes at 14 + dib_size, and VERDICT r9 #5 asks the property
+# sweep to cover the MIDDLE sizes (52/56/64), not just 40/108/124
+_DIB_SIZES = (40, 52, 56, 64, 108, 124)
+
+
+def _build_pal_bmp(dib_size, pal_bgr, idx, top_down=False):
+    """Hand-assemble a palettized 8-bit BMP with an arbitrary DIB header
+    size: [BM header][dib_size-byte info][BGRA palette][padded indices]."""
+    import struct
+
+    height, width = idx.shape
+    stride = (width + 3) // 4 * 4
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, :width] = idx if top_down else idx[::-1]
+    pixels = rows.tobytes()
+    pal = b"".join(bytes([b, g, r, 0]) for b, g, r in pal_bgr)
+    offset = 14 + dib_size + len(pal)
+    header = b"BM" + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", dib_size, width, -height if top_down else height,
+        1, 8, 0, len(pixels), 2835, 2835, len(pal_bgr), len(pal_bgr),
+    )
+    info += b"\x00" * (dib_size - 40)  # V2/V3/OS2/V4/V5 extension fields
+    return header + info + pal + pixels
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    dib_size=st.sampled_from(_DIB_SIZES),
+    height=st.integers(1, 6),
+    width=st.integers(1, 7),
+    n_pal=st.integers(2, 8),
+    top_down=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_palettized_bmp_decodes_through_palette_every_dib_size(
+    dib_size, height, width, n_pal, top_down, seed
+):
+    """A palettized 8-bit BMP under EVERY accepted DIB header size must
+    decode index-through-palette (BGR), honoring bottom-up vs top-down
+    row order and row padding — the color table is located at
+    14 + dib_size for all six sizes, so a decode that hardcoded any
+    header length would read extension bytes (or palette bytes) as
+    pixels for some sampled size."""
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(n_pal, 3)).tolist()  # BGR rows
+    idx = rng.randint(0, n_pal, size=(height, width)).astype(np.uint8)
+    bmp = _build_pal_bmp(dib_size, pal, idx, top_down)
+    arr = B._decode_bmp_pixels(bmp)
+    want = np.array(pal, dtype=np.uint8)[idx]  # (h, w, 3) BGR, top-down
+    assert arr.shape == (height, width, 3)
+    assert np.array_equal(arr, want)
+    # an index beyond the color table must be a hard failure, not a wrap
+    bad = idx.copy()
+    bad[0, 0] = n_pal
+    try:
+        B._decode_bmp_pixels(_build_pal_bmp(dib_size, pal, bad, top_down))
+        raise AssertionError("out-of-range palette index decoded")
+    except ValueError:
+        pass
