@@ -661,6 +661,74 @@ def audio_features(
     ).mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
 
 
+AUDIO_FP_SCHEMA = "item_id long, afp long, ok boolean"
+
+
+def _audio_fp_bits(payload: bytes, frame_len: int, n_bits: int) -> int:
+    """REAL energy-difference audio fingerprint of one PCM WAV payload —
+    the Haitsma & Kalker (2002) robust-hash construction collapsed to one
+    energy band: decode via the stdlib RIFF parser, average channels to
+    mono, cut the first ``n_bits + 1`` NON-overlapping frames of
+    ``frame_len`` samples, E_k = mean(x_k²), and bit k is set iff
+    E[k+1] > E[k] (little-endian packing — the same sign-of-gradient idea
+    as the image dHash, over time instead of space). Invariant to global
+    amplitude scaling (all energies scale by c², comparisons unchanged).
+    Raises if the payload is shorter than the fingerprint window — a
+    truncated clip would otherwise silently fingerprint as a quiet tail."""
+    n_channels, _rate, _nf, x = _wav_samples(payload)
+    if n_channels > 1:
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    need = (n_bits + 1) * frame_len
+    if len(x) < need:
+        raise ValueError("payload shorter than the fingerprint window")
+    frames = x[:need].reshape(n_bits + 1, frame_len)
+    e = (frames * frames).mean(axis=1)
+    bits = e[1:] > e[:-1]
+    return int(sum(1 << k for k in range(n_bits) if bits[k]))
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "item_id",
+    binary_col: str = "payload",
+    frame_len: int = 256,
+    n_bits: int = 56,
+) -> DataFrame:
+    """mapInPandas REAL perceptual AUDIO fingerprint (energy-difference
+    hash): binary WAV → ``n_bits``-bit robust hash. Near-identical clips —
+    re-encodes, volume changes, small local edits — land within a small
+    Hamming distance, so this is the AUDIO near-dup analogue of the image
+    dHash and pairs with the SAME pigeonhole engine
+    (``dedup/simhash.py::hamming_near_pairs``) — the last modality×dedup
+    intersection (audio dedup was byte-sha exact only). Junk payloads
+    surface ok=False; the decode/energy work rides the scan partitioning —
+    no shuffle, no driver traffic.
+
+    Caller-parameter errors raise HERE (before any Spark job), never
+    inside the executor loop where the broad except would convert them
+    into universal ok=False rows indistinguishable from corrupt data."""
+    if frame_len < 1:
+        raise ValueError("need frame_len >= 1")
+    if not (1 <= n_bits <= 62):
+        raise ValueError("need 1 <= n_bits <= 62 (positive int64)")
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, payload in zip(pdf["item_id"], pdf[binary_col]):
+                try:
+                    rows.append(
+                        (item_id, _audio_fp_bits(bytes(payload), frame_len, n_bits), True)
+                    )
+                except Exception:  # noqa: BLE001 — corrupt payloads yield ok=False
+                    rows.append((item_id, 0, False))
+            yield pd.DataFrame(rows, columns=["item_id", "afp", "ok"])
+
+    return df.select(
+        F.col(id_col).alias("item_id"), F.col(binary_col)
+    ).mapInPandas(fingerprint, AUDIO_FP_SCHEMA)
+
+
 def decode_audio(
     df: DataFrame, id_col: str = "item_id", binary_col: str = "payload"
 ) -> DataFrame:

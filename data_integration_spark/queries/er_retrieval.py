@@ -822,44 +822,40 @@ def q_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifier, too high misses paraphrases; this is the measurement that
     decides q_semantic_dedup_clusters' operating point.
 
-    Scale shape: one bounded |probe| x |corpus| scoring pass (the same
-    guarded brute shape as the ANN baselines — a full-corpus sweep rides
-    the LSH bucketed path), then a 6-threshold x pair-count conditional
-    aggregation (in-row fan-out over the threshold list, one tiny
-    shuffle)."""
-    from data_integration_spark.similarity.ann import as_double_array
+    Scale shape (r10 rework): the bounded probe block (100 vectors)
+    rides a ``cosine_pairs_vectorized`` closure as a NumPy matrix and the
+    corpus streams through ONE scan-partitioned GEMM mapInPandas — no
+    shuffle, no pair-space materialization; only pairs at/above the
+    LOWEST sweep threshold leave Python (pairs below 0.2 can never
+    change any n_pairs count, so pre-filtering at 0.2 is exact). The
+    pre-r10 form — a qid<mid theta join with three interpreted zip_with
+    folds per pair — evaluated |probe|·|corpus| HOF dot products outside
+    codegen and took >400 s at the 100× corpus; the GEMM form is the
+    measured production shape of every other brute scorer here. Then a
+    6-threshold x pair-count conditional aggregation (in-row fan-out
+    over the threshold list, one tiny shuffle). ``n_block_docs`` (probe
+    ids owning ≥1 successor pair, thresholded by NOTHING) is recovered
+    from two scalar aggregates: qid has a pair iff qid < max(vec_id)."""
+    from data_integration_spark.similarity.ann import (
+        as_double_array,
+        cosine_pairs_vectorized,
+    )
 
     emb = Catalog(spark, sf_dir)["embeddings"].select(
         "vec_id", as_double_array("embedding", "e")
     )
-    q = emb.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("eq")
-    )
-    m = emb.select(F.col("vec_id").alias("mid"), F.col("e").alias("em"))
-    dot = F.aggregate(
-        F.zip_with("eq", "em", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nq = F.sqrt(
-        F.aggregate(
-            F.transform("eq", lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    nm = F.sqrt(
-        F.aggregate(
-            F.transform("em", lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # bounded by construction (the probe block) — the same
+    # collect-the-query-side pattern as the registered vectorized ANN ops
+    q_pd = emb.filter(F.col("vec_id") < 100).toPandas()
     cos = (
-        q.join(m, F.col("qid") < F.col("mid"))
-        .select("qid", F.round(dot / (nq * nm), 6).alias("c"))
+        cosine_pairs_vectorized(q_pd, emb, threshold=0.2)
+        .filter(F.col("qid") < F.col("mid"))
+        .select(F.col("cosine").alias("c"))
     )
-    n_block = cos.select("qid").distinct().count()
+    vmax = emb.agg(F.max("vec_id")).first()[0]
+    n_block = emb.filter(
+        (F.col("vec_id") < 100) & (F.col("vec_id") < F.lit(vmax))
+    ).count()
     th = F.explode(
         F.array(*[F.lit(t) for t in (0.2, 0.3, 0.4, 0.5, 0.6, 0.7)])
     )

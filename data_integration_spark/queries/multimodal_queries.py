@@ -20,6 +20,7 @@ from data_integration_spark.dedup.simhash import hamming_near_pairs
 from data_integration_spark.multimodal.binary_ops import (
     attach_binary_metadata,
     audio_features,
+    audio_fingerprint,
     decode_images,
     encode_bmp,
     encode_bmp_gradient,
@@ -480,6 +481,114 @@ def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_distance=3,
         id_col="item_id",
         sig_col="dhash",
+    )
+    return pairs.select(
+        "d1", "d2", F.col("distance").cast("long").alias("distance")
+    )
+
+
+# Fixture bit-pattern contract (shared by the Spark WAV encoder and the
+# SQL oracle) — the image-dHash contract re-used for audio: docs form
+# groups of 4 (g = doc_id // 4, member m = doc_id % 4); the 56 target
+# bits are md5(g)'s first 14 hex chars with member m flipping bits
+# k < m, so within-group Hamming distances are EXACTLY |m1 − m2| ∈
+# {1, 2, 3} and cross-group distances are md5-random (~28). The clip
+# realizes bit k as the ±0.005 amplitude step from frame k to k+1
+# (constant-amplitude frames, energy = amp² exactly), so the REAL
+# decode → mono → frame-energy → compare pipeline must recover every
+# bit for the pair table to hash-match.
+_AFP_ORACLE = """
+WITH v AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTRING(MD5(CAST(doc_id // 4 AS VARCHAR)), 1, 14)
+              AS BIGINT) AS base
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN ((base >> u.k) & 1 = 1) <> (u.k < doc_id % 4)
+                       THEN CAST(1 AS BIGINT) << u.k
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS afp
+  FROM v, UNNEST(GENERATE_SERIES(0, 55)) AS u(k)
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(BIT_COUNT(XOR(a.afp, b.afp)) AS BIGINT) AS distance
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.afp, b.afp)) <= 3
+"""
+
+_AFP_FRAME_LEN = 8  # samples per fingerprint frame in the fixture clips
+
+
+def _afp_wav_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each document as a genuine 16-bit PCM WAV whose
+    energy-difference fingerprint bits are the PLANNED pattern (see
+    _AFP_ORACLE contract): 57 constant-amplitude frames; bit k drives
+    the ±0.005 amplitude step from frame k to k+1 (walk from 0.5, range
+    [0.22, 0.78] — each step is ~164 int16 quantization levels, so the
+    decoded energy comparisons can never flip)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from data_integration_spark.multimodal.binary_ops import encode_wav
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, m = d // 4, d % 4
+                base = int(
+                    hashlib.md5(str(g).encode()).hexdigest()[:14], 16
+                )
+                amps = [0.5]
+                for k in range(56):
+                    bit = ((base >> k) & 1 == 1) != (k < m)
+                    amps.append(amps[-1] + (0.005 if bit else -0.005))
+                samples = np.repeat(
+                    np.asarray(amps, dtype=np.float64), _AFP_FRAME_LEN
+                )
+                payloads.append(encode_wav(samples, rate=8000))
+            yield pd.DataFrame(
+                {"item_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(enc, "item_id long, payload binary")
+
+
+@register("q_audio_dedup_fingerprint", oracle=_AFP_ORACLE)
+def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup pairing — the last modality×dedup
+    intersection (image dHash landed in r10; audio dedup was byte-sha
+    exact only): REAL 56-bit energy-difference fingerprint per clip
+    (``binary_ops.audio_fingerprint`` — stdlib RIFF decode → mono →
+    frame energies → sign-of-gradient bits, the Haitsma–Kalker
+    construction), then ALL pairs within Hamming distance 3 via the
+    generic pigeonhole block join (``dedup/simhash.py::
+    hamming_near_pairs`` — exact recall by theorem, 4 blocks of 14 bits,
+    never O(N²)). The fixture plants groups of 4 near-identical clips
+    with within-group distances EXACTLY {1, 2, 3}; the oracle recomputes
+    the planned bit pattern (md5 arithmetic both engines share), the
+    fingerprints, and the all-pairs answer — so a wrong channel mix,
+    frame split, energy formula, comparison direction, bit packing,
+    block split, OR a recall-losing pair join all break the driver
+    hash."""
+    sig = audio_fingerprint(
+        _afp_wav_payload_df(spark, sf_dir),
+        frame_len=_AFP_FRAME_LEN,
+        n_bits=56,
+    )
+    pairs = hamming_near_pairs(
+        sig.filter(F.col("ok")).select(F.col("item_id"), F.col("afp")),
+        bits=56,
+        max_distance=3,
+        id_col="item_id",
+        sig_col="afp",
     )
     return pairs.select(
         "d1", "d2", F.col("distance").cast("long").alias("distance")

@@ -48,10 +48,15 @@ def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 25,
     X = np.ascontiguousarray(X, dtype=np.float64)
     n = len(X)
     k = min(k, n)
-    # k-means++ init with incremental min-distance updates
+    # k-means++ init with incremental min-distance updates; ‖x‖² is
+    # precomputed ONCE and each step is a single GEMV (at k = √N cells —
+    # the r10 scale-derived knob — the init runs k sequential steps over
+    # the whole sample, so recomputing the norms per step was ~half the
+    # init cost at k≈450)
+    xx = (X * X).sum(axis=1)
     first = X[rng.randint(n)]
     centroids = [first]
-    best_d2 = _sq_dists(X, first[None, :])[:, 0]
+    best_d2 = np.maximum(xx + (first * first).sum() - 2.0 * (X @ first), 0.0)
     for _ in range(1, k):
         total = best_d2.sum()
         if total <= 0:  # all remaining points coincide with a centroid
@@ -59,13 +64,24 @@ def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 25,
             continue
         c = X[rng.choice(n, p=best_d2 / total)]
         centroids.append(c)
-        best_d2 = np.minimum(best_d2, _sq_dists(X, c[None, :])[:, 0])
+        best_d2 = np.minimum(
+            best_d2, np.maximum(xx + (c * c).sum() - 2.0 * (X @ c), 0.0)
+        )
     C = np.asarray(centroids, dtype=np.float64)
     for _ in range(n_iter):
         a = _sq_dists(X, C).argmin(axis=1)
-        new_c = np.array(
-            [X[a == j].mean(axis=0) if (a == j).any() else C[j] for j in range(k)]
-        )
+        # grouped mean via sort + add.reduceat (one C-speed pass) — the
+        # per-cell boolean-mask loop was O(n·k) python/numpy scans per
+        # iteration and dominated the whole fit at k≈450 (measured 31.6 s
+        # of a 68 s sf10 q_ann_ivf before this rework); empty cells keep
+        # their previous centroid, as before
+        counts = np.bincount(a, minlength=k)
+        nonempty = np.flatnonzero(counts)
+        starts = np.zeros(len(nonempty), dtype=np.int64)
+        starts[1:] = np.cumsum(counts[nonempty])[:-1]
+        sums = np.add.reduceat(X[np.argsort(a, kind="stable")], starts, axis=0)
+        new_c = C.copy()
+        new_c[nonempty] = sums / counts[nonempty][:, None]
         if np.max(np.abs(new_c - C)) < tol:
             C = new_c
             break
@@ -157,38 +173,51 @@ class IVFIndex:
         its own corpus through it too, so fitted, appended, and
         loaded-then-appended vectors can never disagree on a near-boundary
         cell choice (the trainer's own distance path only ITERATES the
-        centroids, never builds inverted lists). Broadcast
-        centroids × vectors: a narrow map per vector, the incremental
-        index-update path (daily embedding batches join a released index
-        without moving its cell boundaries)."""
+        centroids, never builds inverted lists).
+
+        Execution (r10 rework): a VECTORIZED mapInPandas — the centroid
+        matrix is bounded by construction (n_cells ≤ 4096 × dim doubles ≈
+        2 MB, the same bound that lets it broadcast) so it rides the task
+        closure, and each Arrow batch computes all |batch| × n_cells
+        distances as ONE BLAS GEMM (``_sq_dists``). The pre-r10 form —
+        broadcast crossJoin × n_cells + zip_with fold + struct-min
+        groupBy — evaluated the fold INTERPRETED (HOF lambdas sit outside
+        whole-stage codegen, the r8 minhash lesson) and scaled as
+        N·n_cells interpreted rows: fine at the old pinned n_cells=8,
+        but with scale-derived n_cells = √N the assign stage is N^1.5
+        and became THE bottleneck the moment the knob was fixed
+        (measured at sf10/n_cells=447: 174 s end-to-end; the GEMM form
+        cuts the assignment scan to numpy speed and needs no shuffle at
+        all — one narrow map, output |vectors| rows). numpy argmin takes
+        the FIRST minimum = lowest cell id, bit-matching the struct-min
+        (cdist, cell) tie-break; cross-formulation float-disagreement is
+        bounded by reduction-order noise (~1e-13), eight orders under
+        the pinned decision margins (tests/test_pending_r10.py), and the
+        invariants certificate re-checks every emitted cell against an
+        independently written argmin every round."""
         assert self.centroids is not None, "fit or load first"
+        import pandas as pd
+
+        cent = self.centroids.orderBy("cell").collect()  # bounded: ≤4096×dim
+        C = np.ascontiguousarray([r.ce for r in cent], dtype=np.float64)
+        cells = np.asarray([r.cell for r in cent], dtype=np.int64)
+
+        def assign_batches(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.ascontiguousarray(
+                    np.stack(pdf["me"].to_numpy()), dtype=np.float64
+                )
+                a = _sq_dists(X, C).argmin(axis=1)  # first-min = lowest cell
+                yield pd.DataFrame(
+                    {"mid": pdf["mid"], "me": pdf["me"], "cell": cells[a]}
+                )
+
         v = vectors.select(F.col(id_col).alias("mid"), F.col(vec_col).alias("me"))
-        # argmin as a struct-min AGGREGATE, not a per-vector window: the
-        # broadcast cross join expands each vector ×n_cells IN PLACE, and
-        # the map-side partial min collapses it back to one row per vector
-        # before any exchange — shuffle volume is |vectors|, never
-        # |vectors|·n_cells. Struct ordering compares (cdist, cell) in
-        # field order = the documented tie-break.
-        vc = v.crossJoin(F.broadcast(self.centroids)).select(
-            "mid",
-            "me",
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("me"), F.col("ce"), lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("cdist"),
-                F.col("cell"),
-            ).alias("_dc"),
-        )
-        return (
-            vc.groupBy("mid")
-            # all _dc rows for a mid carry the identical "me" payload (the
-            # cross join only varied the centroid), so any_value is exact
-            .agg(F.min("_dc").alias("_b"), F.any_value("me").alias("me"))
-            .select("mid", "me", F.col("_b.cell").alias("cell"))
+        mid_type = v.schema["mid"].dataType.simpleString()
+        return v.mapInPandas(
+            assign_batches, f"mid {mid_type}, me array<double>, cell int"
         )
 
     def append(

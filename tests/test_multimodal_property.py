@@ -179,3 +179,54 @@ def test_palettized_bmp_decodes_through_palette_every_dib_size(
         raise AssertionError("out-of-range palette index decoded")
     except ValueError:
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_bits=st.integers(1, 56),
+    frame_len=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_audio_fp_bits_match_definition(n_bits, frame_len, seed):
+    """Packed fingerprint bits equal the (E[k+1] > E[k]) comparisons
+    recomputed independently from the DECODED samples — pins framing,
+    energy formula, comparison direction, and little-endian packing (the
+    contract the q_audio_dedup_fingerprint oracle's bit arithmetic
+    assumes)."""
+    rng = np.random.RandomState(seed)
+    amps = rng.uniform(0.1, 0.9, size=n_bits + 1)
+    wav = B.encode_wav(np.repeat(amps, frame_len), rate=8000)
+    fp = B._audio_fp_bits(wav, frame_len, n_bits)
+    _c, _r, _n, x = B._wav_samples(wav)
+    e = (x[: (n_bits + 1) * frame_len].reshape(n_bits + 1, frame_len) ** 2).mean(
+        axis=1
+    )
+    want = sum(1 << k for k in range(n_bits) if e[k + 1] > e[k])
+    assert fp == want
+    assert 0 <= fp < (1 << n_bits)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_audio_fp_invariant_under_volume_change(seed):
+    """The perceptual property that makes the energy-difference hash a
+    NEAR-dup fingerprint: halving the volume scales every frame energy by
+    the same factor, so the fingerprint is unchanged (given energy steps
+    comfortably above int16 quantization, as any planted walk uses)."""
+    rng = np.random.RandomState(seed)
+    amps = 0.5 + np.cumsum(rng.choice([-0.005, 0.005], size=57))
+    amps = np.concatenate([[0.5], amps[:-1] + 0.0])
+    wav_full = B.encode_wav(np.repeat(amps, 8), rate=8000)
+    wav_half = B.encode_wav(np.repeat(amps / 2.0, 8), rate=8000)
+    assert B._audio_fp_bits(wav_full, 8, 56) == B._audio_fp_bits(wav_half, 8, 56)
+
+
+def test_audio_fp_short_payload_raises():
+    """A clip shorter than the fingerprint window must fail loudly (the
+    mapInPandas wrapper maps that to ok=False), never hash a zero tail."""
+    wav = B.encode_wav(np.full(16, 0.5), rate=8000)
+    try:
+        B._audio_fp_bits(wav, frame_len=8, n_bits=56)
+        raise AssertionError("short payload fingerprinted")
+    except ValueError:
+        pass
