@@ -1376,3 +1376,125 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_winnowing_fingerprint",
+    # Different formulation on purpose: the oracle re-derives each window
+    # minimum with a range self-join + GROUP BY (no window frames), so a
+    # Spark frame-boundary bug cannot be mirrored by an identical SQL
+    # frame. Hash = the repo's portable 60-bit md5 prefix (both engines
+    # restate it); DuckDB list slicing is 1-based inclusive, matching
+    # Spark's slice(words, i, 4).
+    oracle="""
+    WITH w AS (SELECT doc_id, STR_SPLIT(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             CAST('0x' || SUBSTRING(
+                 MD5(ARRAY_TO_STRING(ws[u.i:u.i+3], ' ')), 1, 15)
+               AS BIGINT) AS h,
+             LEN(ws) - 3 AS ng
+      FROM w, UNNEST(GENERATE_SERIES(1, LEN(ws) - 3)) AS u(i)
+      WHERE LEN(ws) >= 4
+    ),
+    starts AS (SELECT doc_id, pos AS s FROM g WHERE pos <= ng - 3),
+    winmin AS (
+      SELECT st.doc_id, st.s, MIN(g2.h) AS mh
+      FROM starts st
+      JOIN g g2 ON g2.doc_id = st.doc_id
+                AND g2.pos BETWEEN st.s AND st.s + 3
+      GROUP BY st.doc_id, st.s
+    ),
+    fp AS (SELECT DISTINCT doc_id, mh AS h FROM winmin),
+    capped AS (
+      SELECT * FROM fp
+      WHERE h IN (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 45)
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): per document, hash every word 4-gram,
+    slide a w=4 window over the hash sequence, and keep each window's
+    MINIMUM hash; the distinct kept hashes are the document's
+    fingerprint set, with the paper's guarantee that any shared word
+    substring of length ≥ w + k − 1 = 7 shares at least one
+    fingerprint. Downstream, documents sharing ≥ 2 fingerprints pair —
+    the plagiarism/near-dup detector complementing MinHash (set
+    similarity), SimHash (vector similarity) and exact-substring spans
+    (Lee et al.): winnowing is POSITION-ROBUST (guaranteed detection of
+    long-enough shared substrings at ~2/(w+1) the storage of full
+    k-gram sets).
+
+    Scale shape: the gram/window stage is per-document narrow work (one
+    window frame partitioned by doc_id — never global); the pair stage
+    is the standard inverted-index join with the stopword-grade
+    DOCUMENT-FREQUENCY CAP (fingerprints in > 45 docs dropped via
+    broadcast anti, the q_ngram_jaccard pattern — hot boilerplate
+    fingerprints would otherwise pair quadratically), so candidate
+    volume tracks true shared-content density, not boilerplate density.
+    Portable 60-bit md5-prefix hashes; the oracle re-derives window
+    minima with a range self-join instead of a frame."""
+    K, W, DF_CAP = 4, 4, 45
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"CASE WHEN size(split(text, ' ')) >= {K} THEN "
+                    f"transform(sequence(1, size(split(text, ' ')) - {K - 1}),"
+                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {K}))) "
+                    "ELSE array() END"
+                )
+            ).alias("idx", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("idx") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    per_doc = Window.partitionBy("doc_id")
+    wframe = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
+    fpd = (
+        grams.withColumn("ng", F.count("*").over(per_doc))
+        .withColumn("mh", F.min("h").over(wframe))
+        .filter(F.col("pos") <= F.col("ng") - (W - 1))
+        .select("doc_id", F.col("mh").alias("h"))
+        .distinct()
+    )
+    hot = (
+        fpd.groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > DF_CAP)
+        .select("h")
+    )
+    kept = fpd.join(F.broadcast(hot), "h", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
