@@ -48,6 +48,9 @@ LLM_OPS = [
     "q_ann_pq",         # PQ codebook fit + encode + ADC shortlist + rerank (r7)
     "q_substring_dedup",  # exact-substring span dedup: gram registry + coverage (r7)
     "q_bpe_train",      # distributed BPE merge training, 8 iterations (r7)
+    "q_image_dedup_dhash",       # perceptual image near-dup: dHash + pigeonhole (r10)
+    "q_audio_dedup_fingerprint", # perceptual audio near-dup: energy hash + pigeonhole (r10)
+    "q_winnowing_fingerprint",   # MOSS winnowing fingerprints + pair join (r10)
 ]
 
 
