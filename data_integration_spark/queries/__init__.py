@@ -93,10 +93,11 @@ _SIGN_PRIORITY: list[str] = [
     # rows-only fit-path variants their prior rows attested to);
     # (c) q_ann_ivf — re-sign (_RESIGN): n_cells is now scale-derived
     # (√N, VERDICT r9 #2), which changes the emitted neighbor values;
-    # (d) 33 of the 45 r3-era names (oldest live signatures after this
+    # (d) 32 of the 45 r3-era names (oldest live signatures after this
     # window), statistical flagships and format/IO round-trips first.
-    # The 12 deferred r3 names (q_hash_sample / q_stratified_sample —
-    # displaced by the two new r10 ops — plus the scalar-function
+    # The 13 deferred r3 names (q_explode_outer / q_hash_sample /
+    # q_stratified_sample — displaced by the three new r10 ops — plus
+    # the scalar-function
     # surface: lowest refactor exposure, re-verified by our own harness
     # at every SF each round) queue behind the window for r11.
     # (a) the r2 backlog ---------------------------------------------------
@@ -108,21 +109,23 @@ _SIGN_PRIORITY: list[str] = [
     "q_pii_redact",
     "q_repetition_score",
     "q_train_test_split",
-    # (b) the PENDING_R10 flips + the two NEW r10 ops (audio fingerprint —
-    # the last modality×dedup intersection — and winnowing document
-    # fingerprints; each displaces one r3 re-sign slot, the r7 precedent:
-    # new hash coverage beats re-attestation) ------------------------------
+    # (b) the PENDING_R10 flips + the three NEW r10 ops (audio fingerprint
+    # — the last modality×dedup intersection — and the winnowing pair:
+    # self-pair + cross-corpus incremental; each displaces one r3
+    # re-sign slot, the r7 precedent: new hash coverage beats
+    # re-attestation) ------------------------------
     "q_multimodal_audio_features",
     "q_multimodal_resize",
     "q_multimodal_video_frames",
     "q_image_dedup_dhash",
     "q_audio_dedup_fingerprint",
     "q_winnowing_fingerprint",
+    "q_winnowing_cross_dedup",
     "q_ann_ivf_persist",
     "q_ann_ivf_append",
     # (c) the re-parameterized IVF fit-path query ---------------------------
     "q_ann_ivf",
-    # (d) r3-era rotation, 33 of 45: flagship stats + pipeline first --------
+    # (d) r3-era rotation, 32 of 45: flagship stats + pipeline first --------
     "q_survey_pipeline",
     "q_bootstrap_skeleton",
     "q_ebp_scoring_skeleton",
@@ -155,10 +158,10 @@ _SIGN_PRIORITY: list[str] = [
     "q_funnel",
     "q_retention_cohorts",
     "q_explode_tokens",
+    # --- r11 queue: q_explode_outer / q_hash_sample /
+    # q_stratified_sample (displaced by the three NEW r10 ops) then the
+    # 10 deferred r3-era scalar-surface names ----------------------------
     "q_explode_outer",
-    # --- r11 queue: q_hash_sample + q_stratified_sample (displaced by
-    # the two NEW r10 ops) then the 10 deferred r3-era scalar-surface
-    # names ------------------------------------------------------------
     "q_hash_sample",
     "q_stratified_sample",
     "q_bitwise_ops",

@@ -1383,6 +1383,48 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowing fingerprint extraction (shared by the self-pair and the
+    cross-corpus queries): per document, hash every word ``k``-gram with
+    the portable 60-bit md5 prefix, slide a ``w`` window over the hash
+    sequence, keep each window's minimum, and return the DISTINCT
+    (id_col, h) fingerprint set. Guarantee (Schleimer et al. 2003): any
+    shared word substring of length ≥ w + k − 1 shares a fingerprint.
+    Scale shape: narrow per-row gram expansion + ONE per-document window
+    frame (partitioned by the doc id — never global) + a distinct; cost
+    rides the text scan."""
+    grams = docs.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) >= {k} THEN "
+                f"transform(sequence(1, size(split(text, ' ')) - {k - 1}),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), i, {k}))) "
+                "ELSE array() END"
+            )
+        ).alias("idx", "gram"),
+    ).select(
+        id_col,
+        (F.col("idx") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    from pyspark.sql import Window
+
+    per_doc = Window.partitionBy(id_col)
+    wframe = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("ng", F.count("*").over(per_doc))
+        .withColumn("mh", F.min("h").over(wframe))
+        .filter(F.col("pos") <= F.col("ng") - (w - 1))
+        .select(id_col, F.col("mh").alias("h"))
+        .distinct()
+    )
+
+
 @register(
     "q_winnowing_fingerprint",
     # Different formulation on purpose: the oracle re-derives each window
@@ -1447,37 +1489,7 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     minima with a range self-join instead of a frame."""
     K, W, DF_CAP = 4, 4, 45
     docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
-    grams = (
-        docs.select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"CASE WHEN size(split(text, ' ')) >= {K} THEN "
-                    f"transform(sequence(1, size(split(text, ' ')) - {K - 1}),"
-                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {K}))) "
-                    "ELSE array() END"
-                )
-            ).alias("idx", "gram"),
-        )
-        .select(
-            "doc_id",
-            (F.col("idx") + 1).alias("pos"),
-            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
-        )
-    )
-    from pyspark.sql import Window
-
-    per_doc = Window.partitionBy("doc_id")
-    wframe = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
-    fpd = (
-        grams.withColumn("ng", F.count("*").over(per_doc))
-        .withColumn("mh", F.min("h").over(wframe))
-        .filter(F.col("pos") <= F.col("ng") - (W - 1))
-        .select("doc_id", F.col("mh").alias("h"))
-        .distinct()
-    )
+    fpd = winnow_fingerprints(docs, k=K, w=W)
     hot = (
         fpd.groupBy("h")
         .agg(F.count("*").alias("_df"))
@@ -1495,6 +1507,81 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
         )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+@register(
+    "q_winnowing_cross_dedup",
+    # Same range-join re-derivation of the window minima as
+    # q_winnowing_fingerprint's oracle, then NEW×OLD pairs only: the
+    # incremental-crawl shape (the minhash_cross_dedup sibling for the
+    # winnowing fingerprint family).
+    oracle="""
+    WITH w AS (SELECT doc_id, STR_SPLIT(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             CAST('0x' || SUBSTRING(
+                 MD5(ARRAY_TO_STRING(ws[u.i:u.i+3], ' ')), 1, 15)
+               AS BIGINT) AS h,
+             LEN(ws) - 3 AS ng
+      FROM w, UNNEST(GENERATE_SERIES(1, LEN(ws) - 3)) AS u(i)
+      WHERE LEN(ws) >= 4
+    ),
+    starts AS (SELECT doc_id, pos AS s FROM g WHERE pos <= ng - 3),
+    winmin AS (
+      SELECT st.doc_id, st.s, MIN(g2.h) AS mh
+      FROM starts st
+      JOIN g g2 ON g2.doc_id = st.doc_id
+                AND g2.pos BETWEEN st.s AND st.s + 3
+      GROUP BY st.doc_id, st.s
+    ),
+    fp AS (SELECT DISTINCT doc_id, mh AS h FROM winmin),
+    capped AS (
+      SELECT * FROM fp
+      WHERE h IN (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 45)
+    )
+    SELECT n.doc_id AS new_doc, o.doc_id AS old_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM capped n JOIN capped o ON n.h = o.h
+    WHERE n.doc_id < 60 AND o.doc_id >= 60
+    GROUP BY n.doc_id, o.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_winnowing_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus incremental winnowing dedup — the shape a crawl
+    pipeline runs per release: fingerprint ONLY the new batch
+    (doc_id < 60 models it), join against the EXISTING corpus's
+    fingerprint table (doc_id ≥ 60 — in production a persisted,
+    once-per-release artifact, exactly like the persisted minhash LSH
+    buckets), and emit NEW×OLD pairs sharing ≥ 2 fingerprints — never
+    new×new or old×old, so the pair space is |new batch| × density, not
+    corpus². Same df-cap as the self-pair form (hot boilerplate
+    fingerprints dropped via broadcast anti BEFORE the join; the cap is
+    computed over the union so a boilerplate gram that is hot across
+    the whole corpus cannot pair). Shares ``winnow_fingerprints`` with
+    q_winnowing_fingerprint — one extraction, two pairing policies."""
+    K, W, DF_CAP = 4, 4, 45
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    fpd = winnow_fingerprints(docs, k=K, w=W)
+    hot = (
+        fpd.groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > DF_CAP)
+        .select("h")
+    )
+    kept = fpd.join(F.broadcast(hot), "h", "left_anti")
+    new = kept.filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("new_doc"), "h"
+    )
+    old = kept.filter(F.col("doc_id") >= 60).select(
+        F.col("doc_id").alias("old_doc"), "h"
+    )
+    return (
+        new.join(old, "h")
+        .groupBy("new_doc", "old_doc")
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
