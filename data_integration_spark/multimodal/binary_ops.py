@@ -586,15 +586,16 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
-def _wav_band_features(
+def _wav_band_energies(
     payload: bytes, n_fft: int, hop: int, n_bands: int
-) -> tuple[int, list[float]]:
-    """REAL spectral features from one PCM WAV payload (numpy only, no
-    third-party audio libs): decode samples via the stdlib RIFF parser,
-    average channels to mono, frame with ``hop``, Hann-window each frame,
-    take |rFFT|² power, average the power spectrum into ``n_bands`` equal
-    frequency bands, then log1p and mean over frames → a fixed-size
-    loudness-of-band profile. Returns (n_frames, feature)."""
+) -> np.ndarray:
+    """Per-frame band-energy matrix from one PCM WAV payload (numpy only,
+    no third-party audio libs): decode samples via the stdlib RIFF
+    parser, average channels to mono, frame with ``hop``, Hann-window
+    each frame, take |rFFT|² power, and average the power spectrum into
+    ``n_bands`` equal frequency bands → (n_frames, n_bands). Shared by
+    ``audio_features`` (which log1p-means it over frames) and the
+    spectral fingerprint (which takes time-gradients of it)."""
     n_channels, _rate, _nf, x = _wav_samples(payload)
     if n_channels > 1:
         x = x.reshape(-1, n_channels).mean(axis=1)
@@ -608,12 +609,62 @@ def _wav_band_features(
     # remainder into the last band)
     n_bins = power.shape[1]
     edges = np.linspace(0, n_bins, n_bands + 1).astype(int)
-    bands = np.stack(
+    return np.stack(
         [power[:, edges[b] : edges[b + 1]].mean(axis=1) for b in range(n_bands)],
         axis=1,
     )
+
+
+def _wav_band_features(
+    payload: bytes, n_fft: int, hop: int, n_bands: int
+) -> tuple[int, list[float]]:
+    """REAL spectral features from one PCM WAV payload: per-frame band
+    energies (``_wav_band_energies``), then log1p and mean over frames →
+    a fixed-size loudness-of-band profile. Returns (n_frames, feature)."""
+    bands = _wav_band_energies(payload, n_fft, hop, n_bands)
     feat = np.log1p(bands).mean(axis=0)
-    return len(frames), [float(v) for v in feat]
+    return len(bands), [float(v) for v in feat]
+
+
+def _spectral_fp_bits(
+    payload: bytes,
+    n_fft: int = 64,
+    hop: int = 32,
+    n_bands: int = 8,
+    t_steps: int = 8,
+) -> int:
+    """REAL multi-band spectral audio fingerprint — the full Haitsma &
+    Kalker (2002) construction (the 1-band energy-difference form is
+    ``_audio_fp_bits``): per-frame band energies E[t, b], then bit
+    (t, b) is set iff the time-gradient of band b exceeds the
+    time-gradient of band b+1 at step t:
+
+        (E[t+1, b] − E[t, b]) − (E[t+1, b+1] − E[t, b+1]) > 0
+
+    over t ∈ [0, t_steps) and b ∈ [0, n_bands−1), packed little-endian
+    at k = t·(n_bands−1) + b — (n_bands−1)·t_steps bits (56 at the
+    defaults, the pigeonhole-ready width). The double difference makes
+    the hash invariant to global volume change AND to any per-FRAME
+    gain that is constant across bands. Raises if the payload has fewer
+    than t_steps+1 frames."""
+    if not (n_bands >= 2 and t_steps >= 1):
+        raise ValueError("need n_bands >= 2 and t_steps >= 1")
+    if (n_bands - 1) * t_steps > 62:
+        raise ValueError("fingerprint wider than a positive int64")
+    E = _wav_band_energies(payload, n_fft, hop, n_bands)
+    if len(E) < t_steps + 1:
+        raise ValueError("payload shorter than the fingerprint window")
+    E = E[: t_steps + 1]
+    d = np.diff(E, axis=0)  # (t_steps, n_bands) time-gradients
+    bits = (d[:, :-1] - d[:, 1:]) > 0  # (t_steps, n_bands-1)
+    return int(
+        sum(
+            1 << (t * (n_bands - 1) + b)
+            for t in range(t_steps)
+            for b in range(n_bands - 1)
+            if bits[t, b]
+        )
+    )
 
 
 def audio_features(
@@ -719,6 +770,53 @@ def audio_fingerprint(
                 try:
                     rows.append(
                         (item_id, _audio_fp_bits(bytes(payload), frame_len, n_bits), True)
+                    )
+                except Exception:  # noqa: BLE001 — corrupt payloads yield ok=False
+                    rows.append((item_id, 0, False))
+            yield pd.DataFrame(rows, columns=["item_id", "afp", "ok"])
+
+    return df.select(
+        F.col(id_col).alias("item_id"), F.col(binary_col)
+    ).mapInPandas(fingerprint, AUDIO_FP_SCHEMA)
+
+
+def audio_fingerprint_spectral(
+    df: DataFrame,
+    id_col: str = "item_id",
+    binary_col: str = "payload",
+    n_fft: int = 64,
+    hop: int = 32,
+    n_bands: int = 8,
+    t_steps: int = 8,
+) -> DataFrame:
+    """mapInPandas multi-band spectral audio fingerprint (the full
+    Haitsma–Kalker construction, ``_spectral_fp_bits``): binary WAV →
+    (n_bands−1)·t_steps-bit robust hash (56 at the defaults — drop-in
+    for the same pigeonhole pairing as the 1-band form, which remains
+    the registered oracle-checkable query; FFT bits are not
+    SQL-restatable, so this variant is library + property-test
+    surface). Same Arrow batch flow and ok=False convention as
+    ``audio_fingerprint``; all FFT work rides the scan partitioning."""
+    if not (n_bands >= 2 and t_steps >= 1) or (n_bands - 1) * t_steps > 62:
+        raise ValueError(
+            "need n_bands >= 2, t_steps >= 1, (n_bands-1)*t_steps <= 62"
+        )
+    if n_fft < 2 or hop < 1:
+        raise ValueError("need n_fft >= 2 and hop >= 1")
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, payload in zip(pdf["item_id"], pdf[binary_col]):
+                try:
+                    rows.append(
+                        (
+                            item_id,
+                            _spectral_fp_bits(
+                                bytes(payload), n_fft, hop, n_bands, t_steps
+                            ),
+                            True,
+                        )
                     )
                 except Exception:  # noqa: BLE001 — corrupt payloads yield ok=False
                     rows.append((item_id, 0, False))

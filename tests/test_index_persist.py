@@ -458,3 +458,39 @@ def test_minhash_k_hash_families_are_distinct_ground_truth(spark):
     # ... and the signature must be md5 of exactly these comma-joined mins
     expected = hashlib.md5(",".join(str(m) for m in mins).encode()).hexdigest()
     assert sig_row["sig"] == expected
+
+
+def test_vectorized_assign_matches_hof_formulation(spark, emb):
+    """The r10 GEMM mapInPandas assign must agree CELL-FOR-CELL with the
+    pre-r10 struct-min formulation (broadcast crossJoin + zip_with fold +
+    min(struct(cdist, cell))) on the harness data: the two compute the
+    same argmin through different float expressions (GEMM ‖x‖²+‖c‖²−2x·c
+    with clip vs sequential (a−b)² fold), so agreement here pins the
+    margin argument (decision gaps ≫ reduction noise) as an executable
+    fact, not just an analysis — including the (distance, cell)
+    tie-break direction."""
+    idx = IVFIndex(n_cells=6, seed=11).fit(emb)
+    got = {r.mid: r.cell for r in idx.assigned.collect()}
+
+    v = emb.select(F.col("vec_id").alias("mid"), F.col("e").alias("me"))
+    vc = v.crossJoin(F.broadcast(idx.centroids)).select(
+        "mid",
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("me"), F.col("ce"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("cdist"),
+            F.col("cell"),
+        ).alias("_dc"),
+    )
+    want = {
+        r.mid: r.cell
+        for r in vc.groupBy("mid")
+        .agg(F.min("_dc").alias("_b"))
+        .select("mid", F.col("_b.cell").alias("cell"))
+        .collect()
+    }
+    assert got == want and len(got) == emb.count()

@@ -230,3 +230,73 @@ def test_audio_fp_short_payload_raises():
         raise AssertionError("short payload fingerprinted")
     except ValueError:
         pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n_bands=st.integers(2, 8),
+    t_steps=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_spectral_fp_bits_match_definition(n_bands, t_steps, seed):
+    """Packed multi-band fingerprint bits equal the double-difference
+    comparisons recomputed independently from the band-energy matrix —
+    pins framing, band split, gradient direction, and packing of the
+    full Haitsma–Kalker construction."""
+    rng = np.random.RandomState(seed)
+    wav = B.encode_wav(rng.uniform(-0.8, 0.8, size=512), rate=8000)
+    fp = B._spectral_fp_bits(wav, 64, 32, n_bands, t_steps)
+    E = B._wav_band_energies(wav, 64, 32, n_bands)[: t_steps + 1]
+    want = 0
+    for t in range(t_steps):
+        for b in range(n_bands - 1):
+            g = (E[t + 1, b] - E[t, b]) - (E[t + 1, b + 1] - E[t, b + 1])
+            if g > 0:
+                want |= 1 << (t * (n_bands - 1) + b)
+    assert fp == want
+    assert 0 <= fp < (1 << ((n_bands - 1) * t_steps))
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_spectral_fp_invariant_under_volume_change(seed):
+    """Global volume scaling multiplies every band energy by c², so the
+    double-difference signs — hence the fingerprint — are unchanged,
+    EXCEPT where a gradient sits at the knife edge (|g| within int16
+    quantization noise), where the sign is legitimately undefined. The
+    check masks those bits using the exact-float recompute of the same
+    construction, so a real framing/packing bug still fails while
+    quantization-boundary bits cannot flake the run."""
+    rng = np.random.RandomState(seed)
+    x = rng.uniform(-0.8, 0.8, size=512)
+    full = B._spectral_fp_bits(B.encode_wav(x, rate=8000))
+    half = B._spectral_fp_bits(B.encode_wav(x / 2.0, rate=8000))
+    # exact-float double differences (no WAV quantization) to find
+    # knife-edge bits; mask anything within 1e-3 of zero — quantization
+    # perturbs band energies by ~1e-4 at this amplitude and n_fft
+    win = np.hanning(64)
+    frames = np.stack([x[s : s + 64] * win for s in range(0, 512 - 63, 32)])
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    edges = np.linspace(0, power.shape[1], 9).astype(int)
+    E = np.stack(
+        [power[:, edges[b] : edges[b + 1]].mean(axis=1) for b in range(8)],
+        axis=1,
+    )[:9]
+    d = np.diff(E, axis=0)
+    g = d[:, :-1] - d[:, 1:]  # (8, 7)
+    solid = 0
+    for t in range(8):
+        for b in range(7):
+            if abs(g[t, b]) > 1e-3:
+                solid |= 1 << (t * 7 + b)
+    assert (full ^ half) & solid == 0
+
+
+def test_spectral_fp_validation_and_short_payload():
+    import pytest as _pytest
+
+    wav = B.encode_wav(np.full(64, 0.5), rate=8000)  # only 1 frame at hop=32
+    with _pytest.raises(ValueError, match="shorter"):
+        B._spectral_fp_bits(wav)
+    with _pytest.raises(ValueError, match="int64"):
+        B._spectral_fp_bits(wav, n_bands=9, t_steps=8)

@@ -659,3 +659,31 @@ def test_multimodal_frame_sampling_udtf_shape(payloads):
     assert len(per_item[1]) == 4  # 4096 bytes → 4 frames
     assert len(per_item[2]) == 1  # short payload → 1 frame
     assert sorted(per_item[1]) == [0, 1, 2, 3]
+
+
+def test_audio_fingerprint_spectral_spark_flow(spark):
+    """DataFrame-level smoke for the multi-band spectral fingerprint:
+    real WAVs fingerprint with ok=True in the 56-bit range, corrupt
+    payloads surface ok=False (never an exception), and the result is
+    deterministic across two runs (pure function of the bytes)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from data_integration_spark.multimodal import binary_ops as B
+
+    rng = np.random.RandomState(7)
+    rows = [
+        Row(item_id=i, payload=bytearray(
+            B.encode_wav(rng.uniform(-0.8, 0.8, size=512), rate=8000)))
+        for i in range(4)
+    ] + [Row(item_id=99, payload=bytearray(b"not a wav"))]
+    df = spark.createDataFrame(rows)
+    out1 = {r.item_id: (r.afp, r.ok)
+            for r in B.audio_fingerprint_spectral(df).collect()}
+    out2 = {r.item_id: (r.afp, r.ok)
+            for r in B.audio_fingerprint_spectral(df).collect()}
+    assert out1 == out2
+    assert out1[99] == (0, False)
+    for i in range(4):
+        afp, ok = out1[i]
+        assert ok and 0 <= afp < (1 << 56)
