@@ -845,10 +845,14 @@ def q_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_array("embedding", "e")
     )
     # bounded by construction (the probe block) — the same
-    # collect-the-query-side pattern as the registered vectorized ANN ops
+    # collect-the-query-side pattern as the registered vectorized ANN ops.
+    # on_zero_norm="drop" preserves the pre-vectorization semantics on
+    # dirty data (zero-norm embedding → its pairs silently absent, exactly
+    # what the oracle's NULL-cosine comparison does) instead of failing
+    # the whole sweep (ADVICE r10).
     q_pd = emb.filter(F.col("vec_id") < 100).toPandas()
     cos = (
-        cosine_pairs_vectorized(q_pd, emb, threshold=0.2)
+        cosine_pairs_vectorized(q_pd, emb, threshold=0.2, on_zero_norm="drop")
         .filter(F.col("qid") < F.col("mid"))
         .select(F.col("cosine").alias("c"))
     )
@@ -856,16 +860,34 @@ def q_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_block = emb.filter(
         (F.col("vec_id") < 100) & (F.col("vec_id") < F.lit(vmax))
     ).count()
-    th = F.explode(
-        F.array(*[F.lit(t) for t in (0.2, 0.3, 0.4, 0.5, 0.6, 0.7)])
+    thresholds = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7)
+    # The oracle emits all 6 threshold rows whenever ANY qid<mid pair
+    # exists (its cos CTE is unthresholded), even if no pair reaches the
+    # 0.2 pre-filter floor — so the 6-row shape must not depend on the
+    # (exactly count-preserving, but existence-lossy) ≥0.2 pre-filter.
+    # LEFT-join the literal threshold list against the grouped counts and
+    # zero-fill; emit nothing only when the probe block has no successor
+    # pairs at all, which is precisely when the oracle emits nothing
+    # (ADVICE r10).
+    if n_block == 0:
+        return spark.createDataFrame(
+            [], "threshold double, n_pairs long, n_block_docs long"
+        )
+    th_df = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
     )
-    return (
+    th = F.explode(F.array(*[F.lit(t) for t in thresholds]))
+    counts = (
         cos.select("c", th.alias("threshold"))
         .groupBy("threshold")
         .agg(
             F.sum((F.col("c") >= F.col("threshold")).cast("int"))
             .cast("long")
-            .alias("n_pairs"),
-            F.lit(n_block).cast("long").alias("n_block_docs"),
+            .alias("n_pairs_raw"),
         )
+    )
+    return th_df.join(F.broadcast(counts), "threshold", "left").select(
+        "threshold",
+        F.coalesce(F.col("n_pairs_raw"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.lit(n_block).cast("long").alias("n_block_docs"),
     )

@@ -244,6 +244,7 @@ def cosine_pairs_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "e",
     round_decimals: int = 6,
+    on_zero_norm: str = "raise",
 ) -> DataFrame:
     """Thresholded cosine pairs with the query block as a NumPy matrix
     inside ``mapInPandas`` — the vectorized sibling of ``cosine_pairs``
@@ -257,21 +258,48 @@ def cosine_pairs_vectorized(
     and never shuffles.
 
     ``queries_pd``: pandas DataFrame with columns (id_col, vec_col).
+
+    ``on_zero_norm``: cosine is undefined for a zero-norm vector. The
+    default ``"raise"`` keeps the library's loud-failure contract (ADVICE
+    r4: NaN ordering silently diverges between NumPy and Spark SQL).
+    ``"drop"`` instead excludes zero-norm vectors from BOTH sides before
+    scoring — i.e. every pair touching one is silently absent, matching
+    the pre-vectorization zip_with form (NULL cosine → pair excluded) and
+    the SQL-oracle semantics (NULL/NaN fails every threshold comparison).
+    Pass ``"drop"`` when the caller's contract is "score what's scorable
+    on dirty data" rather than "certify the corpus is clean" (ADVICE r10).
     """
     import numpy as np
     import pandas as pd
 
+    if on_zero_norm not in ("raise", "drop"):
+        raise ValueError(f"on_zero_norm must be 'raise' or 'drop', got {on_zero_norm!r}")
     q_ids = queries_pd[id_col].to_numpy()
     Q = np.stack(queries_pd[vec_col].to_numpy()).astype(float)
     q_norms = np.linalg.norm(Q, axis=1, keepdims=True)
-    _require_nonzero_norms(q_norms, "query side")
+    if on_zero_norm == "drop":
+        keep_q = q_norms.reshape(-1) != 0.0
+        q_ids, Q, q_norms = q_ids[keep_q], Q[keep_q], q_norms[keep_q]
+        if not len(q_ids):  # every query was degenerate: no pairs exist
+            return corpus.sparkSession.createDataFrame(
+                [], "qid long, mid long, cosine double"
+            )
+    else:
+        _require_nonzero_norms(q_norms, "query side")
     Qn = Q / q_norms
 
     def score(batches):
         for pdf in batches:
             M = np.stack(pdf[vec_col].to_numpy()).astype(float)
             m_norms = np.linalg.norm(M, axis=1, keepdims=True)
-            _require_nonzero_norms(m_norms, "corpus batch")
+            if on_zero_norm == "drop":
+                keep_m = m_norms.reshape(-1) != 0.0
+                M, m_norms = M[keep_m], m_norms[keep_m]
+                pdf = pdf[keep_m]
+                if not len(pdf):
+                    continue
+            else:
+                _require_nonzero_norms(m_norms, "corpus batch")
             Mn = M / m_norms
             cos = _np_round_half_up(Mn @ Qn.T, round_decimals)  # (nm, nq)
             mids = pdf[id_col].to_numpy()

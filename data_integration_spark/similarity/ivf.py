@@ -97,7 +97,33 @@ class IVFIndex:
         self.n_cells = n_cells
         self.seed = seed
         self.assigned: DataFrame | None = None
-        self.centroids: DataFrame | None = None
+        self._centroids: DataFrame | None = None
+        self._cent_np: tuple[np.ndarray, np.ndarray] | None = None
+
+    @property
+    def centroids(self) -> DataFrame | None:
+        return self._centroids
+
+    @centroids.setter
+    def centroids(self, df: DataFrame | None) -> None:
+        """Setting the centroid table (fit, load_ivf_index, pinned-fixture
+        queries) invalidates the cached driver-side matrix."""
+        self._centroids = df
+        self._cent_np = None
+
+    def _centroid_matrix(self) -> tuple[np.ndarray, np.ndarray]:
+        """The (C, cells) NumPy form of the centroid table, collected ONCE
+        per index and cached on the instance (ADVICE r10: ``assign`` used
+        to re-collect per call, making fit→append→search chains
+        driver-blocking N times for the same ≤4096×dim table). The setter
+        above invalidates on any centroid replacement."""
+        assert self._centroids is not None, "fit or load first"
+        if self._cent_np is None:
+            cent = self._centroids.orderBy("cell").collect()  # bounded
+            C = np.ascontiguousarray([r.ce for r in cent], dtype=np.float64)
+            cells = np.asarray([r.cell for r in cent], dtype=np.int64)
+            self._cent_np = (C, cells)
+        return self._cent_np
 
     def fit(
         self,
@@ -195,12 +221,9 @@ class IVFIndex:
         the pinned decision margins (tests/test_pending_r10.py), and the
         invariants certificate re-checks every emitted cell against an
         independently written argmin every round."""
-        assert self.centroids is not None, "fit or load first"
         import pandas as pd
 
-        cent = self.centroids.orderBy("cell").collect()  # bounded: ≤4096×dim
-        C = np.ascontiguousarray([r.ce for r in cent], dtype=np.float64)
-        cells = np.asarray([r.cell for r in cent], dtype=np.int64)
+        C, cells = self._centroid_matrix()
 
         def assign_batches(batches):
             for pdf in batches:
@@ -267,21 +290,48 @@ class IVFIndex:
         """Top-k per query among the nprobe nearest cells (cosine,
         deterministic tie-break on rounded cosine then id)."""
         assert self.assigned is not None, "fit first"
+        import pandas as pd
+
         q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
-        # stage 1: rank cells per query by centroid distance (tiny cross join)
-        qc = q.crossJoin(F.broadcast(self.centroids)).withColumn(
-            "cdist",
-            F.aggregate(
-                F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        wc = Window.partitionBy("qid").orderBy(F.col("cdist"), F.col("cell"))
-        probed = (
-            qc.withColumn("crank", F.row_number().over(wc))
-            .filter(F.col("crank") <= nprobe)
-            .select("qid", "qe", "cell")
+        # stage 1 (r11 rework): rank cells per query through the SAME GEMM
+        # closure as ``assign`` — one ``_sq_dists`` call per Arrow batch,
+        # stable argsort rows, take the first nprobe columns. The pre-r11
+        # form — crossJoin(broadcast(centroids)) × zip_with/aggregate fold
+        # + a per-query row_number window — evaluated Q·n_cells INTERPRETED
+        # rows plus a shuffle for the window: bounded at the registered
+        # online-query shape (Q=100), but exactly the N·√N interpreted
+        # pattern that cost assign 174 s at sf10 once Q≈N (corpus-vs-corpus
+        # search). The GEMM form is a narrow map: no crossJoin rows, no
+        # window shuffle, output Q·nprobe rows. Tie-break parity: C is
+        # collected sorted by cell, and a STABLE argsort breaks distance
+        # ties by column index = ascending cell id — bit-matching the old
+        # orderBy(cdist, cell) window (pinned by
+        # tests/test_ivf_search_gemm.py against an HOF re-derivation).
+        C, cells = self._centroid_matrix()
+        npb = int(min(nprobe, len(cells)))
+
+        def probe_batches(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.ascontiguousarray(
+                    np.stack(pdf["qe"].to_numpy()), dtype=np.float64
+                )
+                order = np.argsort(
+                    _sq_dists(Q, C), axis=1, kind="stable"
+                )[:, :npb]
+                idx = np.repeat(np.arange(len(pdf)), npb)
+                yield pd.DataFrame(
+                    {
+                        "qid": pdf["qid"].to_numpy()[idx],
+                        "qe": pdf["qe"].to_numpy()[idx],
+                        "cell": cells[order.ravel()],
+                    }
+                )
+
+        qid_type = q.schema["qid"].dataType.simpleString()
+        probed = q.mapInPandas(
+            probe_batches, f"qid {qid_type}, qe array<double>, cell int"
         )
         # stage 2: exact cosine within probed cells only
         cand = probed.join(self.assigned, "cell").filter(F.col("qid") != F.col("mid"))
