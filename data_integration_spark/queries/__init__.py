@@ -82,85 +82,24 @@ def register_pending(name: str, oracle: str | None = None):
 # ever shrinks. Maintained per round: names signed in CORRECTNESS_r{N} leave,
 # new queries join at the tail of the front block.
 _SIGN_PRIORITY: list[str] = [
-    # --- r10 window (VERDICT r9 #1/#2/#6). The r9 signing run went 50/50,
-    # so every r9-window name has a current driver row and leaves the
-    # list. r10 slots:
-    # (a) the 8-name r2-era backlog — closes the entire r1/r2 rotation;
-    # (b) the 6 PENDING_R10 flips: 4 brand-new full-oracle queries (3
-    # multimodal t2 certificates + q_image_dedup_dhash) and the 2
-    # pinned-centroid IVF upgrades (q_ann_ivf_persist/q_ann_ivf_append —
-    # GENUINE re-signs, in _RESIGN: the full-oracle rewrites replace the
-    # rows-only fit-path variants their prior rows attested to);
-    # (c) q_ann_ivf — re-sign (_RESIGN): n_cells is now scale-derived
-    # (√N, VERDICT r9 #2), which changes the emitted neighbor values;
-    # (d) 32 of the 45 r3-era names (oldest live signatures after this
-    # window), statistical flagships and format/IO round-trips first.
-    # The 13 deferred r3 names (q_explode_outer / q_hash_sample /
-    # q_stratified_sample — displaced by the three new r10 ops — plus
-    # the scalar-function
-    # surface: lowest refactor exposure, re-verified by our own harness
-    # at every SF each round) queue behind the window for r11.
-    # (a) the r2 backlog ---------------------------------------------------
-    "q_curation_pipeline",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_exists_subquery",
-    "q_paragraph_dedup",
-    "q_pii_redact",
-    "q_repetition_score",
-    "q_train_test_split",
-    # (b) the PENDING_R10 flips + the three NEW r10 ops (audio fingerprint
-    # — the last modality×dedup intersection — and the winnowing pair:
-    # self-pair + cross-corpus incremental; each displaces one r3
-    # re-sign slot, the r7 precedent: new hash coverage beats
-    # re-attestation) ------------------------------
-    "q_multimodal_audio_features",
-    "q_multimodal_resize",
-    "q_multimodal_video_frames",
-    "q_image_dedup_dhash",
-    "q_audio_dedup_fingerprint",
-    "q_winnowing_fingerprint",
-    "q_winnowing_cross_dedup",
-    "q_ann_ivf_persist",
-    "q_ann_ivf_append",
-    # (c) the re-parameterized IVF fit-path query ---------------------------
-    "q_ann_ivf",
-    # (d) r3-era rotation, 32 of 45: flagship stats + pipeline first --------
-    "q_survey_pipeline",
-    "q_bootstrap_skeleton",
-    "q_ebp_scoring_skeleton",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_pandas_udf",
-    "q_map_in_arrow",
-    "q_python_udtf",
-    "q_python_datasource",
-    "q_json_source",
-    "q_jsonl_roundtrip",
-    "q_orc_roundtrip",
-    "q_schema_evolution",
-    "q_variant_json",
-    "q_merge_upsert",
-    "q_compaction",
-    "q_keep_latest",
-    "q_referential_integrity",
-    "q_bucketed_join",
-    "q_salted_agg",
-    "q_range_join",
-    "q_range_frame_window",
-    "q_cube",
-    "q_pivot",
-    "q_unpivot",
-    "q_conditional_agg",
-    "q_corr_stats",
-    "q_histogram",
-    "q_profile_stats",
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_explode_tokens",
-    # --- r11 queue: q_explode_outer / q_hash_sample /
-    # q_stratified_sample (displaced by the three NEW r10 ops) then the
-    # 10 deferred r3-era scalar-surface names ----------------------------
+    # --- r11 window (VERDICT r10 #1/#2/#4). The r10 signing run went
+    # 50/50, so every r10-window name has a current driver row and leaves
+    # the list. r11 slots:
+    # (a) the 3 NEW r11 ops: the persisted winnowing fingerprint registry
+    # (closes the one 100-TB design gap VERDICT r10 named) and the
+    # multi-band spectral audio fingerprint pair (rows-only construction
+    # + its full-oracle invariants certificate — the dHash/PCA precedent);
+    # (b) the 13 deferred r3 names (explode/sampling + the scalar-function
+    # surface) — closes the entire r3 rotation;
+    # (c) 34 of the 44 r4-era names (the oldest live signatures after
+    # this window): analytics/window/timeseries families first, then
+    # TPC-H q2-q12. The 10 remaining r4 names (TPC-H q13-q22) queue
+    # behind the window for r12 with the 27 r5 names.
+    # (a) new r11 ops -------------------------------------------------------
+    "q_winnowing_registry_persist",
+    "q_audio_spectral_fingerprint",
+    "q_audio_spectral_invariants",
+    # (b) the r3 backlog ----------------------------------------------------
     "q_explode_outer",
     "q_hash_sample",
     "q_stratified_sample",
@@ -174,23 +113,51 @@ _SIGN_PRIORITY: list[str] = [
     "q_datetime_functions",
     "q_minby_maxby",
     "q_intersect_except",
-]  # the driver's r10 window = first 50 registered
+    # (c) r4-era rotation, 34 of 44 -----------------------------------------
+    "q_ab_test",
+    "q_activity_streaks",
+    "q_array_ops",
+    "q_autocorr",
+    "q_chi_square",
+    "q_cusum_drift",
+    "q_doc_chunking",
+    "q_ewma",
+    "q_forward_fill",
+    "q_fuzzy_match",
+    "q_gopher_rules",
+    "q_int8_quantize",
+    "q_interval_overlap",
+    "q_lateral_topk",
+    "q_mom_growth",
+    "q_not_in_subquery",
+    "q_pagerank",
+    "q_quota_sample",
+    "q_recursive_cte",
+    "q_regression_by_group",
+    "q_robust_means",
+    "q_sessionization",
+    "q_weighted_median",
+    "q_weighted_sample",
+    "q_zscore_outliers",
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+]  # the driver's r11 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
-# because the code change invalidated what the row attests to:
-# - q_ann_ivf_persist / q_ann_ivf_append: the r10 pinned-centroid
-#   full-oracle rewrites REPLACE the rows-only fit-path variants the prior
-#   rows attested to (different centroids → different output values, and
-#   the check upgrades rows-only → full hash).
-# - q_ann_ivf: n_cells is now scale-derived (√N) instead of the pinned 8
-#   (VERDICT r9 #2) — different cells, different emitted neighbors.
-_RESIGN: frozenset[str] = frozenset(
-    {
-        "q_ann_ivf_persist",
-        "q_ann_ivf_append",
-        "q_ann_ivf",
-    }
-)
+# because a code change invalidated what the row attests to. Empty for r11:
+# the r10 re-signs (IVF √N re-parameterization + pinned-centroid
+# persist/append upgrades) all landed in CORRECTNESS_r10, and this round's
+# IVF search stage-1 GEMM rework is RESULT-PRESERVING by pin test
+# (tests/test_ivf_search_gemm.py::test_search_end_to_end_unchanged_by_
+# stage1_rework), so no prior row is invalidated.
+_RESIGN: frozenset[str] = frozenset()
 
 
 def load_all() -> None:

@@ -494,3 +494,94 @@ def test_vectorized_assign_matches_hof_formulation(spark, emb):
         .collect()
     }
     assert got == want and len(got) == emb.count()
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint registry (round-11 surface)
+# ---------------------------------------------------------------------------
+
+
+def _winnow_docs(spark):
+    return Catalog(spark, SF)["documents"].select("doc_id", "text")
+
+
+def test_winnowing_registry_roundtrip_fingerprints(spark):
+    """Loaded fingerprints == recomputed; loaded df == recomputed per-hash
+    document frequency."""
+    from data_integration_spark.queries.corpus_ops import winnow_fingerprints
+    from data_integration_spark.similarity.persist import (
+        load_winnowing_registry,
+        save_winnowing_registry,
+    )
+
+    shutil.rmtree(SCRATCH + "/winnow_rt", ignore_errors=True)
+    docs = _winnow_docs(spark).filter(F.col("doc_id") >= 60)
+    fp = winnow_fingerprints(docs, k=4, w=4)
+    save_winnowing_registry(fp, SCRATCH + "/winnow_rt", k=4, w=4)
+    loaded_fp, loaded_df = load_winnowing_registry(
+        spark, SCRATCH + "/winnow_rt", k=4, w=4
+    )
+    assert _rows(loaded_fp) == _rows(fp)
+    direct_df = fp.groupBy("h").agg(F.count("*").cast("long").alias("df"))
+    assert _rows(loaded_df) == _rows(direct_df)
+
+
+def test_winnowing_registry_pairs_equal_inline_form(spark):
+    """The registered registry query emits the identical pair set to the
+    inline cross-dedup form (old side re-derived from text) — persistence
+    never changes results."""
+    import data_integration_spark.queries as Q
+
+    Q.load_all()
+    inline = _rows(Q.QUERIES["q_winnowing_cross_dedup"](spark, SF))
+    registry = _rows(Q.QUERIES["q_winnowing_registry_persist"](spark, SF))
+    assert registry == inline
+    assert len(registry) > 0  # the corpus plants near-dups; empty = broken
+
+
+def test_winnowing_registry_append_grows_without_rewriting(spark):
+    """Append adds a batch's fingerprints + df partials; a later dedup
+    sees old+batch1 as the registry side. df partials merge at load."""
+    from data_integration_spark.queries.corpus_ops import winnow_fingerprints
+    from data_integration_spark.similarity.persist import (
+        append_winnowing_registry,
+        load_winnowing_registry,
+        save_winnowing_registry,
+    )
+
+    shutil.rmtree(SCRATCH + "/winnow_app", ignore_errors=True)
+    docs = _winnow_docs(spark)
+    base = winnow_fingerprints(docs.filter(F.col("doc_id") >= 80), k=4, w=4)
+    batch1 = winnow_fingerprints(
+        docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 80)), k=4, w=4
+    )
+    save_winnowing_registry(base, SCRATCH + "/winnow_app", k=4, w=4)
+    append_winnowing_registry(batch1, SCRATCH + "/winnow_app", k=4, w=4)
+    loaded_fp, loaded_df = load_winnowing_registry(
+        spark, SCRATCH + "/winnow_app", k=4, w=4
+    )
+    combined = winnow_fingerprints(docs.filter(F.col("doc_id") >= 60), k=4, w=4)
+    assert _rows(loaded_fp) == _rows(combined)
+    # df partials merged: equals the df of the combined fingerprint set
+    direct_df = combined.groupBy("h").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    assert _rows(loaded_df) == _rows(direct_df)
+
+
+def test_winnowing_registry_param_mismatch_raises(spark):
+    from data_integration_spark.queries.corpus_ops import winnow_fingerprints
+    from data_integration_spark.similarity.persist import (
+        append_winnowing_registry,
+        load_winnowing_registry,
+        save_winnowing_registry,
+    )
+
+    shutil.rmtree(SCRATCH + "/winnow_pm", ignore_errors=True)
+    docs = _winnow_docs(spark).filter(F.col("doc_id") >= 90)
+    fp = winnow_fingerprints(docs, k=4, w=4)
+    save_winnowing_registry(fp, SCRATCH + "/winnow_pm", k=4, w=4)
+    with pytest.raises(ValueError, match="param mismatch"):
+        load_winnowing_registry(spark, SCRATCH + "/winnow_pm", k=5, w=4)
+    with pytest.raises(ValueError, match="param mismatch"):
+        append_winnowing_registry(fp, SCRATCH + "/winnow_pm", k=4, w=5)
