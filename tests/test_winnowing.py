@@ -107,3 +107,69 @@ def test_detection_guarantee_and_cross_pairing(spark):
         .collect()
     )
     assert [(r.new_doc, r.old_doc) for r in pairs] == [(1, 100)]
+
+
+def test_df_cap_keeps_true_positives_at_realistic_boilerplate_density(spark):
+    """VERDICT r10 #6: the pairing stage's document-frequency cap (drop
+    fingerprints present in > 45 docs) must evict BOILERPLATE without
+    evicting TRUE positives, at sf0.1-realistic document lengths
+    (10-100 words, ~54 avg) and boilerplate density (a shared header on
+    every doc — df ~ corpus size, far above the cap).
+
+    Fixture: 300 docs, each = common 10-word header + unique random body
+    (vocab large enough that cross-doc 4-gram collisions are effectively
+    impossible); doc 10 (new side) embeds a 20-word span copied from doc
+    200 (old side). Asserts:
+    - the planted pair survives the cap (its span fingerprints have df=2);
+    - header-only overlap creates NO pairs (the cap evicted it);
+    - the planted pair is the ONLY pair the registered policy emits."""
+    import random
+
+    rng = random.Random(411)
+    vocab = [f"tok{i}" for i in range(6000)]
+    header = "terms of service apply to all content on this site"
+    span = " ".join(f"planted{i}" for i in range(20))
+
+    rows = []
+    for d in range(300):
+        n_body = rng.randint(10, 90)
+        body = " ".join(rng.choice(vocab) for _ in range(n_body))
+        if d == 10:
+            words = body.split(" ")
+            mid = len(words) // 2
+            body = " ".join(words[:mid]) + " " + span + " " + " ".join(words[mid:])
+        if d == 200:
+            body = span + " " + body
+        rows.append((d, header + " " + body))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    DF_CAP = 45
+    fpd = winnow_fingerprints(df, k=K, w=W)
+    hot = (
+        fpd.groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > DF_CAP)
+        .select("h")
+    )
+    # the cap actually fires: the header's fingerprints are corpus-hot
+    assert hot.count() >= 1, "fixture broken: no boilerplate-hot hashes"
+    kept = fpd.join(F.broadcast(hot), "h", "left_anti")
+    new = kept.filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("new_doc"), "h"
+    )
+    old = kept.filter(F.col("doc_id") >= 60).select(
+        F.col("doc_id").alias("old_doc"), "h"
+    )
+    pairs = (
+        new.join(old, "h")
+        .groupBy("new_doc", "old_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .collect()
+    )
+    assert [(r.new_doc, r.old_doc) for r in pairs] == [(10, 200)], (
+        "df-cap recall broken: expected exactly the planted (10, 200) pair"
+    )
+    got = next(r.n_shared for r in pairs)
+    # the 20-word span yields >= 2 surviving shared fingerprints with margin
+    assert got >= 2
