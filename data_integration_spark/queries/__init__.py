@@ -85,18 +85,22 @@ _SIGN_PRIORITY: list[str] = [
     # --- r11 window (VERDICT r10 #1/#2/#4). The r10 signing run went
     # 50/50, so every r10-window name has a current driver row and leaves
     # the list. r11 slots:
-    # (a) the 3 NEW r11 ops: the persisted winnowing fingerprint registry
-    # (closes the one 100-TB design gap VERDICT r10 named) and the
-    # multi-band spectral audio fingerprint pair (rows-only construction
-    # + its full-oracle invariants certificate — the dHash/PCA precedent);
+    # (a) the 4 NEW r11 ops: the persisted winnowing fingerprint registry
+    # + its streaming crawl-loop sibling (closing the one 100-TB design
+    # gap VERDICT r10 named), and the multi-band spectral audio
+    # fingerprint pair (rows-only construction + its full-oracle
+    # invariants certificate — the dHash/PCA precedent);
     # (b) the 13 deferred r3 names (explode/sampling + the scalar-function
     # surface) — closes the entire r3 rotation;
-    # (c) 34 of the 44 r4-era names (the oldest live signatures after
+    # (c) 33 of the 44 r4-era names (the oldest live signatures after
     # this window): analytics/window/timeseries families first, then
-    # TPC-H q2-q12. The 10 remaining r4 names (TPC-H q13-q22) queue
-    # behind the window for r12 with the 27 r5 names.
+    # TPC-H q2-q11. The 11 remaining r4 names (TPC-H q12-q22) queue
+    # behind the window for r12 with the 27 r5 names. (The 4th new
+    # r11 op — q_streaming_winnowing_dedup — displaced q_tpch_q12,
+    # the r7 precedent: new hash coverage beats re-attestation.)
     # (a) new r11 ops -------------------------------------------------------
     "q_winnowing_registry_persist",
+    "q_streaming_winnowing_dedup",
     "q_audio_spectral_fingerprint",
     "q_audio_spectral_invariants",
     # (b) the r3 backlog ----------------------------------------------------
@@ -113,7 +117,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_datetime_functions",
     "q_minby_maxby",
     "q_intersect_except",
-    # (c) r4-era rotation, 34 of 44 -----------------------------------------
+    # (c) r4-era rotation, 33 of 44 -----------------------------------------
     "q_ab_test",
     "q_activity_streaks",
     "q_array_ops",
@@ -147,7 +151,6 @@ _SIGN_PRIORITY: list[str] = [
     "q_tpch_q9",
     "q_tpch_q10",
     "q_tpch_q11",
-    "q_tpch_q12",
 ]  # the driver's r11 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway

@@ -917,3 +917,147 @@ def q_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rows_dropped_late").cast("long"),
         )
     )
+
+
+# The winnowing window-minimum re-derivation (the corpus_ops oracle CTEs)
+# + the STREAMING pair policy: every new doc (< 60) pairs against the old
+# corpus (>= 60), and new docs pair with each other across the two
+# replayed micro-batches (even ids = one file, odd ids = the other) but
+# never within one — emitted canonically as (d1 < d2). The boilerplate
+# cap is the FROZEN release hot-list (document frequency computed over
+# the OLD corpus only, > 45), applied identically to every batch — the
+# production shape: a crawl applies the release's hot-list, it does not
+# re-count the archive per micro-batch.
+_WINNOW_STREAM_ORACLE = """
+WITH w AS (SELECT doc_id, STR_SPLIT(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         CAST('0x' || SUBSTRING(
+             MD5(ARRAY_TO_STRING(ws[u.i:u.i+3], ' ')), 1, 15)
+           AS BIGINT) AS h,
+         LEN(ws) - 3 AS ng
+  FROM w, UNNEST(GENERATE_SERIES(1, LEN(ws) - 3)) AS u(i)
+  WHERE LEN(ws) >= 4
+),
+starts AS (SELECT doc_id, pos AS s FROM g WHERE pos <= ng - 3),
+winmin AS (
+  SELECT st.doc_id, st.s, MIN(g2.h) AS mh
+  FROM starts st
+  JOIN g g2 ON g2.doc_id = st.doc_id
+            AND g2.pos BETWEEN st.s AND st.s + 3
+  GROUP BY st.doc_id, st.s
+),
+fp AS (SELECT DISTINCT doc_id, mh AS h FROM winmin),
+hot AS (
+  SELECT h FROM fp WHERE doc_id >= 60 GROUP BY h HAVING COUNT(*) > 45
+),
+capped AS (SELECT * FROM fp WHERE h NOT IN (SELECT h FROM hot))
+SELECT n.doc_id AS d1, o.doc_id AS d2,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM capped n JOIN capped o ON n.h = o.h
+WHERE n.doc_id < 60
+  AND (o.doc_id >= 60
+       OR (o.doc_id < 60 AND n.doc_id < o.doc_id
+           AND n.doc_id % 2 <> o.doc_id % 2))
+GROUP BY n.doc_id, o.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("q_streaming_winnowing_dedup", oracle=_WINNOW_STREAM_ORACLE)
+def q_streaming_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental winnowing dedup — the production crawl loop
+    the persisted registry exists for (the winnowing sibling of
+    q_streaming_ivf_append's index-maintenance pattern): the release job
+    fingerprints + saves the old corpus ONCE
+    (similarity/persist.py::save_winnowing_registry); new documents
+    arrive as micro-batches (file replay, maxFilesPerTrigger=1 → two
+    batches: even then odd doc ids); each ``foreachBatch`` (1)
+    fingerprints ONLY the batch, (2) joins it against the CURRENT
+    registry — old corpus plus every earlier batch — emitting pairs
+    sharing ≥ 2 fingerprints, then (3) APPENDS the batch's fingerprints
+    (``append_winnowing_registry``, cost ∝ |batch|), so later batches
+    dedup against everything ever seen without any archive re-scan.
+
+    Boilerplate control uses the FROZEN release hot-list (registry df >
+    45, computed once at load): a crawl applies the release's hot-list
+    rather than re-counting the archive per micro-batch. Pairs are
+    emitted canonically as (d1 < d2), which makes the output independent
+    of micro-batch ORDER (whichever parity file replays first, the same
+    unordered cross-batch pairs exist); within-batch pairs are
+    structurally impossible (a batch joins only the registry, which
+    never contains itself). FULL oracle: DuckDB re-derives fingerprints
+    by range join, applies the same frozen hot-list, and enumerates
+    new×old plus cross-parity new×new pairs.
+
+    At 100 TB: the registry is a column-pruned parquet scan (never
+    text), each micro-batch's extraction is ∝ |batch|, the append is
+    partition-local files, and the hot-list is a broadcast anti —
+    measured sf10 economics in SCALING.md round-11."""
+    from data_integration_spark.queries.corpus_ops import winnow_fingerprints
+    from data_integration_spark.similarity.persist import (
+        append_winnowing_registry,
+        load_winnowing_registry,
+        save_winnowing_registry,
+    )
+
+    K, W, DF_CAP = 4, 4, 45
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    reg = f"{_SCRATCH}/winnow_stream_reg_{tag}_{os.getpid()}"
+    src = f"{_SCRATCH}/winnow_stream_src_{tag}_{os.getpid()}"
+    out = f"{_SCRATCH}/winnow_stream_out_{tag}_{os.getpid()}"
+    ck = f"{_SCRATCH}/winnow_stream_ck_{tag}_{os.getpid()}"
+    for d in (reg, src, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    # once per release: fingerprint + save the old corpus, freeze the
+    # hot-list from the release's own df table
+    save_winnowing_registry(
+        winnow_fingerprints(docs.filter(F.col("doc_id") >= 60), k=K, w=W),
+        reg, k=K, w=W,
+    )
+    _, release_df = load_winnowing_registry(spark, reg, k=K, w=W)
+    hot = release_df.filter(F.col("df") > DF_CAP).select("h")
+    hot.cache().count()  # freeze NOW — appended partials must not move it
+
+    new = docs.filter(F.col("doc_id") < 60)
+    new.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    new.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_fp = winnow_fingerprints(batch_df, k=K, w=W)
+        reg_fp, _ = load_winnowing_registry(s, reg, k=K, w=W)
+        batch_kept = batch_fp.join(F.broadcast(hot), "h", "left_anti")
+        reg_kept = reg_fp.join(F.broadcast(hot), "h", "left_anti")
+        pairs = (
+            batch_kept.select(F.col("doc_id").alias("b"), "h")
+            .join(reg_kept.select(F.col("doc_id").alias("r"), "h"), "h")
+            .groupBy(
+                F.least("b", "r").alias("d1"),
+                F.greatest("b", "r").alias("d2"),
+            )
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+        )
+        pairs.write.mode("append").parquet(out)
+        # append AFTER pairing: a batch never pairs with itself
+        append_winnowing_registry(batch_fp, reg, k=K, w=W)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select("d1", "d2", "n_shared")

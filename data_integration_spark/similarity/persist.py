@@ -401,3 +401,36 @@ def load_winnowing_registry(spark: SparkSession, path: str, *, k: int, w: int):
         .agg(F.sum("df").cast("long").alias("df"))
     )
     return fp, df
+
+
+def compact_winnowing_registry(spark: SparkSession, path: str) -> int:
+    """Rewrite the registry's ``df`` partials into one pre-aggregated
+    table (and return the number of part-files before compaction).
+
+    ``append_winnowing_registry`` writes batch-local (h, df) partials so
+    appends never rewrite history — but a long-lived registry accumulates
+    one partial set per crawl, and the loader's merge-on-read SUM pays a
+    growing scan every query. Compaction is the standard maintenance move
+    (the q_compaction precedent): aggregate once, atomically swap via a
+    staging directory + os.replace-style rename. Loads before/after are
+    value-identical (pinned in tests/test_index_persist.py); fingerprints
+    are untouched (they are already the final representation)."""
+    import glob as _glob
+
+    df_dir = os.path.join(path, "df")
+    n_parts = len(_glob.glob(os.path.join(df_dir, "*.parquet")))
+    from pyspark.sql import functions as F
+
+    staged = df_dir + "._compact"
+    (
+        spark.read.parquet(df_dir)
+        .groupBy("h")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    import shutil as _shutil
+
+    _shutil.rmtree(df_dir)
+    os.rename(staged, df_dir)
+    return n_parts

@@ -585,3 +585,45 @@ def test_winnowing_registry_param_mismatch_raises(spark):
         load_winnowing_registry(spark, SCRATCH + "/winnow_pm", k=5, w=4)
     with pytest.raises(ValueError, match="param mismatch"):
         append_winnowing_registry(fp, SCRATCH + "/winnow_pm", k=4, w=5)
+
+
+def test_winnowing_registry_compaction_preserves_loads(spark):
+    """compact_winnowing_registry rewrites the df partials into one
+    aggregated table: loads before/after are value-identical, and the
+    partial part-file count shrinks (merge-on-read tail paid down)."""
+    import glob
+
+    from data_integration_spark.queries.corpus_ops import winnow_fingerprints
+    from data_integration_spark.similarity.persist import (
+        append_winnowing_registry,
+        compact_winnowing_registry,
+        load_winnowing_registry,
+        save_winnowing_registry,
+    )
+
+    path = SCRATCH + "/winnow_compact"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _winnow_docs(spark)
+    save_winnowing_registry(
+        winnow_fingerprints(docs.filter(F.col("doc_id") >= 80), k=4, w=4),
+        path, k=4, w=4,
+    )
+    for lo, hi in ((70, 80), (60, 70)):
+        append_winnowing_registry(
+            winnow_fingerprints(
+                docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+                k=4, w=4,
+            ),
+            path, k=4, w=4,
+        )
+    before_fp, before_df = load_winnowing_registry(spark, path, k=4, w=4)
+    before_fp_rows, before_df_rows = _rows(before_fp), _rows(before_df)
+    n_parts_before = len(glob.glob(path + "/df/*.parquet"))
+    assert n_parts_before >= 3  # base + 2 appends wrote >= 3 partials
+
+    reported = compact_winnowing_registry(spark, path)
+    assert reported == n_parts_before
+    after_fp, after_df = load_winnowing_registry(spark, path, k=4, w=4)
+    assert _rows(after_fp) == before_fp_rows
+    assert _rows(after_df) == before_df_rows
+    assert len(glob.glob(path + "/df/*.parquet")) < n_parts_before
