@@ -51,6 +51,8 @@ LLM_OPS = [
     "q_image_dedup_dhash",       # perceptual image near-dup: dHash + pigeonhole (r10)
     "q_audio_dedup_fingerprint", # perceptual audio near-dup: energy hash + pigeonhole (r10)
     "q_winnowing_fingerprint",   # MOSS winnowing fingerprints + pair join (r10)
+    "q_winnowing_registry_persist",  # registry save + load + incremental pair (r11)
+    "q_audio_spectral_fingerprint",  # full Haitsma-Kalker multi-band FFT hash (r11)
 ]
 
 

@@ -1559,8 +1559,9 @@ def q_winnowing_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs per release: fingerprint ONLY the new batch
     (doc_id < 60 models it), join against the EXISTING corpus's
     fingerprint table (doc_id ≥ 60 — in production a persisted,
-    once-per-release artifact, exactly like the persisted minhash LSH
-    buckets), and emit NEW×OLD pairs sharing ≥ 2 fingerprints — never
+    once-per-release artifact: q_winnowing_registry_persist IS that
+    variant, sharing this oracle, and q_streaming_winnowing_dedup is the
+    crawl loop over it), and emit NEW×OLD pairs sharing ≥ 2 fingerprints — never
     new×new or old×old, so the pair space is |new batch| × density, not
     corpus². Same df-cap as the self-pair form (hot boilerplate
     fingerprints dropped via broadcast anti BEFORE the join; the cap is
