@@ -519,6 +519,45 @@ def q_ann_ivf_append_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "mid", "cosine", "rank", "from_new_batch")
 
 
+@register(
+    "q_ann_ivf_self_join",
+    # the pinned-centroid oracle with the probe block widened to the WHOLE
+    # corpus (drop the vec_id < 20 query filter): every vector is a query
+    oracle=_IVF_PIN_ORACLE_BODY.replace("FROM d2 WHERE vec_id < 20", "FROM d2")
+    + "SELECT qid, mid, cosine, rank FROM ranked WHERE rank <= 5",
+)
+def q_ann_ivf_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN SELF-JOIN under pinned literal centroids: every corpus vector
+    queries the index for its top-5 cosine neighbors among its nprobe=3
+    nearest cells — the SemDeDup-style semantic-dedup candidate
+    generation shape (Q ≈ N), served by ``IVFIndex.search_all`` (r11):
+    stage 1 is the GEMM cell ranking, stage 2 a COGROUPED applyInPandas
+    on the cell id — each cell scores its probing queries × its members
+    with ONE BLAS GEMM and emits only per-query partial top-k, so the
+    candidate space (N²·nprobe/n_cells pairs) is never materialized as
+    rows; the global pass ranks ≤ nprobe·k survivors per query. The cut
+    is lossless (a candidate lives in exactly one cell — the r4
+    batch-cut argument), and search_all == search equivalence is pinned
+    at Q = N (tests/test_ivf_search_gemm.py). Measured at sf0.1
+    (Q = N = 2000): 19.5 s for the row-materializing interpreted form
+    vs one GEMM per cell here.
+
+    FULL oracle via the pinned-centroid precedent (q_ann_ivf_persist):
+    with the centroid grid literal integer arithmetic, DuckDB recomputes
+    assignment argmin, per-query probe ranking, and the all-corpus top-5
+    cosine answer end-to-end. The k-means fit path stays covered by
+    q_ann_ivf(_invariants)."""
+    from data_integration_spark.similarity.ivf import IVFIndex
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    index = IVFIndex(n_cells=_PIN_CELLS, seed=0)
+    index.centroids = _pinned_ivf_centroids_df(spark)
+    index.assigned = index.assign(emb)
+    return index.search_all(emb, k=5, nprobe=3)
+
+
 @register("q_ann_pq")  # rows-only: PQ codes/centroids are sample-dependent
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (similarity/pq.py) — the MEMORY-bound

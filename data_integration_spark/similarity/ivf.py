@@ -347,3 +347,150 @@ class IVFIndex:
             .filter(F.col("rank") <= k)
             .select("qid", "mid", "cosine", "rank")
         )
+
+    def search_all(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "e",
+    ) -> DataFrame:
+        """Corpus-scale search — same semantics as ``search`` (top-k
+        cosine within the nprobe nearest cells, ties on rounded cosine
+        then id, self-pairs excluded) but built for Q ≈ N (ANN self-join:
+        the SemDeDup / semantic-dedup candidate-generation shape).
+
+        ``search`` materializes every (query, candidate) pair as a ROW
+        and scores it with an interpreted HOF cosine — Q·N·nprobe/n_cells
+        interpreted rows, the exact pattern the r10/r11 GEMM reworks
+        retired from assign and cell ranking (measured: 19.5 s at
+        sf0.1 for Q=N=2000). Here stage 2 is a COGROUPED applyInPandas
+        on the cell id: each cell gets its probing queries and its
+        members as two NumPy matrices, scores them with ONE GEMM, and
+        emits only its per-query partial top-k (≤ k rows per (query,
+        probed cell)). The global pass then ranks ≤ nprobe·k survivors
+        per query — a window over Q·nprobe·k rows instead of the full
+        candidate space. The cut is LOSSLESS: every candidate lives in
+        exactly one cell, so a global top-k member necessarily ranks
+        ≤ k inside its own cell under the same total order (the r4
+        ``cosine_topk_vectorized`` batch-cut argument, per cell instead
+        of per batch). Rounding (``_np_round_half_up``) and tie-break
+        (int64 composite key: rounded-cosine-millionths then id) match
+        ``search`` bit-for-bit — pinned by
+        tests/test_ivf_search_gemm.py::test_search_all_matches_search.
+
+        Scale shape: one shuffle of corpus + probes on the cell id (the
+        inverted-list layout a persisted index already has on disk),
+        BLAS inside the task, output Q·nprobe·k rows before the final
+        tiny window. No pair-space row materialization anywhere."""
+        assert self.assigned is not None, "fit first"
+        import pandas as pd
+
+        from data_integration_spark.similarity.ann import _np_round_half_up
+
+        C, cells = self._centroid_matrix()
+        npb = int(min(nprobe, len(cells)))
+
+        def probe_batches(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.ascontiguousarray(
+                    np.stack(pdf["qe"].to_numpy()), dtype=np.float64
+                )
+                order = np.argsort(
+                    _sq_dists(Q, C), axis=1, kind="stable"
+                )[:, :npb]
+                idx = np.repeat(np.arange(len(pdf)), npb)
+                yield pd.DataFrame(
+                    {
+                        "qid": pdf["qid"].to_numpy()[idx],
+                        "qe": pdf["qe"].to_numpy()[idx],
+                        "cell": cells[order.ravel()],
+                    }
+                )
+
+        q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+        qid_type = q.schema["qid"].dataType.simpleString()
+        probed = q.mapInPandas(
+            probe_batches, f"qid {qid_type}, qe array<double>, cell int"
+        )
+
+        def score_cell(probes: pd.DataFrame, members: pd.DataFrame):
+            empty = pd.DataFrame({"qid": [], "mid": [], "cosine": []}).astype(
+                {"qid": "int64", "mid": "int64", "cosine": "float64"}
+            )
+            if not len(probes) or not len(members):
+                return empty
+            M = np.ascontiguousarray(
+                np.stack(members["me"].to_numpy()), dtype=np.float64
+            )
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            mids = members["mid"].to_numpy().astype(np.int64)
+            cut = min(k + 1, len(mids))  # +1 absorbs a possible self-pair
+            # probe-CHUNKED scoring: a hot cell at corpus scale can hold
+            # tens of thousands of members AND be probed by a comparable
+            # query count — the full nq×nm cosine matrix would be GBs per
+            # task (e.g. 75k×25k doubles = 15 GB at the sf10 pinned-8
+            # worst case). Chunk the probe side so peak task memory is
+            # CHUNK×nm doubles (~200 MB at 1024×25k) while each chunk is
+            # still one BLAS GEMM; results are per-query partial top-k
+            # either way, so chunking is invisible downstream.
+            CHUNK = max(1, int(128 * 1024 * 1024 / (8 * len(mids))))
+            outs = []
+            for lo in range(0, len(probes), CHUNK):
+                pchunk = probes.iloc[lo : lo + CHUNK]
+                Q = np.ascontiguousarray(
+                    np.stack(pchunk["qe"].to_numpy()), dtype=np.float64
+                )
+                qids = pchunk["qid"].to_numpy().astype(np.int64)
+                cos = _np_round_half_up(
+                    (Q / np.linalg.norm(Q, axis=1, keepdims=True)) @ Mn.T, 6
+                )
+                # composite int64 key = (-cosine in exact millionths) then
+                # mid: rounded cosine · 1e6 is integer-valued, |...| ≤ 1e6
+                # < 2^21, and ids are < 2^31 — so (key_cos << 32) + mid
+                # sorts by (cosine DESC, mid ASC) in pure integer
+                # arithmetic, the same total order as search()'s window
+                key = (-np.rint(cos * 1e6)).astype(np.int64) * (
+                    1 << 32
+                ) + mids[None, :]
+                # argpartition (O(nm) per row) + a sort of only the cut —
+                # a full per-row argsort is O(nm log nm) and dominated the
+                # sf10 rehearsal (25k-member cells × 75k probes)
+                if cut < key.shape[1]:
+                    part = np.argpartition(key, cut - 1, axis=1)[:, :cut]
+                    sub = np.take_along_axis(key, part, axis=1)
+                    top = np.take_along_axis(
+                        part, np.argsort(sub, axis=1, kind="stable"), axis=1
+                    )
+                else:
+                    top = np.argsort(key, axis=1, kind="stable")
+                rows_q = np.repeat(np.arange(len(qids)), cut)
+                cols_m = top.ravel()
+                keep = qids[rows_q] != mids[cols_m]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qids[rows_q][keep],
+                            "mid": mids[cols_m][keep],
+                            "cosine": cos[rows_q[keep], cols_m[keep]],
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True) if outs else empty
+
+        partials = (
+            probed.groupBy("cell")
+            .cogroup(self.assigned.groupBy("cell"))
+            .applyInPandas(
+                score_cell, f"qid {qid_type}, mid {qid_type}, cosine double"
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("mid"))
+        return (
+            partials.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "mid", "cosine", "rank")
+        )

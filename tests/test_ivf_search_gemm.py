@@ -212,3 +212,20 @@ def test_sweep_emits_six_rows_when_no_pair_reaches_prefilter(spark, tmp_path):
     }
     assert set(got) == {0.2, 0.3, 0.4, 0.5, 0.6, 0.7}
     assert all(v == (0, 3) for v in got.values())
+
+
+def test_search_all_matches_search(spark, emb):
+    """search_all (cogrouped per-cell GEMM + lossless partial top-k) must
+    emit the identical (qid, mid, cosine, rank) table as search (row-wise
+    HOF scoring + global window) — same rounding, same tie-break, same
+    self-pair exclusion — including at Q = N (the self-join shape it
+    exists for) and at k larger than some cells' membership."""
+    index = IVFIndex(n_cells=7, seed=5).fit(emb, train_per_cell=None)
+    for queries, k, nprobe in (
+        (emb, 5, 3),               # Q = N self-join
+        (emb.filter(F.col("vec_id") < 25), 4, 2),
+        (emb, 9, 7),               # k big enough to exhaust small cells
+    ):
+        a = sorted(tuple(r) for r in index.search(queries, k=k, nprobe=nprobe).collect())
+        b = sorted(tuple(r) for r in index.search_all(queries, k=k, nprobe=nprobe).collect())
+        assert a == b
