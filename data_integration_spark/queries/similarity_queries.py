@@ -558,6 +558,73 @@ def q_ann_ivf_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.search_all(emb, k=5, nprobe=3)
 
 
+@register(
+    "q_semantic_dedup_ivf",
+    # the pinned-centroid body (assignment + whole-corpus probing + cosine
+    # over probed-cell candidates), then: canonical thresholded pairs →
+    # recursive-CTE connected components → per-vector cluster id. The
+    # IVF probing is part of the CONTRACT (a pair whose vectors never
+    # co-occur in a probed cell is out of scope on both engines), so the
+    # oracle recomputes the same approximation exactly.
+    oracle="WITH RECURSIVE "
+    + _IVF_PIN_ORACLE_BODY.replace("WITH e AS", "e AS").replace(
+        "FROM d2 WHERE vec_id < 20", "FROM d2"
+    )
+    + """
+    , pairs2 AS (
+      SELECT DISTINCT LEAST(qid, mid) AS d1, GREATEST(qid, mid) AS d2
+      FROM cos WHERE cosine >= 0.92
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs2
+      UNION ALL SELECT d2, d1 FROM pairs2
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e2.a, r.label FROM edges e2 JOIN reach r ON r.node = e2.b
+    ),
+    comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node)
+    SELECT v.vec_id, COALESCE(c.cluster, v.vec_id) AS cluster
+    FROM (SELECT vec_id FROM embeddings) v
+    LEFT JOIN comp c ON c.node = v.vec_id
+    """,
+)
+def q_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup AT SCALE, end-to-end: the IVF-accelerated semantic dedup
+    pipeline over the WHOLE corpus — quantizer cells prune the pair
+    space (``IVFIndex.near_pairs``: every vector probes its nprobe=3
+    nearest cells, each cell scores probes × members with one chunked
+    BLAS GEMM, only pairs at cosine ≥ 0.92 leave Python), then connected
+    components assign every vector a duplicate-cluster id with min-id
+    canonical representative (``filter(vec_id == cluster)`` keeps one
+    per cluster). This is the production form of
+    q_semantic_dedup_clusters, whose docstring promises "at scale the
+    pair stage swaps to the [index] path" — that swap, registered: the
+    brute form scores a bounded 200-vector slice all-pairs; this one
+    covers the FULL corpus at N²·nprobe/n_cells candidate volume (the
+    sf10 economics of the same kernel: 10.6 s for the 200k-vector
+    self-join at √N cells, SCALING.md r11).
+
+    FULL oracle via pinned literal centroids: DuckDB recomputes cell
+    assignment, probing, candidate cosines, the SAME probed-cell
+    approximation (a pair never co-probed is out of scope by contract),
+    and the transitive closure. The fit path stays covered by
+    q_ann_ivf(_invariants); components by q_dedup_clusters'
+    closure-vs-Spark parity."""
+    from data_integration_spark.dedup.components import dedup_clusters
+    from data_integration_spark.similarity.ivf import IVFIndex
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    index = IVFIndex(n_cells=_PIN_CELLS, seed=0)
+    index.centroids = _pinned_ivf_centroids_df(spark)
+    index.assigned = index.assign(emb)
+    pairs = index.near_pairs(threshold=0.92, nprobe=3)
+    return dedup_clusters(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
 @register("q_ann_pq")  # rows-only: PQ codes/centroids are sample-dependent
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (similarity/pq.py) — the MEMORY-bound

@@ -494,3 +494,103 @@ class IVFIndex:
             .filter(F.col("rank") <= k)
             .select("qid", "mid", "cosine", "rank")
         )
+
+    def near_pairs(self, threshold: float, nprobe: int = 4) -> DataFrame:
+        """ALL near-duplicate pairs of the indexed corpus at ``cosine >=
+        threshold`` within each vector's nprobe nearest cells — the
+        SemDeDup candidate stage (``search_all``'s sibling: threshold
+        semantics instead of top-k, for dedup where EVERY pair above the
+        operating point matters, not just the k best).
+
+        Same cogrouped per-cell chunked-GEMM execution as ``search_all``
+        (one shuffle on the cell id, BLAS inside the task, no pair-space
+        row materialization below the threshold); output volume tracks
+        true near-dup density. Pairs are canonicalized to (d1 < d2) —
+        asymmetric probing (a probes b's cell but not vice versa) would
+        otherwise lose the pair to the orientation filter — and
+        de-duplicated (both orientations can be found). Approximate by
+        construction: a pair whose two vectors never co-occur in a
+        probed cell is missed, the standard IVF recall trade governed by
+        nprobe; the registered query's oracle recomputes the SAME
+        approximation, so the contract is exact."""
+        assert self.assigned is not None, "fit first"
+        import pandas as pd
+
+        from data_integration_spark.similarity.ann import _np_round_half_up
+
+        C, cells = self._centroid_matrix()
+        npb = int(min(nprobe, len(cells)))
+
+        def probe_batches(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.ascontiguousarray(
+                    np.stack(pdf["me"].to_numpy()), dtype=np.float64
+                )
+                order = np.argsort(
+                    _sq_dists(Q, C), axis=1, kind="stable"
+                )[:, :npb]
+                idx = np.repeat(np.arange(len(pdf)), npb)
+                yield pd.DataFrame(
+                    {
+                        "qid": pdf["mid"].to_numpy()[idx],
+                        "qe": pdf["me"].to_numpy()[idx],
+                        "cell": cells[order.ravel()],
+                    }
+                )
+
+        mid_type = self.assigned.schema["mid"].dataType.simpleString()
+        probed = self.assigned.select("mid", "me").mapInPandas(
+            probe_batches, f"qid {mid_type}, qe array<double>, cell int"
+        )
+
+        def score_cell(probes: pd.DataFrame, members: pd.DataFrame):
+            empty = pd.DataFrame({"d1": [], "d2": [], "cosine": []}).astype(
+                {"d1": "int64", "d2": "int64", "cosine": "float64"}
+            )
+            if not len(probes) or not len(members):
+                return empty
+            M = np.ascontiguousarray(
+                np.stack(members["me"].to_numpy()), dtype=np.float64
+            )
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            mids = members["mid"].to_numpy().astype(np.int64)
+            CHUNK = max(1, int(128 * 1024 * 1024 / (8 * len(mids))))
+            outs = []
+            for lo in range(0, len(probes), CHUNK):
+                pchunk = probes.iloc[lo : lo + CHUNK]
+                Q = np.ascontiguousarray(
+                    np.stack(pchunk["qe"].to_numpy()), dtype=np.float64
+                )
+                qids = pchunk["qid"].to_numpy().astype(np.int64)
+                cos = _np_round_half_up(
+                    (Q / np.linalg.norm(Q, axis=1, keepdims=True)) @ Mn.T, 6
+                )
+                qi, mi = np.nonzero(
+                    (cos >= threshold) & (qids[:, None] != mids[None, :])
+                )
+                if not len(qi):
+                    continue
+                a, b = qids[qi], mids[mi]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "d1": np.minimum(a, b),
+                            "d2": np.maximum(a, b),
+                            "cosine": cos[qi, mi],
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True) if outs else empty
+
+        pairs = (
+            probed.groupBy("cell")
+            .cogroup(self.assigned.groupBy("cell"))
+            .applyInPandas(
+                score_cell, f"d1 {mid_type}, d2 {mid_type}, cosine double"
+            )
+        )
+        # both orientations (and nothing else) can surface the same pair —
+        # the distinct is over at most 2 rows per true pair
+        return pairs.distinct()

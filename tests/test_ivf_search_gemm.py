@@ -229,3 +229,39 @@ def test_search_all_matches_search(spark, emb):
         a = sorted(tuple(r) for r in index.search(queries, k=k, nprobe=nprobe).collect())
         b = sorted(tuple(r) for r in index.search_all(queries, k=k, nprobe=nprobe).collect())
         assert a == b
+
+
+def test_near_pairs_matches_bruteforce_within_probed_cells(spark, emb):
+    """near_pairs == an independently-derived reference: brute all-pairs
+    rounded cosine, restricted to pairs where at least one side PROBES the
+    other's cell (the IVF approximation contract), canonicalized d1<d2."""
+    index = IVFIndex(n_cells=7, seed=5).fit(emb, train_per_cell=None)
+    got = sorted(
+        tuple(r)
+        for r in index.near_pairs(threshold=0.9, nprobe=3).collect()
+    )
+    # reference, all in numpy off the same index state
+    from data_integration_spark.similarity.ann import _np_round_half_up
+    from data_integration_spark.similarity.ivf import _sq_dists
+
+    rows = index.assigned.select("mid", "me", "cell").collect()
+    ids = np.array([r.mid for r in rows])
+    X = np.stack([np.asarray(r.me) for r in rows])
+    cell_of = {int(r.mid): int(r.cell) for r in rows}
+    C, cells = index._centroid_matrix()
+    order = np.argsort(_sq_dists(X, C), axis=1, kind="stable")[:, :3]
+    probes_of = {
+        int(ids[i]): {int(cells[c]) for c in order[i]} for i in range(len(ids))
+    }
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = _np_round_half_up(Xn @ Xn.T, 6)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            a, b = int(ids[i]), int(ids[j])
+            if a >= b or cos[i, j] < 0.9:
+                continue
+            if (cell_of[b] in probes_of[a]) or (cell_of[a] in probes_of[b]):
+                want.add((min(a, b), max(a, b), float(cos[i, j])))
+    assert got == sorted(want)
+    assert len(got) > 0  # the clustered fixture plants true near-dups
