@@ -279,36 +279,35 @@ class IVFIndex:
         self.assigned = self.assigned.unionByName(add)
         return self
 
-    def search(
+    def _probe(
         self,
         queries: DataFrame,
-        k: int = 5,
-        nprobe: int = 4,
+        nprobe: int,
         id_col: str = "vec_id",
         vec_col: str = "e",
     ) -> DataFrame:
-        """Top-k per query among the nprobe nearest cells (cosine,
-        deterministic tie-break on rounded cosine then id)."""
-        assert self.assigned is not None, "fit first"
+        """Stage 1 of every search/pairing path: rank cells per query and
+        emit one ``(qid, qe, cell)`` row per probed cell, through the SAME
+        GEMM closure as ``assign`` (r11 rework) — one ``_sq_dists`` call
+        per Arrow batch, stable argsort rows, take the first nprobe
+        columns. The pre-r11 form — crossJoin(broadcast(centroids)) ×
+        zip_with/aggregate fold + a per-query row_number window —
+        evaluated Q·n_cells INTERPRETED rows plus a shuffle for the
+        window: bounded at the online-query shape (Q=100), but exactly
+        the N·√N interpreted pattern that cost assign 174 s at sf10 once
+        Q≈N. The GEMM form is a narrow map: no crossJoin rows, no window
+        shuffle, output Q·nprobe rows. Tie-break parity: C is collected
+        sorted by cell, and a STABLE argsort breaks distance ties by
+        column index = ascending cell id — bit-matching the old
+        orderBy(cdist, cell) window (pinned by
+        tests/test_ivf_search_gemm.py against an HOF re-derivation).
+        Shared verbatim by ``search``, ``search_all`` and ``near_pairs``
+        so the three paths can never drift on probing semantics."""
         import pandas as pd
 
-        q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
-        # stage 1 (r11 rework): rank cells per query through the SAME GEMM
-        # closure as ``assign`` — one ``_sq_dists`` call per Arrow batch,
-        # stable argsort rows, take the first nprobe columns. The pre-r11
-        # form — crossJoin(broadcast(centroids)) × zip_with/aggregate fold
-        # + a per-query row_number window — evaluated Q·n_cells INTERPRETED
-        # rows plus a shuffle for the window: bounded at the registered
-        # online-query shape (Q=100), but exactly the N·√N interpreted
-        # pattern that cost assign 174 s at sf10 once Q≈N (corpus-vs-corpus
-        # search). The GEMM form is a narrow map: no crossJoin rows, no
-        # window shuffle, output Q·nprobe rows. Tie-break parity: C is
-        # collected sorted by cell, and a STABLE argsort breaks distance
-        # ties by column index = ascending cell id — bit-matching the old
-        # orderBy(cdist, cell) window (pinned by
-        # tests/test_ivf_search_gemm.py against an HOF re-derivation).
         C, cells = self._centroid_matrix()
         npb = int(min(nprobe, len(cells)))
+        q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
 
         def probe_batches(batches):
             for pdf in batches:
@@ -330,9 +329,22 @@ class IVFIndex:
                 )
 
         qid_type = q.schema["qid"].dataType.simpleString()
-        probed = q.mapInPandas(
+        return q.mapInPandas(
             probe_batches, f"qid {qid_type}, qe array<double>, cell int"
         )
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "e",
+    ) -> DataFrame:
+        """Top-k per query among the nprobe nearest cells (cosine,
+        deterministic tie-break on rounded cosine then id)."""
+        assert self.assigned is not None, "fit first"
+        probed = self._probe(queries, nprobe, id_col, vec_col)
         # stage 2: exact cosine within probed cells only
         cand = probed.join(self.assigned, "cell").filter(F.col("qid") != F.col("mid"))
         cos = F.round(
@@ -389,33 +401,8 @@ class IVFIndex:
 
         from data_integration_spark.similarity.ann import _np_round_half_up
 
-        C, cells = self._centroid_matrix()
-        npb = int(min(nprobe, len(cells)))
-
-        def probe_batches(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                Q = np.ascontiguousarray(
-                    np.stack(pdf["qe"].to_numpy()), dtype=np.float64
-                )
-                order = np.argsort(
-                    _sq_dists(Q, C), axis=1, kind="stable"
-                )[:, :npb]
-                idx = np.repeat(np.arange(len(pdf)), npb)
-                yield pd.DataFrame(
-                    {
-                        "qid": pdf["qid"].to_numpy()[idx],
-                        "qe": pdf["qe"].to_numpy()[idx],
-                        "cell": cells[order.ravel()],
-                    }
-                )
-
-        q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
-        qid_type = q.schema["qid"].dataType.simpleString()
-        probed = q.mapInPandas(
-            probe_batches, f"qid {qid_type}, qe array<double>, cell int"
-        )
+        probed = self._probe(queries, nprobe, id_col, vec_col)
+        qid_type = probed.schema["qid"].dataType.simpleString()
 
         def score_cell(probes: pd.DataFrame, members: pd.DataFrame):
             empty = pd.DataFrame({"qid": [], "mid": [], "cosine": []}).astype(
@@ -518,31 +505,9 @@ class IVFIndex:
 
         from data_integration_spark.similarity.ann import _np_round_half_up
 
-        C, cells = self._centroid_matrix()
-        npb = int(min(nprobe, len(cells)))
-
-        def probe_batches(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                Q = np.ascontiguousarray(
-                    np.stack(pdf["me"].to_numpy()), dtype=np.float64
-                )
-                order = np.argsort(
-                    _sq_dists(Q, C), axis=1, kind="stable"
-                )[:, :npb]
-                idx = np.repeat(np.arange(len(pdf)), npb)
-                yield pd.DataFrame(
-                    {
-                        "qid": pdf["mid"].to_numpy()[idx],
-                        "qe": pdf["me"].to_numpy()[idx],
-                        "cell": cells[order.ravel()],
-                    }
-                )
-
         mid_type = self.assigned.schema["mid"].dataType.simpleString()
-        probed = self.assigned.select("mid", "me").mapInPandas(
-            probe_batches, f"qid {mid_type}, qe array<double>, cell int"
+        probed = self._probe(
+            self.assigned, nprobe, id_col="mid", vec_col="me"
         )
 
         def score_cell(probes: pd.DataFrame, members: pd.DataFrame):
