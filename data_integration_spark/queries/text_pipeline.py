@@ -906,6 +906,144 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_perplexity_buckets",
+    # the q_bigram_lm_score construction (counts LM — every probability
+    # exactly recomputable) over the FULL held-out split, then CCNet's
+    # head/middle/tail split: NTILE(3) per source on the 6dp-rounded doc
+    # score with a doc_id tie-break, so the bucket assignment is
+    # deterministic on both engines.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.i,
+             ts[u.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) d,
+           UNNEST(GENERATE_SERIES(1, LEN(ts))) AS u(i)
+      WHERE ts[u.i] <> ''
+    ),
+    train AS (SELECT * FROM tok WHERE doc_id % 4 <> 0),
+    c1 AS (SELECT w, COUNT(*) AS c FROM train GROUP BY w),
+    vsize AS (SELECT COUNT(*) AS v FROM c1),
+    bi_train AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c
+      FROM train a JOIN train b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY a.w, b.w
+    ),
+    score_bi AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      WHERE a.doc_id % 4 = 0
+    ),
+    scored AS (
+      SELECT s.doc_id,
+             LN((COALESCE(bt.c, 0) + 1.0)
+                / (COALESCE(c1.c, 0) + (SELECT v FROM vsize))) AS logp
+      FROM score_bi s
+      LEFT JOIN bi_train bt ON bt.w1 = s.w1 AND bt.w2 = s.w2
+      LEFT JOIN c1 ON c1.w = s.w1
+    ),
+    doc_scores AS (
+      SELECT doc_id, ROUND(AVG(logp), 6) AS avg_logp
+      FROM scored GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT d.source, ds.avg_logp,
+             NTILE(3) OVER (PARTITION BY d.source
+                            ORDER BY ds.avg_logp DESC, ds.doc_id) AS nt
+      FROM doc_scores ds JOIN documents d ON d.doc_id = ds.doc_id
+    )
+    SELECT source,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(avg_logp), 6) AS mean_logp
+    FROM bucketed
+    GROUP BY source, nt
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing — the curation move that decides
+    what TRAINS vs what gets down-weighted: score every held-out document
+    (doc_id % 4 = 0) with the in-engine counts LM (add-one-smoothed
+    bigram, the q_bigram_lm_score model — exactly recomputable, unlike a
+    neural LM), then split EACH SOURCE into head/middle/tail terciles of
+    the score distribution (NTILE(3) per source on the rounded doc
+    score, doc_id tie-break — deterministic cross-engine). Per-source
+    bucketing is the CCNet design point: a uniformly "easy" source must
+    not push another source entirely into tail. Output is the
+    (source, bucket) summary a mixing policy consumes.
+
+    Scale shape: the LM tables are token-keyed aggregates with map-side
+    partials (unique-right-key joins — Zipf heat is partition-size skew
+    only); per-doc scoring aggregates before the window, so the NTILE
+    ranks |held-out docs| rows partitioned by source, never tokens;
+    bigrams are built in-row (transform+explode, no positional
+    self-join)."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    pairs_expr = (
+        "CASE WHEN size(ts) >= 2 THEN "
+        "transform(sequence(1, size(ts) - 1),"
+        " i -> struct(ts[i - 1] AS w1, ts[i] AS w2)) "
+        "ELSE array() END"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("ts"),
+    )
+    bigrams = toks.select(
+        "doc_id", F.explode(F.expr(pairs_expr)).alias("b")
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    train_uni = (
+        toks.filter(F.col("doc_id") % 4 != 0)
+        .select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    v_size = train_uni.count()
+    if v_size == 0:
+        raise ValueError(
+            "bigram LM train slice contains no tokens; widen the train "
+            "split or check the tokenization"
+        )
+    train_bi = (
+        bigrams.filter(F.col("doc_id") % 4 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    score = bigrams.filter(F.col("doc_id") % 4 == 0)
+    logp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(v_size)))
+    )
+    doc_scores = (
+        score.join(train_bi, ["w1", "w2"], "left")
+        .join(train_uni, score["w1"] == train_uni["w"], "left")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(logp), 6).alias("avg_logp"))
+    )
+    from pyspark.sql import Window
+
+    bucketed = doc_scores.join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).withColumn(
+        "nt",
+        F.ntile(3).over(
+            Window.partitionBy("source").orderBy(
+                F.col("avg_logp").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    bucket = (
+        F.when(F.col("nt") == 1, "head")
+        .when(F.col("nt") == 2, "middle")
+        .otherwise("tail")
+    )
+    return bucketed.groupBy("source", bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("avg_logp"), 6).alias("mean_logp"),
+    )
+
+
+@register(
     "q_quality_classifier",
     # convergence certificate for an IN-ENGINE trained quality classifier
     # (the q_glm_convergence pattern applied to the LLM-curation use
