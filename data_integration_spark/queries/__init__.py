@@ -85,7 +85,7 @@ _SIGN_PRIORITY: list[str] = [
     # --- r11 window (VERDICT r10 #1/#2/#4). The r10 signing run went
     # 50/50, so every r10-window name has a current driver row and leaves
     # the list. r11 slots:
-    # (a) the 7 NEW r11 ops: the persisted winnowing fingerprint registry
+    # (a) the 8 NEW r11 ops: the persisted winnowing fingerprint registry
     # + its streaming crawl-loop sibling (closing the one 100-TB design
     # gap VERDICT r10 named), and the multi-band spectral audio
     # fingerprint pair (rows-only construction + its full-oracle
@@ -94,12 +94,12 @@ _SIGN_PRIORITY: list[str] = [
     # surface) — closes the entire r3 rotation;
     # (c) 33 of the 44 r4-era names (the oldest live signatures after
     # this window): analytics/window/timeseries families first, then
-    # TPC-H q2-q8. The 14 remaining r4 names (TPC-H q9-q22) queue
-    # behind the window for r12 with the 27 r5 names. (The 4th-7th
+    # TPC-H q2-q7. The 15 remaining r4 names (TPC-H q8-q22) queue
+    # behind the window for r12 with the 27 r5 names. (The 4th-8th
     # new r11 ops — q_streaming_winnowing_dedup, q_ann_ivf_self_join,
-    # q_semantic_dedup_ivf, q_perplexity_buckets — displaced TPC-H
-    # q12/q11/q10/q9, the r7 precedent: new hash coverage beats
-    # re-attestation.)
+    # q_semantic_dedup_ivf, q_perplexity_buckets,
+    # q_streaming_semantic_dedup — displaced TPC-H q12..q8, the r7
+    # precedent: new hash coverage beats re-attestation.)
     # (a) new r11 ops -------------------------------------------------------
     "q_winnowing_registry_persist",
     "q_streaming_winnowing_dedup",
@@ -108,6 +108,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_ann_ivf_self_join",
     "q_semantic_dedup_ivf",
     "q_perplexity_buckets",
+    "q_streaming_semantic_dedup",
     # (b) the r3 backlog ----------------------------------------------------
     "q_explode_outer",
     "q_hash_sample",
@@ -122,7 +123,7 @@ _SIGN_PRIORITY: list[str] = [
     "q_datetime_functions",
     "q_minby_maxby",
     "q_intersect_except",
-    # (c) r4-era rotation, 30 of 44 -----------------------------------------
+    # (c) r4-era rotation, 29 of 44 -----------------------------------------
     "q_ab_test",
     "q_activity_streaks",
     "q_array_ops",
@@ -152,7 +153,6 @@ _SIGN_PRIORITY: list[str] = [
     "q_tpch_q4",
     "q_tpch_q6",
     "q_tpch_q7",
-    "q_tpch_q8",
 ]  # the driver's r11 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway

@@ -1061,3 +1061,211 @@ def q_streaming_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.read.parquet(out).select("d1", "d2", "n_shared")
+
+
+# Pinned-centroid oracle for the STREAMING semantic dedup: DuckDB restates
+# the literal centroid grid, every vector's cell + nprobe=3 probed cells,
+# and the SYMMETRIC co-probe candidate condition (x probes y's cell OR y
+# probes x's cell) — symmetric so the emitted pair set cannot depend on
+# which micro-batch replays first (an asymmetric "later batch probes
+# earlier" rule would flip with file order). Pairs: new (vec_id < 60) ×
+# (old ∪ cross-parity new), cosine >= 0.92, canonical d1 < d2.
+_SEM_STREAM_ORACLE = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cents AS (
+  SELECT CAST(c.c AS INT) AS cell, CAST(j.j AS INT) AS j,
+         CAST((c.c * 7 + (j.j - 1) * 13) % 11 - 5 AS DOUBLE) / 10.0 AS cv
+  FROM UNNEST(GENERATE_SERIES(0, 7)) AS c(c),
+       UNNEST(GENERATE_SERIES(1, 64)) AS j(j)
+),
+d2 AS (
+  SELECT e.vec_id, cents.cell,
+         SUM((CAST(e.embedding[cents.j] AS DOUBLE) - cents.cv)
+             * (CAST(e.embedding[cents.j] AS DOUBLE) - cents.cv)) AS dd
+  FROM e, cents
+  GROUP BY e.vec_id, cents.cell
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS crank
+    FROM d2
+  ) WHERE crank <= 3
+),
+cand AS (
+  SELECT n.vec_id AS x, o.vec_id AS y
+  FROM e n JOIN e o ON n.vec_id < 60
+   AND (o.vec_id >= 60 OR n.vec_id % 2 <> o.vec_id % 2)
+   AND n.vec_id <> o.vec_id
+  WHERE EXISTS (SELECT 1 FROM probe p JOIN assigned a
+                ON p.vec_id = n.vec_id AND a.vec_id = o.vec_id
+                   AND p.cell = a.cell)
+     OR EXISTS (SELECT 1 FROM probe p JOIN assigned a
+                ON p.vec_id = o.vec_id AND a.vec_id = n.vec_id
+                   AND p.cell = a.cell)
+),
+norms AS (
+  SELECT vec_id,
+         SQRT(SUM(CAST(embedding[u.i] AS DOUBLE)
+                  * CAST(embedding[u.i] AS DOUBLE))) AS nrm
+  FROM e, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS u(i)
+  GROUP BY vec_id
+),
+dots AS (
+  SELECT c.x, c.y,
+         SUM(CAST(q.embedding[u.i] AS DOUBLE)
+             * CAST(m.embedding[u.i] AS DOUBLE)) AS dot
+  FROM cand c
+  JOIN e q ON q.vec_id = c.x
+  JOIN e m ON m.vec_id = c.y,
+  UNNEST(GENERATE_SERIES(1, LEN(q.embedding))) AS u(i)
+  GROUP BY c.x, c.y
+),
+cos AS (
+  SELECT d.x, d.y, ROUND(d.dot / (nx.nrm * ny.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nx ON nx.vec_id = d.x
+  JOIN norms ny ON ny.vec_id = d.y
+)
+SELECT DISTINCT LEAST(x, y) AS d1, GREATEST(x, y) AS d2, cosine
+FROM cos WHERE cosine >= 0.92
+"""
+
+
+@register("q_streaming_semantic_dedup", oracle=_SEM_STREAM_ORACLE)
+def q_streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING semantic dedup — the embedding-space member of the
+    incremental-dedup family (exact: q_cross_shard_dedup; minhash:
+    q_streaming_minhash_dedup; winnowing: q_streaming_winnowing_dedup;
+    now IVF-pruned cosine): the release job assigns the OLD corpus
+    (vec_id ≥ 60) to the pinned-centroid index and persists the
+    inverted-list registry WITH each vector's probed-cell set; new
+    embeddings arrive as micro-batches (file replay, even then odd ids,
+    maxFilesPerTrigger=1); each ``foreachBatch`` (1) assigns + probes
+    ONLY the batch, (2) forms candidates against the current registry
+    under the SYMMETRIC co-probe rule — batch vector x meets registry
+    vector y iff x probes y's cell OR y probed x's cell (the stored
+    probe set makes the OR evaluable without ever re-scoring the
+    registry) — (3) emits pairs at cosine ≥ 0.92 canonicalized d1 < d2,
+    then (4) appends the batch's rows + probe sets to the registry.
+
+    The SYMMETRY is what makes the streamed output a pure function of
+    the data: an asymmetric "newcomer probes incumbent" rule would emit
+    a different pair set depending on which parity file replays first.
+    FULL oracle: pinned literal centroids let DuckDB recompute
+    assignment, probing, the symmetric candidate condition, and the
+    thresholded cosines end-to-end.
+
+    Scale shape: per batch, assignment/probing is the narrow GEMM map
+    (∝ |batch|), candidates come from two cell-keyed hash joins (batch
+    probes × registry cells; registry probes × batch cells), and the
+    append is partition-local parquet. Candidate scoring here is the
+    per-row expression cosine (bounded by candidate density); at
+    corpus-batch sizes the swap-in is the cogrouped GEMM scorer
+    (``IVFIndex.near_pairs``'s kernel) on the same candidate frame."""
+    from data_integration_spark.similarity.ann import (
+        _dot,
+        _norm,
+        as_double_array,
+    )
+    from data_integration_spark.similarity.ivf import IVFIndex
+    from data_integration_spark.queries.similarity_queries import (
+        _PIN_CELLS,
+        _pinned_ivf_centroids_df,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    reg = f"{_SCRATCH}/sem_stream_reg_{tag}_{os.getpid()}"
+    src = f"{_SCRATCH}/sem_stream_src_{tag}_{os.getpid()}"
+    out = f"{_SCRATCH}/sem_stream_out_{tag}_{os.getpid()}"
+    ck = f"{_SCRATCH}/sem_stream_ck_{tag}_{os.getpid()}"
+    for d in (reg, src, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    index = IVFIndex(n_cells=_PIN_CELLS, seed=0)
+    index.centroids = _pinned_ivf_centroids_df(spark)
+
+    def write_registry(vectors: DataFrame, mode: str) -> None:
+        assigned = index.assign(vectors)  # (mid, me, cell)
+        assigned.write.mode(mode).parquet(os.path.join(reg, "members"))
+        index._probe(vectors, nprobe=3).select(
+            F.col("qid").alias("mid"), F.col("cell").alias("pcell")
+        ).write.mode(mode).parquet(os.path.join(reg, "probes"))
+
+    # once per release: the old corpus's inverted lists + probe sets
+    write_registry(emb.filter(F.col("vec_id") >= 60), "overwrite")
+
+    new = emb.filter(F.col("vec_id") < 60)
+    new.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    new.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        members = s.read.parquet(os.path.join(reg, "members"))
+        reg_probes = s.read.parquet(os.path.join(reg, "probes"))
+        b_assigned = index.assign(batch_df).withColumnRenamed(
+            "mid", "qid"
+        ).withColumnRenamed("me", "qe")
+        b_probes = index._probe(batch_df, nprobe=3)  # (qid, qe, cell)
+        # symmetric co-probe candidates, both directions cell-keyed joins
+        cand_a = b_probes.select("qid", "cell").join(
+            members.select("mid", "cell"), "cell"
+        ).select("qid", "mid")
+        cand_b = b_assigned.select("qid", "cell").join(
+            reg_probes.select("mid", F.col("pcell").alias("cell")), "cell"
+        ).select("qid", "mid")
+        cand = cand_a.unionByName(cand_b).distinct()
+        scored = (
+            cand.join(b_assigned.select("qid", "qe"), "qid")
+            .join(members.select("mid", "me"), "mid")
+            .select(
+                "qid",
+                "mid",
+                F.round(
+                    _dot(F.col("qe"), F.col("me"))
+                    / (_norm(F.col("qe")) * _norm(F.col("me"))),
+                    6,
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= 0.92)
+            .select(
+                F.least("qid", "mid").alias("d1"),
+                F.greatest("qid", "mid").alias("d2"),
+                "cosine",
+            )
+        )
+        scored.write.mode("append").parquet(out)
+        # append AFTER pairing: a batch never pairs with itself
+        write_registry(
+            batch_df.select(
+                F.col("vec_id"), F.col("e")
+            ),
+            "append",
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select("d1", "d2", "cosine").distinct()
