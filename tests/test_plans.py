@@ -757,3 +757,49 @@ def test_calibration_funnel_latency_budgets(spark):
         df = QUERIES[name](spark, SF)
         n = count_shuffles(df)
         assert n <= budget, (name, n, formatted_plan(df))
+
+
+def test_winnowing_registry_percrawl_plan_never_reads_archive_text(spark):
+    """q_winnowing_registry_persist's plan contract (PLANS.md r11): the
+    per-crawl pair subtree broadcasts the NEW batch (BuildLeft — a
+    build-right would broadcast the archive-sized registry) and the
+    registry side is a column-pruned (doc_id, h) parquet scan; the old
+    corpus's TEXT column appears nowhere in the pair plan (text is read
+    only by the once-per-release save step, which runs before this plan
+    is built)."""
+    df = QUERIES["q_winnowing_registry_persist"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the inner pair join builds the batch side (left in our construction)
+    import re
+
+    inner = [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "Inner" in ln
+    ]
+    assert inner and all("BuildLeft" in ln for ln in inner), inner
+    # registry fingerprints scan reads exactly (doc_id, h); the archive
+    # text column must be absent from every registry-artifact scan
+    reg_scans = [
+        s for s in read_schema_columns(df)
+        if set(s) <= {"doc_id", "h", "df"} and "h" in s
+    ]
+    assert reg_scans, "no registry parquet scan found in the plan"
+    # text appears only under the documents scan of the NEW batch (the
+    # batch must be fingerprinted from text); it must carry the pushed
+    # doc_id bound so the scan is |batch|, not |corpus|
+    filters = " ".join(pushed_filters(df))
+    assert "doc_id" in filters, f"batch bound not pushed: {filters}"
+
+
+def test_ivf_self_join_plan_has_no_pair_space_rows(spark):
+    """q_ann_ivf_self_join's plan contract: stage 2 is the cogrouped
+    applyInPandas (FlatMapCoGroupsInPandas) — NO row-level join of probes
+    × members materializing the candidate space, and the only window runs
+    over the partial-top-k survivors."""
+    df = QUERIES["q_ann_ivf_self_join"](spark, SF)
+    plan = formatted_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    # the pair space must not appear as a join: the only joins allowed are
+    # none at all (cogroup replaces them)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
