@@ -771,8 +771,6 @@ def test_winnowing_registry_percrawl_plan_never_reads_archive_text(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     # the inner pair join builds the batch side (left in our construction)
-    import re
-
     inner = [
         ln for ln in plan.splitlines()
         if "BroadcastHashJoin" in ln and "Inner" in ln
