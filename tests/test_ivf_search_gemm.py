@@ -265,3 +265,52 @@ def test_near_pairs_matches_bruteforce_within_probed_cells(spark, emb):
                 want.add((min(a, b), max(a, b), float(cos[i, j])))
     assert got == sorted(want)
     assert len(got) > 0  # the clustered fixture plants true near-dups
+
+
+def test_search_all_edge_cases(spark):
+    """Degenerate shapes the cogrouped kernel must survive: k larger than
+    the whole corpus, nprobe larger than n_cells, an all-identical corpus
+    (every distance tied, every cosine 1.0), and a 1-vector corpus (whose
+    only candidate is its excluded self)."""
+    ident = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(6)], "vec_id long, e array<double>"
+    )
+    index = IVFIndex(n_cells=4, seed=1).fit(ident, train_per_cell=None)
+    got = index.search_all(ident, k=10, nprobe=9).collect()
+    # all 6 identical vectors: each query sees the other 5, all cosine 1.0,
+    # ranks break on mid ascending
+    assert len(got) == 30
+    by_q = {}
+    for r in got:
+        assert r.cosine == 1.0
+        by_q.setdefault(r.qid, []).append((r.rank, r.mid))
+    for qid, rows in by_q.items():
+        mids = [m for _, m in sorted(rows)]
+        assert mids == sorted(x for x in range(6) if x != qid)
+    # parity with search() on the degenerate corpus too
+    a = sorted(tuple(r) for r in index.search(ident, k=10, nprobe=9).collect())
+    assert a == sorted(tuple(r) for r in got)
+
+    solo = spark.createDataFrame(
+        [(7, [1.0, 0.0, 0.0])], "vec_id long, e array<double>"
+    )
+    solo_index = IVFIndex(n_cells=2, seed=1).fit(solo, train_per_cell=None)
+    assert solo_index.search_all(solo, k=3, nprobe=2).count() == 0
+
+
+def test_near_pairs_edge_cases(spark):
+    """near_pairs on an all-identical corpus emits every unordered pair
+    exactly once at cosine 1.0; a threshold above 1.0 emits nothing."""
+    ident = spark.createDataFrame(
+        [(i, [2.0, 1.0]) for i in range(5)], "vec_id long, e array<double>"
+    )
+    index = IVFIndex(n_cells=3, seed=2).fit(ident, train_per_cell=None)
+    got = sorted(
+        (r.d1, r.d2, r.cosine)
+        for r in index.near_pairs(threshold=0.5, nprobe=3).collect()
+    )
+    want = sorted(
+        (a, b, 1.0) for a in range(5) for b in range(5) if a < b
+    )
+    assert got == want
+    assert index.near_pairs(threshold=1.000001, nprobe=3).count() == 0
