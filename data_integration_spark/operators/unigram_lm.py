@@ -1,0 +1,373 @@
+"""Unigram language-model tokenizer (Kudo 2018, the SentencePiece
+unigram model) — the second tokenizer-training family next to BPE
+(``operators/bpe.py``): instead of greedy merge learning, a piece
+VOCABULARY with probabilities is fit by EM over the segmentation
+lattice, and encoding is a Viterbi best-parse.
+
+Reference parity note: the reference notebook (Method_code.Rmd) has no
+tokenizer — this is part of the LLM-pipeline extension surface the
+brief mandates (tokenizer training is what a pretraining pipeline runs
+right after dedup/curation).
+
+Scale design (the ``pq.fit`` bounded-training-set precedent): tokenizer
+training at 100 TB ALWAYS runs on a corpus sample — the training set
+here is a pure-function-of-id subsample capped to ``cap_chars`` per
+doc, so the lattice work is bounded by construction at any corpus
+size. Within the sample the E-step is fully distributed: one
+``mapInPandas`` pass per iteration emits per-batch pre-aggregated
+(piece, expected_count) partials (map-side combine in the kernel
+itself), one ``groupBy(piece)`` shuffle of ≤|vocab| distinct keys, and
+the driver touches only the ≤|vocab|-row aggregate per iteration (the
+``bpe.train_bpe`` one-bounded-collect-per-step shape). The vocabulary
+(≤ a few thousand pieces) rides task closures as a plain dict — KBs.
+
+Encoding (``viterbi_encode``) is a narrow distributed map: the frozen
+vocab rides the closure; each doc is an independent O(len·max_piece_len)
+dynamic program; no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_LL_SENTINEL = "\x00__LL__"
+_NEG = float("-inf")
+
+
+def _log_add(a: float, b: float) -> float:
+    if a == _NEG:
+        return b
+    if b == _NEG:
+        return a
+    if a < b:
+        a, b = b, a
+    return a + math.log1p(math.exp(b - a))
+
+
+def _lattice_edges(text: str, vocab: dict[str, float], max_piece_len: int):
+    """Yield (start, end, piece, logp) for every vocab piece occurring in
+    ``text`` — the segmentation lattice."""
+    n = len(text)
+    for i in range(n):
+        top = min(n, i + max_piece_len)
+        for j in range(i + 1, top + 1):
+            piece = text[i:j]
+            lp = vocab.get(piece)
+            if lp is not None:
+                yield i, j, piece, lp
+
+
+def _forward_backward(
+    text: str, vocab: dict[str, float], max_piece_len: int
+) -> tuple[dict[str, float], float]:
+    """Expected piece counts and log-likelihood of one doc under the
+    current unigram model (standard lattice forward-backward in log
+    space). Returns ({}, -inf) when the doc cannot be parsed (a char
+    outside the vocab) — callers decide whether that is an error."""
+    n = len(text)
+    edges = list(_lattice_edges(text, vocab, max_piece_len))
+    alpha = [_NEG] * (n + 1)
+    alpha[0] = 0.0
+    by_end: list[list[tuple[int, str, float]]] = [[] for _ in range(n + 1)]
+    by_start: list[list[tuple[int, str, float]]] = [[] for _ in range(n + 1)]
+    for i, j, piece, lp in edges:
+        by_end[j].append((i, piece, lp))
+        by_start[i].append((j, piece, lp))
+    for j in range(1, n + 1):
+        a = _NEG
+        for i, _piece, lp in by_end[j]:
+            if alpha[i] != _NEG:
+                a = _log_add(a, alpha[i] + lp)
+        alpha[j] = a
+    z = alpha[n]
+    if z == _NEG:
+        return {}, _NEG
+    beta = [_NEG] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        b = _NEG
+        for j, _piece, lp in by_start[i]:
+            if beta[j] != _NEG:
+                b = _log_add(b, lp + beta[j])
+        beta[i] = b
+    ec: dict[str, float] = {}
+    for i, j, piece, lp in edges:
+        if alpha[i] == _NEG or beta[j] == _NEG:
+            continue
+        post = math.exp(alpha[i] + lp + beta[j] - z)
+        ec[piece] = ec.get(piece, 0.0) + post
+    return ec, z
+
+
+def seed_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    seed_size: int = 512,
+) -> list[tuple[str, int]]:
+    """Seed candidate pieces: every substring of length 1..max_piece_len
+    with corpus frequency ≥ min_count (single chars always kept
+    regardless of count — they guarantee full parseability), capped to
+    ``seed_size`` by (count desc, piece asc).
+
+    Distributed: one ``mapInPandas`` pass emits per-batch pre-aggregated
+    (piece, cnt) partials, one ``groupBy`` shuffle of ≤|distinct pieces|
+    keys; the driver collects only the capped head. ``docs`` is the
+    BOUNDED training sample by contract (see module docstring)."""
+    import pandas as pd
+
+    def count_batch(batches):
+        for pdf in batches:
+            counts: dict[str, int] = {}
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                n = len(text)
+                for i in range(n):
+                    top = min(n, i + max_piece_len)
+                    for j in range(i + 1, top + 1):
+                        piece = text[i:j]
+                        counts[piece] = counts.get(piece, 0) + 1
+            if counts:
+                yield pd.DataFrame(
+                    {"piece": list(counts), "cnt": list(counts.values())}
+                )
+
+    agg = (
+        docs.select(text_col)
+        .mapInPandas(count_batch, "piece string, cnt long")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    singles = agg.filter(F.length("piece") == 1)
+    multi = (
+        agg.filter(
+            (F.length("piece") > 1) & (F.col("cnt") >= int(min_count))
+        )
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(int(seed_size))
+    )
+    rows = singles.unionByName(multi).collect()  # ≤ seed_size + |alphabet|
+    return sorted(((r["piece"], int(r["cnt"])) for r in rows))
+
+
+def _estep(
+    docs: DataFrame,
+    text_col: str,
+    vocab: dict[str, float],
+    max_piece_len: int,
+) -> tuple[dict[str, float], float]:
+    """One distributed E-step: expected counts per piece + corpus
+    log-likelihood under the CURRENT params. The kernel pre-aggregates
+    per batch, the single shuffle carries ≤|vocab|+1 distinct keys, and
+    the driver sees only the bounded aggregate."""
+    import pandas as pd
+
+    def expect_batch(batches):
+        for pdf in batches:
+            ec: dict[str, float] = {}
+            ll = 0.0
+            for text in pdf[text_col]:
+                if text is None or not len(text):
+                    continue
+                doc_ec, doc_ll = _forward_backward(text, vocab, max_piece_len)
+                if doc_ll == _NEG:
+                    raise ValueError(
+                        "unparseable doc under the current vocab (a char "
+                        "left the vocabulary) — the trainer keeps all "
+                        "single chars precisely to prevent this"
+                    )
+                ll += doc_ll
+                for piece, c in doc_ec.items():
+                    ec[piece] = ec.get(piece, 0.0) + c
+            ec[_LL_SENTINEL] = ll
+            yield pd.DataFrame(
+                {"piece": list(ec), "ec": list(ec.values())}
+            )
+
+    rows = (
+        docs.select(text_col)
+        .mapInPandas(expect_batch, "piece string, ec double")
+        .groupBy("piece")
+        .agg(F.sum("ec").alias("ec"))
+        .collect()
+    )  # bounded: ≤ |vocab| + 1 rows
+    ec = {r["piece"]: float(r["ec"]) for r in rows}
+    ll = ec.pop(_LL_SENTINEL, 0.0)
+    return ec, ll
+
+
+def _mstep(ec: dict[str, float]) -> dict[str, float]:
+    """Maximum-likelihood re-estimate: logp(piece) = log(ec/Σec). Pieces
+    with vanishing expected count keep a tiny floor if single-char (full
+    parseability is a trainer invariant) and are dropped otherwise."""
+    floored = {
+        p: (c if c > 1e-12 else (1e-12 if len(p) == 1 else 0.0))
+        for p, c in ec.items()
+    }
+    kept = {p: c for p, c in floored.items() if c > 0.0}
+    total = sum(kept.values())
+    return {p: math.log(c) - math.log(total) for p, c in kept.items()}
+
+
+def _prune(
+    vocab: dict[str, float],
+    ec: dict[str, float],
+    vocab_target: int,
+) -> dict[str, float]:
+    """Keep every single char + the top multi-char pieces by expected
+    count (9-dp rounded, piece-lexicographic tie-break — deterministic
+    across partitionings) until ≤ vocab_target pieces survive, then
+    renormalize. This is the standard contribution-proxy prune (the
+    full Kudo loss-delta prune re-segments without each piece; expected
+    count is its first-order surrogate)."""
+    singles = {p for p in vocab if len(p) == 1}
+    multi = [p for p in vocab if len(p) > 1]
+    budget = max(0, vocab_target - len(singles))
+    keep = sorted(
+        multi, key=lambda p: (-round(ec.get(p, 0.0), 9), p)
+    )[:budget]
+    kept = {p: math.exp(vocab[p]) for p in singles | set(keep)}
+    total = sum(kept.values())
+    return {p: math.log(v / total) for p, v in kept.items()}
+
+
+def em_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    seed_size: int = 512,
+    vocab_target: int = 96,
+    iters_per_phase: int = 3,
+) -> tuple[dict[str, float], list[float], list[float]]:
+    """Fit the unigram LM: seed → EM phase 1 → prune to vocab_target →
+    EM phase 2. Returns (vocab logp dict, phase-1 LL trace, phase-2 LL
+    trace); EM guarantees each trace is non-decreasing (the invariants
+    certificate's ``ll_monotone`` law — pruning between phases may drop
+    LL, which is why the traces are per-phase).
+
+    ``docs`` must be the bounded training sample (cache it — the loop
+    re-scans it 2·iters_per_phase+1 times)."""
+    seeds = seed_vocab(
+        docs, text_col, max_piece_len, min_count, seed_size
+    )
+    total = sum(c for _p, c in seeds)
+    vocab = {p: math.log(c) - math.log(total) for p, c in seeds}
+
+    def run_phase(vocab: dict[str, float]) -> tuple[dict[str, float], list[float], dict[str, float]]:
+        lls: list[float] = []
+        ec: dict[str, float] = {}
+        for _ in range(iters_per_phase):
+            ec, ll = _estep(docs, text_col, vocab, max_piece_len)
+            lls.append(ll)
+            vocab = _mstep(ec)
+        return vocab, lls, ec
+
+    vocab, lls1, ec = run_phase(vocab)
+    vocab = _prune(vocab, ec, vocab_target)
+    vocab, lls2, _ec = run_phase(vocab)
+    return vocab, lls1, lls2
+
+
+def viterbi_encode(
+    docs: DataFrame,
+    vocab: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int | None = None,
+    costs: bool = False,
+    keep_text: str | None = None,
+) -> DataFrame:
+    """Best-parse segmentation of each doc under the frozen vocab — the
+    tokenizer APPLY step. ``vocab`` maps piece → logp (or piece → cost
+    when ``costs=True``); the parse MINIMIZES total cost (= −logp), and
+    among equal-cost parses takes the lexicographically smallest
+    piece-LENGTH sequence (backward min-cost DP + greedy shortest-first
+    forward reconstruction — the tie-break a brute-force oracle can
+    restate exactly). Raises loudly on an unparseable doc (the r4
+    library contract: silent drops hide upstream vocab bugs).
+
+    Output: (doc_id, pieces array<string>, n_pieces, cost), plus the
+    input text passed through under ``keep_text`` when set (in-batch —
+    no join needed for provenance). Narrow distributed map — vocab in
+    the closure, no shuffle."""
+    import pandas as pd
+
+    cost_map = (
+        dict(vocab) if costs else {p: -lp for p, lp in vocab.items()}
+    )
+    max_len = (
+        int(max_piece_len)
+        if max_piece_len is not None
+        else max((len(p) for p in cost_map), default=1)
+    )
+
+    def encode_batch(batches):
+        for pdf in batches:
+            ids, pieces_col, np_col, cost_col = [], [], [], []
+            texts_col = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or not len(text):
+                    ids.append(did)
+                    pieces_col.append([])
+                    np_col.append(0)
+                    cost_col.append(0.0)
+                    texts_col.append(text)
+                    continue
+                n = len(text)
+                best = [math.inf] * (n + 1)
+                best[n] = 0.0
+                for i in range(n - 1, -1, -1):
+                    top = min(n, i + max_len)
+                    b = math.inf
+                    for j in range(i + 1, top + 1):
+                        c = cost_map.get(text[i:j])
+                        if c is not None and c + best[j] < b:
+                            b = c + best[j]
+                    best[i] = b
+                if best[0] == math.inf:
+                    raise ValueError(
+                        f"doc {did!r} not parseable under the vocab"
+                    )
+                # greedy shortest-piece-first reconstruction: the
+                # lexicographically smallest length sequence among
+                # min-cost parses (costs are exact floats by the
+                # caller's contract, so equality is exact)
+                out: list[str] = []
+                i = 0
+                while i < n:
+                    top = min(n, i + max_len)
+                    for j in range(i + 1, top + 1):
+                        c = cost_map.get(text[i:j])
+                        if c is not None and c + best[j] == best[i]:
+                            out.append(text[i:j])
+                            i = j
+                            break
+                    else:  # pragma: no cover — best[0] finite implies a step
+                        raise AssertionError("viterbi reconstruction broke")
+                ids.append(did)
+                pieces_col.append(out)
+                np_col.append(len(out))
+                cost_col.append(best[0])
+                texts_col.append(text)
+            cols = {
+                "doc_id": ids,
+                "pieces": pieces_col,
+                "n_pieces": np_col,
+                "cost": cost_col,
+            }
+            if keep_text is not None:
+                cols[keep_text] = texts_col
+            yield pd.DataFrame(cols)
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"doc_id {id_type}, pieces array<string>, n_pieces long, cost double"
+    if keep_text is not None:
+        schema += f", {keep_text} string"
+    return docs.select(id_col, text_col).mapInPandas(encode_batch, schema)

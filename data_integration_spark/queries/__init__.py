@@ -109,6 +109,14 @@ _SIGN_PRIORITY: list[str] = [
     "q_semantic_dedup_ivf",
     "q_perplexity_buckets",
     "q_streaming_semantic_dedup",
+    # (a') second-half r11 ops: the unigram-LM tokenizer family (the
+    # second tokenizer next to BPE; train rows-only + invariants
+    # certificate + full-oracle Viterbi encode) — each new name
+    # displaces one already-signed r4 TPC-H re-sign to r12, the r7
+    # "new hash coverage beats re-attestation" precedent
+    "q_unigram_train",
+    "q_unigram_invariants",
+    "q_unigram_encode",
     # (b) the r3 backlog ----------------------------------------------------
     "q_explode_outer",
     "q_hash_sample",
@@ -150,9 +158,6 @@ _SIGN_PRIORITY: list[str] = [
     "q_weighted_sample",
     "q_zscore_outliers",
     "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
 ]  # the driver's r11 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
@@ -197,6 +202,7 @@ def load_all() -> None:
         analytics_extra,
         timeseries_extra,
         er_retrieval,
+        tokenizer_unigram,
     )
 
     front = [n for n in _SIGN_PRIORITY if n in QUERIES]

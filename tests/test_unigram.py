@@ -1,0 +1,141 @@
+"""Unigram-LM tokenizer (operators/unigram_lm.py): Viterbi vs a
+brute-force reference, EM laws (monotone likelihood, planted-piece
+recovery), partition invariance of the trained vocab, and the pinned
+tie-break contract the q_unigram_encode oracle relies on."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+
+from data_integration_spark.operators.unigram_lm import (
+    em_train,
+    viterbi_encode,
+)
+from data_integration_spark.queries.tokenizer_unigram import (
+    _pinned_unigram_costs,
+)
+
+
+def _brute_best_parse(text: str, costs: dict[str, float], max_len: int):
+    """Exhaustive min-cost parse with the (cost, lexicographic
+    length-sequence) order — the engine's contract, restated naively."""
+    n = len(text)
+    best = None  # (cost, lengths, pieces)
+    # enumerate all compositions of n into 1..max_len parts
+    def rec(i, lens, pieces, cost):
+        nonlocal best
+        if i == n:
+            key = (cost, tuple(lens))
+            if best is None or key < (best[0], best[1]):
+                best = (cost, tuple(lens), list(pieces))
+            return
+        for l in range(1, min(max_len, n - i) + 1):
+            piece = text[i : i + l]
+            c = costs.get(piece)
+            if c is not None:
+                rec(i + l, lens + [l], pieces + [piece], cost + c)
+
+    rec(0, [], [], 0.0)
+    return best
+
+
+def test_viterbi_matches_bruteforce_random(spark):
+    rng = random.Random(7)
+    alphabet = "abc"
+    # costs exact 1/64-multiples so equality ties are exact (the pinned
+    # oracle's arithmetic contract)
+    vocab = {}
+    for ch in alphabet:
+        vocab[ch] = 2.0 + rng.randrange(8) / 64.0
+    for a, b in itertools.product(alphabet, repeat=2):
+        if rng.random() < 0.5:
+            vocab[a + b] = 3.0 + rng.randrange(16) / 64.0
+    for a, b, c in itertools.product(alphabet, repeat=3):
+        if rng.random() < 0.2:
+            vocab[a + b + c] = 4.0 + rng.randrange(16) / 64.0
+
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 11)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["pieces"], r["cost"])
+        for r in viterbi_encode(
+            docs, vocab, costs=True, max_piece_len=3
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        cost, _lens, pieces = _brute_best_parse(t, vocab, 3)
+        assert got[i][0] == pieces, (t, got[i][0], pieces)
+        assert got[i][1] == cost
+
+
+def test_viterbi_tiebreak_prefers_shortest_first_piece(spark):
+    # two equal-cost parses of "ab": [a, b] (4.0) vs [ab] (4.0) — the
+    # lexicographically smaller LENGTH sequence is (1, 1)
+    vocab = {"a": 2.0, "b": 2.0, "ab": 4.0}
+    docs = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    row = viterbi_encode(docs, vocab, costs=True).collect()[0]
+    assert row["pieces"] == ["a", "b"]
+    assert row["cost"] == 4.0
+
+
+def test_pinned_vocab_twograms_always_beat_singles():
+    costs = _pinned_unigram_costs()
+    for piece, c in costs.items():
+        if len(piece) == 2:
+            assert c < costs[piece[0]] + costs[piece[1]]
+
+
+def test_em_monotone_and_planted_piece_recovery(spark):
+    # a corpus dominated by the bigram "qz" (never apart): EM must
+    # allocate it probability far above the product of its chars, and
+    # per-phase likelihood must be non-decreasing (the EM theorem)
+    rng = random.Random(3)
+    texts = []
+    for _ in range(30):
+        parts = []
+        for _ in range(40):
+            parts.append("qz" if rng.random() < 0.6 else rng.choice("rstu"))
+        texts.append("".join(parts))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).cache()
+    vocab, lls1, lls2 = em_train(
+        docs, "text", max_piece_len=2, vocab_target=8, iters_per_phase=3
+    )
+    docs.unpersist()
+    for lls in (lls1, lls2):
+        assert all(b >= a - 1e-6 for a, b in zip(lls, lls[1:])), lls
+    assert "qz" in vocab
+    assert vocab["qz"] > vocab["q"] + vocab["z"]
+    # full coverage: every corpus char survives as a single
+    chars = set("".join(texts))
+    assert chars <= {p for p in vocab if len(p) == 1}
+
+
+def test_em_partition_invariance(spark):
+    texts = [
+        ("the quick brown fox " * 4)[: 60 + (i % 7)] for i in range(24)
+    ]
+    base = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocabs = []
+    for parts in (1, 8):
+        df = base.repartition(parts).cache()
+        vocab, _l1, _l2 = em_train(
+            df, "text", max_piece_len=3, vocab_target=24, iters_per_phase=2
+        )
+        df.unpersist()
+        vocabs.append(vocab)
+    assert set(vocabs[0]) == set(vocabs[1])
+    for p in vocabs[0]:
+        assert math.isclose(
+            vocabs[0][p], vocabs[1][p], rel_tol=0, abs_tol=1e-9
+        )
