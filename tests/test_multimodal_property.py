@@ -300,3 +300,83 @@ def test_spectral_fp_validation_and_short_payload():
         B._spectral_fp_bits(wav)
     with _pytest.raises(ValueError, match="int64"):
         B._spectral_fp_bits(wav, n_bands=9, t_steps=8)
+
+
+def test_dct_matrix_is_orthonormal():
+    D = B._dct_matrix(32)
+    assert np.allclose(D @ D.T, np.eye(32), atol=1e-12)
+
+
+@settings(max_examples=50, deadline=None)
+@given(factor=st.integers(1, 3), seed=st.integers(0, 2**31 - 1))
+def test_phash_invariant_under_integer_nn_upscale(factor, seed):
+    """Integer-factor NN upscales hash identically (the 32² resample
+    picks exactly the original pixels back) — the same perceptual
+    contract dHash carries, on the DCT construction."""
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    up = arr.repeat(factor, axis=0).repeat(factor, axis=1)
+    h1 = B._phash_bits(B._encode_bmp_pixels(arr))
+    h2 = B._phash_bits(B._encode_bmp_pixels(up))
+    assert h1 == h2
+    assert 0 <= h1 < (1 << 63)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_phash_ignores_highest_frequency_noise(seed):
+    """pHash keys on the low-frequency 8×8 DCT block only: adding a
+    Nyquist-frequency checkerboard (±8, the highest 2-D frequency, which
+    projects onto coefficient (31, 31) — far outside the block) must not
+    change a single bit, while dHash (local gradients) generally would.
+    This is the property that makes pHash robust to high-frequency
+    noise/compression artifacts."""
+    rng = np.random.RandomState(seed)
+    base = rng.randint(32, 224, size=(32, 32)).astype(np.float64)
+    i = np.arange(32)
+    checker = 8.0 * ((-1.0) ** (i[:, None] + i[None, :]))
+    a1 = np.repeat(base.astype(np.uint8)[:, :, None], 3, axis=2)
+    a2 = np.repeat(
+        np.clip(base + checker, 0, 255).astype(np.uint8)[:, :, None], 3, axis=2
+    )
+    h1 = B._phash_bits(B._encode_bmp_pixels(a1))
+    h2 = B._phash_bits(B._encode_bmp_pixels(a2))
+    assert bin(h1 ^ h2).count("1") <= 2  # uint8 rounding may graze a bit
+
+
+def test_phash_fixture_recovery_and_in_group_distances():
+    """The q_image_dedup_phash fixture contract end-to-end: the REAL
+    decode → gray → resample → DCT → mean-threshold pipeline recovers
+    every PLANNED bit (so the SQL oracle's md5 arithmetic states the
+    same hashes), and within-group Hamming distances are exactly
+    |m1 − m2| — over the full sf0.1 doc_id range plus a sparse sweep
+    far beyond it."""
+    import pandas as pd
+
+    from data_integration_spark.queries.multimodal_queries import (
+        _phash_planned_bits,
+    )
+
+    D = B._dct_matrix(32)
+
+    def payload(d):
+        bits = _phash_planned_bits(d)
+        C = np.zeros((32, 32))
+        C[0, 0] = 128.0 * 32.0
+        for k in range(63):
+            u, v = (k + 1) // 8, (k + 1) % 8
+            C[u, v] = 30.0 if bits[k] else -30.0
+        pix = D.T @ C @ D
+        arr = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
+        return B._encode_bmp_pixels(np.repeat(arr[:, :, None], 3, axis=2))
+
+    ids = list(range(0, 5200)) + list(range(5200, 120001, 997))
+    for d in ids:
+        got = B._phash_bits(payload(d))
+        want = sum(1 << k for k, b in enumerate(_phash_planned_bits(d)) if b)
+        assert got == want, d
+    for g in range(40):
+        hs = [B._phash_bits(payload(4 * g + m)) for m in range(4)]
+        for a in range(4):
+            for b in range(a + 1, 4):
+                assert bin(hs[a] ^ hs[b]).count("1") == b - a

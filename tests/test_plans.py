@@ -801,3 +801,14 @@ def test_ivf_self_join_plan_has_no_pair_space_rows(spark):
     # the pair space must not appear as a join: the only joins allowed are
     # none at all (cogroup replaces them)
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_ivfpq_self_join_plan_has_no_pair_space_rows(spark):
+    """q_ann_ivfpq_self_join's plan contract (the IVF self-join contract
+    on the compressed index): stage 2 is the cogrouped applyInPandas —
+    no row-level probe × member join materializing the candidate space,
+    and the final window ranks only partial-top-k survivors."""
+    df = QUERIES["q_ann_ivfpq_self_join"](spark, SF)
+    plan = formatted_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
