@@ -53,6 +53,9 @@ LLM_OPS = [
     "q_winnowing_fingerprint",   # MOSS winnowing fingerprints + pair join (r10)
     "q_winnowing_registry_persist",  # registry save + load + incremental pair (r11)
     "q_audio_spectral_fingerprint",  # full Haitsma-Kalker multi-band FFT hash (r11)
+    "q_unigram_train",           # unigram-LM tokenizer: lattice EM fit (r11)
+    "q_ann_ivfpq_self_join",     # IVFADC corpus self-join: cogrouped LUT gathers (r11)
+    "q_image_dedup_phash",       # perceptual image near-dup: DCT pHash + pigeonhole (r11)
 ]
 
 

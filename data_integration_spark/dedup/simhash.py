@@ -161,6 +161,69 @@ def hamming_near_pairs(
     )
 
 
+def hamming_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    bits: int,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """CROSS-corpus pigeonhole block join: all (left id, right id) pairs
+    with Hamming(fingerprint) ≤ d — the two-sided sibling of
+    ``hamming_near_pairs`` (same exact-recall theorem: a pair within
+    distance d agrees exactly on ≥ 1 of the d+1 blocks), for the
+    incremental-dedup shape where a NEW batch pairs against an EXISTING
+    fingerprint registry and within-side pairs are out of scope (the
+    ``minhash_cross_dedup`` policy, in Hamming space). Callers keep the
+    two sides id-disjoint; output is (d1 = left id, d2 = right id,
+    distance), deduplicated across block collisions. Candidate volume =
+    per-(block, value) cross collisions — |L|·|R|-proportional only on
+    planted near-dups, never the full cross product."""
+    n_blocks = max_distance + 1
+    if max_distance < 0 or bits > 64:
+        raise ValueError(
+            f"need 0 <= max_distance and bits <= 64, got bits={bits}, "
+            f"max_distance={max_distance}"
+        )
+    width = bits // n_blocks
+    if not (1 <= width <= 63):
+        raise ValueError(
+            f"block width bits//(max_distance+1) = {width} outside "
+            f"[1, 63]: raise bits or max_distance"
+        )
+
+    def keyed(sig: DataFrame, id_out: str, sig_out: str) -> DataFrame:
+        blocks = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftrightunsigned(F.col(sig_col), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("bv"),
+                )
+                for i in range(n_blocks)
+            ]
+        )
+        return sig.select(
+            F.col(id_col).alias(id_out),
+            F.col(sig_col).alias(sig_out),
+            F.explode(blocks).alias("b"),
+        ).select(
+            id_out, sig_out, F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv")
+        )
+
+    return (
+        keyed(left, "d1", "s1")
+        .join(keyed(right, "d2", "s2"), ["blk", "bv"])
+        .select(
+            "d1", "d2", hamming64(F.col("s1"), F.col("s2")).alias("distance")
+        )
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     max_distance: int = 3,

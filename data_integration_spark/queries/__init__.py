@@ -123,6 +123,10 @@ _SIGN_PRIORITY: list[str] = [
     # (a''') DCT pHash image dedup — both standard perceptual-hash
     # constructions now registered (planted-IDCT fixture full oracle)
     "q_image_dedup_phash",
+    # (a'''') streaming perceptual image dedup — the MULTIMODAL member
+    # of the streaming dedup matrix (hash registry + two-sided
+    # pigeonhole cross join), full oracle
+    "q_streaming_image_dedup",
     # (b) the r3 backlog ----------------------------------------------------
     "q_explode_outer",
     "q_hash_sample",
@@ -137,8 +141,8 @@ _SIGN_PRIORITY: list[str] = [
     "q_datetime_functions",
     "q_minby_maxby",
     "q_intersect_except",
-    # (c) r4-era rotation, 24 of 44 (TPC-H q2/q4/q6/q7 + q_zscore_outliers
-    # displaced to r12 by the five second-half ops above) --------------------
+    # (c) r4-era rotation, 23 of 44 (TPC-H q2/q4/q6/q7 + q_zscore_outliers
+    # + q_weighted_sample displaced to r12 by the six second-half ops) ------
     "q_ab_test",
     "q_activity_streaks",
     "q_array_ops",
@@ -162,7 +166,6 @@ _SIGN_PRIORITY: list[str] = [
     "q_robust_means",
     "q_sessionization",
     "q_weighted_median",
-    "q_weighted_sample",
 ]  # the driver's r11 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway

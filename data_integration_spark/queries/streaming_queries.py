@@ -1269,3 +1269,132 @@ def q_streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.read.parquet(out).select("d1", "d2", "cosine").distinct()
+
+
+# The dHash planted-bit contract (multimodal_queries._DHASH_ORACLE's f
+# CTE) + the streaming pair policy shared with the winnowing/semantic
+# streams: every new image (< 60) pairs against the old corpus (>= 60),
+# and new images pair with each other across the two replayed
+# micro-batches (even ids = one file, odd ids = the other) but never
+# within one; within-group planted distances make the cross-parity
+# in-group pairs ((0,1) d=1 ... (0,3) d=3) the guaranteed signal.
+_IMAGE_STREAM_ORACLE = """
+WITH v AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTRING(MD5(CAST(doc_id // 4 AS VARCHAR)), 1, 14)
+              AS BIGINT) AS base
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN ((base >> u.k) & 1 = 1) <> (u.k < doc_id % 4)
+                       THEN CAST(1 AS BIGINT) << u.k
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dh
+  FROM v, UNNEST(GENERATE_SERIES(0, 55)) AS u(k)
+  GROUP BY doc_id
+)
+SELECT n.doc_id AS d1, o.doc_id AS d2,
+       CAST(BIT_COUNT(XOR(n.dh, o.dh)) AS BIGINT) AS distance
+FROM f n JOIN f o
+  ON n.doc_id < 60
+ AND (o.doc_id >= 60
+      OR (o.doc_id < 60 AND n.doc_id < o.doc_id
+          AND n.doc_id % 2 <> o.doc_id % 2))
+WHERE BIT_COUNT(XOR(n.dh, o.dh)) <= 3
+"""
+
+
+@register("q_streaming_image_dedup", oracle=_IMAGE_STREAM_ORACLE)
+def q_streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING perceptual IMAGE dedup — the MULTIMODAL member of the
+    streaming dedup matrix (exact/minhash/winnowing/semantic, now
+    perceptual): the release job fingerprints the old image corpus ONCE
+    into a (item_id, dhash) hash registry (hashes only — payload bytes
+    are never re-read); new images arrive as micro-batches (file
+    replay, maxFilesPerTrigger=1 → two batches: even then odd ids);
+    each ``foreachBatch`` (1) dHashes ONLY the batch's payloads, (2)
+    pairs it against the CURRENT registry via the two-sided pigeonhole
+    block join (``dedup/simhash.py::hamming_cross_pairs`` — exact
+    recall by theorem, candidates only on block collisions, never
+    |batch|×|registry|), (3) APPENDS the batch's hashes (cost ∝
+    |batch|), so later batches dedup against everything ever seen.
+    Pairs are canonicalized (d1 < d2), making the output independent of
+    micro-batch replay order; within-batch pairs are structurally
+    impossible (a batch joins only the registry, which never contains
+    itself).
+
+    FULL oracle: the planted dHash bit contract is md5 arithmetic both
+    engines share, so DuckDB restates the hashes and enumerates new×old
+    plus cross-parity new×new pairs at Hamming ≤ 3.
+
+    At 100 TB: the registry is a 16-byte-per-image parquet (partition
+    by a block prefix for pruning), per-batch decode work rides the
+    batch's scan partitions, the append is file-local — the crawl-loop
+    economics the winnowing/semantic streams already measure, on the
+    image modality."""
+    from data_integration_spark.dedup.simhash import hamming_cross_pairs
+    from data_integration_spark.multimodal.binary_ops import image_dhash
+    from data_integration_spark.queries.multimodal_queries import (
+        _dhash_bmp_payload_df,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    reg = f"{_SCRATCH}/img_stream_reg_{tag}_{os.getpid()}"
+    src = f"{_SCRATCH}/img_stream_src_{tag}_{os.getpid()}"
+    out = f"{_SCRATCH}/img_stream_out_{tag}_{os.getpid()}"
+    ck = f"{_SCRATCH}/img_stream_ck_{tag}_{os.getpid()}"
+    for d in (reg, src, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    images = _dhash_bmp_payload_df(spark, sf_dir)
+    # once per release: hash the old corpus, persist hashes only
+    image_dhash(images.filter(F.col("item_id") >= 60)).filter(
+        F.col("ok")
+    ).select("item_id", "dhash").write.mode("overwrite").parquet(reg)
+
+    new = images.filter(F.col("item_id") < 60)
+    new.filter(F.col("item_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    new.filter(F.col("item_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        sig = (
+            image_dhash(batch_df)
+            .filter(F.col("ok"))
+            .select("item_id", "dhash")
+        )
+        sig.cache().count()  # hash once: pairing AND append reuse it
+        registry = s.read.parquet(reg)
+        pairs = hamming_cross_pairs(
+            sig, registry, bits=56, max_distance=3,
+            id_col="item_id", sig_col="dhash",
+        )
+        (
+            pairs.select(
+                F.least("d1", "d2").alias("d1"),
+                F.greatest("d1", "d2").alias("d2"),
+                F.col("distance").cast("long").alias("distance"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+        # append AFTER pairing: a batch never pairs with itself
+        sig.write.mode("append").parquet(reg)
+        sig.unpersist()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out).select("d1", "d2", "distance")

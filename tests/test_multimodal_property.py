@@ -380,3 +380,30 @@ def test_phash_fixture_recovery_and_in_group_distances():
         for a in range(4):
             for b in range(a + 1, 4):
                 assert bin(hs[a] ^ hs[b]).count("1") == b - a
+
+
+def test_hamming_cross_pairs_exact_recall_vs_bruteforce(spark):
+    """The two-sided pigeonhole join finds EVERY cross pair at distance
+    <= d (the exact-recall theorem, cross form) and nothing else —
+    against a brute-force cross product on a planted fixture."""
+    import itertools
+
+    from data_integration_spark.dedup.simhash import hamming_cross_pairs
+
+    rng = np.random.RandomState(11)
+    base = [int(rng.randint(0, 2**31)) << 20 | int(rng.randint(0, 2**20))
+            for _ in range(30)]
+    left = [(i, base[i % 30] ^ (1 << (i % 51))) for i in range(60)]
+    right = [(1000 + i, base[i % 30] ^ (7 << (i % 40))) for i in range(60)]
+    ldf = spark.createDataFrame(left, "doc_id long, simhash long")
+    rdf = spark.createDataFrame(right, "doc_id long, simhash long")
+    got = {
+        (r["d1"], r["d2"], r["distance"])
+        for r in hamming_cross_pairs(ldf, rdf, bits=56, max_distance=3).collect()
+    }
+    want = set()
+    for (a, ha), (b, hb) in itertools.product(left, right):
+        d = bin((ha ^ hb) & ((1 << 56) - 1)).count("1")
+        if d <= 3:
+            want.add((a, b, d))
+    assert got == want
