@@ -127,6 +127,10 @@ _SIGN_PRIORITY: list[str] = [
     # of the streaming dedup matrix (hash registry + two-sided
     # pigeonhole cross join), full oracle
     "q_streaming_image_dedup",
+    # (a''''') count-min sketch — the mergeable streaming frequency
+    # sketch; md5 row hashes make sketch AND estimates fully
+    # SQL-restatable (the only value-exact sketch oracle in the family)
+    "q_countmin_sketch",
     # (b) the r3 backlog ----------------------------------------------------
     "q_explode_outer",
     "q_hash_sample",
@@ -141,8 +145,9 @@ _SIGN_PRIORITY: list[str] = [
     "q_datetime_functions",
     "q_minby_maxby",
     "q_intersect_except",
-    # (c) r4-era rotation, 23 of 44 (TPC-H q2/q4/q6/q7 + q_zscore_outliers
-    # + q_weighted_sample displaced to r12 by the six second-half ops) ------
+    # (c) r4-era rotation, 22 of 44 (TPC-H q2/q4/q6/q7 + q_zscore_outliers
+    # + q_weighted_sample + q_weighted_median displaced to r12 by the seven
+    # second-half ops) -------------------------------------------------------
     "q_ab_test",
     "q_activity_streaks",
     "q_array_ops",
@@ -165,7 +170,6 @@ _SIGN_PRIORITY: list[str] = [
     "q_regression_by_group",
     "q_robust_means",
     "q_sessionization",
-    "q_weighted_median",
 ]  # the driver's r11 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway

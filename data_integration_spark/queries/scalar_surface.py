@@ -849,3 +849,149 @@ def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("found_by_sketch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (r11): the mergeable streaming heavy-hitter sketch the
+# family was missing — and the ONLY sketch whose estimate is fully
+# SQL-restatable: md5-derived row hashes are engine-portable, the sketch
+# is one groupBy, and the estimate is a MIN over depth rows, so DuckDB
+# recomputes sketch AND estimates bit-for-bit (no bounds-flag indirection
+# needed, unlike HLL/quantile whose internals are engine-specific).
+# ---------------------------------------------------------------------------
+_CMS_W, _CMS_D = 128, 4
+
+
+def _cms_bucket(tok, r: int):
+    """Row-r bucket: first 8 md5 hex chars of 'token#r' as a 32-bit int,
+    mod width — pure string/md5 arithmetic both engines share."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(tok, F.lit(f"#{r}"))), 1, 8), 16, 10
+        )
+        .cast("long")
+        % _CMS_W
+    )
+
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT t AS tok FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+buckets AS (
+  SELECT tok, r.r AS depth,
+         CAST('0x' || SUBSTRING(MD5(tok || '#' || r.r), 1, 8) AS BIGINT)
+           % {_CMS_W} AS bucket
+  FROM toks, UNNEST(GENERATE_SERIES(0, {_CMS_D - 1})) AS r(r)
+),
+sketch AS (
+  SELECT depth, bucket, COUNT(*) AS c
+  FROM buckets GROUP BY depth, bucket
+),
+exact AS (
+  SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok
+),
+top AS (
+  SELECT tok, exact_count FROM exact
+  ORDER BY exact_count DESC, tok LIMIT 20
+),
+est AS (
+  SELECT t.tok, t.exact_count, MIN(s.c) AS cms_estimate
+  FROM top t
+  JOIN buckets b ON b.tok = t.tok
+  JOIN sketch s ON s.depth = b.depth AND s.bucket = b.bucket
+  GROUP BY t.tok, t.exact_count
+)
+SELECT tok AS token, CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - exact_count AS BIGINT) AS overcount
+FROM est
+"""
+
+
+@register("q_countmin_sketch", oracle=_CMS_ORACLE)
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    fixed-memory frequency sketch a 100 TB streaming pipeline keeps per
+    shard (the sketch is LINEAR: merging shards is elementwise addition,
+    so per-partition partials combine exactly — partition invariance by
+    construction, pinned in tests/test_sketches.py): depth=4 md5-derived
+    hash rows × width=128 counters over the corpus token stream, then
+    the classic point estimate min_r sketch[r][h_r(x)] for the top-20
+    exact tokens. The one-sided guarantee (estimate ≥ true count, over
+    by ≤ 2n/width with prob ≥ 1 − 2^-depth) is carried as the
+    ``overcount`` column — non-negative by THEOREM, and value-exact
+    under the FULL oracle: the md5 row hashes are engine-portable, so
+    DuckDB recomputes the whole sketch and every estimate bit-for-bit
+    (the only sketch in the family where the estimate itself, not just
+    a bounds flag, survives cross-engine hashing).
+
+    Scale shape: sketch = one map-side-combinable groupBy over (depth,
+    bucket) — ≤ depth·width distinct keys regardless of corpus size;
+    estimates join only the candidate tokens' d buckets. No driver
+    collect beyond the bounded top-k."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    toks = toks.cache()
+    buckets = toks.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("depth"),
+                        _cms_bucket(F.col("tok"), r).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("b"),
+    ).select("tok", F.col("b.depth").alias("depth"), F.col("b.bucket").alias("bucket"))
+    sketch = buckets.groupBy("depth", "bucket").agg(F.count("*").alias("c"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("tok"))
+        .limit(20)
+    )
+    # candidate buckets re-derive from the 20 tokens directly (bucket is
+    # a pure function of (tok, depth)) — never dedup the corpus-size
+    # occurrence stream just to look up 80 sketch cells
+    cand = top.select(
+        "tok",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("depth"),
+                        _cms_bucket(F.col("tok"), r).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "tok", "exact_count",
+        F.col("b.depth").alias("depth"), F.col("b.bucket").alias("bucket"),
+    )
+    est = (
+        F.broadcast(cand)
+        .join(sketch, ["depth", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    out = est.select(
+        F.col("tok").alias("token"),
+        F.col("exact_count").cast("long"),
+        F.col("cms_estimate").cast("long"),
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("long")
+        .alias("overcount"),
+    )
+    return out
