@@ -131,6 +131,11 @@ _SIGN_PRIORITY: list[str] = [
     # sketch; md5 row hashes make sketch AND estimates fully
     # SQL-restatable (the only value-exact sketch oracle in the family)
     "q_countmin_sketch",
+    # (a'''''') IVFADC persistence round-trip (completes the index
+    # persistence matrix) + Bloom-filter semi-join runtime pruning
+    # (value-exact certificate incl. the no-false-negatives theorem)
+    "q_ann_ivfpq_persist",
+    "q_bloom_semi_join",
     # (b) the r3 backlog ----------------------------------------------------
     "q_explode_outer",
     "q_hash_sample",
@@ -145,9 +150,10 @@ _SIGN_PRIORITY: list[str] = [
     "q_datetime_functions",
     "q_minby_maxby",
     "q_intersect_except",
-    # (c) r4-era rotation, 22 of 44 (TPC-H q2/q4/q6/q7 + q_zscore_outliers
-    # + q_weighted_sample + q_weighted_median displaced to r12 by the seven
-    # second-half ops) -------------------------------------------------------
+    # (c) r4-era rotation, 20 of 44 — TPC-H q2/q4/q6/q7, q_zscore_outliers,
+    # q_weighted_sample/median, q_robust_means, q_sessionization displaced
+    # to r12 by the nine second-half ops (new hash coverage beats
+    # re-attestation; displaced names keep their r4 rows) -------------------
     "q_ab_test",
     "q_activity_streaks",
     "q_array_ops",
@@ -168,8 +174,6 @@ _SIGN_PRIORITY: list[str] = [
     "q_quota_sample",
     "q_recursive_cte",
     "q_regression_by_group",
-    "q_robust_means",
-    "q_sessionization",
 ]  # the driver's r11 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway

@@ -736,3 +736,146 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("needs_mitigation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (r11): the classic runtime-filter
+# pattern — build a tiny bit filter from the dim side's key set,
+# broadcast it, and prune the fact scan BEFORE the join. md5-derived
+# hash positions make the whole construction engine-portable, so the
+# oracle recomputes the filter, every pass/fail decision, and the
+# false-positive count value-for-value.
+# ---------------------------------------------------------------------------
+_BLOOM_M, _BLOOM_K = 2048, 3
+
+
+def _bloom_pos(key_str, r: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key_str, F.lit(f"#{r}"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % _BLOOM_M
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+fpos AS (
+  SELECT DISTINCT
+         CAST('0x' || SUBSTRING(
+             MD5(CAST(c_custkey AS VARCHAR) || '#' || r.r), 1, 8)
+           AS BIGINT) % {_BLOOM_M} AS p
+  FROM keys, UNNEST(GENERATE_SERIES(0, {_BLOOM_K - 1})) AS r(r)
+),
+op AS (
+  SELECT o_orderkey, o_custkey,
+         CAST('0x' || SUBSTRING(
+             MD5(CAST(o_custkey AS VARCHAR) || '#' || r.r), 1, 8)
+           AS BIGINT) % {_BLOOM_M} AS p
+  FROM orders, UNNEST(GENERATE_SERIES(0, {_BLOOM_K - 1})) AS r(r)
+),
+passed AS (
+  SELECT o.o_orderkey, o.o_custkey
+  FROM op o JOIN fpos f ON f.p = o.p
+  GROUP BY o.o_orderkey, o.o_custkey
+  HAVING COUNT(*) = {_BLOOM_K}
+),
+truth AS (
+  SELECT o_orderkey FROM orders o
+  JOIN keys k ON k.c_custkey = o.o_custkey
+)
+SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders,
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_match,
+       CAST((SELECT COUNT(*) FROM passed) AS BIGINT) AS n_bloom_pass,
+       CAST((SELECT COUNT(*) FROM passed)
+            - (SELECT COUNT(*) FROM truth) AS BIGINT) AS n_false_positives,
+       CAST((SELECT COUNT(*) FROM fpos) AS BIGINT) AS n_bits_set,
+       CAST(1 AS BIGINT) AS no_false_negatives
+"""
+
+
+@register("q_bloom_semi_join", oracle=_BLOOM_ORACLE)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SEMI-JOIN pruning — the runtime-filter pattern that
+    makes big fact-dim joins cheap at 100 TB (Spark's own
+    InjectRuntimeFilter applies it implicitly; this op is the EXPLICIT,
+    auditable form a pipeline uses to prune a scan before an expensive
+    downstream stage): the dim side's key set ('BUILDING' customers)
+    hashes into a 2048-bit / k=3 filter (md5 positions), the filter
+    broadcasts as a literal IN-set (KBs), and the fact side passes iff
+    ALL k of its positions are set — a narrow map on the scan, no
+    shuffle, no join until AFTER pruning. Emitted as a 1-row
+    certificate: n_true_match (the exact semi-join), n_bloom_pass,
+    n_false_positives (= pass − truth: Bloom never loses a match, so
+    the difference IS the false-positive count — the no_false_negatives
+    law is a THEOREM, verified value-level on Spark and pinned at 1),
+    n_bits_set (filter load ~ k·|keys| minus hash collisions).
+
+    FULL oracle: md5 positions are engine-portable; DuckDB rebuilds the
+    filter and recomputes every decision bit-for-bit — the only
+    engine-specific thing about a Bloom filter is its hash, and this
+    one's hash is pinned."""
+    cust = Catalog(spark, sf_dir)["customer"]
+    orders = Catalog(spark, sf_dir)["orders"]
+    keys = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    key_str = F.col("c_custkey").cast("string")
+    fpos = sorted(
+        r["p"]
+        for r in keys.select(
+            F.explode(
+                F.array(*[_bloom_pos(key_str, r) for r in range(_BLOOM_K)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()  # bounded: ≤ _BLOOM_M rows by construction
+    )
+    o_str = F.col("o_custkey").cast("string")
+    passes = F.lit(True)
+    for r in range(_BLOOM_K):
+        passes = passes & _bloom_pos(o_str, r).isin(fpos)
+    flagged = orders.select(
+        "o_custkey",
+        passes.alias("bloom_pass"),
+    ).join(
+        F.broadcast(keys.withColumn("is_true", F.lit(True))),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    agg = flagged.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("is_true").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_true_match"),
+        F.sum(F.col("bloom_pass").cast("long"))
+        .cast("long")
+        .alias("n_bloom_pass"),
+        (
+            F.sum(F.col("bloom_pass").cast("long"))
+            - F.sum(F.col("is_true").isNotNull().cast("long"))
+        )
+        .cast("long")
+        .alias("n_false_positives"),
+        F.lit(len(fpos)).cast("long").alias("n_bits_set"),
+        # the theorem, verified value-level: every true match passed
+        (
+            F.sum(
+                (F.col("is_true").isNotNull() & ~F.col("bloom_pass"))
+                .cast("long")
+            )
+            == 0
+        )
+        .cast("long")
+        .alias("no_false_negatives"),
+    )
+    return agg

@@ -1922,3 +1922,51 @@ def q_ann_ivfpq_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     index.codebooks = _pinned_pq_codebooks()
     index.codes = index.assign_encode(emb)
     return index.search_all(emb, k=5, nprobe=3)
+
+
+@register(
+    "q_ann_ivfpq_persist",
+    # the self-join oracle with the probe block restricted to the
+    # bounded query slice — persistence must not change a single value
+    oracle=_IVFPQ_SELF_ORACLE.replace(
+        "FROM d2) WHERE crank <= 3",
+        "FROM d2 WHERE vec_id < 20) WHERE crank <= 3",
+    ),
+)
+def q_ann_ivfpq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index persistence round-trip under PINNED literal
+    centroids + codebooks — completes the persistence matrix (LSH, IVF,
+    minhash buckets, winnowing registry, now IVFADC): build via the
+    load-path mechanism, SAVE (cell-PARTITIONED codes parquet +
+    centroids + codebook JSON), LOAD, and ADC-search FROM THE LOADED
+    ARTIFACT, so the driver hash checks the artifact's round-trip
+    fidelity AND the loaded-search path — including the partition
+    pruning the cell-partitioned layout exists for (the probed-cell
+    filter lands in PartitionFilters; nprobe/n_cells of the codes files
+    are read, the rest never opened). FULL oracle: the same literal
+    arithmetic as q_ann_ivfpq_self_join, probes restricted to the
+    vec_id < 20 query slice. The fit path stays covered by
+    q_ann_ivfpq(_invariants); loaded==built equality is pinned in
+    tests/test_index_persist.py."""
+    from data_integration_spark.similarity.ivfpq import IVFPQIndex
+    from data_integration_spark.similarity.persist import (
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    index = IVFPQIndex(
+        n_cells=_PIN_CELLS, m=_PQ_PIN_M, k_codes=_PQ_PIN_KC, seed=0
+    )
+    index.ivf.centroids = _pinned_ivf_centroids_df(spark)
+    index._pull_centroids()
+    index.codebooks = _pinned_pq_codebooks()
+    index.codes = index.assign_encode(emb)
+    path = _index_path("ivfpq_pin", sf_dir)
+    save_ivfpq_index(index, path)
+    loaded = load_ivfpq_index(spark, path)
+    return loaded.search_all(
+        emb.filter(F.col("vec_id") < 20), k=5, nprobe=3
+    )
