@@ -1947,7 +1947,7 @@ def q_ann_ivfpq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic as q_ann_ivfpq_self_join, probes restricted to the
     vec_id < 20 query slice. The fit path stays covered by
     q_ann_ivfpq(_invariants); loaded==built equality is pinned in
-    tests/test_index_persist.py."""
+    tests/test_ivfpq.py::test_append_and_load_reproduce_codes."""
     from data_integration_spark.similarity.ivfpq import IVFPQIndex
     from data_integration_spark.similarity.persist import (
         load_ivfpq_index,

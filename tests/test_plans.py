@@ -812,3 +812,24 @@ def test_ivfpq_self_join_plan_has_no_pair_space_rows(spark):
     plan = formatted_plan(df)
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_countmin_sketch_plan_is_map_side_combinable(spark):
+    """q_countmin_sketch's plan contract: the sketch groupBy runs as a
+    partial (map-side) then final HashAggregate — the shuffle carries at
+    most depth·width distinct keys, never the token stream."""
+    df = QUERIES["q_countmin_sketch"](spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "SortMergeJoin" not in plan, plan  # only the broadcast lookup
+
+
+def test_bloom_semi_join_plan_prunes_before_join(spark):
+    """q_bloom_semi_join's plan contract: the Bloom test compiles to a
+    native IN-set on the fact scan (no UDF, no shuffle for the filter)
+    and the only join is the broadcast truth lookup."""
+    df = QUERIES["q_bloom_semi_join"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
