@@ -136,6 +136,12 @@ _SIGN_PRIORITY: list[str] = [
     # (value-exact certificate incl. the no-false-negatives theorem)
     "q_ann_ivfpq_persist",
     "q_bloom_semi_join",
+    # (a''''''') tokenizer-artifact round-trip (encode from the LOADED
+    # vocab, same brute-force oracle — persistence must not change a
+    # parse) + streaming count-min maintenance (merge-on-read partials;
+    # linearity makes the BATCH oracle bind verbatim)
+    "q_unigram_persist",
+    "q_streaming_countmin",
     # (b) the r3 backlog ----------------------------------------------------
     "q_explode_outer",
     "q_hash_sample",
@@ -150,10 +156,11 @@ _SIGN_PRIORITY: list[str] = [
     "q_datetime_functions",
     "q_minby_maxby",
     "q_intersect_except",
-    # (c) r4-era rotation, 20 of 44 — TPC-H q2/q4/q6/q7, q_zscore_outliers,
-    # q_weighted_sample/median, q_robust_means, q_sessionization displaced
-    # to r12 by the nine second-half ops (new hash coverage beats
-    # re-attestation; displaced names keep their r4 rows) -------------------
+    # (c) r4-era rotation, 18 of 44 — TPC-H q2/q4/q6/q7, q_zscore_outliers,
+    # q_weighted_sample/median, q_robust_means, q_sessionization,
+    # q_recursive_cte, q_regression_by_group displaced to r12 by the
+    # eleven second-half ops (new hash coverage beats re-attestation;
+    # displaced names keep their r4 rows) -----------------------------------
     "q_ab_test",
     "q_activity_streaks",
     "q_array_ops",
@@ -172,8 +179,6 @@ _SIGN_PRIORITY: list[str] = [
     "q_not_in_subquery",
     "q_pagerank",
     "q_quota_sample",
-    "q_recursive_cte",
-    "q_regression_by_group",
 ]  # the driver's r11 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway

@@ -1398,3 +1398,145 @@ def q_streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.read.parquet(out).select("d1", "d2", "distance")
+
+
+@register(
+    "q_streaming_countmin",
+    # the BATCH count-min oracle, verbatim: the sketch is LINEAR, so a
+    # correct incremental maintenance loop must land on the exact same
+    # cells — and therefore the exact same estimates — as one batch pass
+    oracle=None,  # set below to the batch oracle (import-order safe)
+)
+def q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min maintenance — the shape a 100 TB ingest keeps
+    its frequency sketch in: micro-batches (file replay, even then odd
+    doc ids) each aggregate their OWN tokens into (depth, bucket,
+    partial-count) rows and APPEND them to the sketch store
+    (merge-on-read partials, the winnowing-registry df-partial
+    pattern); the read side re-aggregates cells on load. Because the
+    sketch is LINEAR, the incrementally-maintained sketch is
+    VALUE-EQUAL to the one-pass batch sketch — so the oracle is
+    q_countmin_sketch's oracle VERBATIM, and the driver hash proves the
+    maintenance loop exact, not approximately right. Candidate top-20
+    selection is the audit-side batch derivation (same as the batch
+    query); the sketch store never sees it.
+
+    Scale: each micro-batch's shuffle carries ≤ depth·width keys; the
+    append is file-local; the store grows by ≤ 512 rows per batch until
+    compaction (re-aggregate and rewrite — same cells by linearity)."""
+    from data_integration_spark.queries.scalar_surface import (
+        _CMS_D,
+        _cms_bucket,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    store = f"{_SCRATCH}/cms_stream_store_{tag}_{os.getpid()}"
+    src = f"{_SCRATCH}/cms_stream_src_{tag}_{os.getpid()}"
+    ck = f"{_SCRATCH}/cms_stream_ck_{tag}_{os.getpid()}"
+    for d in (store, src, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.explode(F.split("text", " ")).alias("tok")
+        ).filter(F.col("tok") != "")
+        return toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("depth"),
+                            _cms_bucket(F.col("tok"), r).alias("bucket"),
+                        )
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("b")
+        ).select(F.col("b.depth").alias("depth"), F.col("b.bucket").alias("bucket"))
+
+    def update_sketch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            bucketize(batch_df)
+            .groupBy("depth", "bucket")
+            .agg(F.count("*").alias("c"))
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(update_sketch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # merge-on-read: per-batch partials re-aggregate to the final cells
+    sketch = (
+        spark.read.parquet(store)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("tok"))
+        .limit(20)
+    )
+    cand = top.select(
+        "tok",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("depth"),
+                        _cms_bucket(F.col("tok"), r).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "tok", "exact_count",
+        F.col("b.depth").alias("depth"), F.col("b.bucket").alias("bucket"),
+    )
+    return (
+        F.broadcast(cand)
+        .join(sketch, ["depth", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("exact_count").cast("long"),
+            F.col("cms_estimate").cast("long"),
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )
+
+
+# linearity: the streaming-maintained sketch must equal the batch one —
+# bind the batch oracle after both modules are importable
+from data_integration_spark.queries import ORACLES as _ORACLES  # noqa: E402
+from data_integration_spark.queries.scalar_surface import (  # noqa: E402
+    _CMS_ORACLE as _CMS_BATCH_ORACLE,
+)
+
+_ORACLES["q_streaming_countmin"] = _CMS_BATCH_ORACLE

@@ -329,3 +329,50 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pieces",
         F.round("cost", 6).alias("cost"),
     )
+
+
+@register("q_unigram_persist", oracle=_UNIGRAM_ENCODE_ORACLE)
+def q_unigram_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ARTIFACT round-trip — the persistence member of the
+    tokenizer family (a tokenizer is fit once per release and shipped to
+    every encode job; the artifact IS the contract): SAVE the pinned
+    vocabulary (similarity/persist.py::save_unigram_vocab — (piece,
+    cost) parquet + meta), LOAD it back, and Viterbi-encode FROM THE
+    LOADED ARTIFACT. The oracle is the SAME brute-force parse oracle as
+    q_unigram_encode — persistence must not change a single parse
+    (the q_winnowing_registry_persist precedent: the round-trip is
+    hash-checked by value, not by trusting the save path)."""
+    import os
+
+    from data_integration_spark.operators.unigram_lm import viterbi_encode
+    from data_integration_spark.similarity.persist import (
+        load_unigram_vocab,
+        save_unigram_vocab,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/.scratch/unigram_vocab_{tag}_{os.getpid()}"
+    save_unigram_vocab(spark, _pinned_unigram_costs(), path)
+    costs, max_len = load_unigram_vocab(spark, path)
+    docs = Catalog(spark, sf_dir)["documents"].select(
+        "doc_id",
+        F.substring(F.md5(F.col("text").cast("binary")), 1, _KEY_LEN).alias(
+            "key"
+        ),
+    )
+    enc = viterbi_encode(
+        docs,
+        costs,
+        id_col="doc_id",
+        text_col="key",
+        max_piece_len=max_len,
+        costs=True,
+        keep_text="key",
+    )
+    return enc.select(
+        "doc_id",
+        "key",
+        F.concat_ws(" ", F.col("pieces")).alias("encoded"),
+        "n_pieces",
+        F.round("cost", 6).alias("cost"),
+    )

@@ -434,3 +434,43 @@ def compact_winnowing_registry(spark: SparkSession, path: str) -> int:
     _shutil.rmtree(df_dir)
     os.rename(staged, df_dir)
     return n_parts
+
+
+def save_unigram_vocab(
+    spark: SparkSession, costs: dict[str, float], path: str
+) -> None:
+    """Persist a trained unigram-LM tokenizer artifact: the (piece, cost)
+    table as parquet + meta. A tokenizer is fit ONCE per release and then
+    shipped to every encode job (training data, eval, serving) — the
+    artifact IS the contract, so encode-from-loaded must be value-equal
+    to encode-from-trained (pinned by q_unigram_persist's shared
+    oracle)."""
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        [{"piece": p, "cost": float(c)} for p, c in sorted(costs.items())],
+        schema="piece string, cost double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "vocab"))
+    meta = {
+        "format": _FORMAT,
+        "kind": "unigram_vocab",
+        "max_piece_len": max((len(p) for p in costs), default=1),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_unigram_vocab(
+    spark: SparkSession, path: str
+) -> tuple[dict[str, float], int]:
+    """Reload a persisted tokenizer artifact → (piece→cost dict,
+    max_piece_len). The dict is bounded by the vocab-size contract
+    (tokenizers are ≤ a few 100k pieces — KBs to MBs in the closure)."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != _FORMAT or meta.get("kind") != "unigram_vocab":
+        raise ValueError(f"not a unigram vocab artifact: {meta}")
+    rows = spark.read.parquet(os.path.join(path, "vocab")).collect()
+    return (
+        {r["piece"]: float(r["cost"]) for r in rows},
+        int(meta["max_piece_len"]),
+    )
