@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_integration_spark.queries import register
+from data_integration_spark.queries import register, register_pending
 from data_integration_spark.similarity.ann import as_double_array, with_norm
 from data_integration_spark.sources.catalog import Catalog
 
@@ -1651,4 +1651,82 @@ def q_winnowing_registry_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("new_doc", "old_doc")
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# STAGED for the r12 window: BPE APPLY under a pinned merge table
+# ---------------------------------------------------------------------------
+_BPE_PIN_MERGES = [
+    (1, "a", "b", 0),
+    (2, "c", "d", 0),
+    (3, "e", "f", 0),
+    (4, "0", "1", 0),
+    (5, "2", "3", 0),
+    (6, "ab", "cd", 0),
+    (7, "01", "23", 0),
+    (8, "4", "5", 0),
+]
+
+
+def _bpe_apply_oracle() -> str:
+    """Nested-REPLACE restatement of greedy left-to-right merge replay on
+    the space-joined symbol string. Exact because every pinned merge has
+    left ≠ right (no overlapping-occurrence ambiguity) and no symbol in
+    the pinned system is a suffix/prefix of another in a way that lets
+    'left right' match across token boundaries (argued merge-by-merge in
+    the staged query's docstring)."""
+    expr = "ARRAY_TO_STRING(STRING_SPLIT(key, ''), ' ')"
+    for _rank, left, right, _c in _BPE_PIN_MERGES:
+        expr = f"REPLACE({expr}, '{left} {right}', '{left}{right}')"
+    return f"""
+    WITH keys AS (
+      SELECT doc_id, SUBSTRING(MD5(text), 1, 8) AS key FROM documents
+    ),
+    enc AS (SELECT doc_id, key, {expr} AS encoded FROM keys)
+    SELECT doc_id, key, encoded,
+           CAST(LEN(STRING_SPLIT(encoded, ' ')) AS BIGINT) AS n_pieces
+    FROM enc
+    """
+
+
+@register_pending("q_bpe_apply", oracle=_bpe_apply_oracle())
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED for the r12 window (the r9 PENDING precedent): the BPE
+    ENCODE/apply step as a first-class query with a FULL oracle — the
+    tokenizer-apply sibling of q_unigram_encode. The REAL greedy
+    left-to-right merge replay (``operators/bpe.py::apply_merges`` — the
+    exact fold training uses, certified train/apply-consistent by
+    q_bpe_invariants) runs over each doc's 8-char md5 key under a PINNED
+    8-merge table; DuckDB restates the replay as nested REPLACE on the
+    space-joined symbol string. The restatement is exact because (a)
+    every pinned merge has left ≠ right, so greedy L2R non-overlapping
+    fold == string REPLACE occurrence-for-occurrence, and (b) in the
+    pinned symbol system no token ends with a merge's left or starts
+    with its right except the operand tokens themselves (checked merge
+    by merge: e.g. for 'ab cd', only 'ab' ends in 'ab' and only 'cd'
+    starts with 'cd' among reachable symbols {hex chars, ab, cd, ef,
+    01, 23, abcd, 0123, 45}), so a substring match IS an adjacent
+    symbol pair. The trained-merge path stays covered by
+    q_bpe_train/q_bpe_invariants.
+
+    Scale: apply_merges is 8 in-row F.aggregate folds over the scan —
+    no shuffle; lineage checkpointed every 4 merges."""
+    from data_integration_spark.operators.bpe import (
+        apply_merges,
+        chars_column,
+    )
+
+    keys = Catalog(spark, sf_dir)["documents"].select(
+        "doc_id",
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 8).alias("key"),
+    )
+    enc = apply_merges(
+        keys.withColumn("syms", chars_column("key")), _BPE_PIN_MERGES
+    )
+    return enc.select(
+        "doc_id",
+        "key",
+        F.concat_ws(" ", F.col("syms")).alias("encoded"),
+        F.size("syms").cast("long").alias("n_pieces"),
     )

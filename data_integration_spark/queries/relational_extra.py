@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from data_integration_spark.queries import register
+from data_integration_spark.queries import register, register_pending
 from data_integration_spark.sources.catalog import Catalog
 
 _SCRATCH = "/root/repo/.scratch"
@@ -823,7 +823,6 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific thing about a Bloom filter is its hash, and this
     one's hash is pinned."""
     cust = Catalog(spark, sf_dir)["customer"]
-    orders = Catalog(spark, sf_dir)["orders"]
     keys = (
         cust.filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
@@ -840,6 +839,14 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()  # bounded: ≤ _BLOOM_M rows by construction
     )
+    return _bloom_certificate(spark, sf_dir, keys, fpos)
+
+
+def _bloom_certificate(spark, sf_dir, keys, fpos):
+    """The q_bloom_semi_join certificate aggregation over a given filter
+    position set — shared with the staged streaming-maintenance variant
+    so the two can never drift on the membership-test arithmetic."""
+    orders = Catalog(spark, sf_dir)["orders"]
     o_str = F.col("o_custkey").cast("string")
     passes = F.lit(True)
     for r in range(_BLOOM_K):
@@ -879,3 +886,74 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("no_false_negatives"),
     )
     return agg
+
+
+@register_pending("q_streaming_bloom", oracle=_BLOOM_ORACLE)
+def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED for the r12 window (the r9 PENDING precedent — the r11
+    window is full): STREAMING Bloom-filter maintenance. Dim keys
+    ('BUILDING' customers) arrive as micro-batches (file replay, even
+    then odd c_custkey); each ``foreachBatch`` hashes ONLY its own keys
+    and APPENDS the bit positions to the filter store; the read side
+    takes DISTINCT positions — Bloom bits are OR-mergeable, so the
+    incrementally-maintained filter is VALUE-EQUAL to the one-pass
+    batch filter, and the oracle is q_bloom_semi_join's oracle
+    VERBATIM (the q_streaming_countmin linearity argument, on the OR
+    monoid). The certificate aggregation is the SHARED
+    ``_bloom_certificate`` helper — the streaming and batch paths
+    cannot drift on membership arithmetic."""
+    import os
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    store = f"/root/repo/.scratch/bloom_stream_store_{tag}_{os.getpid()}"
+    src = f"/root/repo/.scratch/bloom_stream_src_{tag}_{os.getpid()}"
+    ck = f"/root/repo/.scratch/bloom_stream_ck_{tag}_{os.getpid()}"
+    for d in (store, src, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    cust = Catalog(spark, sf_dir)["customer"]
+    keys = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    keys.filter(F.col("c_custkey") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    keys.filter(F.col("c_custkey") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def update_filter(batch_df: DataFrame, batch_id: int) -> None:
+        key_str = F.col("c_custkey").cast("string")
+        (
+            batch_df.select(
+                F.explode(
+                    F.array(
+                        *[_bloom_pos(key_str, r) for r in range(_BLOOM_K)]
+                    )
+                ).alias("p")
+            )
+            .distinct()
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(update_filter)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # OR-merge on read: distinct positions over all appended partials
+    fpos = sorted(
+        r["p"] for r in spark.read.parquet(store).distinct().collect()
+    )
+    return _bloom_certificate(spark, sf_dir, keys, fpos)

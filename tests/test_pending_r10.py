@@ -29,9 +29,11 @@ load_all()
 
 
 def test_pending_block_drained_after_r10_flip():
-    """Every r9-staged name is LIVE (registered with its full oracle) and
-    the staging block is empty — the r10 flip happened exactly as staged."""
-    assert PENDING_R10 == {}
+    """Every r9-staged name is LIVE (registered with its full oracle) —
+    the r10 flip happened exactly as staged — and the block now holds
+    exactly the r11-staged r12 payload (the window was full, the r9
+    precedent re-used)."""
+    assert set(PENDING_R10) == {"q_streaming_bloom", "q_bpe_apply"}
     for name in (
         "q_multimodal_audio_features",
         "q_multimodal_resize",
@@ -87,3 +89,23 @@ def test_pinned_centroid_margins_dominate_fp_noise():
         s = np.sort(d, axis=1)
         assert (s[:, 1] - s[:, 0]).min() > 1e-5, sf  # assignment argmin
         assert (s[:, 3] - s[:, 2]).min() > 1e-5, sf  # nprobe=3 boundary
+
+
+def test_staged_r12_entries_match_their_oracles():
+    """Every staged entry passes the SAME DuckDB parity gate the live
+    registry rides (sf0.001) — the flip at the r12 window is
+    attestation, not discovery (the r9-payload discipline)."""
+    import pytest
+
+    from tests.oracle_harness import compare, duck_connection
+
+    sf = "/root/testdata/sf0.001"
+    if not PENDING_R10:
+        pytest.skip("staging block empty")
+    from data_integration_spark.session import get_spark
+
+    spark = get_spark(app_name="pending-parity", shuffle_partitions=8)
+    con = duck_connection(sf)
+    for name, (fn, oracle) in PENDING_R10.items():
+        errs = compare(fn(spark, sf), con, oracle, name)
+        assert not errs, (name, errs)
