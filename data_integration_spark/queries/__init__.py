@@ -45,7 +45,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# --- staged registrations (empty since the r10 flip) ---------------------
+# --- staged registrations (empty since the r12 flip) ---------------------
 # When a driver signing window is already fully planned, NEW queries stage
 # here instead of registering (each entry: name -> (fn, oracle_sql or
 # None)); tests/test_pending_r10.py runs every entry through the same
@@ -54,8 +54,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # replaced names to _RESIGN — is attestation, not discovery. The round-9
 # payload (3 multimodal t2 certificates, the pinned-centroid IVF
 # persist/append full-oracle upgrades, q_image_dedup_dhash) flipped into
-# @register at the r10 window exactly as staged; the block is kept for
-# future rounds with full windows.
+# @register at the r10 window exactly as staged; the r11-staged payload
+# (q_streaming_bloom, q_bpe_apply) flipped at the r12 window the same
+# way. The block is kept for future rounds with full windows.
 #
 # A name that ALREADY exists in QUERIES marks a REPLACEMENT: the staged
 # fn+oracle upgrade a currently rows-only query to full-oracle.
@@ -82,112 +83,82 @@ def register_pending(name: str, oracle: str | None = None):
 # ever shrinks. Maintained per round: names signed in CORRECTNESS_r{N} leave,
 # new queries join at the tail of the front block.
 _SIGN_PRIORITY: list[str] = [
-    # --- r11 window (VERDICT r10 #1/#2/#4). The r10 signing run went
-    # 50/50, so every r10-window name has a current driver row and leaves
-    # the list. r11 slots:
-    # (a) the 8 NEW r11 ops: the persisted winnowing fingerprint registry
-    # + its streaming crawl-loop sibling (closing the one 100-TB design
-    # gap VERDICT r10 named), and the multi-band spectral audio
-    # fingerprint pair (rows-only construction + its full-oracle
-    # invariants certificate — the dHash/PCA precedent);
-    # (b) the 13 deferred r3 names (explode/sampling + the scalar-function
-    # surface) — closes the entire r3 rotation;
-    # (c) 33 of the 44 r4-era names (the oldest live signatures after
-    # this window): analytics/window/timeseries families first, then
-    # TPC-H q2-q7. The 15 remaining r4 names (TPC-H q8-q22) queue
-    # behind the window for r12 with the 27 r5 names. (The 4th-8th
-    # new r11 ops — q_streaming_winnowing_dedup, q_ann_ivf_self_join,
-    # q_semantic_dedup_ivf, q_perplexity_buckets,
-    # q_streaming_semantic_dedup — displaced TPC-H q12..q8, the r7
-    # precedent: new hash coverage beats re-attestation.)
-    # (a) new r11 ops -------------------------------------------------------
-    "q_winnowing_registry_persist",
-    "q_streaming_winnowing_dedup",
-    "q_audio_spectral_fingerprint",
-    "q_audio_spectral_invariants",
-    "q_ann_ivf_self_join",
-    "q_semantic_dedup_ivf",
-    "q_perplexity_buckets",
-    "q_streaming_semantic_dedup",
-    # (a') second-half r11 ops: the unigram-LM tokenizer family (the
-    # second tokenizer next to BPE; train rows-only + invariants
-    # certificate + full-oracle Viterbi encode) — each new name
-    # displaces one already-signed r4 TPC-H re-sign to r12, the r7
-    # "new hash coverage beats re-attestation" precedent
-    "q_unigram_train",
-    "q_unigram_invariants",
-    "q_unigram_encode",
-    # (a'') IVFADC self-join — completes the ANN self-join matrix
-    # (brute GEMM / IVF / IVFPQ), pinned-artifact full oracle
-    "q_ann_ivfpq_self_join",
-    # (a''') DCT pHash image dedup — both standard perceptual-hash
-    # constructions now registered (planted-IDCT fixture full oracle)
-    "q_image_dedup_phash",
-    # (a'''') streaming perceptual image dedup — the MULTIMODAL member
-    # of the streaming dedup matrix (hash registry + two-sided
-    # pigeonhole cross join), full oracle
-    "q_streaming_image_dedup",
-    # (a''''') count-min sketch — the mergeable streaming frequency
-    # sketch; md5 row hashes make sketch AND estimates fully
-    # SQL-restatable (the only value-exact sketch oracle in the family)
-    "q_countmin_sketch",
-    # (a'''''') IVFADC persistence round-trip (completes the index
-    # persistence matrix) + Bloom-filter semi-join runtime pruning
-    # (value-exact certificate incl. the no-false-negatives theorem)
-    "q_ann_ivfpq_persist",
-    "q_bloom_semi_join",
-    # (a''''''') tokenizer-artifact round-trip (encode from the LOADED
-    # vocab, same brute-force oracle — persistence must not change a
-    # parse) + streaming count-min maintenance (merge-on-read partials;
-    # linearity makes the BATCH oracle bind verbatim)
-    "q_unigram_persist",
-    "q_streaming_countmin",
-    # (b) the r3 backlog ----------------------------------------------------
-    "q_explode_outer",
-    "q_hash_sample",
-    "q_stratified_sample",
-    "q_bitwise_ops",
-    "q_try_arithmetic",
-    "q_null_functions",
-    "q_string_functions",
-    "q_struct_functions",
-    "q_map_functions",
-    "q_regexp_functions",
-    "q_datetime_functions",
-    "q_minby_maxby",
-    "q_intersect_except",
-    # (c) r4-era rotation, 18 of 44 — TPC-H q2/q4/q6/q7, q_zscore_outliers,
-    # q_weighted_sample/median, q_robust_means, q_sessionization,
-    # q_recursive_cte, q_regression_by_group displaced to r12 by the
-    # eleven second-half ops (new hash coverage beats re-attestation;
-    # displaced names keep their r4 rows) -----------------------------------
-    "q_ab_test",
-    "q_activity_streaks",
-    "q_array_ops",
-    "q_autocorr",
-    "q_chi_square",
-    "q_cusum_drift",
-    "q_doc_chunking",
-    "q_ewma",
-    "q_forward_fill",
-    "q_fuzzy_match",
-    "q_gopher_rules",
-    "q_int8_quantize",
-    "q_interval_overlap",
-    "q_lateral_topk",
-    "q_mom_growth",
-    "q_not_in_subquery",
-    "q_pagerank",
-    "q_quota_sample",
-]  # the driver's r11 window = first 50 registered
+    # --- r12 window (VERDICT r11 #1). The r11 signing run went 50/50, so
+    # every r11-window name has a current driver row and leaves the list.
+    # r12 slots:
+    # (a) the 2 r11-staged ops flipped live this round (q_streaming_bloom
+    #     relational_extra.py, q_bpe_apply corpus_ops.py) — both already
+    #     parity-verified at 3 SFs by the in-repo harness while staged;
+    # (b) the 48 oldest live signatures: ALL 26 remaining r4-era names
+    #     (TPC-H q2-q22 + the analytics stragglers) and 22 of the 27
+    #     r5-era names (alphabetical order within each round). The 5
+    #     r5 names left after this window (q_term_cooccurrence,
+    #     q_text_normalize, q_token_budget_mix, q_transition_matrix,
+    #     q_vector_lambda_ops) queue for r13 — after r12 lands, ≤5
+    #     names carry a pre-r6 signature, the VERDICT r11 target.
+    # (a) flipped r12 payload ----------------------------------------------
+    "q_streaming_bloom",
+    "q_bpe_apply",
+    # (b) r4-era rotation, all 26 remaining -------------------------------
+    "q_recursive_cte",
+    "q_regression_by_group",
+    "q_robust_means",
+    "q_sessionization",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q2",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_weighted_median",
+    "q_weighted_sample",
+    "q_zscore_outliers",
+    # (b') r5-era rotation, 22 of 27 --------------------------------------
+    "q_benford",
+    "q_binaryfile_source",
+    "q_bm25",
+    "q_boilerplate_ngrams",
+    "q_centroid_per_label",
+    "q_cross_shard_dedup",
+    "q_dataset_card",
+    "q_embedding_norm_filter",
+    "q_entropy_profile",
+    "q_hll_mergeable",
+    "q_inverted_index",
+    "q_kl_divergence",
+    "q_minmax_scale",
+    "q_ngram_containment",
+    "q_ngram_novelty",
+    "q_pca_project",
+    "q_percentile_bands",
+    "q_scd2_build",
+    "q_shard_assign",
+    "q_snapshot_diff",
+    "q_source_overlap_matrix",
+    "q_temperature_mix",
+]  # the driver's r12 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
-# because a code change invalidated what the row attests to. Empty for r11:
-# the r10 re-signs (IVF √N re-parameterization + pinned-centroid
-# persist/append upgrades) all landed in CORRECTNESS_r10, and this round's
-# IVF search stage-1 GEMM rework is RESULT-PRESERVING by pin test
-# (tests/test_ivf_search_gemm.py::test_search_end_to_end_unchanged_by_
-# stage1_rework), so no prior row is invalidated.
+# because a code change invalidated what the row attests to. Empty for r12:
+# this round's code changes to already-signed queries are all
+# RESULT-PRESERVING by pin test — the unigram-LM out-of-band LL column +
+# id_col fix (tests/test_unigram_refactor_pins.py), the IVFADC lexsort
+# ranking (tests/test_pending_r10.py / ivfpq pin), and the count-min
+# unpersist (no result change by construction) — so no prior row is
+# invalidated.
 _RESIGN: frozenset[str] = frozenset()
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_integration_spark.queries import register, register_pending
+from data_integration_spark.queries import register
 from data_integration_spark.similarity.ann import as_double_array, with_norm
 from data_integration_spark.sources.catalog import Catalog
 
@@ -1655,7 +1655,7 @@ def q_winnowing_registry_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED for the r12 window: BPE APPLY under a pinned merge table
+# BPE APPLY under a pinned merge table (live since the r12 window)
 # ---------------------------------------------------------------------------
 _BPE_PIN_MERGES = [
     (1, "a", "b", 0),
@@ -1690,10 +1690,11 @@ def _bpe_apply_oracle() -> str:
     """
 
 
-@register_pending("q_bpe_apply", oracle=_bpe_apply_oracle())
+@register("q_bpe_apply", oracle=_bpe_apply_oracle())
 def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED for the r12 window (the r9 PENDING precedent): the BPE
-    ENCODE/apply step as a first-class query with a FULL oracle — the
+    """BPE ENCODE/apply (staged r11 under the r9 PENDING precedent,
+    flipped live at the r12 window): a first-class query with a FULL
+    oracle — the
     tokenizer-apply sibling of q_unigram_encode. The REAL greedy
     left-to-right merge replay (``operators/bpe.py::apply_merges`` — the
     exact fold training uses, certified train/apply-consistent by

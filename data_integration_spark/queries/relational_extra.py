@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from data_integration_spark.queries import register, register_pending
+from data_integration_spark.queries import register
 from data_integration_spark.sources.catalog import Catalog
 
 _SCRATCH = "/root/repo/.scratch"
@@ -888,10 +888,10 @@ def _bloom_certificate(spark, sf_dir, keys, fpos):
     return agg
 
 
-@register_pending("q_streaming_bloom", oracle=_BLOOM_ORACLE)
+@register("q_streaming_bloom", oracle=_BLOOM_ORACLE)
 def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED for the r12 window (the r9 PENDING precedent — the r11
-    window is full): STREAMING Bloom-filter maintenance. Dim keys
+    """STREAMING Bloom-filter maintenance (staged r11 under the r9
+    PENDING precedent, flipped live at the r12 window). Dim keys
     ('BUILDING' customers) arrive as micro-batches (file replay, even
     then odd c_custkey); each ``foreachBatch`` hashes ONLY its own keys
     and APPENDS the bit positions to the filter store; the read side

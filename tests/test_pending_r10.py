@@ -28,12 +28,12 @@ from data_integration_spark.queries import (
 load_all()
 
 
-def test_pending_block_drained_after_r10_flip():
-    """Every r9-staged name is LIVE (registered with its full oracle) —
-    the r10 flip happened exactly as staged — and the block now holds
-    exactly the r11-staged r12 payload (the window was full, the r9
-    precedent re-used)."""
-    assert set(PENDING_R10) == {"q_streaming_bloom", "q_bpe_apply"}
+def test_pending_block_drained_after_r12_flip():
+    """Every staged name is LIVE (registered with its full oracle) — the
+    r10 flip (r9 payload) and the r12 flip (r11 payload:
+    q_streaming_bloom, q_bpe_apply) both happened exactly as staged —
+    and the block is empty again."""
+    assert PENDING_R10 == {}
     for name in (
         "q_multimodal_audio_features",
         "q_multimodal_resize",
@@ -41,6 +41,8 @@ def test_pending_block_drained_after_r10_flip():
         "q_image_dedup_dhash",
         "q_ann_ivf_persist",
         "q_ann_ivf_append",
+        "q_streaming_bloom",
+        "q_bpe_apply",
     ):
         assert name in QUERIES, name
         assert name in ORACLES, f"{name} lost its full oracle at the flip"
