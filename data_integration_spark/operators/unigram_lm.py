@@ -33,7 +33,6 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_LL_SENTINEL = "\x00__LL__"
 _NEG = float("-inf")
 
 
@@ -164,7 +163,13 @@ def _estep(
     """One distributed E-step: expected counts per piece + corpus
     log-likelihood under the CURRENT params. The kernel pre-aggregates
     per batch, the single shuffle carries ≤|vocab|+1 distinct keys, and
-    the driver sees only the bounded aggregate."""
+    the driver sees only the bounded aggregate.
+
+    The per-batch log-likelihood travels OUT-OF-BAND in its own ``ll``
+    column on a piece-NULL row (never as an in-band sentinel key): a
+    corpus whose text genuinely contains any would-be sentinel string
+    therefore cannot alias a real piece onto the LL accumulator —
+    piece keys and the LL share no key space by construction."""
     import pandas as pd
 
     def expect_batch(batches):
@@ -184,20 +189,23 @@ def _estep(
                 ll += doc_ll
                 for piece, c in doc_ec.items():
                     ec[piece] = ec.get(piece, 0.0) + c
-            ec[_LL_SENTINEL] = ll
             yield pd.DataFrame(
-                {"piece": list(ec), "ec": list(ec.values())}
+                {
+                    "piece": list(ec) + [None],
+                    "ec": list(ec.values()) + [0.0],
+                    "ll": [0.0] * len(ec) + [ll],
+                }
             )
 
     rows = (
         docs.select(text_col)
-        .mapInPandas(expect_batch, "piece string, ec double")
+        .mapInPandas(expect_batch, "piece string, ec double, ll double")
         .groupBy("piece")
-        .agg(F.sum("ec").alias("ec"))
+        .agg(F.sum("ec").alias("ec"), F.sum("ll").alias("ll"))
         .collect()
-    )  # bounded: ≤ |vocab| + 1 rows
-    ec = {r["piece"]: float(r["ec"]) for r in rows}
-    ll = ec.pop(_LL_SENTINEL, 0.0)
+    )  # bounded: ≤ |vocab| + 1 rows (the +1 is the piece-NULL LL row)
+    ec = {r["piece"]: float(r["ec"]) for r in rows if r["piece"] is not None}
+    ll = sum(float(r["ll"]) for r in rows if r["piece"] is None)
     return ec, ll
 
 
@@ -293,10 +301,11 @@ def viterbi_encode(
     restate exactly). Raises loudly on an unparseable doc (the r4
     library contract: silent drops hide upstream vocab bugs).
 
-    Output: (doc_id, pieces array<string>, n_pieces, cost), plus the
-    input text passed through under ``keep_text`` when set (in-batch —
-    no join needed for provenance). Narrow distributed map — vocab in
-    the closure, no shuffle."""
+    Output: (``id_col``, pieces array<string>, n_pieces, cost) — the id
+    column keeps the CALLER'S name — plus the input text passed through
+    under ``keep_text`` when set (in-batch — no join needed for
+    provenance). Narrow distributed map — vocab in the closure, no
+    shuffle."""
     import pandas as pd
 
     cost_map = (
@@ -357,7 +366,7 @@ def viterbi_encode(
                 cost_col.append(best[0])
                 texts_col.append(text)
             cols = {
-                "doc_id": ids,
+                id_col: ids,
                 "pieces": pieces_col,
                 "n_pieces": np_col,
                 "cost": cost_col,
@@ -367,7 +376,7 @@ def viterbi_encode(
             yield pd.DataFrame(cols)
 
     id_type = docs.schema[id_col].dataType.simpleString()
-    schema = f"doc_id {id_type}, pieces array<string>, n_pieces long, cost double"
+    schema = f"{id_col} {id_type}, pieces array<string>, n_pieces long, cost double"
     if keep_text is not None:
         schema += f", {keep_text} string"
     return docs.select(id_col, text_col).mapInPandas(encode_batch, schema)

@@ -933,11 +933,15 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates join only the candidate tokens' d buckets. No driver
     collect beyond the bounded top-k."""
     docs = Catalog(spark, sf_dir)["documents"]
+    # deliberately NOT cached: toks is scanned exactly twice (sketch
+    # build + exact top-k), both as cheap scan-side explodes, and a
+    # cached corpus-size token stream would outlive the query (the
+    # returned DataFrame is lazy, so an unpersist-before-return would
+    # defeat the cache anyway) — ADVICE r11
     toks = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    toks = toks.cache()
     buckets = toks.select(
         "tok",
         F.explode(

@@ -53,6 +53,22 @@ def _np_round_half_up(arr, decimals: int):
     return out
 
 
+def _guard_packable_ids(mids) -> None:
+    """The per-cell top-k kernels rank with a composite int64 key,
+    ``(rounded_metric << 32) + mid`` — an id outside [0, 2^32) would
+    silently corrupt the ordering (the metric half is guarded at its
+    own call sites; this mirrors that guard on the id half, ADVICE
+    r11). Ids here are integral by the index schemas — a float id
+    column would already have been truncated by the upstream astype,
+    so the range check is the live failure mode."""
+    if len(mids) and (int(mids.min()) < 0 or int(mids.max()) >= (1 << 32)):
+        raise ValueError(
+            "member ids outside [0, 2^32) cannot ride the composite "
+            "int64 ranking key — remap ids (e.g. a row-number surrogate) "
+            "before indexing, or per-cell top-k order would be corrupted"
+        )
+
+
 def _require_nonzero_norms(norms, side: str):
     """Zero-norm vectors make cosine NaN, and NaN ordering differs between
     NumPy (sorts last / fails thresholds) and Spark SQL (NaN > any value) —

@@ -18,7 +18,11 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_integration_spark.similarity.ann import _dot, _norm
+from data_integration_spark.similarity.ann import (
+    _dot,
+    _guard_packable_ids,
+    _norm,
+)
 
 
 def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
@@ -415,6 +419,7 @@ class IVFIndex:
             )
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             mids = members["mid"].to_numpy().astype(np.int64)
+            _guard_packable_ids(mids)
             cut = min(k + 1, len(mids))  # +1 absorbs a possible self-pair
             # probe-CHUNKED scoring: a hot cell at corpus scale can hold
             # tens of thousands of members AND be probed by a comparable

@@ -324,7 +324,10 @@ class IVFPQIndex:
         candidate — the code table is never decoded and no pair-space
         rows materialize below the per-cell top-k."""
         assert self.codes is not None, "fit or load first"
-        from data_integration_spark.similarity.ann import _np_round_half_up
+        from data_integration_spark.similarity.ann import (
+            _guard_packable_ids,
+            _np_round_half_up,
+        )
 
         cb, cent = self.codebooks, self.centroids_np
         assert cb is not None and cent is not None, "fit or load first"
@@ -345,6 +348,7 @@ class IVFPQIndex:
             )
             C = np.stack(members["codes"].to_numpy()).astype(np.int64)
             mids = members["mid"].to_numpy().astype(np.int64)
+            _guard_packable_ids(mids)
             cut = min(k + 1, len(mids))  # +1 absorbs a possible self-pair
             # probe-chunked (the IVFIndex.search_all memory argument):
             # peak per task is CHUNK×nm doubles for the distance matrix
