@@ -32,8 +32,9 @@ def test_pending_block_drained_after_r12_flip():
     """Every staged name is LIVE (registered with its full oracle) — the
     r10 flip (r9 payload) and the r12 flip (r11 payload:
     q_streaming_bloom, q_bpe_apply) both happened exactly as staged —
-    and the block is empty again."""
-    assert PENDING_R10 == {}
+    and the block now holds exactly the r12-staged r13 payload (the
+    non-vacuous planted streaming-semantic certificate)."""
+    assert set(PENDING_R10) == {"q_streaming_semantic_dedup_planted"}
     for name in (
         "q_multimodal_audio_features",
         "q_multimodal_resize",
@@ -93,9 +94,9 @@ def test_pinned_centroid_margins_dominate_fp_noise():
         assert (s[:, 3] - s[:, 2]).min() > 1e-5, sf  # nprobe=3 boundary
 
 
-def test_staged_r12_entries_match_their_oracles():
+def test_staged_entries_match_their_oracles():
     """Every staged entry passes the SAME DuckDB parity gate the live
-    registry rides (sf0.001) — the flip at the r12 window is
+    registry rides (sf0.001) — the flip at its signing window is
     attestation, not discovery (the r9-payload discipline)."""
     import pytest
 
