@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_integration_spark.queries import register
+from data_integration_spark.queries import register, register_pending
 from data_integration_spark.sources.catalog import Catalog
 
 
@@ -999,3 +999,181 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("overcount"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries mergeable heavy hitters (staged for the r13 window)
+# ---------------------------------------------------------------------------
+_MG_K = 32
+
+_MG_ORACLE = f"""
+WITH toks AS (
+  SELECT t.tok FROM documents,
+       UNNEST(STRING_SPLIT(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+top AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM toks GROUP BY tok
+  ORDER BY exact_count DESC, tok LIMIT 15
+)
+SELECT tok AS token, exact_count,
+       (SELECT n FROM tot) AS n_tokens,
+       CAST(1 AS BIGINT) AS guarantee_ok,
+       CAST(1 AS BIGINT) AS summary_within_k
+FROM top
+"""
+
+
+@register_pending("q_heavy_hitters_mg", oracle=_MG_ORACLE)
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries mergeable heavy hitters (Misra & Gries 1982; merge
+    per Agarwal et al., "Mergeable Summaries", PODS 2012) — the
+    DETERMINISTIC sibling of q_countmin_sketch in the sketch family
+    (HLL = distinct, CMS = frequency overestimate, Bloom = membership,
+    MG = frequency underestimate with a guaranteed-presence theorem):
+    k=32 counters per partition, summaries merged as units on the
+    driver. For every token, true − n/(k+1) ≤ est ≤ true, and any
+    token with true > n/(k+1) is GUARANTEED in the summary.
+
+    Counter VALUES are arrival-order dependent (no md5 portability
+    trick exists for MG), so the certificate pins what is
+    engine-independent: the exact top-15 tokens and counts (DuckDB
+    recomputes), the token total, and the THEOREM columns —
+    ``guarantee_ok`` (presence when above threshold + both bounds) and
+    ``summary_within_k`` — which the oracle states as constants and a
+    violating implementation would hash-break. Estimate-level laws are
+    value-pinned against a sequential reference in
+    tests/test_heavy_hitters.py (partition invariance of the theorem,
+    exact equality at k > |vocabulary|).
+
+    Scale shape (operators/heavy_hitters.py): one mapInPandas pass with
+    ≤ k counters per task, a ≤ partitions·k-row driver fold, NO
+    shuffle — strictly cheaper than the CMS groupBy at the same corpus;
+    the same tokenization as q_countmin_sketch so the two sketches are
+    comparable on identical streams."""
+    from data_integration_spark.operators.heavy_hitters import (
+        misra_gries_summary,
+    )
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    summary = misra_gries_summary(toks, _MG_K)
+    n = toks.count()
+    thr = n / (_MG_K + 1)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("tok"))
+        .limit(15)
+        .collect()
+    )  # bounded: 15 rows
+    ok_k = int(len(summary) <= _MG_K)
+    rows = []
+    for r in top:
+        est = summary.get(r["tok"], 0)
+        exact = int(r["exact_count"])
+        ok = int(
+            (exact <= thr or est > 0)
+            and est <= exact
+            and est >= exact - thr
+        )
+        rows.append(
+            {
+                "token": r["tok"],
+                "exact_count": exact,
+                "n_tokens": int(n),
+                "guarantee_ok": ok,
+                "summary_within_k": ok_k,
+            }
+        )
+    return spark.createDataFrame(
+        rows,
+        "token string, exact_count long, n_tokens long,"
+        " guarantee_ok long, summary_within_k long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch certificate (staged for the r13 window)
+# ---------------------------------------------------------------------------
+_QS_PROBES = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+_QS_ACC = 1000  # relative rank error 1/accuracy (Greenwald-Khanna bound)
+
+_QS_ORACLE = """
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
+SELECT CAST(p AS DOUBLE) AS p, (SELECT n FROM tot) AS n_rows,
+       CAST(1 AS BIGINT) AS within_bound,
+       CAST(1 AS BIGINT) AS est_is_member
+FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) AS probes(p)
+"""
+
+
+@register_pending("q_quantile_sketch", oracle=_QS_ORACLE)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate-quantile sketch — the QUANTILE member of
+    the sketch family (Greenwald & Khanna 2001 as implemented by
+    Spark's ``percentile_approx``; the aggregation buffer is map-side
+    combinable, so per-shard sketches roll up a 1000-executor corpus
+    scan in one pass — the same merge economics as HLL/CMS/MG).
+
+    The estimates themselves are sketch-state dependent (no cross-engine
+    value pin exists), so the certificate hash-checks the THEOREM per
+    probe p over lineitem.l_extendedprice at accuracy 1000:
+
+    - ``within_bound``: the exact rank of the estimate (recomputed
+      distributed, two narrow aggregates) is within n/accuracy of p·n —
+      the GK guarantee, stated tolerantly on both rank conventions
+      (count(< est) and count(≤ est));
+    - ``est_is_member``: the estimate is an actual element of the
+      column (GK summaries store observed values, never interpolations);
+    - ``n_rows``: conservation, recomputed by DuckDB.
+
+    A broken sketch (wrong bound, interpolated value, dropped rows)
+    breaks the hash; the bound margin at driver SFs is ≥ 10× the
+    discreteness slack (pinned in tests/test_heavy_hitters.py)."""
+    li = Catalog(spark, sf_dir)["lineitem"].select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    agg = li.agg(
+        F.percentile_approx(
+            "v", _QS_PROBES, F.lit(_QS_ACC)
+        ).alias("ests"),
+        F.count("*").alias("n"),
+    ).collect()[0]  # 1 row
+    ests, n = list(agg["ests"]), int(agg["n"])
+    slack = n / _QS_ACC
+    checks = li.agg(
+        *[
+            F.sum((F.col("v") <= F.lit(e)).cast("long")).alias(f"le_{i}")
+            for i, e in enumerate(ests)
+        ],
+        *[
+            F.sum((F.col("v") < F.lit(e)).cast("long")).alias(f"lt_{i}")
+            for i, e in enumerate(ests)
+        ],
+        *[
+            F.max((F.col("v") == F.lit(e)).cast("long")).alias(f"in_{i}")
+            for i, e in enumerate(ests)
+        ],
+    ).collect()[0]  # 1 row
+    rows = []
+    for i, (p, e) in enumerate(zip(_QS_PROBES, ests)):
+        rank_le, rank_lt = int(checks[f"le_{i}"]), int(checks[f"lt_{i}"])
+        ok = int(
+            rank_le >= p * n - slack and rank_lt <= p * n + slack
+        )
+        rows.append(
+            {
+                "p": float(p),
+                "n_rows": n,
+                "within_bound": ok,
+                "est_is_member": int(checks[f"in_{i}"]),
+            }
+        )
+    return spark.createDataFrame(
+        rows, "p double, n_rows long, within_bound long, est_is_member long"
+    )

@@ -33,8 +33,13 @@ def test_pending_block_drained_after_r12_flip():
     r10 flip (r9 payload) and the r12 flip (r11 payload:
     q_streaming_bloom, q_bpe_apply) both happened exactly as staged —
     and the block now holds exactly the r12-staged r13 payload (the
-    non-vacuous planted streaming-semantic certificate)."""
-    assert set(PENDING_R10) == {"q_streaming_semantic_dedup_planted"}
+    non-vacuous planted streaming-semantic certificate + the two new
+    sketch-family members)."""
+    assert set(PENDING_R10) == {
+        "q_streaming_semantic_dedup_planted",
+        "q_heavy_hitters_mg",
+        "q_quantile_sketch",
+    }
     for name in (
         "q_multimodal_audio_features",
         "q_multimodal_resize",
