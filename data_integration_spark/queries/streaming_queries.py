@@ -1645,6 +1645,126 @@ def q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mg_stream_oracle() -> str:
+    from data_integration_spark.queries.scalar_surface import _MG_ORACLE
+
+    return _MG_ORACLE
+
+
+@register_pending("q_streaming_heavy_hitters", oracle=_mg_stream_oracle())
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Misra-Gries maintenance — the heavy-hitters member of
+    the incremental-sketch family (count-min: q_streaming_countmin;
+    Bloom: q_streaming_bloom): micro-batches (file replay, even then
+    odd doc ids) each compute their OWN ≤ k-counter MG summary
+    (``misra_gries_summary`` — per-partition mapInPandas + driver fold)
+    and APPEND it to the summary store as (batch_id, tok, c) rows; the
+    read side folds the per-batch summaries IN BATCH ORDER with the
+    PODS-2012 ``mg_merge``. Unlike count-min the sketch is NOT linear —
+    the merged counters differ from the one-pass batch counters — but
+    the THEOREM is merge-stable (per-batch error ≤ n_b/(k+1) sums to
+    ≤ n/(k+1) through any merge tree), so the certificate is the batch
+    query's oracle VERBATIM: same exact top-15, same n, same theorem
+    booleans. The driver hash proves the maintenance loop keeps the
+    guarantee, which is the contract a rolling ingest actually needs.
+
+    Scale: each batch's cost is one bounded-counter pass over its own
+    tokens; the store grows ≤ k rows per batch; the fold is
+    ≤ batches·k driver work."""
+    from data_integration_spark.operators.heavy_hitters import (
+        mg_merge,
+        misra_gries_summary,
+    )
+    from data_integration_spark.queries.scalar_surface import _MG_K
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    store = f"{_SCRATCH}/mg_stream_store_{tag}_{os.getpid()}"
+    src = f"{_SCRATCH}/mg_stream_src_{tag}_{os.getpid()}"
+    ck = f"{_SCRATCH}/mg_stream_ck_{tag}_{os.getpid()}"
+    for d in (store, src, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def update_summary(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        toks = batch_df.select(
+            F.explode(F.split("text", " ")).alias("tok")
+        ).filter(F.col("tok") != "")
+        summary = misra_gries_summary(toks, _MG_K)
+        if summary:
+            s.createDataFrame(
+                [
+                    {"batch_id": int(batch_id), "tok": t, "c": int(c)}
+                    for t, c in summary.items()
+                ],
+                "batch_id long, tok string, c long",
+            ).write.mode("append").parquet(store)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(update_summary)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # fold the per-batch summaries in batch order (bounded ≤ batches·k)
+    by_batch: dict[int, dict[str, int]] = {}
+    for r in spark.read.parquet(store).collect():
+        by_batch.setdefault(int(r["batch_id"]), {})[r["tok"]] = int(r["c"])
+    summary: dict[str, int] = {}
+    for bid in sorted(by_batch):
+        summary = mg_merge(summary, by_batch[bid], _MG_K)
+
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    n = toks.count()
+    thr = n / (_MG_K + 1)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("tok"))
+        .limit(15)
+        .collect()
+    )  # bounded: 15 rows
+    ok_k = int(len(summary) <= _MG_K)
+    rows = []
+    for r in top:
+        est = summary.get(r["tok"], 0)
+        exact = int(r["exact_count"])
+        ok = int(
+            (exact <= thr or est > 0)
+            and est <= exact
+            and est >= exact - thr
+        )
+        rows.append(
+            {
+                "token": r["tok"],
+                "exact_count": exact,
+                "n_tokens": int(n),
+                "guarantee_ok": ok,
+                "summary_within_k": ok_k,
+            }
+        )
+    return spark.createDataFrame(
+        rows,
+        "token string, exact_count long, n_tokens long,"
+        " guarantee_ok long, summary_within_k long",
+    )
+
+
 # linearity: the streaming-maintained sketch must equal the batch one —
 # bind the batch oracle after both modules are importable
 from data_integration_spark.queries import ORACLES as _ORACLES  # noqa: E402

@@ -39,6 +39,7 @@ def test_pending_block_drained_after_r12_flip():
         "q_streaming_semantic_dedup_planted",
         "q_heavy_hitters_mg",
         "q_quantile_sketch",
+        "q_streaming_heavy_hitters",
     }
     for name in (
         "q_multimodal_audio_features",
