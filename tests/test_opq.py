@@ -1,0 +1,140 @@
+"""OPQ-P laws (similarity/opq.py) the staged q_ann_opq certificate
+states as booleans — measured here with real margins.
+
+The driver-SF embeddings are near-isotropic (top/bottom eigenvalue
+ratio ≈ 2-4), so the MSE inequality is slack-bounded (≤ 1.02×) in the
+certificate; this file records the ACTUAL ratio and exercises the
+allocation on a strongly anisotropic synthetic corpus where OPQ must
+win outright — the regime the op exists for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_spark.similarity.ann import as_double_array
+from data_integration_spark.similarity.opq import (
+    eigen_allocation,
+    opq_rotation,
+    rotate_vectors,
+)
+
+
+def test_eigen_allocation_balances_and_partitions():
+    vals = np.array([100.0, 50.0, 10.0, 5.0, 1.0, 0.5, 0.1, 0.05])
+    m, dsub = 4, 2
+    perm = eigen_allocation(vals, m)
+    assert sorted(perm) == list(range(8))  # a true permutation
+    logs = [
+        float(np.log(vals[perm[j * dsub : (j + 1) * dsub]]).sum())
+        for j in range(m)
+    ]
+    nat = [
+        float(np.log(np.sort(vals)[::-1][j * dsub : (j + 1) * dsub]).sum())
+        for j in range(m)
+    ]
+    # strictly better balanced than descending-contiguous chunking
+    assert max(logs) - min(logs) < max(nat) - min(nat)
+    with pytest.raises(ValueError, match="not divisible"):
+        eigen_allocation(vals, 3)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from data_integration_spark.sources.catalog import Catalog
+
+    return (
+        Catalog(spark, "/root/testdata/sf0.001")["embeddings"]
+        .select("vec_id", as_double_array("embedding", "e"))
+        .cache()
+    )
+
+
+def test_rotation_is_orthonormal_and_distance_preserving(spark, emb):
+    mu, R, vals = opq_rotation(emb, 8, "e")
+    d = R.shape[0]
+    assert np.abs(R @ R.T - np.eye(d)).max() < 1e-9
+    rows = {r["vec_id"]: np.array(r["e"]) for r in emb.limit(20).collect()}
+    rot = {
+        r["vec_id"]: np.array(r["e"])
+        for r in rotate_vectors(emb.limit(20), mu, R).collect()
+    }
+    ids = sorted(rows)
+    for a in ids[:5]:
+        for b in ids[5:10]:
+            orig = np.linalg.norm(rows[a] - rows[b])
+            rotd = np.linalg.norm(rot[a] - rot[b])
+            assert rotd == pytest.approx(orig, rel=1e-9)
+    # exact inverse: x = Rᵀ·y + μ
+    for a in ids[:5]:
+        back = R.T @ rot[a] + mu
+        assert np.abs(back - rows[a]).max() < 1e-9
+
+
+def test_opq_mse_margin_on_driver_corpus(spark, emb):
+    """The certificate's ≤ 1.02× slack holds with real headroom on the
+    near-isotropic driver corpus — record the measured ratio."""
+    from data_integration_spark.similarity.pq import PQIndex
+
+    m = 8
+    mu, R, _vals = opq_rotation(emb, m, "e")
+    rot = rotate_vectors(emb, mu, R).cache()
+
+    def mse(index, vectors):
+        cb = index.codebooks
+        X = np.stack(
+            [np.array(r["e"]) for r in vectors.collect()]
+        )  # sf0.001: 500 rows — test-only collect
+        err = np.zeros(len(X))
+        dsub = cb.shape[2]
+        for j in range(cb.shape[0]):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            err += ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1).min(1)
+        return float(err.mean())
+
+    plain = mse(PQIndex(m=m, k_codes=16, seed=13).fit(emb), emb)
+    opq = mse(PQIndex(m=m, k_codes=16, seed=13).fit(rot), rot)
+    rot.unpersist()
+    ratio = opq / plain
+    assert ratio <= 1.02, ratio  # the certificate's exact law
+    assert ratio >= 0.5  # sanity: same-order quantizers
+
+
+def test_opq_wins_outright_on_anisotropic_corpus(spark):
+    """The regime OPQ exists for: correlated, variance-skewed dims —
+    rotation + allocation must strictly reduce quantization MSE vs
+    natural-order PQ at identical knobs."""
+    from data_integration_spark.similarity.pq import PQIndex
+
+    rng = np.random.default_rng(23)
+    n, d, m = 600, 16, 4
+    # skewed spectrum with cross-subspace correlation: latent factors
+    # spread across the NATURAL dimension layout
+    B = rng.normal(size=(d, d))
+    scales = np.geomspace(8.0, 0.05, d)
+    X = rng.normal(size=(n, d)) * scales
+    X = X @ B / np.sqrt(d)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, e array<double>",
+    ).select("vec_id", as_double_array("e", "e"))
+    mu, R, _ = opq_rotation(df, m, "e")
+    rot = rotate_vectors(df, mu, R)
+
+    def mse(index, pdX):
+        cb = index.codebooks
+        err = np.zeros(len(pdX))
+        dsub = cb.shape[2]
+        for j in range(cb.shape[0]):
+            sub = pdX[:, j * dsub : (j + 1) * dsub]
+            err += ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1).min(1)
+        return float(err.mean())
+
+    Xrot = np.stack(
+        [np.array(r["e"]) for r in rot.orderBy("vec_id").collect()]
+    )
+    plain = mse(PQIndex(m=m, k_codes=16, seed=13).fit(df), X)
+    opq = mse(PQIndex(m=m, k_codes=16, seed=13).fit(rot), Xrot)
+    assert opq < plain, (opq, plain)

@@ -40,6 +40,7 @@ def test_pending_block_drained_after_r12_flip():
         "q_heavy_hitters_mg",
         "q_quantile_sketch",
         "q_streaming_heavy_hitters",
+        "q_ann_opq",
     }
     for name in (
         "q_multimodal_audio_features",
