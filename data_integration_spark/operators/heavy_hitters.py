@@ -71,19 +71,22 @@ def mg_merge(a: dict[str, int], b: dict[str, int], k: int) -> dict[str, int]:
 
 def misra_gries_summary(
     tokens: DataFrame, k: int, tok_col: str = "tok"
-) -> dict[str, int]:
+) -> tuple[dict[str, int], int]:
     """Distributed MG: per-partition summaries via ``mapInPandas``
     (≤ k counters per task regardless of partition size), merged on the
     driver with ``mg_merge`` over the bounded ≤ partitions·k rows.
-    Partition boundaries only MOVE estimates within the theorem's band;
-    the guarantee (presence of every item above n/(k+1), and the
-    two-sided bound) holds on any partitioning — pinned in
-    tests/test_heavy_hitters.py."""
+    Returns ``(summary, n)`` — the stream length rides the SAME pass as
+    a per-partition tok-NULL row, so the caller's error threshold
+    n/(k+1) costs no second corpus scan. Partition boundaries only MOVE
+    estimates within the theorem's band; the guarantee (presence of
+    every item above n/(k+1), and the two-sided bound) holds on any
+    partitioning — pinned in tests/test_heavy_hitters.py."""
     import pandas as pd
 
     def partial(batches):
         counters: dict[str, int] = {}
         pid = None
+        n_seen = 0
         for pdf in batches:
             # fold the whole partition through one counter set: Arrow
             # batches are sub-partition, so the task-level dict is the
@@ -93,6 +96,7 @@ def misra_gries_summary(
             for tok in pdf[tok_col]:
                 if tok is None:
                     continue
+                n_seen += 1
                 if tok in counters:
                     counters[tok] += 1
                 elif len(counters) < k:
@@ -103,12 +107,12 @@ def misra_gries_summary(
                         counters[key] -= 1
                     for key in dead:
                         del counters[key]
-        if counters:
+        if n_seen:
             yield pd.DataFrame(
                 {
-                    "pid": [pid] * len(counters),
-                    tok_col: list(counters),
-                    "c": list(counters.values()),
+                    "pid": [pid] * (len(counters) + 1),
+                    tok_col: list(counters) + [None],
+                    "c": list(counters.values()) + [n_seen],
                 }
             )
 
@@ -117,14 +121,18 @@ def misra_gries_summary(
         .withColumn("pid", F.spark_partition_id())
         .mapInPandas(partial, f"pid int, {tok_col} string, c long")
         .collect()
-    )  # bounded: ≤ k rows per partition
+    )  # bounded: ≤ k+1 rows per partition
     # regroup into the per-partition summaries and merge them AS UNITS —
     # the PODS-2012 bound composes over summaries of the original
     # partition streams, so boundaries must be respected
     by_pid: dict[int, dict[str, int]] = {}
+    n = 0
     for r in rows:
+        if r[tok_col] is None:
+            n += int(r["c"])
+            continue
         by_pid.setdefault(int(r["pid"]), {})[r[tok_col]] = int(r["c"])
     summary: dict[str, int] = {}
     for pid in sorted(by_pid):
         summary = mg_merge(summary, by_pid[pid], k)
-    return summary
+    return summary, n

@@ -1049,8 +1049,9 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact equality at k > |vocabulary|).
 
     Scale shape (operators/heavy_hitters.py): one mapInPandas pass with
-    ≤ k counters per task, a ≤ partitions·k-row driver fold, NO
-    shuffle — strictly cheaper than the CMS groupBy at the same corpus;
+    ≤ k counters per task (the stream length n rides the same pass),
+    a ≤ partitions·k-row driver fold, NO shuffle — strictly cheaper
+    than the CMS groupBy at the same corpus;
     the same tokenization as q_countmin_sketch so the two sketches are
     comparable on identical streams."""
     from data_integration_spark.operators.heavy_hitters import (
@@ -1061,8 +1062,7 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    summary = misra_gries_summary(toks, _MG_K)
-    n = toks.count()
+    summary, n = misra_gries_summary(toks, _MG_K)
     thr = n / (_MG_K + 1)
     top = (
         toks.groupBy("tok")

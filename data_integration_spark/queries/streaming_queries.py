@@ -1698,7 +1698,7 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks = batch_df.select(
             F.explode(F.split("text", " ")).alias("tok")
         ).filter(F.col("tok") != "")
-        summary = misra_gries_summary(toks, _MG_K)
+        summary, _bn = misra_gries_summary(toks, _MG_K)
         if summary:
             s.createDataFrame(
                 [

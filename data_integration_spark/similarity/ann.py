@@ -362,6 +362,11 @@ def cosine_score_pair_frame(
     (VERDICT r11 "what's wrong" #2)."""
     import numpy as np
 
+    if "cosine" in pairs.columns:
+        raise ValueError(
+            "cosine_score_pair_frame emits its result as 'cosine' — the "
+            "input pair frame already has that column; rename it first"
+        )
     keep_fields = [f for f in pairs.schema.fields if f.name not in (q_col, m_col)]
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in keep_fields]

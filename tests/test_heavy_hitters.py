@@ -58,7 +58,8 @@ def test_mg_theorem_holds_on_any_partitioning(spark, parts):
     df = spark.createDataFrame(
         [(t,) for t in toks], "tok string"
     ).repartition(parts)
-    summary = misra_gries_summary(df, k)
+    summary, n_seen = misra_gries_summary(df, k)
+    assert n_seen == n  # the rider stream length is exact
     assert len(summary) <= k
     thr = n / (k + 1)
     for tok, true in exact.items():
@@ -75,7 +76,8 @@ def test_mg_theorem_holds_on_any_partitioning(spark, parts):
 def test_mg_exact_when_k_exceeds_vocab(spark):
     toks = ["x"] * 7 + ["y"] * 5 + ["z"] * 3
     df = spark.createDataFrame([(t,) for t in toks], "tok string").coalesce(1)
-    summary = misra_gries_summary(df, 16)
+    summary, n_seen = misra_gries_summary(df, 16)
+    assert n_seen == 15
     assert summary == {"x": 7, "y": 5, "z": 3}
     # and the sequential textbook reference agrees
     assert _mg_stream(toks, 16) == summary
