@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_integration_spark.queries import register
+from data_integration_spark.queries import register, register_pending
 from data_integration_spark.sources.catalog import Catalog
 
 
@@ -890,4 +890,203 @@ def q_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold",
         F.coalesce(F.col("n_pairs_raw"), F.lit(0)).cast("long").alias("n_pairs"),
         F.lit(n_block).cast("long").alias("n_block_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (staged for the r13 window)
+# ---------------------------------------------------------------------------
+# Two deterministic "systems" to integrate: side A = the customer table
+# verbatim; side B = a CRM export with planted, key-derived corruptions
+# (every law below is a pure function of the data, SQL-restatable):
+#   b_name = REVERSE(name)      when custkey % 5 = 0   (20% corrupted)
+#   b_seg  = 'UNKNOWN'          when custkey % 3 = 0   (33% lost)
+#   b_bal  = acctbal + custkey % 7                     (drift 0..6)
+# Candidate pairs are blocked on nationkey (the classic scale answer:
+# pair space is Σ_block |A_b|·|B_b|, never |A|·|B|); the comparison
+# vector γ = (name equal, segment equal, |bal diff| < 3.5) is native
+# column arithmetic; ground truth = same custkey (planted).
+_FS_PAIRS_SQL = """
+  pairs AS (
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           CAST(a.c_name = (CASE WHEN b.c_custkey % 5 = 0
+                            THEN REVERSE(b.c_name) ELSE b.c_name END)
+                AS INT) AS g_name,
+           CAST(a.c_mktsegment = (CASE WHEN b.c_custkey % 3 = 0
+                                  THEN 'UNKNOWN' ELSE b.c_mktsegment END)
+                AS INT) AS g_seg,
+           CAST(ABS(a.c_acctbal - (b.c_acctbal + b.c_custkey % 7)) < 3.5
+                AS INT) AS g_bal,
+           CAST(a.c_custkey = b.c_custkey AS INT) AS is_true
+    FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+  )
+"""
+
+_FS_PATTERNS_ORACLE = f"""
+WITH {_FS_PAIRS_SQL}
+SELECT g_name, g_seg, g_bal,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(is_true) AS BIGINT) AS n_true
+FROM pairs GROUP BY g_name, g_seg, g_bal
+"""
+
+_FS_CERT_ORACLE = f"""
+WITH {_FS_PAIRS_SQL}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(is_true) AS BIGINT) AS n_true,
+       CAST(1 AS BIGINT) AS ll_monotone,
+       CAST(1 AS BIGINT) AS m_gt_u_all_fields,
+       CAST(1 AS BIGINT) AS recall_ge_090,
+       CAST(1 AS BIGINT) AS fpr_le_001
+FROM pairs
+"""
+
+
+def _fs_sides(spark: SparkSession, sf_dir: str):
+    cust = Catalog(spark, sf_dir)["customer"]
+    a = cust.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.col("c_acctbal").alias("a_bal"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_nationkey").alias("nk"),
+        F.when(F.col("c_custkey") % 5 == 0, F.reverse(F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+        (F.col("c_acctbal") + F.col("c_custkey") % 7).alias("b_bal"),
+    )
+    return a, b
+
+
+_FS_GAMMA = ["g_name", "g_seg", "g_bal"]
+
+
+def _fs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked candidate pairs with the comparison vector — all native
+    column arithmetic on one hash join keyed by the block."""
+    a, b = _fs_sides(spark, sf_dir)
+    return a.join(b, "nk").select(
+        "a_key",
+        "b_key",
+        (F.col("a_name") == F.col("b_name")).cast("int").alias("g_name"),
+        (F.col("a_seg") == F.col("b_seg")).cast("int").alias("g_seg"),
+        (F.abs(F.col("a_bal") - F.col("b_bal")) < 3.5)
+        .cast("int")
+        .alias("g_bal"),
+        (F.col("a_key") == F.col("b_key")).cast("int").alias("is_true"),
+    )
+
+
+@register_pending("q_linkage_patterns", oracle=_FS_PATTERNS_ORACLE)
+def q_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Fellegi-Sunter SUFFICIENT STATISTIC as a first-class query:
+    the comparison-pattern contingency table over the blocked candidate
+    pairs (≤ 2^3 rows), with the planted-truth count per pattern. FULL
+    oracle — the perturbation, blocking, and agreement predicates are
+    deterministic SQL, so DuckDB rebuilds the exact table. This is the
+    ONLY data-sized input the EM ever consumes (stats/fs_linkage.py),
+    which is the 100-TB design: pairs shuffle once into a ≤ 8-key
+    map-side-combined groupBy; the model fits on bytes."""
+    return (
+        _fs_pairs(spark, sf_dir)
+        .groupBy(*_FS_GAMMA)
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("is_true").cast("long").alias("n_true"),
+        )
+    )
+
+
+@register_pending("q_linkage_fs_score", oracle=None)
+def q_linkage_fs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter scoring end-to-end (rows-only: the weights depend
+    on the EM estimates, which no SQL engine restates; the certificate
+    sibling carries the laws): fit (π, m, u) by EM on the bounded
+    pattern table, then attach the log-likelihood-ratio weight as a
+    NATIVE column expression (whole-stage codegen — no UDF, no Python
+    in the pair-scan) and keep the declared matches (weight > 0).
+    Output: (a_key, b_key, γ, weight, is_true)."""
+    from data_integration_spark.stats.fs_linkage import (
+        fs_em,
+        pattern_table,
+        score_pairs,
+    )
+
+    pairs = _fs_pairs(spark, sf_dir)
+    _pi, m, u, _lls = fs_em(pattern_table(pairs, _FS_GAMMA))
+    return (
+        score_pairs(pairs, _FS_GAMMA, m, u)
+        .filter(F.col("weight") > 0)
+        .select(
+            "a_key",
+            "b_key",
+            *_FS_GAMMA,
+            F.round("weight", 6).alias("weight"),
+            "is_true",
+        )
+    )
+
+
+@register_pending("q_linkage_certificate", oracle=_FS_CERT_ORACLE)
+def q_linkage_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-ORACLE certificate for the F-S fit (the q_unigram_invariants
+    pattern): conservation columns DuckDB recomputes (pair and
+    planted-truth counts) + laws the fitted model must satisfy:
+
+    - ``ll_monotone``: the EM observed-data log-likelihood trace is
+      non-decreasing (the EM theorem, 1e-9 tolerance);
+    - ``m_gt_u_all_fields``: every field agrees more among matches than
+      non-matches (the construction plants exactly this);
+    - ``recall_ge_090``: ≥ 90% of planted true pairs score weight > 0.
+      The unrecoverable residue is EXACTLY the keys with corrupted name
+      AND balance drifted past the band (custkey % 5 = 0 ∧ custkey % 7
+      ∈ {4,5,6} — patterns (0,0,0) and (0,1,0), both negative-weight
+      since segment agreement alone cannot outweigh two disagreements):
+      3/35 ≈ 8.6% of keys by CRT counting, so recall ≈ 0.914 at every
+      SF — pinned EXACTLY (not as a bound) in
+      tests/test_fs_linkage.py;
+    - ``fpr_le_001``: ≤ 1% of non-matching candidate pairs cross the
+      threshold (the balance band admits ~0.07% of random pairs)."""
+    from data_integration_spark.stats.fs_linkage import (
+        fs_em,
+        pattern_table,
+        score_pairs,
+    )
+
+    pairs = _fs_pairs(spark, sf_dir)
+    _pi, m, u, lls = fs_em(pattern_table(pairs, _FS_GAMMA))
+    scored = score_pairs(pairs, _FS_GAMMA, m, u)
+    agg = scored.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("is_true").cast("long").alias("n_true"),
+        F.sum(
+            ((F.col("is_true") == 1) & (F.col("weight") > 0)).cast("long")
+        ).alias("tp"),
+        F.sum(
+            ((F.col("is_true") == 0) & (F.col("weight") > 0)).cast("long")
+        ).alias("fp"),
+    ).collect()[0]  # 1 row
+    n_true, n_pairs = int(agg["n_true"]), int(agg["n_pairs"])
+    n_false = n_pairs - n_true
+    row = {
+        "n_pairs": n_pairs,
+        "n_true": n_true,
+        "ll_monotone": int(
+            all(b >= a - 1e-9 for a, b in zip(lls, lls[1:]))
+        ),
+        "m_gt_u_all_fields": int(all(mf > uf for mf, uf in zip(m, u))),
+        "recall_ge_090": int(int(agg["tp"]) >= 0.90 * n_true),
+        "fpr_le_001": int(int(agg["fp"]) <= 0.01 * n_false),
+    }
+    return spark.createDataFrame(
+        [row],
+        "n_pairs long, n_true long, ll_monotone long,"
+        " m_gt_u_all_fields long, recall_ge_090 long, fpr_le_001 long",
     )

