@@ -136,3 +136,52 @@ def misra_gries_summary(
     for pid in sorted(by_pid):
         summary = mg_merge(summary, by_pid[pid], k)
     return summary, n
+
+
+def mg_certificate_rows(
+    spark,
+    toks: DataFrame,
+    summary: dict[str, int],
+    n: int,
+    k: int,
+    tok_col: str = "tok",
+    top: int = 15,
+) -> DataFrame:
+    """Shared audit/certificate builder for the batch AND streaming MG
+    queries (they share one oracle, so they must share this code — a
+    fix applied to one that missed the other would silently
+    desynchronize the certificates): exact top-``top`` tokens by one
+    map-side-combined groupBy, plus the theorem booleans — presence
+    when above n/(k+1), the two-sided bound, and the summary-size cap."""
+    thr = n / (k + 1)
+    top_rows = (
+        toks.groupBy(tok_col)
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col(tok_col))
+        .limit(top)
+        .collect()
+    )  # bounded: `top` rows
+    ok_k = int(len(summary) <= k)
+    rows = []
+    for r in top_rows:
+        est = summary.get(r[tok_col], 0)
+        exact = int(r["exact_count"])
+        ok = int(
+            (exact <= thr or est > 0)
+            and est <= exact
+            and est >= exact - thr
+        )
+        rows.append(
+            {
+                "token": r[tok_col],
+                "exact_count": exact,
+                "n_tokens": int(n),
+                "guarantee_ok": ok,
+                "summary_within_k": ok_k,
+            }
+        )
+    return spark.createDataFrame(
+        rows,
+        "token string, exact_count long, n_tokens long,"
+        " guarantee_ok long, summary_within_k long",
+    )

@@ -1055,6 +1055,7 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same tokenization as q_countmin_sketch so the two sketches are
     comparable on identical streams."""
     from data_integration_spark.operators.heavy_hitters import (
+        mg_certificate_rows,
         misra_gries_summary,
     )
 
@@ -1063,38 +1064,7 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     summary, n = misra_gries_summary(toks, _MG_K)
-    thr = n / (_MG_K + 1)
-    top = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("exact_count"))
-        .orderBy(F.col("exact_count").desc(), F.col("tok"))
-        .limit(15)
-        .collect()
-    )  # bounded: 15 rows
-    ok_k = int(len(summary) <= _MG_K)
-    rows = []
-    for r in top:
-        est = summary.get(r["tok"], 0)
-        exact = int(r["exact_count"])
-        ok = int(
-            (exact <= thr or est > 0)
-            and est <= exact
-            and est >= exact - thr
-        )
-        rows.append(
-            {
-                "token": r["tok"],
-                "exact_count": exact,
-                "n_tokens": int(n),
-                "guarantee_ok": ok,
-                "summary_within_k": ok_k,
-            }
-        )
-    return spark.createDataFrame(
-        rows,
-        "token string, exact_count long, n_tokens long,"
-        " guarantee_ok long, summary_within_k long",
-    )
+    return mg_certificate_rows(spark, toks, summary, n, _MG_K)
 
 
 # ---------------------------------------------------------------------------

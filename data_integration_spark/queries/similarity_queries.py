@@ -2028,12 +2028,17 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_integration_spark.similarity.pq import PQIndex
 
     m, k_codes = 8, 16
-    emb = Catalog(spark, sf_dir)["embeddings"].select(
-        "vec_id", as_double_array("embedding", "e")
+    # both corpora are consumed by several actions each (PQ fit's
+    # count + sample + encode, the MSE pass, the variance pass) — cache
+    # them for the query's lifetime and release before returning
+    emb = (
+        Catalog(spark, sf_dir)["embeddings"]
+        .select("vec_id", as_double_array("embedding", "e"))
+        .persist()
     )
     mu, R, vals = opq_rotation(emb, m, "e")
     d = R.shape[0]
-    rot = rotate_vectors(emb, mu, R, "vec_id", "e")
+    rot = rotate_vectors(emb, mu, R, "vec_id", "e").persist()
 
     pq_plain = PQIndex(m=m, k_codes=k_codes, seed=13).fit(emb)
     pq_opq = PQIndex(m=m, k_codes=k_codes, seed=13).fit(rot)
@@ -2097,6 +2102,9 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float(((ss - s * s / n) / (n - 1)).sum())
 
     v_orig, v_rot = var_total(emb), var_total(rot)
+    n_vectors = int(emb.count())  # served from cache
+    emb.unpersist()
+    rot.unpersist()
 
     dsub = d // m
 
@@ -2119,7 +2127,7 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_spread = spread(np.sort(np.asarray(vals))[::-1])
 
     row = {
-        "n_vectors": int(emb.count()),
+        "n_vectors": n_vectors,
         "dim": int(d),
         "rotation_orthonormal": int(
             float(np.abs(R @ R.T - np.eye(d)).max()) < 1e-9

@@ -1246,9 +1246,22 @@ def _sem_stream_pairs(
         cand_b = b_assigned.select("qid", "cell").join(
             reg_probes.select("mid", F.col("pcell").alias("cell")), "cell"
         ).select("qid", "mid")
-        cand = cand_a.unionByName(cand_b).distinct()
-        pair_frame = cand.join(b_assigned.select("qid", "qe"), "qid").join(
-            members.select("mid", "me"), "mid"
+        # persist the candidate id-pair frame for the batch: the gate
+        # count and the scoring join both consume it, and without the
+        # persist the two cell-keyed joins + distinct would execute
+        # twice per micro-batch
+        cand = cand_a.unionByName(cand_b).distinct().persist()
+        # zero-norm vectors are dropped BEFORE the gate branch so both
+        # physical scorers see the same pair set (the expression path's
+        # 0/0 would otherwise make a NaN that Spark orders ABOVE tau
+        # while the kernel path raises — and the SQL oracle's NaN fails
+        # the threshold; drop-the-pair matches the oracle on all paths)
+        pair_frame = (
+            cand.join(b_assigned.select("qid", "qe"), "qid")
+            .join(members.select("mid", "me"), "mid")
+            .filter(
+                (_norm(F.col("qe")) != 0.0) & (_norm(F.col("me")) != 0.0)
+            )
         )
         # the gate count runs on the two-id candidate frame (no vector
         # columns) — one cheap job per micro-batch, the price of picking
@@ -1276,6 +1289,7 @@ def _sem_stream_pairs(
             .write.mode("append")
             .parquet(out)
         )
+        cand.unpersist()
         # append AFTER pairing: a batch never pairs with itself
         write_registry(batch_df.select("vec_id", "e"), "append")
 
@@ -1672,6 +1686,7 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens; the store grows ≤ k rows per batch; the fold is
     ≤ batches·k driver work."""
     from data_integration_spark.operators.heavy_hitters import (
+        mg_certificate_rows,
         mg_merge,
         misra_gries_summary,
     )
@@ -1698,13 +1713,17 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks = batch_df.select(
             F.explode(F.split("text", " ")).alias("tok")
         ).filter(F.col("tok") != "")
-        summary, _bn = misra_gries_summary(toks, _MG_K)
+        summary, bn = misra_gries_summary(toks, _MG_K)
         if summary:
+            # the batch's stream length rides the store as a tok-NULL
+            # row (the misra_gries_summary rider pattern), so the read
+            # side recovers the total n WITHOUT a second corpus scan
             s.createDataFrame(
                 [
                     {"batch_id": int(batch_id), "tok": t, "c": int(c)}
                     for t, c in summary.items()
-                ],
+                ]
+                + [{"batch_id": int(batch_id), "tok": None, "c": int(bn)}],
                 "batch_id long, tok string, c long",
             ).write.mode("append").parquet(store)
 
@@ -1719,50 +1738,25 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
 
-    # fold the per-batch summaries in batch order (bounded ≤ batches·k)
+    # fold the per-batch summaries in batch order (bounded ≤ batches·k);
+    # the tok-NULL rider rows sum to the total stream length
     by_batch: dict[int, dict[str, int]] = {}
+    n = 0
     for r in spark.read.parquet(store).collect():
+        if r["tok"] is None:
+            n += int(r["c"])
+            continue
         by_batch.setdefault(int(r["batch_id"]), {})[r["tok"]] = int(r["c"])
     summary: dict[str, int] = {}
     for bid in sorted(by_batch):
         summary = mg_merge(summary, by_batch[bid], _MG_K)
 
+    # the ONLY remaining corpus pass is the audit-side exact top-15 the
+    # certificate needs — production would stop at the folded summary
     toks = docs.select(
         F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    n = toks.count()
-    thr = n / (_MG_K + 1)
-    top = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("exact_count"))
-        .orderBy(F.col("exact_count").desc(), F.col("tok"))
-        .limit(15)
-        .collect()
-    )  # bounded: 15 rows
-    ok_k = int(len(summary) <= _MG_K)
-    rows = []
-    for r in top:
-        est = summary.get(r["tok"], 0)
-        exact = int(r["exact_count"])
-        ok = int(
-            (exact <= thr or est > 0)
-            and est <= exact
-            and est >= exact - thr
-        )
-        rows.append(
-            {
-                "token": r["tok"],
-                "exact_count": exact,
-                "n_tokens": int(n),
-                "guarantee_ok": ok,
-                "summary_within_k": ok_k,
-            }
-        )
-    return spark.createDataFrame(
-        rows,
-        "token string, exact_count long, n_tokens long,"
-        " guarantee_ok long, summary_within_k long",
-    )
+    return mg_certificate_rows(spark, toks, summary, n, _MG_K)
 
 
 # linearity: the streaming-maintained sketch must equal the batch one —

@@ -28,6 +28,8 @@ from data_integration_spark.stats.fs_linkage import (
 )
 
 SF = "/root/testdata/sf0.001"
+# custkeys in this synthetic testdata are 0-BASED: 0..149 (verified
+# MIN/MAX in the parquet) — so range(N_CUST) enumerates them exactly
 N_CUST = 150
 
 

@@ -33,8 +33,8 @@ def test_pending_block_drained_after_r12_flip():
     r10 flip (r9 payload) and the r12 flip (r11 payload:
     q_streaming_bloom, q_bpe_apply) both happened exactly as staged —
     and the block now holds exactly the r12-staged r13 payload (the
-    non-vacuous planted streaming-semantic certificate + the two new
-    sketch-family members)."""
+    non-vacuous planted streaming-semantic certificate, the sketch-family
+    additions, OPQ, and the F-S linkage trio)."""
     assert set(PENDING_R10) == {
         "q_streaming_semantic_dedup_planted",
         "q_heavy_hitters_mg",
