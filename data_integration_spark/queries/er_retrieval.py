@@ -906,7 +906,21 @@ def q_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair space is Σ_block |A_b|·|B_b|, never |A|·|B|); the comparison
 # vector γ = (name equal, segment equal, |bal diff| < 3.5) is native
 # column arithmetic; ground truth = same custkey (planted).
+# Adaptive block refinement: nationkey alone gives |block| ∝ n, i.e. a
+# QUADRATIC pair space (90G pairs at the sf10 rehearsal's 1.5M
+# customers). The second block key — custkey % B with B = ⌈n/15000⌉ —
+# caps expected block size at ~600 rows regardless of corpus size, so
+# the pair budget stays ∝ n·600. True pairs share the custkey and are
+# therefore NEVER split across buckets (zero recall cost — the standard
+# hash-refinement blocking move). B = 1 at every driver SF (n ≤ 15000),
+# so the driver-checked behavior is the plain nation blocking.
+_FS_BLOCK_TARGET = 15000
+
 _FS_PAIRS_SQL = """
+  nb AS (
+    SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 15000.0) AS BIGINT)) AS b
+    FROM customer
+  ),
   pairs AS (
     SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
            CAST(a.c_name = (CASE WHEN b.c_custkey % 5 = 0
@@ -918,7 +932,9 @@ _FS_PAIRS_SQL = """
            CAST(ABS(a.c_acctbal - (b.c_acctbal + b.c_custkey % 7)) < 3.5
                 AS INT) AS g_bal,
            CAST(a.c_custkey = b.c_custkey AS INT) AS is_true
-    FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey % (SELECT b FROM nb) = b.c_custkey % (SELECT b FROM nb)
   )
 """
 
@@ -970,9 +986,16 @@ _FS_GAMMA = ["g_name", "g_seg", "g_bal"]
 
 def _fs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked candidate pairs with the comparison vector — all native
-    column arithmetic on one hash join keyed by the block."""
+    column arithmetic on one hash join keyed by (nationkey, adaptive
+    hash bucket); see the _FS_PAIRS_SQL note for the scale argument."""
+    import math as _math
+
     a, b = _fs_sides(spark, sf_dir)
-    return a.join(b, "nk").select(
+    n = Catalog(spark, sf_dir)["customer"].count()
+    nb = max(1, _math.ceil(n / _FS_BLOCK_TARGET))
+    a = a.withColumn("bk", F.col("a_key") % nb)
+    b = b.withColumn("bk", F.col("b_key") % nb)
+    return a.join(b, ["nk", "bk"]).select(
         "a_key",
         "b_key",
         (F.col("a_name") == F.col("b_name")).cast("int").alias("g_name"),
