@@ -120,3 +120,27 @@ def test_degenerate_field_clamps_not_infinities():
     _pi, m, u, _lls = fs_em(table)
     agree, disagree = fs_weights(m, u)
     assert all(math.isfinite(x) for x in agree + disagree)
+
+
+def test_linkage_plan_contract(spark):
+    """The blocked pair join must be a hash/merge EQUI-join on
+    (nationkey, bucket) — never a cartesian or nested-loop — and the
+    pattern reduction must be a partial (map-side-combined) aggregate,
+    so the only full shuffle carries ≤ 2^F pattern keys."""
+    from data_integration_spark.queries.er_retrieval import _FS_GAMMA
+
+    plan = (
+        _fs_pairs(spark, SF)
+        .groupBy(*_FS_GAMMA)
+        .count()
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial + final aggregate pair (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
