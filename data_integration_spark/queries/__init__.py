@@ -151,15 +151,16 @@ _SIGN_PRIORITY: list[str] = [
     "q_temperature_mix",
 ]  # the driver's r12 window = first 50 registered
 #
-# r13 window sketch (write it properly next round): (a) the 8 staged
+# r13 window sketch (write it properly next round): (a) the 9 staged
 # flips — q_streaming_semantic_dedup_planted, q_heavy_hitters_mg,
 # q_quantile_sketch, q_streaming_heavy_hitters, q_ann_opq,
-# q_linkage_patterns, q_linkage_fs_score, q_linkage_certificate (all
-# parity-verified at all 3 driver SFs while staged; fs_score is the
-# rows-only member of the certificate-paired trio) — then (b) the 5
-# remaining r5-era names (q_term_cooccurrence, q_text_normalize,
-# q_token_budget_mix, q_transition_matrix, q_vector_lambda_ops), then
-# (c) ~37 of the 43 r6-era names (the oldest signatures after r12).
+# q_linkage_patterns, q_linkage_fs_score, q_linkage_certificate,
+# q_streaming_linkage (all parity-verified at all 3 driver SFs while
+# staged; fs_score is the rows-only member of the certificate-paired
+# trio) — then (b) the 5 remaining r5-era names (q_term_cooccurrence,
+# q_text_normalize, q_token_budget_mix, q_transition_matrix,
+# q_vector_lambda_ops), then (c) ~36 of the 43 r6-era names (the
+# oldest signatures after r12).
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
 # because a code change invalidated what the row attests to. Empty for r12:

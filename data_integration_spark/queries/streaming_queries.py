@@ -1659,6 +1659,138 @@ def q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fs_stream_oracle() -> str:
+    from data_integration_spark.queries.er_retrieval import _FS_PAIRS_SQL
+
+    # The decision boundary of the release-fit F-S weights on this data
+    # is EXACTLY "name agrees OR balance in band" (the two negative
+    # patterns are (0,0,0) and (0,1,0) — segment agreement alone cannot
+    # outweigh name + balance disagreement; sign analysis pinned in
+    # tests/test_fs_linkage.py and re-derived by the query itself, which
+    # RAISES if the fitted signs ever disagree with the rule the oracle
+    # states). That makes the frozen-weight APPLY path fully
+    # SQL-restatable even though the weights are not.
+    return f"""
+WITH {_FS_PAIRS_SQL}
+SELECT a_key, b_key, g_name, g_seg, g_bal, is_true
+FROM pairs
+WHERE b_key < 60 AND (g_name = 1 OR g_bal = 1)
+"""
+
+
+@register_pending("q_streaming_linkage", oracle=_fs_stream_oracle())
+def q_streaming_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Fellegi-Sunter linkage — the incremental member of the
+    linkage family and the production apply pattern: the model (π, m,
+    u) is fit ONCE at release time on the full blocked pair table
+    (stats/fs_linkage.py — its only input is the ≤ 2^F pattern table),
+    then new CRM records arrive as micro-batches (file replay, even
+    then odd custkeys < 60) and each ``foreachBatch`` blocks ONLY the
+    batch against the static clean side, attaches the comparison
+    vector and the FROZEN log-likelihood-ratio weight (native column
+    expressions — no Python in the scan), and appends the declared
+    matches. FULL oracle: the weights are EM-state, but their DECISION
+    BOUNDARY on this data is exactly the pattern rule ``g_name = 1 OR
+    g_bal = 1`` — the query re-derives the fitted pattern signs and
+    raises loudly if they ever disagree with that rule, so the oracle's
+    restatement is guarded, not assumed.
+
+    Scale: per batch one (nation × hash-bucket)-blocked equi-join
+    ∝ |batch|·block_size; the fit is once-per-release; nothing driver-
+    side ever exceeds the 2^F table."""
+    from itertools import product as _product
+
+    from data_integration_spark.queries.er_retrieval import (
+        _FS_GAMMA,
+        _fs_pairs,
+        _fs_sides,
+        _FS_BLOCK_TARGET,
+    )
+    from data_integration_spark.stats.fs_linkage import (
+        fs_em,
+        fs_weights,
+        pattern_table,
+        score_pairs,
+    )
+    import math as _math
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"{_SCRATCH}/fs_stream_src_{tag}_{os.getpid()}"
+    out = f"{_SCRATCH}/fs_stream_out_{tag}_{os.getpid()}"
+    ck = f"{_SCRATCH}/fs_stream_ck_{tag}_{os.getpid()}"
+    for d in (src, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # release-time fit on the full blocked pair table
+    _pi, m, u, _lls = fs_em(pattern_table(_fs_pairs(spark, sf_dir), _FS_GAMMA))
+    agree, disagree = fs_weights(m, u)
+
+    # guard the oracle's decision-rule restatement: the fitted weight of
+    # every pattern must be positive iff (g_name or g_bal) — else the
+    # frozen-weight decision and the SQL rule would silently diverge
+    for g in _product((0, 1), repeat=3):
+        w = sum(agree[f] if g[f] else disagree[f] for f in range(3))
+        if (w > 0) != (g[0] == 1 or g[2] == 1):
+            raise AssertionError(
+                f"fitted F-S decision boundary moved: pattern {g} has "
+                f"weight {w:.3f}, breaking the oracle's pattern rule"
+            )
+
+    a, b = _fs_sides(spark, sf_dir)
+    n = Catalog(spark, sf_dir)["customer"].count()
+    nb = max(1, _math.ceil(n / _FS_BLOCK_TARGET))
+    a = a.withColumn("bk", F.col("a_key") % nb)
+
+    new_crm = b.filter(F.col("b_key") < 60)
+    new_crm.filter(F.col("b_key") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    new_crm.filter(F.col("b_key") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def link_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = (
+            a.join(
+                batch_df.withColumn("bk", F.col("b_key") % nb), ["nk", "bk"]
+            )
+            .select(
+                "a_key",
+                "b_key",
+                (F.col("a_name") == F.col("b_name"))
+                .cast("int")
+                .alias("g_name"),
+                (F.col("a_seg") == F.col("b_seg")).cast("int").alias("g_seg"),
+                (F.abs(F.col("a_bal") - F.col("b_bal")) < 3.5)
+                .cast("int")
+                .alias("g_bal"),
+                (F.col("a_key") == F.col("b_key")).cast("int").alias("is_true"),
+            )
+        )
+        (
+            score_pairs(pairs, _FS_GAMMA, m, u)
+            .filter(F.col("weight") > 0)
+            .drop("weight")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(link_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out).select(
+        "a_key", "b_key", *_FS_GAMMA, "is_true"
+    )
+
+
 def _mg_stream_oracle() -> str:
     from data_integration_spark.queries.scalar_surface import _MG_ORACLE
 

@@ -44,6 +44,7 @@ def test_pending_block_drained_after_r12_flip():
         "q_linkage_patterns",
         "q_linkage_fs_score",
         "q_linkage_certificate",
+        "q_streaming_linkage",
     }
     for name in (
         "q_multimodal_audio_features",
