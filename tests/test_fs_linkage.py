@@ -144,3 +144,33 @@ def test_linkage_plan_contract(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # partial + final aggregate pair (map-side combine before the shuffle)
     assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_streaming_linkage_matches_batch_and_order_independent(spark):
+    """The streamed frozen-weight apply must emit exactly the batch
+    pairs restricted to the streamed side — and since each batch joins
+    only against the STATIC clean side with frozen weights, the file
+    replay order cannot change the set (unlike the registry-appending
+    streams, there is nothing order-dependent to guard, but pin it
+    anyway: the cheapest way this breaks is someone later adding a
+    mutable registry without re-deriving the claim)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.queries import PENDING_R10, load_all
+
+    load_all()
+    fn, _oracle = PENDING_R10["q_streaming_linkage"]
+    streamed = {
+        (r["a_key"], r["b_key"], r["g_name"], r["g_seg"], r["g_bal"])
+        for r in fn(spark, SF).collect()
+    }
+    pairs = _fs_pairs(spark, SF)
+    _pi, m, u, _lls = fs_em(pattern_table(pairs, _FS_GAMMA))
+    batch = {
+        (r["a_key"], r["b_key"], r["g_name"], r["g_seg"], r["g_bal"])
+        for r in score_pairs(pairs, _FS_GAMMA, m, u)
+        .filter((F.col("b_key") < 60) & (F.col("weight") > 0))
+        .collect()
+    }
+    assert streamed == batch
+    assert len(streamed) >= 50  # non-vacuous at sf0.001 (55 observed)
