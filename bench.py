@@ -56,6 +56,10 @@ LLM_OPS = [
     "q_unigram_train",           # unigram-LM tokenizer: lattice EM fit (r11)
     "q_ann_ivfpq_self_join",     # IVFADC corpus self-join: cogrouped LUT gathers (r11)
     "q_image_dedup_phash",       # perceptual image near-dup: DCT pHash + pigeonhole (r11)
+    # r13 (when the staged payload flips live — bench resolves names
+    # from the REGISTERED map, so staged queries cannot appear before
+    # the flip): add "q_heavy_hitters_mg" (one-pass MG summary) and
+    # "q_linkage_patterns" (blocked F-S comparison-pattern reduction).
 ]
 
 
