@@ -916,9 +916,12 @@ def q_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the driver-checked behavior is the plain nation blocking.
 _FS_BLOCK_TARGET = 15000
 
-_FS_PAIRS_SQL = """
+# f-string: the oracle's bucket count MUST derive from the same constant
+# the Spark path uses — two separate literals would silently diverge the
+# candidate-pair sets the first time the target is retuned (review r12)
+_FS_PAIRS_SQL = f"""
   nb AS (
-    SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 15000.0) AS BIGINT)) AS b
+    SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {float(_FS_BLOCK_TARGET)}) AS BIGINT)) AS b
     FROM customer
   ),
   pairs AS (
@@ -984,17 +987,22 @@ def _fs_sides(spark: SparkSession, sf_dir: str):
 _FS_GAMMA = ["g_name", "g_seg", "g_bal"]
 
 
-def _fs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked candidate pairs with the comparison vector — all native
-    column arithmetic on one hash join keyed by (nationkey, adaptive
-    hash bucket); see the _FS_PAIRS_SQL note for the scale argument."""
+def _fs_nb(spark: SparkSession, sf_dir: str) -> int:
+    """The adaptive bucket count — ONE place for the
+    max(1, ceil(n/target)) arithmetic shared by the batch and streaming
+    paths (one count() job per call; callers needing it twice pass it
+    through)."""
     import math as _math
 
-    a, b = _fs_sides(spark, sf_dir)
     n = Catalog(spark, sf_dir)["customer"].count()
-    nb = max(1, _math.ceil(n / _FS_BLOCK_TARGET))
-    a = a.withColumn("bk", F.col("a_key") % nb)
-    b = b.withColumn("bk", F.col("b_key") % nb)
+    return max(1, _math.ceil(n / _FS_BLOCK_TARGET))
+
+
+def _fs_gamma_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join two bucketed sides and attach the comparison vector — the
+    SINGLE definition of the γ semantics on the DataFrame path (the fit
+    and the streamed apply must agree field-for-field; the SQL twin is
+    _FS_PAIRS_SQL). Expects both sides to already carry (nk, bk)."""
     return a.join(b, ["nk", "bk"]).select(
         "a_key",
         "b_key",
@@ -1005,6 +1013,20 @@ def _fs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("g_bal"),
         (F.col("a_key") == F.col("b_key")).cast("int").alias("is_true"),
     )
+
+
+def _fs_pairs(
+    spark: SparkSession, sf_dir: str, nb: int | None = None
+) -> DataFrame:
+    """Blocked candidate pairs with the comparison vector — all native
+    column arithmetic on one hash join keyed by (nationkey, adaptive
+    hash bucket); see the _FS_PAIRS_SQL note for the scale argument."""
+    a, b = _fs_sides(spark, sf_dir)
+    if nb is None:
+        nb = _fs_nb(spark, sf_dir)
+    a = a.withColumn("bk", F.col("a_key") % nb)
+    b = b.withColumn("bk", F.col("b_key") % nb)
+    return _fs_gamma_pairs(a, b)
 
 
 @register_pending("q_linkage_patterns", oracle=_FS_PATTERNS_ORACLE)

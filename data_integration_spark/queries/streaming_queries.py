@@ -1702,9 +1702,10 @@ def q_streaming_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_integration_spark.queries.er_retrieval import (
         _FS_GAMMA,
+        _fs_gamma_pairs,
+        _fs_nb,
         _fs_pairs,
         _fs_sides,
-        _FS_BLOCK_TARGET,
     )
     from data_integration_spark.stats.fs_linkage import (
         fs_em,
@@ -1712,7 +1713,6 @@ def q_streaming_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern_table,
         score_pairs,
     )
-    import math as _math
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     src = f"{_SCRATCH}/fs_stream_src_{tag}_{os.getpid()}"
@@ -1721,8 +1721,12 @@ def q_streaming_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (src, out, ck):
         shutil.rmtree(d, ignore_errors=True)
 
-    # release-time fit on the full blocked pair table
-    _pi, m, u, _lls = fs_em(pattern_table(_fs_pairs(spark, sf_dir), _FS_GAMMA))
+    # release-time fit on the full blocked pair table; nb computed ONCE
+    # and shared with the per-batch joins (review r12: no second count)
+    nb = _fs_nb(spark, sf_dir)
+    _pi, m, u, _lls = fs_em(
+        pattern_table(_fs_pairs(spark, sf_dir, nb=nb), _FS_GAMMA)
+    )
     agree, disagree = fs_weights(m, u)
 
     # guard the oracle's decision-rule restatement: the fitted weight of
@@ -1737,8 +1741,6 @@ def q_streaming_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     a, b = _fs_sides(spark, sf_dir)
-    n = Catalog(spark, sf_dir)["customer"].count()
-    nb = max(1, _math.ceil(n / _FS_BLOCK_TARGET))
     a = a.withColumn("bk", F.col("a_key") % nb)
 
     new_crm = b.filter(F.col("b_key") < 60)
@@ -1751,22 +1753,10 @@ def q_streaming_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(src).schema
 
     def link_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pairs = (
-            a.join(
-                batch_df.withColumn("bk", F.col("b_key") % nb), ["nk", "bk"]
-            )
-            .select(
-                "a_key",
-                "b_key",
-                (F.col("a_name") == F.col("b_name"))
-                .cast("int")
-                .alias("g_name"),
-                (F.col("a_seg") == F.col("b_seg")).cast("int").alias("g_seg"),
-                (F.abs(F.col("a_bal") - F.col("b_bal")) < 3.5)
-                .cast("int")
-                .alias("g_bal"),
-                (F.col("a_key") == F.col("b_key")).cast("int").alias("is_true"),
-            )
+        # the SHARED γ builder — fit and apply cannot drift on the
+        # comparison semantics (review r12: no third copy)
+        pairs = _fs_gamma_pairs(
+            a, batch_df.withColumn("bk", F.col("b_key") % nb)
         )
         (
             score_pairs(pairs, _FS_GAMMA, m, u)
@@ -1785,7 +1775,9 @@ def q_streaming_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):  # never read a sink mid-append
+        q.stop()
+        raise TimeoutError("q_streaming_linkage replay did not finish")
     return spark.read.parquet(out).select(
         "a_key", "b_key", *_FS_GAMMA, "is_true"
     )
