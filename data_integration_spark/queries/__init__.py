@@ -45,7 +45,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# --- staged registrations (empty since the r12 flip) ---------------------
+# --- staged registrations (the r12-staged r13 payload: 9 entries) --------
 # When a driver signing window is already fully planned, NEW queries stage
 # here instead of registering (each entry: name -> (fn, oracle_sql or
 # None)); tests/test_pending_r10.py runs every entry through the same
