@@ -56,10 +56,9 @@ LLM_OPS = [
     "q_unigram_train",           # unigram-LM tokenizer: lattice EM fit (r11)
     "q_ann_ivfpq_self_join",     # IVFADC corpus self-join: cogrouped LUT gathers (r11)
     "q_image_dedup_phash",       # perceptual image near-dup: DCT pHash + pigeonhole (r11)
-    # r13 (when the staged payload flips live — bench resolves names
-    # from the REGISTERED map, so staged queries cannot appear before
-    # the flip): add "q_heavy_hitters_mg" (one-pass MG summary) and
-    # "q_linkage_patterns" (blocked F-S comparison-pattern reduction).
+    "q_heavy_hitters_mg",        # one-pass Misra-Gries summary + certificate (r13)
+    "q_linkage_certificate",     # blocked F-S pattern reduction + EM + 9M-pair score (r13)
+    "q_ann_opq",                 # OPQ rotation fit + dual PQ MSE certificate (r13)
 ]
 
 
@@ -120,8 +119,13 @@ def main() -> None:
     # cross-round reader separate code regressions from the documented
     # ±20%/day box swings that made r8→r9 look like a uniform +13%.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # the calibration scan is the DENOMINATOR of every cross-round
+    # comparison, so it gets a tighter floor than the queries: min-of-5
+    # regardless of the per-query pass count (VERDICT r12 #3 — the
+    # r11→r12 calibrated_ratio drift was mostly a noisy 3-pass
+    # denominator; 5 passes of a 0.3 s scan cost ~1.5 s total)
     cal_passes = []
-    for _ in range(n_passes):
+    for _ in range(max(n_passes, 5)):
         t0 = time.perf_counter()
         QUERIES["q_scan_parquet"](spark, sf_dir).write.format("noop").mode(
             "overwrite"

@@ -45,7 +45,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# --- staged registrations (the r12-staged r13 payload: 9 entries) --------
+# --- staged registrations (the r13-staged r14 payload) -------------------
 # When a driver signing window is already fully planned, NEW queries stage
 # here instead of registering (each entry: name -> (fn, oracle_sql or
 # None)); tests/test_pending_r10.py runs every entry through the same
@@ -55,8 +55,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # payload (3 multimodal t2 certificates, the pinned-centroid IVF
 # persist/append full-oracle upgrades, q_image_dedup_dhash) flipped into
 # @register at the r10 window exactly as staged; the r11-staged payload
-# (q_streaming_bloom, q_bpe_apply) flipped at the r12 window the same
-# way. The block is kept for future rounds with full windows.
+# (q_streaming_bloom, q_bpe_apply) flipped at the r12 window; the
+# 9-entry r12-staged payload (F-S linkage family, Misra-Gries batch +
+# streaming, GK quantiles, OPQ, planted streaming semantic dedup)
+# flipped at the r13 window the same way.
 #
 # A name that ALREADY exists in QUERIES marks a REPLACEMENT: the staged
 # fn+oracle upgrade a currently rows-only query to full-oracle.
@@ -83,93 +85,90 @@ def register_pending(name: str, oracle: str | None = None):
 # ever shrinks. Maintained per round: names signed in CORRECTNESS_r{N} leave,
 # new queries join at the tail of the front block.
 _SIGN_PRIORITY: list[str] = [
-    # --- r12 window (VERDICT r11 #1). The r11 signing run went 50/50, so
-    # every r11-window name has a current driver row and leaves the list.
-    # r12 slots:
-    # (a) the 2 r11-staged ops flipped live this round (q_streaming_bloom
-    #     relational_extra.py, q_bpe_apply corpus_ops.py) — both already
-    #     parity-verified at 3 SFs by the in-repo harness while staged;
-    # (b) the 48 oldest live signatures: ALL 26 remaining r4-era names
-    #     (TPC-H q2-q22 + the analytics stragglers) and 22 of the 27
-    #     r5-era names (alphabetical order within each round). The 5
-    #     r5 names left after this window (q_term_cooccurrence,
-    #     q_text_normalize, q_token_budget_mix, q_transition_matrix,
-    #     q_vector_lambda_ops) queue for r13 — after r12 lands, ≤5
-    #     names carry a pre-r6 signature, the VERDICT r11 target.
-    # (a) flipped r12 payload ----------------------------------------------
-    "q_streaming_bloom",
-    "q_bpe_apply",
-    # (b) r4-era rotation, all 26 remaining -------------------------------
-    "q_recursive_cte",
-    "q_regression_by_group",
-    "q_robust_means",
-    "q_sessionization",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q2",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_weighted_median",
-    "q_weighted_sample",
-    "q_zscore_outliers",
-    # (b') r5-era rotation, 22 of 27 --------------------------------------
-    "q_benford",
-    "q_binaryfile_source",
-    "q_bm25",
-    "q_boilerplate_ngrams",
-    "q_centroid_per_label",
-    "q_cross_shard_dedup",
-    "q_dataset_card",
-    "q_embedding_norm_filter",
-    "q_entropy_profile",
-    "q_hll_mergeable",
-    "q_inverted_index",
-    "q_kl_divergence",
-    "q_minmax_scale",
-    "q_ngram_containment",
-    "q_ngram_novelty",
-    "q_pca_project",
-    "q_percentile_bands",
-    "q_scd2_build",
-    "q_shard_assign",
-    "q_snapshot_diff",
-    "q_source_overlap_matrix",
-    "q_temperature_mix",
-]  # the driver's r12 window = first 50 registered
+    # --- r13 window (VERDICT r12 #1). The r12 signing run went 50/50, so
+    # every r12-window name has a current driver row and leaves the list.
+    # r13 slots:
+    # (a) the 9 r12-staged ops flipped live this round — the F-S linkage
+    #     family (q_linkage_patterns / q_linkage_fs_score — the trio's
+    #     rows-only member — / q_linkage_certificate / q_streaming_linkage),
+    #     the Misra-Gries heavy hitters (batch + streaming), GK quantiles,
+    #     OPQ, and the planted streaming semantic dedup — all
+    #     parity-verified at all 3 driver SFs while staged;
+    # (b) the 5 remaining r5-era names (the oldest live signatures);
+    # (c) 36 of the 43 r6-era names (alphabetical). The 7 r6 names left
+    #     after this window (q_streaming_upsert, q_tfidf, q_token_count,
+    #     q_top_terms, q_vocab_build, q_vocab_encode, q_window_gather)
+    #     queue for r14 — after r13 lands, every name carries an r7+
+    #     signature except those 7 r6 stragglers.
+    # (a) flipped r13 payload ----------------------------------------------
+    "q_linkage_patterns",
+    "q_linkage_fs_score",
+    "q_linkage_certificate",
+    "q_streaming_linkage",
+    "q_heavy_hitters_mg",
+    "q_streaming_heavy_hitters",
+    "q_quantile_sketch",
+    "q_ann_opq",
+    "q_streaming_semantic_dedup_planted",
+    # (b) r5-era rotation, all 5 remaining ---------------------------------
+    "q_term_cooccurrence",
+    "q_text_normalize",
+    "q_token_budget_mix",
+    "q_transition_matrix",
+    "q_vector_lambda_ops",
+    # (c) r6-era rotation, 36 of 43 ----------------------------------------
+    "q_ann_lsh",
+    "q_ann_lsh_persist",
+    "q_ann_lsh_topk",
+    "q_ann_topk",
+    "q_context_windows",
+    "q_cosine_pairs",
+    "q_curriculum_buckets",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_normalized",
+    "q_dedup_simhash",
+    "q_doc_fingerprint",
+    "q_doc_packing",
+    "q_doc_packing_invariants",
+    "q_embedding_coverage",
+    "q_glm_convergence",
+    "q_lang_id",
+    "q_levenshtein",
+    "q_minhash_cross_dedup",
+    "q_minhash_lsh_bucket_persist",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    "q_multimodal_metadata",
+    "q_ngram_jaccard",
+    "q_quality_score",
+    "q_semantic_dedup_clusters",
+    "q_session_window",
+    "q_simhash_near_pairs",
+    "q_skyline",
+    "q_sliding_window",
+    "q_stateful_stream",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_streaming_dedup",
+    "q_streaming_minhash_dedup",
+    "q_streaming_tumbling",
+]  # the driver's r13 window = first 50 registered
 #
-# r13 window sketch (write it properly next round): (a) the 9 staged
-# flips — q_streaming_semantic_dedup_planted, q_heavy_hitters_mg,
-# q_quantile_sketch, q_streaming_heavy_hitters, q_ann_opq,
-# q_linkage_patterns, q_linkage_fs_score, q_linkage_certificate,
-# q_streaming_linkage (all parity-verified at all 3 driver SFs while
-# staged; fs_score is the rows-only member of the certificate-paired
-# trio) — then (b) the 5 remaining r5-era names (q_term_cooccurrence,
-# q_text_normalize, q_token_budget_mix, q_transition_matrix,
-# q_vector_lambda_ops), then (c) ~36 of the 43 r6-era names (the
-# oldest signatures after r12).
+# r14 window sketch: (a) any r13-staged flips, then (b) the 7 remaining
+# r6-era names above, then (c) the oldest r7-era names to fill 50.
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
-# because a code change invalidated what the row attests to. Empty for r12:
-# this round's code changes to already-signed queries are all
-# RESULT-PRESERVING by pin test — the unigram-LM out-of-band LL column +
-# id_col fix (tests/test_unigram_refactor_pins.py), the IVFADC lexsort
-# ranking (tests/test_pending_r10.py / ivfpq pin), and the count-min
-# unpersist (no result change by construction) — so no prior row is
-# invalidated.
+# because a code change invalidated what the row attests to. Empty for r13:
+# this round's changes to ALREADY-SIGNED queries are result-preserving —
+# the cosine_pairs query-side guard only adds a bounded pre-count (its one
+# registered caller, q_semantic_dedup_clusters, bounds Q to vec_id < 200,
+# far under the 10k guard), and the eigen_allocation natural-layout
+# fallback only fires on spectra where the greedy loses (none at any
+# driver SF — the certificate's balance_not_worse was already 1). The
+# r12 ADVICE fixes (streaming-MG awaitTermination guard + empty-counter
+# rider, linkage ll_monotone clamp-aware tolerance) land on queries that
+# were STAGED, not signed, when fixed.
 _RESIGN: frozenset[str] = frozenset()
 
 

@@ -1029,7 +1029,7 @@ def _fs_pairs(
     return _fs_gamma_pairs(a, b)
 
 
-@register_pending("q_linkage_patterns", oracle=_FS_PATTERNS_ORACLE)
+@register("q_linkage_patterns", oracle=_FS_PATTERNS_ORACLE)
 def q_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Fellegi-Sunter SUFFICIENT STATISTIC as a first-class query:
     the comparison-pattern contingency table over the blocked candidate
@@ -1049,7 +1049,7 @@ def q_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_pending("q_linkage_fs_score", oracle=None)
+@register("q_linkage_fs_score", oracle=None)
 def q_linkage_fs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter scoring end-to-end (rows-only: the weights depend
     on the EM estimates, which no SQL engine restates; the certificate
@@ -1079,14 +1079,19 @@ def q_linkage_fs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_pending("q_linkage_certificate", oracle=_FS_CERT_ORACLE)
+@register("q_linkage_certificate", oracle=_FS_CERT_ORACLE)
 def q_linkage_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-ORACLE certificate for the F-S fit (the q_unigram_invariants
     pattern): conservation columns DuckDB recomputes (pair and
     planted-truth counts) + laws the fitted model must satisfy:
 
     - ``ll_monotone``: the EM observed-data log-likelihood trace is
-      non-decreasing (the EM theorem, 1e-9 tolerance);
+      non-decreasing (the EM theorem) up to the probability clamp:
+      ``fs_em`` clips m/u into [1e-6, 1-1e-6] (u_name DOES clamp on
+      this corpus — names are unique, so non-match name agreement ≈ 0),
+      and a clamped M-step can dip the exact LL by O(eps) per field, so
+      the tolerance is the clamp-aware 1e-6 the property test
+      (tests/test_sketch_property.py) uses, not machine epsilon;
     - ``m_gt_u_all_fields``: every field agrees more among matches than
       non-matches (the construction plants exactly this);
     - ``recall_ge_090``: ≥ 90% of planted true pairs score weight > 0.
@@ -1123,8 +1128,8 @@ def q_linkage_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = {
         "n_pairs": n_pairs,
         "n_true": n_true,
-        "ll_monotone": int(
-            all(b >= a - 1e-9 for a, b in zip(lls, lls[1:]))
+        "ll_monotone": int(  # clamp-aware tolerance — see docstring
+            all(b >= a - 1e-6 for a, b in zip(lls, lls[1:]))
         ),
         "m_gt_u_all_fields": int(all(mf > uf for mf, uf in zip(m, u))),
         "recall_ge_090": int(int(agg["tp"]) >= 0.90 * n_true),

@@ -1026,7 +1026,7 @@ FROM top
 """
 
 
-@register_pending("q_heavy_hitters_mg", oracle=_MG_ORACLE)
+@register("q_heavy_hitters_mg", oracle=_MG_ORACLE)
 def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries mergeable heavy hitters (Misra & Gries 1982; merge
     per Agarwal et al., "Mergeable Summaries", PODS 2012) — the
@@ -1082,7 +1082,7 @@ FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) AS probes(p)
 """
 
 
-@register_pending("q_quantile_sketch", oracle=_QS_ORACLE)
+@register("q_quantile_sketch", oracle=_QS_ORACLE)
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate-quantile sketch — the QUANTILE member of
     the sketch family (Greenwald & Khanna 2001 as implemented by

@@ -1986,7 +1986,7 @@ FROM embeddings
 """
 
 
-@register_pending("q_ann_opq", oracle=_OPQ_ORACLE)
+@register("q_ann_opq", oracle=_OPQ_ORACLE)
 def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ-P — PCA rotation + eigenvalue-balanced subspace allocation
     before PQ (Ge et al., CVPR 2013 §4; ``similarity/opq.py``), the
@@ -2012,7 +2012,10 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
       tests/test_opq.py);
     - ``balance_not_worse``: the allocation's subspace log-eigenvalue
       products are no more spread than the natural dimension order's —
-      the objective the greedy allocation explicitly minimizes;
+      true BY CONSTRUCTION since ``eigen_allocation`` keeps the natural
+      descending-contiguous layout whenever the greedy heuristic's
+      spread comes out worse (the greedy is not a theorem on every
+      spectrum; the fallback makes the ≤ one);
     - ``n_vectors`` / ``dim``: conservation, recomputed by DuckDB.
 
     Scale: pca_fit's only collect is ≤ one d²-row per partition; the

@@ -1374,7 +1374,7 @@ def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_pending("q_streaming_semantic_dedup_planted", oracle=_SEM_PLANTED_ORACLE)
+@register("q_streaming_semantic_dedup_planted", oracle=_SEM_PLANTED_ORACLE)
 def q_streaming_semantic_dedup_planted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1678,7 +1678,7 @@ WHERE b_key < 60 AND (g_name = 1 OR g_bal = 1)
 """
 
 
-@register_pending("q_streaming_linkage", oracle=_fs_stream_oracle())
+@register("q_streaming_linkage", oracle=_fs_stream_oracle())
 def q_streaming_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING Fellegi-Sunter linkage — the incremental member of the
     linkage family and the production apply pattern: the model (π, m,
@@ -1789,7 +1789,7 @@ def _mg_stream_oracle() -> str:
     return _MG_ORACLE
 
 
-@register_pending("q_streaming_heavy_hitters", oracle=_mg_stream_oracle())
+@register("q_streaming_heavy_hitters", oracle=_mg_stream_oracle())
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING Misra-Gries maintenance — the heavy-hitters member of
     the incremental-sketch family (count-min: q_streaming_countmin;
@@ -1838,7 +1838,11 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split("text", " ")).alias("tok")
         ).filter(F.col("tok") != "")
         summary, bn = misra_gries_summary(toks, _MG_K)
-        if summary:
+        # gate on the stream LENGTH, not the counter dict: a final MG
+        # decrement step can empty every counter while n_b > 0, and the
+        # tok-NULL stream-length rider must still reach the store or the
+        # read-side n (and the n/(k+1) certificate threshold) undercounts
+        if bn:
             # the batch's stream length rides the store as a tok-NULL
             # row (the misra_gries_summary rider pattern), so the read
             # side recovers the total n WITHOUT a second corpus scan
@@ -1860,7 +1864,9 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):  # never read the store mid-append
+        q.stop()
+        raise TimeoutError("q_streaming_heavy_hitters replay did not finish")
 
     # fold the per-batch summaries in batch order (bounded ≤ batches·k);
     # the tok-NULL rider rows sum to the total stream length

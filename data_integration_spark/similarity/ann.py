@@ -105,6 +105,32 @@ def with_norm(df: DataFrame, vec: str = "e", norm: str = "nrm") -> DataFrame:
     return df.withColumn(norm, _norm(F.col(vec)))
 
 
+#: Brute force materializes |queries|·|corpus| pairs before ranking — the
+#: exact baseline is only sane for a bounded query side. Beyond this, use
+#: lsh_topk / ivf_topk (candidate generation bounds the pair space).
+MAX_BRUTE_FORCE_QUERIES = 10_000
+
+
+def _guard_query_side(
+    queries: DataFrame, max_queries: int | None, fn_name: str
+) -> None:
+    """Refuse (ValueError) a query side above ``max_queries`` rows: the
+    brute-force paths BROADCAST the query side and materialize
+    |Q|×|corpus| pairs, so an unbounded Q is an executor-OOM at scale.
+    One bounded ``limit(max+1).count()`` job; ``max_queries=None``
+    disables the guard for deliberate offline exact sweeps."""
+    if max_queries is None:
+        return
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"{fn_name} query side exceeds {max_queries} rows; "
+            "brute force would broadcast Q and materialize |Q|x|corpus| "
+            "pairs - use lsh_topk/ivf_topk, or pass max_queries=None "
+            "deliberately"
+        )
+
+
 def cosine_pairs(
     queries: DataFrame,
     corpus: DataFrame,
@@ -112,13 +138,19 @@ def cosine_pairs(
     vec_col: str = "e",
     threshold: float = 0.25,
     round_decimals: int = 6,
+    max_queries: int | None = MAX_BRUTE_FORCE_QUERIES,
 ) -> DataFrame:
     """All (query, corpus) pairs with cosine ≥ threshold (self-pairs excluded).
 
     The query side is broadcast — the corpus never shuffles. Cosine is
     rounded before thresholding so the emitted set is stable across engines
     and run-to-run reduction orders.
+
+    Guarded like ``cosine_topk``: refuses a query side above
+    ``max_queries`` (the broadcast would be unbounded); pass
+    ``max_queries=None`` for deliberate offline sweeps.
     """
+    _guard_query_side(queries, max_queries, "cosine_pairs")
     q = with_norm(queries, vec_col, "qn").select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "qn"
     )
@@ -133,12 +165,6 @@ def cosine_pairs(
         .select("qid", "mid", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
-
-
-#: Brute force materializes |queries|·|corpus| pairs before ranking — the
-#: exact baseline is only sane for a bounded query side. Beyond this, use
-#: lsh_topk / ivf_topk (candidate generation bounds the pair space).
-MAX_BRUTE_FORCE_QUERIES = 10_000
 
 
 def cosine_topk(
@@ -157,17 +183,10 @@ def cosine_topk(
     N·M pair materialization on an unbounded query side is the scale
     failure the LSH/IVF paths exist to avoid. ``max_queries=None``
     disables the guard for deliberate offline exact sweeps."""
-    if max_queries is not None:
-        n_q = queries.limit(max_queries + 1).count()
-        if n_q > max_queries:
-            raise ValueError(
-                f"cosine_topk query side exceeds {max_queries} rows; "
-                "brute force would materialize |Q|x|corpus| pairs - use "
-                "lsh_topk/ivf_topk, or pass max_queries=None deliberately"
-            )
+    _guard_query_side(queries, max_queries, "cosine_topk")
     pairs = cosine_pairs(
         queries, corpus, id_col=id_col, vec_col=vec_col, threshold=-2.0,
-        round_decimals=round_decimals,
+        round_decimals=round_decimals, max_queries=None,  # guarded above
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("mid"))
     return (

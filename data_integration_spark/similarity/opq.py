@@ -30,17 +30,41 @@ from pyspark.sql import DataFrame
 from data_integration_spark.similarity.pca import pca_fit
 
 
+def _log_spread(vals: np.ndarray, perm: list[int], m: int) -> float:
+    """max−min of per-subspace log-eigenvalue products under contiguous
+    chunking of ``perm`` (the balanced-variance objective's spread)."""
+    dsub = len(perm) // m
+    logs = [
+        float(
+            np.log(
+                np.maximum(vals[perm[j * dsub : (j + 1) * dsub]], 1e-300)
+            ).sum()
+        )
+        for j in range(m)
+    ]
+    return max(logs) - min(logs)
+
+
 def eigen_allocation(vals: np.ndarray, m: int) -> list[int]:
     """Greedy balanced-product allocation (OPQ-P): visit dimensions by
     descending eigenvalue, always assigning to the subspace with the
     smallest current log-product (ties: lowest subspace id) until each
     holds d/m dimensions. Returns the dimension permutation that lays
-    subspace j's dimensions contiguously at [j·dsub, (j+1)·dsub)."""
+    subspace j's dimensions contiguously at [j·dsub, (j+1)·dsub).
+
+    The capacity-constrained greedy is a heuristic — it is NOT
+    guaranteed to beat the plain descending-contiguous layout on every
+    eigenvalue spectrum, so the allocation falls back to that natural
+    layout whenever the greedy spread comes out worse. That makes the
+    q_ann_opq certificate's ``balance_not_worse`` (greedy spread ≤
+    natural spread) true BY CONSTRUCTION, not a measured property of
+    one corpus."""
     d = len(vals)
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    vals = np.asarray(vals)
     dsub = d // m
-    order = np.argsort(-np.asarray(vals), kind="stable")
+    order = np.argsort(-vals, kind="stable")
     logs = [0.0] * m
     buckets: list[list[int]] = [[] for _ in range(m)]
     for dim in order:
@@ -50,7 +74,11 @@ def eigen_allocation(vals: np.ndarray, m: int) -> list[int]:
         )
         buckets[j].append(int(dim))
         logs[j] += float(np.log(max(vals[dim], 1e-300)))
-    return [dim for b in buckets for dim in b]
+    greedy = [dim for b in buckets for dim in b]
+    natural = [int(dim) for dim in order]
+    if _log_spread(vals, greedy, m) <= _log_spread(vals, natural, m):
+        return greedy
+    return natural
 
 
 def opq_rotation(

@@ -41,6 +41,41 @@ def test_eigen_allocation_balances_and_partitions():
         eigen_allocation(vals, 3)
 
 
+def test_eigen_allocation_never_worse_than_natural():
+    """The certificate's balance_not_worse is a CONSTRUCTION, not a
+    measured property: eigen_allocation falls back to the natural
+    descending-contiguous layout whenever the capacity-constrained
+    greedy's spread comes out worse, so on ANY spectrum the returned
+    layout's spread ≤ the natural layout's (r12 ADVICE item)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_integration_spark.similarity.opq import _log_spread
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=1e-12, max_value=1e12, allow_nan=False
+            ),
+            min_size=8,
+            max_size=16,
+        ).filter(lambda v: len(v) % 8 == 0),
+        st.sampled_from([2, 4, 8]),
+    )
+    def check(vals_list, m):
+        vals = np.asarray(vals_list)
+        perm = eigen_allocation(vals, m)
+        assert sorted(perm) == list(range(len(vals)))
+        natural = [int(i) for i in np.argsort(-vals, kind="stable")]
+        assert (
+            _log_spread(vals, perm, m)
+            <= _log_spread(vals, natural, m) + 1e-9
+        )
+
+    check()
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     from data_integration_spark.sources.catalog import Catalog

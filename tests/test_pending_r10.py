@@ -28,24 +28,14 @@ from data_integration_spark.queries import (
 load_all()
 
 
-def test_pending_block_drained_after_r12_flip():
-    """Every staged name is LIVE (registered with its full oracle) — the
-    r10 flip (r9 payload) and the r12 flip (r11 payload:
-    q_streaming_bloom, q_bpe_apply) both happened exactly as staged —
-    and the block now holds exactly the r12-staged r13 payload (the
-    non-vacuous planted streaming-semantic certificate, the sketch-family
-    additions, OPQ, and the F-S linkage trio)."""
-    assert set(PENDING_R10) == {
-        "q_streaming_semantic_dedup_planted",
-        "q_heavy_hitters_mg",
-        "q_quantile_sketch",
-        "q_streaming_heavy_hitters",
-        "q_ann_opq",
-        "q_linkage_patterns",
-        "q_linkage_fs_score",
-        "q_linkage_certificate",
-        "q_streaming_linkage",
-    }
+def test_pending_block_drained_after_r13_flip():
+    """Every previously staged name is LIVE — the r10 flip (r9 payload),
+    the r12 flip (r11 payload) and the r13 flip (the 9-entry r12 payload:
+    F-S linkage family, Misra-Gries batch + streaming, GK quantiles, OPQ,
+    planted streaming semantic dedup) all happened exactly as staged.
+    q_linkage_fs_score is the trio's contract-permitted rows-only member
+    (its full-oracle certificate sibling is q_linkage_certificate), so it
+    registers WITHOUT an oracle by design."""
     for name in (
         "q_multimodal_audio_features",
         "q_multimodal_resize",
@@ -55,9 +45,21 @@ def test_pending_block_drained_after_r12_flip():
         "q_ann_ivf_append",
         "q_streaming_bloom",
         "q_bpe_apply",
+        # r13 flip
+        "q_streaming_semantic_dedup_planted",
+        "q_heavy_hitters_mg",
+        "q_quantile_sketch",
+        "q_streaming_heavy_hitters",
+        "q_ann_opq",
+        "q_linkage_patterns",
+        "q_linkage_fs_score",
+        "q_linkage_certificate",
+        "q_streaming_linkage",
     ):
         assert name in QUERIES, name
-        assert name in ORACLES, f"{name} lost its full oracle at the flip"
+        if name != "q_linkage_fs_score":
+            assert name in ORACLES, f"{name} lost its full oracle at the flip"
+    assert "q_linkage_fs_score" not in ORACLES  # rows-only by design
 
 
 def test_any_future_staged_entry_is_well_formed():

@@ -230,6 +230,29 @@ def test_cosine_topk_refuses_unbounded_query_side(spark):
     assert out.count() == 15
 
 
+def test_cosine_pairs_refuses_unbounded_query_side(spark):
+    """r12 VERDICT #2: cosine_pairs BROADCASTS the query side, so it needs
+    the same loud guard as its cosine_topk sibling — an unbounded Q is an
+    executor-OOM N×N broadcast at scale, and every registered caller
+    bounds Q in-query only by convention."""
+    from data_integration_spark.similarity.ann import cosine_pairs
+
+    vecs = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("e"),
+    )
+    with pytest.raises(ValueError, match="query side exceeds"):
+        cosine_pairs(vecs, vecs, max_queries=10)
+    # under the bound it runs; max_queries=None disables deliberately
+    n_bounded = cosine_pairs(
+        vecs.limit(5), vecs, threshold=-2.0, max_queries=10
+    ).count()
+    n_unguarded = cosine_pairs(
+        vecs.limit(5), vecs, threshold=-2.0, max_queries=None
+    ).count()
+    assert n_bounded == n_unguarded == 5 * 49
+
+
 # ----------------------------------------------- int8 quantize zero guard
 def test_int8_quantize_all_zero_vector_yields_nulls(spark, tmp_path):
     """An all-zero embedding makes scale = max|x|/127 = 0; the unguarded
