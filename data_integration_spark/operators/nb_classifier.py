@@ -1,0 +1,170 @@
+"""Bootstrapped Naive-Bayes document-quality classifier — the
+pretraining-data "model-based quality filter" (CCNet, Wenzek et al.
+2020; GPT-3 appendix A: score every candidate document with a linear
+classifier trained to separate a seed "good" corpus from the raw crawl,
+keep by threshold).
+
+This is the repo's CLASSIFIER-based sibling of the heuristic
+q_quality_score: the heuristic provides deterministic SEED labels, a
+multinomial-NB training pass turns them into per-token log-odds weights
+(the linear model fastText reduces to for unigram features), and a
+scoring pass applies the broadcast weight table to every document.
+
+Exactness design (the full-oracle contract): every decision is either
+integer arithmetic or a scalar libm call on inputs both engines compute
+bit-identically —
+
+- the seed label is a SIGN TEST on 64-bit integers (the heuristic's
+  sigmoid > 1/2 inequality multiplied through by its positive
+  denominators), so no float ever decides a label;
+- per-token weights are fixed-point BIGINTs: round(log_odds * 1e6) of a
+  log-odds computed from exact integer counts (+0.5 Laplace terms, all
+  exactly representable doubles), so the per-document reduction is an
+  INTEGER sum — immune to reduction order by construction;
+- the keep decision is again an integer sign test
+  (prior_fp * n_tok + llr_fp > 0 ⟺ mean log-odds + prior > 0);
+- only the reader-facing posterior probability touches libm exp, and it
+  is rounded to the 6-decimal grid like every float output in the
+  registry.
+
+Scale shape (100 TB): label + explode are row-local projections (no
+join back to the corpus); token counting and scoring are map-side
+combinable groupBys plus ONE token-keyed equi-join against the weight
+table — the q_vocab_encode shape, broadcastable whenever the df-capped
+vocab is small and AQE-skew-safe otherwise (hot stopword tokens are
+partition-size skew only: the weight side is unique per token). Corpus
+totals ride 1-row broadcast cross-joins, never a driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for log-odds weights (6-decimal grid, as BIGINT)
+FP_SCALE = 1_000_000
+
+
+def seed_quality_label(text: Column = None) -> Column:
+    """The heuristic quality sigmoid's > 1/2 decision as an integer sign
+    test (q_quality_score's z = 0.005·nt + 0.2·avg_tok − 2·stop_ratio;
+    z > 0 multiplied by 6000·nt > 0):
+
+        30·nt² + 1200·(nc − nt + 1) − 2000·(nc − r_the) − 4000·(nc − r_a) > 0
+
+    with nc = length(text), nt = size(split(text, ' ')), r_the / r_a =
+    lengths after removing ' the ' / ' a ' — all 64-bit integers, so the
+    label can never diverge across engines."""
+    t = F.col("text") if text is None else text
+    nc = F.length(t).cast("long")
+    nt = F.size(F.split(t, " ")).cast("long")
+    r_the = F.length(F.regexp_replace(t, " the ", "")).cast("long")
+    r_a = F.length(F.regexp_replace(t, " a ", "")).cast("long")
+    z6000nt = (
+        30 * nt * nt
+        + 1200 * (nc - nt + 1)
+        - 2000 * (nc - r_the)
+        - 4000 * (nc - r_a)
+    )
+    return (z6000nt > 0).cast("int")
+
+
+def nb_quality_classifier(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    label: Column | None = None,
+) -> DataFrame:
+    """Train-and-score in one lineage: seed labels → multinomial-NB
+    per-token fixed-point log-odds → every document scored against the
+    weight table. Returns (id, n_tok, llr_fp, prob, keep):
+
+    - ``n_tok``   — non-empty token occurrences in the document;
+    - ``llr_fp``  — Σ weight_fp over the document's in-vocab token
+      occurrences (BIGINT; exact, order-free);
+    - ``prob``    — σ(prior + mean log-odds), rounded to 6 decimals;
+    - ``keep``    — the integer sign test prior_fp·n_tok + llr_fp > 0.
+
+    ``min_df`` drops tokens with fewer total occurrences from the vocab
+    (OOV tokens contribute weight 0 — they still count in ``n_tok``):
+    the standard rare-feature cut, and at scale the knob that keeps the
+    weight table broadcast-sized.  ``label`` overrides the seed-label
+    column (any deterministic 0/1 Column) for classifier reuse beyond
+    the heuristic bootstrap."""
+    lab = seed_quality_label(F.col(text_col)) if label is None else label
+    base = docs.select(
+        F.col(id_col), F.col(text_col), lab.cast("long").alias("label")
+    )
+    toks = base.select(
+        id_col,
+        "label",
+        F.explode(F.split(text_col, " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+    # token × label contingency (map-side combined), df-capped vocab
+    tokc = (
+        toks.groupBy("tok")
+        .agg(
+            F.sum("label").alias("n1"),
+            (F.count("*") - F.sum("label")).alias("n0"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= min_df)
+    )
+    totals = tokc.agg(
+        F.count("*").alias("v"),
+        F.sum("n1").alias("bign1"),
+        F.sum("n0").alias("bign0"),
+    )  # 1 row
+    w_fp = F.round(
+        (
+            F.log((F.col("n1") + 0.5) / (F.col("bign1") + 0.5 * F.col("v")))
+            - F.log((F.col("n0") + 0.5) / (F.col("bign0") + 0.5 * F.col("v")))
+        )
+        * FP_SCALE
+    ).cast("long")
+    weights = tokc.crossJoin(F.broadcast(totals)).select(
+        "tok", w_fp.alias("w_fp")
+    )
+
+    prior = base.agg(
+        F.sum("label").alias("n_pos"),
+        (F.count("*") - F.sum("label")).alias("n_neg"),
+    ).select(
+        F.round(
+            F.log(
+                (F.col("n_pos") + 0.5) / (F.col("n_neg") + 0.5)
+            )
+            * FP_SCALE
+        )
+        .cast("long")
+        .alias("prior_fp")
+    )  # 1 row
+
+    per_doc = toks.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tok")
+    )
+    scored = (
+        toks.join(weights, "tok")  # token-keyed equi-join (vocab side unique)
+        .groupBy(id_col)
+        .agg(F.sum("w_fp").cast("long").alias("llr"))
+    )
+    out = (
+        per_doc.join(scored, id_col, "left")
+        .withColumn("llr_fp", F.coalesce(F.col("llr"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(prior))
+    )
+    logit = (
+        F.col("prior_fp")
+        + F.col("llr_fp").cast("double") / F.col("n_tok")
+    ) / FP_SCALE
+    return out.select(
+        id_col,
+        "n_tok",
+        "llr_fp",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob"),
+        (F.col("prior_fp") * F.col("n_tok") + F.col("llr_fp") > 0)
+        .cast("long")
+        .alias("keep"),
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_integration_spark.queries import register
+from data_integration_spark.queries import register, register_pending
 from data_integration_spark.sources.catalog import Catalog
 
 
@@ -1230,3 +1230,94 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(lw_term) > 0).cast("long").alias("selected"),
         )
     )
+
+
+_NBQ_ORACLE = """
+WITH s AS (
+  SELECT doc_id, text,
+         CAST(LENGTH(text) AS BIGINT) AS nc,
+         CAST(LENGTH(REPLACE(text, ' the ', '')) AS BIGINT) AS r_the,
+         CAST(LENGTH(REPLACE(text, ' a ', '')) AS BIGINT) AS r_a,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, text,
+         CASE WHEN 30*nt*nt + 1200*(nc - nt + 1)
+                   - 2000*(nc - r_the) - 4000*(nc - r_a) > 0
+              THEN 1 ELSE 0 END AS label
+  FROM s
+),
+tok AS (
+  SELECT doc_id, label, t.tok
+  FROM lab, UNNEST(STRING_SPLIT(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+tc AS (
+  SELECT tok,
+         CAST(SUM(label) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(label) AS BIGINT) AS n0
+  FROM tok GROUP BY tok HAVING COUNT(*) >= 3
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(n1) AS BIGINT) AS bign1,
+         CAST(SUM(n0) AS BIGINT) AS bign0
+  FROM tc
+),
+w AS (
+  SELECT tok,
+         CAST(ROUND((LN((n1 + 0.5) / (bign1 + 0.5 * v))
+                   - LN((n0 + 0.5) / (bign0 + 0.5 * v))) * 1e6)
+              AS BIGINT) AS w_fp
+  FROM tc, tot
+),
+prior AS (
+  SELECT CAST(ROUND(LN((SUM(label) + 0.5)
+                     / (COUNT(*) - SUM(label) + 0.5)) * 1e6)
+              AS BIGINT) AS prior_fp
+  FROM lab
+),
+dt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+),
+ds AS (
+  SELECT t.doc_id, CAST(SUM(w.w_fp) AS BIGINT) AS llr
+  FROM tok t JOIN w USING (tok) GROUP BY t.doc_id
+)
+SELECT dt.doc_id, dt.n_tok,
+       CAST(COALESCE(ds.llr, 0) AS BIGINT) AS llr_fp,
+       ROUND(1.0 / (1.0 + EXP(-((SELECT prior_fp FROM prior)
+                 + COALESCE(ds.llr, 0) * 1.0 / dt.n_tok) / 1e6)), 6) AS prob,
+       CAST(CASE WHEN (SELECT prior_fp FROM prior) * dt.n_tok
+                      + COALESCE(ds.llr, 0) > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM dt LEFT JOIN ds ON dt.doc_id = ds.doc_id
+"""
+
+
+@register_pending("q_quality_nb_filter", oracle=_NBQ_ORACLE)
+def q_quality_nb_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrapped NB quality-FILTER scoring (CCNet / GPT-3-style
+    model-based filter; STAGED for the r14 window; distinct from the
+    r7-signed q_quality_classifier, which TRAINS a hashed logistic by
+    damped Newton — this op is the label-bootstrap + NB-weight scoring
+    pipeline over the raw token vocabulary): the q_quality_score
+    heuristic provides deterministic SEED labels via an integer sign
+    test, one multinomial-NB pass turns them into per-token FIXED-POINT
+    log-odds weights (df-capped vocab, Laplace 0.5), and the scoring
+    pass applies the weight table to every document — integer llr sums,
+    an integer keep decision, and a 6-decimal posterior.
+
+    Full oracle: DuckDB re-runs label → contingency → weights → score
+    from scratch; the only floats are LN/EXP scalars on bit-identical
+    inputs, rounded on the registry's 6-decimal grid, and every
+    DECISION column (label, keep) plus llr_fp is 64-bit-integer exact
+    in both engines (see operators/nb_classifier.py for the scale and
+    exactness design)."""
+    from data_integration_spark.operators.nb_classifier import (
+        nb_quality_classifier,
+    )
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    return nb_quality_classifier(docs, min_df=3)

@@ -350,6 +350,7 @@ _BNLJ_ALLOWED = {
     "q_mrl_truncation_recall",  # bounded 20-query block x corpus scoring
                                 # (the guarded cosine_topk brute path x2)
     "q_semantic_threshold_sweep",  # bounded 100-probe block x corpus
+    "q_quality_nb_filter",  # 1-row vocab-totals + 1-row prior scalar crosses
 }
 
 
