@@ -33,7 +33,7 @@ from data_integration_spark.multimodal.binary_ops import (
     sample_frames,
     sample_video_frames,
 )
-from data_integration_spark.queries import register
+from data_integration_spark.queries import register, register_pending
 from data_integration_spark.sources.catalog import Catalog
 
 
@@ -547,12 +547,16 @@ def _phash_planned_bits(doc_id: int) -> list[bool]:
     return bits
 
 
-def _phash_bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _phash_bmp_payload_df(
+    spark: SparkSession, sf_dir: str, max_doc_id: int | None = None
+) -> DataFrame:
     """Encode each document as a genuine 32×32 BMP whose pHash bits are
     the PLANNED pattern: pixels are the inverse orthonormal DCT of a
     coefficient matrix holding ±30 at the 63 low-frequency AC slots
     (sign = planned bit) and gray-128 DC — the REAL DCT pipeline must
-    recover the structure exactly."""
+    recover the structure exactly. ``max_doc_id`` bounds the fixture
+    BEFORE the encode pass (the cross-modal query's bounded image side)
+    so no payload is synthesized just to be filtered."""
     import numpy as np
     import pandas as pd
 
@@ -562,6 +566,8 @@ def _phash_bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
+    if max_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
     mag = 30.0
 
     def enc(batches):
@@ -887,4 +893,122 @@ def q_audio_spectral_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("determinism_mismatch"),
             (F.countDistinct("afp") > 1).cast("long").alias("varied"),
         )
+    )
+
+
+# Cross-modal contract (shared by the Spark pipeline and the SQL oracle):
+# the image side re-uses the pHash fixture VERBATIM (planted balanced-
+# mirror md5 coefficient signs — see _PHASH_ORACLE), so the oracle can
+# re-derive the ±1 DCT-sign FEATURE analytically while Spark must recover
+# it through the REAL decode→gray→resample→DCT pipeline; the pinned
+# integer projection (similarity/crossmodal.py::pinned_projection) is a
+# modular formula both engines evaluate exactly in int64, making the
+# projected vector y = fᵀW integer-exact; captions for doc_id % 29 == 5
+# are planted into the corpus as EXACT copies of y (vec_id offset 1e9),
+# so the ≥ 0.98 retrieval must emit exactly the planted (doc, caption)
+# pairs at cosine 1.0 — natural image×text cosines sit far below the
+# threshold (pinned in tests/test_crossmodal.py), and the oracle
+# recomputes them all anyway.
+_XMODAL_ORACLE = """
+WITH v AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTRING(MD5(CAST(doc_id // 4 AS VARCHAR)), 1, 8)
+              AS BIGINT) AS base
+  FROM documents WHERE doc_id < 300
+),
+bits AS (
+  SELECT doc_id, u.k,
+         CASE WHEN (CASE WHEN u.k < 31 THEN ((base >> u.k) & 1) = 1
+                         WHEN u.k < 62 THEN ((base >> (u.k - 31)) & 1) = 0
+                         ELSE ((base >> 31) & 1) = 1 END)
+                   <> (u.k < doc_id % 4)
+              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS f
+  FROM v, UNNEST(GENERATE_SERIES(0, 62)) AS u(k)
+),
+y AS (
+  SELECT b.doc_id, j.j,
+         CAST(SUM(b.f * ((((b.k * 64 + j.j + 1) * 2654435761)
+                          % 1000003) % 201 - 100)) AS BIGINT) AS yj
+  FROM bits b, UNNEST(GENERATE_SERIES(0, 63)) AS j(j)
+  GROUP BY b.doc_id, j.j
+),
+corpus AS (
+  SELECT vec_id AS mid, i.j - 1 AS j,
+         CAST(embedding[i.j] AS DOUBLE) AS ej
+  FROM embeddings, UNNEST(GENERATE_SERIES(1, 64)) AS i(j)
+  UNION ALL
+  SELECT 1000000000 + doc_id AS mid, j, CAST(yj AS DOUBLE) AS ej
+  FROM y WHERE doc_id % 29 = 5
+),
+qn AS (
+  SELECT doc_id, SQRT(SUM(CAST(yj AS DOUBLE) * yj)) AS qn
+  FROM y GROUP BY doc_id
+),
+cn AS (SELECT mid, SQRT(SUM(ej * ej)) AS cn FROM corpus GROUP BY mid),
+dots AS (
+  SELECT y.doc_id, c.mid, SUM(CAST(y.yj AS DOUBLE) * c.ej) AS dot
+  FROM y JOIN corpus c ON y.j = c.j
+  GROUP BY y.doc_id, c.mid
+)
+SELECT d.doc_id, d.mid AS vec_id,
+       ROUND(d.dot / (qn.qn * cn.cn), 6) AS cosine
+FROM dots d
+JOIN qn USING (doc_id)
+JOIN cn ON cn.mid = d.mid
+WHERE ROUND(d.dot / (qn.qn * cn.cn), 6) >= 0.98
+"""
+
+
+@register_pending("q_crossmodal_dedup", oracle=_XMODAL_ORACLE)
+def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL near-dup retrieval (image ↔ text; STAGED for the r14
+    window): real BMPs (the pHash fixture) → REAL decode→DCT pipeline →
+    ±1 DCT-sign features → pinned int64 projection into the 64-d
+    text-embedding space (similarity/crossmodal.py) → guarded broadcast
+    cosine (≥ 0.98) against the embeddings corpus UNIONed with planted
+    caption vectors (exact projected copies, vec_id offset 1e9, one per
+    doc_id % 29 == 5 under the 300-doc image bound). Emits exactly the
+    planted (doc_id, vec_id, 1.0) pairs — a wrong DCT, bit unpack,
+    projection, union, or a recall-losing cosine join all break the
+    driver hash. Scoring rides the VECTORIZED pair kernel (the bounded
+    query block as a NumPy matrix, one GEMM per corpus Arrow batch — the
+    q_cosine_pairs scale shape; the expression path measured 170 s at
+    the 100× rehearsal corpus, the GEMM path seconds); at retrieval
+    scale the cosine stage swaps for the IVF probe path exactly like
+    the text-to-text semantic-dedup family."""
+    from data_integration_spark.multimodal.binary_ops import image_phash
+    from data_integration_spark.similarity.ann import (
+        as_double_array,
+        cosine_pairs_vectorized,
+    )
+    from data_integration_spark.similarity.crossmodal import (
+        project_phash_features,
+    )
+
+    imgs = _phash_bmp_payload_df(spark, sf_dir, max_doc_id=300)
+    proj = project_phash_features(
+        image_phash(imgs).filter(F.col("ok"))
+    )  # (item_id, y) — integer-exact doubles
+    q_pd = (
+        proj.select(
+            (F.col("item_id") + 2_000_000_000).alias("vec_id"),
+            F.col("y").alias("e"),
+        )
+        .limit(400)  # bounded by the max_doc_id=300 fixture slice
+        .toPandas()
+    )
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    planted = proj.filter(F.col("item_id") % 29 == 5).select(
+        (F.col("item_id") + 1_000_000_000).alias("vec_id"),
+        F.col("y").alias("e"),
+    )
+    pairs = cosine_pairs_vectorized(
+        q_pd, emb.unionByName(planted), threshold=0.98
+    )
+    return pairs.select(
+        (F.col("qid") - 2_000_000_000).alias("doc_id"),
+        F.col("mid").alias("vec_id"),
+        "cosine",
     )

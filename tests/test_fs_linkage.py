@@ -156,10 +156,10 @@ def test_streaming_linkage_matches_batch_and_order_independent(spark):
     mutable registry without re-deriving the claim)."""
     from pyspark.sql import functions as F
 
-    from data_integration_spark.queries import PENDING_R10, load_all
+    from data_integration_spark.queries import QUERIES, load_all
 
     load_all()
-    fn, _oracle = PENDING_R10["q_streaming_linkage"]
+    fn = QUERIES["q_streaming_linkage"]  # live since the r13 flip
     streamed = {
         (r["a_key"], r["b_key"], r["g_name"], r["g_seg"], r["g_bal"])
         for r in fn(spark, SF).collect()
