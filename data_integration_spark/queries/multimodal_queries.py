@@ -989,20 +989,30 @@ def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = project_phash_features(
         image_phash(imgs).filter(F.col("ok"))
     )  # (item_id, y) — integer-exact doubles
-    q_pd = (
-        proj.select(
-            (F.col("item_id") + 2_000_000_000).alias("vec_id"),
-            F.col("y").alias("e"),
+    # loud truncation guard (the q_cosine_pairs convention): a silent
+    # limit would drop query docs the SQL oracle keeps
+    max_imgs = 400  # bounded by the max_doc_id=300 fixture slice
+    proj_pd = proj.limit(max_imgs + 1).toPandas()
+    if len(proj_pd) > max_imgs:  # not assert: survives python -O
+        raise ValueError(
+            f"q_crossmodal_dedup image side exceeds {max_imgs}; widen the "
+            "bound deliberately or move to the IVF probe path"
         )
-        .limit(400)  # bounded by the max_doc_id=300 fixture slice
-        .toPandas()
-    )
+    q_pd = proj_pd.assign(vec_id=proj_pd["item_id"] + 2_000_000_000)[
+        ["vec_id", "y"]
+    ].rename(columns={"y": "e"})
     emb = Catalog(spark, sf_dir)["embeddings"].select(
         "vec_id", as_double_array("embedding", "e")
     )
-    planted = proj.filter(F.col("item_id") % 29 == 5).select(
-        (F.col("item_id") + 1_000_000_000).alias("vec_id"),
-        F.col("y").alias("e"),
+    # planted captions are exact copies of rows already collected into
+    # the query block — build them driver-side instead of re-running the
+    # whole BMP→decode→DCT→GEMM lineage a second time inside the join
+    pl_pd = proj_pd[proj_pd["item_id"] % 29 == 5]
+    planted = spark.createDataFrame(
+        pl_pd.assign(vec_id=pl_pd["item_id"] + 1_000_000_000)[
+            ["vec_id", "y"]
+        ].rename(columns={"y": "e"}),
+        "vec_id long, e array<double>",
     )
     pairs = cosine_pairs_vectorized(
         q_pd, emb.unionByName(planted), threshold=0.98

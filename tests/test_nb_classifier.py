@@ -1,5 +1,6 @@
-"""Laws for the bootstrapped NB quality classifier
-(operators/nb_classifier.py, staged q_quality_classifier):
+"""Laws for the bootstrapped NB quality filter
+(operators/nb_classifier.py, staged q_quality_nb_filter — distinct from
+the live r7-signed q_quality_classifier, a hashed-logistic trainer):
 
 1. the seed label is the heuristic sigmoid's > 1/2 decision, verified
    against the FLOAT formula on texts spanning both classes;
