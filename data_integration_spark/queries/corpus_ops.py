@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_integration_spark.queries import register
+from data_integration_spark.queries import register, register_pending
 from data_integration_spark.similarity.ann import as_double_array, with_norm
 from data_integration_spark.sources.catalog import Catalog
 
@@ -1730,4 +1730,202 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key",
         F.concat_ws(" ", F.col("syms")).alias("encoded"),
         F.size("syms").cast("long").alias("n_pieces"),
+    )
+
+
+# KMV sketch contract (shared by Spark and the SQL oracle): per source,
+# the K smallest DISTINCT portable 60-bit md5-prefix hashes of its word
+# bigrams form the sketch; D̂ = (K−1)·2^60 / h_K when the source has ≥ K
+# distinct hashes, else the exact distinct count (the sketch IS the
+# set). Union sketches merge-then-take-K; the intersection rides
+# inclusion–exclusion with a 0 clamp. Every quantity is either integer
+# arithmetic or one double division of exact integers ((K−1)·2^60 is a
+# power-of-two multiple of an 8-bit integer — exactly representable),
+# so the oracle reproduces the ESTIMATES value-exactly, not just their
+# error bounds.
+_KMV_K = 256
+_KMV_ORACLE = f"""
+WITH tok AS (
+  SELECT source, STRING_SPLIT(text, ' ') AS ts FROM documents
+),
+dh AS (
+  SELECT DISTINCT source,
+         CAST('0x' || SUBSTRING(MD5(ts[i] || ' ' || ts[i + 1]), 1, 15)
+              AS BIGINT) AS h
+  FROM tok, UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS u(i)
+),
+sk AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM dh
+),
+est AS (
+  SELECT source,
+         CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE ({_KMV_K} - 1) * 1152921504606846976.0
+                   / MAX(CASE WHEN rn = {_KMV_K} THEN h END)
+         END AS d_est
+  FROM sk WHERE rn <= {_KMV_K} GROUP BY source
+),
+srcs AS (SELECT DISTINCT source FROM dh),
+prs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+merged AS (
+  SELECT DISTINCT p.src_a, p.src_b, s.h
+  FROM prs p
+  JOIN sk s ON (s.source = p.src_a OR s.source = p.src_b)
+           AND s.rn <= {_KMV_K}
+),
+mrn AS (
+  SELECT src_a, src_b, h,
+         ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+  FROM merged
+),
+uni AS (
+  SELECT src_a, src_b,
+         CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE ({_KMV_K} - 1) * 1152921504606846976.0
+                   / MAX(CASE WHEN rn = {_KMV_K} THEN h END)
+         END AS u_est
+  FROM mrn WHERE rn <= {_KMV_K} GROUP BY src_a, src_b
+)
+SELECT u.src_a, u.src_b,
+       ROUND(ea.d_est, 6) AS kmv_a,
+       ROUND(eb.d_est, 6) AS kmv_b,
+       ROUND(u.u_est, 6) AS kmv_union,
+       ROUND(GREATEST(ea.d_est + eb.d_est - u.u_est, 0.0), 6) AS kmv_inter,
+       ROUND(GREATEST(ea.d_est + eb.d_est - u.u_est, 0.0) / u.u_est, 6)
+         AS kmv_jaccard
+FROM uni u
+JOIN est ea ON ea.source = u.src_a
+JOIN est eb ON eb.source = u.src_b
+"""
+
+
+@register_pending("q_overlap_kmv", oracle=_KMV_ORACLE)
+def q_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch cross-source overlap estimation (STAGED for
+    the r14 window; Beyer et al. SIGMOD 2007, the DataSketches theta
+    family) — the 100 TB SIBLING of the exact q_source_overlap_matrix:
+    per source, keep only the K=256 smallest distinct bigram hashes;
+    estimate per-source distinct counts, pairwise unions (merge the two
+    sketches, take K smallest), intersections (inclusion–exclusion) and
+    Jaccard from the sketches alone. Relative error ~ 1/√K ≈ 6%;
+    tests/test_overlap_kmv.py pins the measured gap against the exact
+    matrix.
+
+    FULL oracle on the estimate VALUES (not just bounds): the portable
+    md5 hash makes the sketch itself engine-independent, so DuckDB
+    recomputes identical sketches and identical estimates.
+
+    Scale shape: the corpus-sized stages are one bigram explode and one
+    map-side-combined (source, hash) distinct; the per-source K-min
+    window shuffles 16-byte rows ONCE, keyed by source (a mergeable
+    K-min aggregator is the refinement if even that exchange matters);
+    everything after the sketch — pairing, merged K-min, estimates — is
+    ≤ |sources|²·K rows, independent of corpus size. The exact matrix
+    shuffles every distinct bigram with its source set; the sketch path
+    replaces that with const·K per source, which is the entire point at
+    100 TB."""
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    sh = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "array_distinct(transform("
+                " sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+                " i -> concat(try_element_at(split(text, ' '), i), ' ',"
+                " try_element_at(split(text, ' '), i + 1))))"
+            )
+        ).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    dh = (
+        sh.select(
+            "source",
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("source", "h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    two60 = 1152921504606846976.0  # 2^60, exact in double
+    k = _KMV_K
+
+    def kmv_est(cnt, hk):
+        return F.when(cnt < k, cnt.cast("double")).otherwise(
+            (k - 1) * two60 / hk
+        )
+
+    w_src = Window.partitionBy("source").orderBy("h")
+    sk = dh.withColumn("rn", F.row_number().over(w_src)).filter(
+        F.col("rn") <= k
+    )
+    est = sk.groupBy("source").agg(
+        kmv_est(
+            F.count("*"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))),
+        ).alias("d_est")
+    )
+    srcs = dh.select("source").distinct()
+    prs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(
+            srcs.select(F.col("source").alias("src_b")),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    mh = sk.select("source", "h")
+    merged = (
+        prs.join(
+            mh.withColumnRenamed("source", "src_a"), "src_a"
+        )
+        .select("src_a", "src_b", "h")
+        .unionByName(
+            prs.join(
+                mh.withColumnRenamed("source", "src_b"), "src_b"
+            ).select("src_a", "src_b", "h")
+        )
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    w_pair = Window.partitionBy("src_a", "src_b").orderBy("h")
+    uni = (
+        merged.withColumn("rn", F.row_number().over(w_pair))
+        .filter(F.col("rn") <= k)
+        .groupBy("src_a", "src_b")
+        .agg(
+            kmv_est(
+                F.count("*"),
+                F.max(F.when(F.col("rn") == k, F.col("h"))),
+            ).alias("u_est")
+        )
+    )
+    ea = est.select(
+        F.col("source").alias("src_a"), F.col("d_est").alias("a_est")
+    )
+    eb = est.select(
+        F.col("source").alias("src_b"), F.col("d_est").alias("b_est")
+    )
+    inter = F.greatest(
+        F.col("a_est") + F.col("b_est") - F.col("u_est"), F.lit(0.0)
+    )
+    return (
+        uni.join(ea, "src_a")
+        .join(eb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round("a_est", 6).alias("kmv_a"),
+            F.round("b_est", 6).alias("kmv_b"),
+            F.round("u_est", 6).alias("kmv_union"),
+            F.round(inter, 6).alias("kmv_inter"),
+            F.round(inter / F.col("u_est"), 6).alias("kmv_jaccard"),
+        )
     )
