@@ -59,6 +59,11 @@ LLM_OPS = [
     "q_heavy_hitters_mg",        # one-pass Misra-Gries summary + certificate (r13)
     "q_linkage_certificate",     # blocked F-S pattern reduction + EM + 9M-pair score (r13)
     "q_ann_opq",                 # OPQ rotation fit + dual PQ MSE certificate (r13)
+    # r14 (when the staged payload flips live — bench resolves names from
+    # the REGISTERED map, so staged queries cannot appear before the
+    # flip): add "q_quality_nb_filter" (NB quality scoring),
+    # "q_crossmodal_dedup" (image↔text GEMM retrieval) and
+    # "q_overlap_kmv" (theta-sketch overlap matrix).
 ]
 
 

@@ -155,8 +155,13 @@ _SIGN_PRIORITY: list[str] = [
     "q_streaming_tumbling",
 ]  # the driver's r13 window = first 50 registered
 #
-# r14 window sketch: (a) any r13-staged flips, then (b) the 7 remaining
-# r6-era names above, then (c) the oldest r7-era names to fill 50.
+# r14 window sketch: (a) the 3 r13-staged flips — q_quality_nb_filter
+# (text_pipeline.py), q_crossmodal_dedup (multimodal_queries.py),
+# q_overlap_kmv (corpus_ops.py), all full-oracle and parity-verified at
+# all 3 driver SFs while staged — then (b) the 7 remaining r6-era names
+# (q_streaming_upsert, q_tfidf, q_token_count, q_top_terms,
+# q_vocab_build, q_vocab_encode, q_window_gather), then (c) 40 of the
+# 50 r7-era names (alphabetical) to fill 50.
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
 # because a code change invalidated what the row attests to. Empty for r13:
