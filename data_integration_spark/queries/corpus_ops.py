@@ -18,6 +18,27 @@ from data_integration_spark.queries import register, register_pending
 from data_integration_spark.similarity.ann import as_double_array, with_norm
 from data_integration_spark.sources.catalog import Catalog
 
+
+def _bigram_shingles(docs: DataFrame, key: str) -> DataFrame:
+    """(key, s): each document's DISTINCT word bigrams, exploded — the
+    shared shingle stage of q_source_overlap_matrix, q_ngram_novelty,
+    q_ngram_containment and q_overlap_kmv. ONE definition on purpose:
+    the KMV sketch's accuracy pin (tests/test_overlap_kmv.py) compares
+    sketch estimates against the exact matrix under the assumption that
+    both sides shingle identically, and the DuckDB oracles all restate
+    this exact rule (ts[i] || ' ' || ts[i+1] over GENERATE_SERIES)."""
+    return docs.select(
+        key,
+        F.explode(
+            F.expr(
+                "array_distinct(transform("
+                " sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+                " i -> concat(try_element_at(split(text, ' '), i), ' ',"
+                " try_element_at(split(text, ' '), i + 1))))"
+            )
+        ).alias("s"),
+    ).filter(F.col("s").isNotNull())
+
 # ---------------------------------------------------------------------------
 # embedding hygiene
 # ---------------------------------------------------------------------------
@@ -367,17 +388,7 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a constant number of pairs, so shuffle volume is |distinct bigrams| +
     |pairs|, never corpus-sized, and no join key is skewed."""
     docs = Catalog(spark, sf_dir)["documents"]
-    sh_raw = docs.select(
-        "source",
-        F.explode(
-            F.expr(
-                "array_distinct(transform("
-                " sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
-                " i -> concat(try_element_at(split(text, ' '), i), ' ',"
-                " try_element_at(split(text, ' '), i + 1))))"
-            )
-        ).alias("s"),
-    ).filter(F.col("s").isNotNull())
+    sh_raw = _bigram_shingles(docs, "source")
     # one row per bigram, carrying its (bounded) source set
     src_sets = sh_raw.groupBy("s").agg(F.collect_set("source").alias("srcs"))
     # per-source distinct-bigram sizes, derived from the same aggregate
@@ -448,17 +459,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-safe (a stopword-grade shingle is ONE row in ``firsts``, not a
     pair explosion)."""
     docs = Catalog(spark, sf_dir)["documents"]
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "array_distinct(transform("
-                " sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
-                " i -> concat(try_element_at(split(text, ' '), i), ' ',"
-                " try_element_at(split(text, ' '), i + 1))))"
-            )
-        ).alias("s"),
-    ).filter(F.col("s").isNotNull())
+    sh = _bigram_shingles(docs, "doc_id")
     firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
@@ -743,17 +744,7 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — see q_ngram_jaccard's inline rationale: groupBy+join, not a
     count window, is the only skew-splittable form at stopword scale."""
     docs = Catalog(spark, sf_dir)["documents"].filter(F.col("doc_id") < 60)
-    sh_raw = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "array_distinct(transform("
-                " sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
-                " i -> concat(try_element_at(split(text, ' '), i), ' ',"
-                " try_element_at(split(text, ' '), i + 1))))"
-            )
-        ).alias("s"),
-    ).filter(F.col("s").isNotNull())
+    sh_raw = _bigram_shingles(docs, "doc_id")
     keep_sh = (
         sh_raw.groupBy("s")
         .agg(F.count("*").alias("_df"))
@@ -1807,8 +1798,8 @@ JOIN est eb ON eb.source = u.src_b
 @register_pending("q_overlap_kmv", oracle=_KMV_ORACLE)
 def q_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV / theta-sketch cross-source overlap estimation (STAGED for
-    the r14 window; Beyer et al. SIGMOD 2007, the DataSketches theta
-    family) — the 100 TB SIBLING of the exact q_source_overlap_matrix:
+    the r14 window; Beyer et al., SIGMOD 2007; the DataSketches theta
+    family): the 100 TB sibling of the exact q_source_overlap_matrix:
     per source, keep only the K=256 smallest distinct bigram hashes;
     estimate per-source distinct counts, pairwise unions (merge the two
     sketches, take K smallest), intersections (inclusion–exclusion) and
@@ -1832,17 +1823,7 @@ def q_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = Catalog(spark, sf_dir)["documents"]
-    sh = docs.select(
-        "source",
-        F.explode(
-            F.expr(
-                "array_distinct(transform("
-                " sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
-                " i -> concat(try_element_at(split(text, ' '), i), ' ',"
-                " try_element_at(split(text, ' '), i + 1))))"
-            )
-        ).alias("s"),
-    ).filter(F.col("s").isNotNull())
+    sh = _bigram_shingles(docs, "source")
     dh = (
         sh.select(
             "source",
@@ -1850,9 +1831,7 @@ def q_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("h"),
         )
-        .groupBy("source", "h")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
+        .distinct()  # map-side partial-aggregated, same plan as groupBy
     )
     two60 = 1152921504606846976.0  # 2^60, exact in double
     k = _KMV_K
@@ -1872,7 +1851,10 @@ def q_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn") == k, F.col("h"))),
         ).alias("d_est")
     )
-    srcs = dh.select("source").distinct()
+    # source list from the sketch-sized `est` (≤ |sources| rows) — NOT a
+    # second distinct pass over the corpus-scale (source, hash) relation;
+    # a source appears in dh iff it appears in est
+    srcs = est.select("source")
     prs = (
         srcs.select(F.col("source").alias("src_a"))
         .join(
@@ -1891,9 +1873,7 @@ def q_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mh.withColumnRenamed("source", "src_b"), "src_b"
             ).select("src_a", "src_b", "h")
         )
-        .groupBy("src_a", "src_b", "h")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
+        .distinct()
     )
     w_pair = Window.partitionBy("src_a", "src_b").orderBy("h")
     uni = (

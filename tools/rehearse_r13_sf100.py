@@ -110,6 +110,9 @@ if __name__ == "__main__":
     from data_integration_spark.session import get_spark
 
     which = set(sys.argv[1:]) or {"gen", "run"}
+    unknown = which - {"gen", "run"}
+    if unknown:  # a typo must fail loudly, not no-op a multi-hour rehearsal
+        raise SystemExit(f"unknown mode(s) {sorted(unknown)}; use gen|run")
     spark = get_spark(app_name="rehearse-sf100")
     if "gen" in which:
         gen(spark)
