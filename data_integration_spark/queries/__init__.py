@@ -155,22 +155,27 @@ _SIGN_PRIORITY: list[str] = [
     "q_streaming_tumbling",
 ]  # the driver's r13 window = first 50 registered
 #
-# r14 window sketch: (a) the 3 r13-staged flips — q_quality_nb_filter
+# r14 window sketch: (a) the 4 r13-staged flips — q_quality_nb_filter
 # (text_pipeline.py), q_crossmodal_dedup (multimodal_queries.py),
-# q_overlap_kmv (corpus_ops.py), all full-oracle and parity-verified at
-# all 3 driver SFs while staged — then (b) the 7 remaining r6-era names
-# (q_streaming_upsert, q_tfidf, q_token_count, q_top_terms,
-# q_vocab_build, q_vocab_encode, q_window_gather), then (c) 40 of the
-# 50 r7-era names (alphabetical) to fill 50.
+# q_overlap_kmv (corpus_ops.py), q_survey_covmat (relational.py) — all
+# full-oracle and parity-verified at all 3 driver SFs while staged —
+# then (b) the 7 remaining r6-era names (q_streaming_upsert, q_tfidf,
+# q_token_count, q_top_terms, q_vocab_build, q_vocab_encode,
+# q_window_gather), then (c) 39 of the 50 r7-era names (alphabetical)
+# to fill 50.
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
 # because a code change invalidated what the row attests to. Empty for r13:
 # this round's changes to ALREADY-SIGNED queries are result-preserving —
 # the cosine_pairs query-side guard only adds a bounded pre-count (its one
 # registered caller, q_semantic_dedup_clusters, bounds Q to vec_id < 200,
-# far under the 10k guard), and the eigen_allocation natural-layout
+# far under the 10k guard); the eigen_allocation natural-layout
 # fallback only fires on spectra where the greedy loses (none at any
-# driver SF — the certificate's balance_not_worse was already 1). The
+# driver SF — the certificate's balance_not_worse was already 1); and the
+# bigram-shingle helper extraction (corpus_ops._bigram_shingles) moved a
+# VERBATIM-identical expression for q_source_overlap_matrix,
+# q_ngram_novelty and q_ngram_containment, re-verified against their
+# oracles post-refactor (3/3 pass at sf0.01). The
 # r12 ADVICE fixes (streaming-MG awaitTermination guard + empty-counter
 # rider, linkage ll_monotone clamp-aware tolerance) land on queries that
 # were STAGED, not signed, when fixed.

@@ -352,6 +352,7 @@ _BNLJ_ALLOWED = {
     "q_semantic_threshold_sweep",  # bounded 100-probe block x corpus
     "q_quality_nb_filter",  # 1-row vocab-totals + 1-row prior scalar crosses
     "q_overlap_kmv",  # |sources|² pairing joins on a 20-row source list
+    "q_survey_covmat",  # |domains|² matrix assembly + 1-row n cross
 }
 
 
