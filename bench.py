@@ -123,14 +123,18 @@ def main() -> None:
     # so "calibrated_ratio" (headline total / calibration sec) lets a
     # cross-round reader separate code regressions from the documented
     # ±20%/day box swings that made r8→r9 look like a uniform +13%.
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    passes_env = os.environ.get("SPARK_GRAFT_BENCH_PASSES")
+    n_passes = int(passes_env) if passes_env is not None else 3
     # the calibration scan is the DENOMINATOR of every cross-round
-    # comparison, so it gets a tighter floor than the queries: min-of-5
-    # regardless of the per-query pass count (VERDICT r12 #3 — the
-    # r11→r12 calibrated_ratio drift was mostly a noisy 3-pass
-    # denominator; 5 passes of a 0.3 s scan cost ~1.5 s total)
+    # comparison, so BY DEFAULT it gets a tighter floor than the queries:
+    # min-of-5 (VERDICT r12 #3 — the r11→r12 calibrated_ratio drift was
+    # mostly a noisy 3-pass denominator; 5 passes of a 0.3 s scan cost
+    # ~1.5 s total). An EXPLICIT SPARK_GRAFT_BENCH_PASSES is honored as
+    # written (ADVICE r13: a =1 smoke run shouldn't silently pay 5
+    # calibration scans — smoke timings then aren't cross-round
+    # comparable, which a smoke run accepts by definition).
     cal_passes = []
-    for _ in range(max(n_passes, 5)):
+    for _ in range(n_passes if passes_env is not None else max(n_passes, 5)):
         t0 = time.perf_counter()
         QUERIES["q_scan_parquet"](spark, sf_dir).write.format("noop").mode(
             "overwrite"

@@ -27,11 +27,16 @@ bit-identically —
   is rounded to the 6-decimal grid like every float output in the
   registry.
 
-Scale shape (100 TB): label + explode are row-local projections (no
-join back to the corpus); token counting and scoring are map-side
-combinable groupBys plus ONE token-keyed equi-join against the weight
-table — the q_vocab_encode shape, broadcastable whenever the df-capped
-vocab is small and AQE-skew-safe otherwise (hot stopword tokens are
+Scale shape (100 TB): the corpus text is scanned — and the label
+regexes run — EXACTLY ONCE: label + tokenize + per-(doc, token) counts
+land in one hash aggregation whose exchange the contingency, prior,
+and scoring branches all reuse (Catalyst ReusedExchange; VERDICT r13
+#4 measured the previous three-scan shape saturating a node's memory
+bandwidth at the 1000× rehearsal). Downstream aggregations are
+map-side combinable groupBys over the much smaller per-doc-distinct
+frame, plus ONE token-keyed equi-join against the weight table — the
+q_vocab_encode shape, broadcastable whenever the df-capped vocab is
+small and AQE-skew-safe otherwise (hot stopword tokens are
 partition-size skew only: the weight side is unique per token). Corpus
 totals ride 1-row broadcast cross-joins, never a driver collect.
 """
@@ -96,26 +101,56 @@ def nb_quality_classifier(
     base = docs.select(
         F.col(id_col), F.col(text_col), lab.cast("long").alias("label")
     )
-    toks = base.select(
-        id_col,
-        "label",
-        F.explode(F.split(text_col, " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    # ONE corpus pass (VERDICT r13 #4 — the sf100 rehearsal showed three
+    # separate label-regex + tokenize scans saturating one node's memory
+    # bandwidth): label + tokenize + per-(doc, token) counts land in a
+    # single hash aggregation `dtc`, and the contingency, prior, AND
+    # scoring branches all read it through Catalyst exchange reuse — the
+    # corpus text is scanned (and the label regexes run) exactly once,
+    # with no cache to manage (the q_countmin unpersist lesson, r12).
+    #
+    # Reuse only fires when every branch's copy of the subtree
+    # CANONICALIZES IDENTICALLY, so the construction is deliberate:
+    # - a NULL sentinel token is appended to EVERY document's token
+    #   array, so per-doc facts (the prior's label counts) are readable
+    #   from dtc's own rows without a per-doc re-aggregation (the
+    #   sentinel group has c = 1 exactly — split() never emits NULL);
+    # - no branch puts a FILTER on dtc's group keys (Catalyst pushes
+    #   key predicates below the aggregate, forking the subtree): the
+    #   NULL-row / real-row split lives inside aggregate CASE
+    #   expressions, and the only post-agg filters test aggregate
+    #   outputs (n >= min_df, n_tok > 0), which cannot push down;
+    # - every branch consumes dtc's lone non-key output `c`, so column
+    #   pruning cannot narrow any copy's partial aggregate.
+    # tests/test_nb_classifier.py pins the single-scan plan shape.
+    arr = F.filter(F.split(text_col, " "), lambda x: x != "")
+    with_sentinel = F.concat(arr, F.array(F.lit(None).cast("string")))
+    dtc = (
+        base.select(id_col, "label", F.explode_outer(with_sentinel).alias("tok"))
+        .groupBy(id_col, "label", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    is_real = F.col("tok").isNotNull()
 
-    # token × label contingency (map-side combined), df-capped vocab
+    # token × label contingency (map-side combined), df-capped vocab —
+    # integer weighted sums over the per-doc counts ≡ the occurrence-level
+    # sums (Σ c·label == Σ_occurrences label), so exactness is unchanged.
+    # The NULL sentinel forms its own tokc row; it survives the min_df
+    # cut (its n = doc count) but is excluded from the vocab totals by
+    # the CASE guards and can never equi-join a real token in scoring.
     tokc = (
-        toks.groupBy("tok")
+        dtc.groupBy("tok")
         .agg(
-            F.sum("label").alias("n1"),
-            (F.count("*") - F.sum("label")).alias("n0"),
-            F.count("*").alias("n"),
+            F.sum(F.col("c") * F.col("label")).alias("n1"),
+            F.sum(F.col("c") * (1 - F.col("label"))).alias("n0"),
+            F.sum("c").alias("n"),
         )
         .filter(F.col("n") >= min_df)
     )
     totals = tokc.agg(
-        F.count("*").alias("v"),
-        F.sum("n1").alias("bign1"),
-        F.sum("n0").alias("bign0"),
+        F.sum(F.when(is_real, 1).otherwise(0)).alias("v"),
+        F.sum(F.when(is_real, F.col("n1")).otherwise(0)).alias("bign1"),
+        F.sum(F.when(is_real, F.col("n0")).otherwise(0)).alias("bign0"),
     )  # 1 row
     w_fp = F.round(
         (
@@ -124,13 +159,26 @@ def nb_quality_classifier(
         )
         * FP_SCALE
     ).cast("long")
+    # the weights join key is COALESCEd to a sentinel that no real token
+    # can equal (tokens are split on ' ', so a key containing a space is
+    # unreachable): the scoring left-join would otherwise INFER
+    # isnotnull(tok) on this branch (left-outer join key inference),
+    # and that pushed predicate forks the branch's dtc copy below the
+    # shared exchange — un-reusing the corpus scan this whole
+    # construction exists to share. The two sides' NULL fallbacks
+    # differ (' L' vs ' R'), so sentinel rows still never match.
     weights = tokc.crossJoin(F.broadcast(totals)).select(
-        "tok", w_fp.alias("w_fp")
+        F.coalesce("tok", F.lit(" R")).alias("wtok"), w_fp.alias("w_fp")
     )
 
-    prior = base.agg(
-        F.sum("label").alias("n_pos"),
-        (F.count("*") - F.sum("label")).alias("n_neg"),
+    # the prior reads per-doc labels off dtc's sentinel rows (one per
+    # document, c = 1) — a 1-row reduction over the SHARED exchange, not
+    # a second corpus scan
+    prior = dtc.agg(
+        F.sum(F.when(~is_real, F.col("label")).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~is_real, F.col("c") - F.col("label")).otherwise(0)).alias(
+            "n_neg"
+        ),
     ).select(
         F.round(
             F.log(
@@ -143,24 +191,39 @@ def nb_quality_classifier(
     )  # 1 row
 
     # ONE scoring pass: left-join the (df-capped, hence broadcast-sized)
-    # weight table onto the token stream — OOV tokens carry weight 0 but
-    # still count — and aggregate n_tok and the integer llr sum together,
-    # so the corpus explode feeds a single per-doc groupBy instead of two
-    # parallel aggregations joined afterwards (one fewer corpus scan and
-    # one fewer shuffle; measured 37 s → 11 s warm at the 100× rehearsal)
+    # weight table onto the shared per-(doc, token) counts — OOV tokens
+    # carry weight 0 but still count — and aggregate n_tok and the
+    # integer llr sum together, so a single per-doc groupBy finishes the
+    # pipeline instead of two parallel aggregations joined afterwards
+    # (one fewer shuffle; measured 37 s → 11 s warm at the 100× rehearsal).
+    # Sentinel rows never equi-join (NULL ≠ NULL) and are excluded from
+    # both sums by the CASE guards; documents with no real tokens score
+    # n_tok = 0 and are dropped by the post-agg filter, matching the
+    # oracle's `dt` CTE (which only sees real-token rows).
     # no broadcast hint on the weight side: AQE picks BHJ while the
     # df-capped vocab is small and falls back to a token-keyed SMJ when
     # a 100 TB vocab outgrows the broadcast budget (hot stopword tokens
     # are partition-size skew only — the weight side is unique per token)
     out = (
-        toks.join(weights, "tok", "left")
+        dtc.join(
+            weights,
+            F.coalesce("tok", F.lit(" L")) == F.col("wtok"),
+            "left",
+        )
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_tok"),
-            F.sum(F.coalesce(F.col("w_fp"), F.lit(0)))
+            F.sum(F.when(is_real, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_tok"),
+            F.sum(
+                F.when(
+                    is_real, F.col("c") * F.coalesce(F.col("w_fp"), F.lit(0))
+                ).otherwise(0)
+            )
             .cast("long")
             .alias("llr_fp"),
         )
+        .filter(F.col("n_tok") > 0)
         .crossJoin(F.broadcast(prior))
     )
     logit = (

@@ -60,3 +60,56 @@ def count_shuffles(df: DataFrame) -> int:
     # formatted output lists each node once in the tree ("(7) Exchange") and
     # once in the details section — count tree nodes only
     return len(re.findall(r"\(\d+\) Exchange", formatted_plan(df)))
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Descriptions of every UNPARTITIONED window whose input is not
+    provably bounded — the single-task funnel anti-pattern (VERDICT r13
+    #2: a global ``row_number`` over an order-level or vocabulary-sized
+    frame serializes the whole frame through one task at 100 TB; the
+    scale-safe top-k is ``orderBy().limit(k)`` → TakeOrderedAndProject,
+    then window-number the ≤ k survivors).
+
+    Walks the JVM physical-plan tree: a ``WindowExec``/
+    ``WindowGroupLimitExec`` with an EMPTY partitionSpec is flagged
+    UNLESS its child subtree contains a limit-shaped node
+    (TakeOrderedAndProject / GlobalLimit / CollectLimit — the input is
+    then ≤ a literal k rows regardless of data scale) or is a
+    LocalTableScan (driver-built literal frame). Partitioned windows and
+    bounded global windows return nothing. Subquery plans are not
+    traversed (no registered query hides a window in one)."""
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.initialPlan()
+
+    _BOUNDED = (
+        "TakeOrderedAndProjectExec",
+        "GlobalLimitExec",
+        "CollectLimitExec",
+        "LocalTableScanExec",
+    )
+
+    def subtree_bounded(node) -> bool:
+        stack = [node]
+        while stack:
+            p = stack.pop()
+            if p.getClass().getSimpleName() in _BOUNDED:
+                return True
+            ch = p.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return False
+
+    flagged: list[str] = []
+    stack = [plan]
+    while stack:
+        p = stack.pop()
+        name = p.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowGroupLimitExec") and p.partitionSpec().isEmpty():
+            if not subtree_bounded(p):
+                flagged.append(p.simpleString(120))
+        ch = p.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return flagged

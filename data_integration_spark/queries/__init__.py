@@ -45,7 +45,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# --- staged registrations (the r13-staged r14 payload) -------------------
+# --- staged registrations (r14-staged r15 payload) -----------------------
 # When a driver signing window is already fully planned, NEW queries stage
 # here instead of registering (each entry: name -> (fn, oracle_sql or
 # None)); tests/test_pending_r10.py runs every entry through the same
@@ -58,7 +58,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (q_streaming_bloom, q_bpe_apply) flipped at the r12 window; the
 # 9-entry r12-staged payload (F-S linkage family, Misra-Gries batch +
 # streaming, GK quantiles, OPQ, planted streaming semantic dedup)
-# flipped at the r13 window the same way.
+# flipped at the r13 window; the 4-entry r13-staged payload
+# (q_quality_nb_filter, q_crossmodal_dedup, q_overlap_kmv,
+# q_survey_covmat) flipped at the r14 window the same way.
 #
 # A name that ALREADY exists in QUERIES marks a REPLACEMENT: the staged
 # fn+oracle upgrade a currently rows-only query to full-oracle.
@@ -85,84 +87,77 @@ def register_pending(name: str, oracle: str | None = None):
 # ever shrinks. Maintained per round: names signed in CORRECTNESS_r{N} leave,
 # new queries join at the tail of the front block.
 _SIGN_PRIORITY: list[str] = [
-    # --- r13 window (VERDICT r12 #1). The r12 signing run went 50/50, so
-    # every r12-window name has a current driver row and leaves the list.
-    # r13 slots:
-    # (a) the 9 r12-staged ops flipped live this round — the F-S linkage
-    #     family (q_linkage_patterns / q_linkage_fs_score — the trio's
-    #     rows-only member — / q_linkage_certificate / q_streaming_linkage),
-    #     the Misra-Gries heavy hitters (batch + streaming), GK quantiles,
-    #     OPQ, and the planted streaming semantic dedup — all
-    #     parity-verified at all 3 driver SFs while staged;
-    # (b) the 5 remaining r5-era names (the oldest live signatures);
-    # (c) 36 of the 43 r6-era names (alphabetical). The 7 r6 names left
-    #     after this window (q_streaming_upsert, q_tfidf, q_token_count,
-    #     q_top_terms, q_vocab_build, q_vocab_encode, q_window_gather)
-    #     queue for r14 — after r13 lands, every name carries an r7+
-    #     signature except those 7 r6 stragglers.
-    # (a) flipped r13 payload ----------------------------------------------
-    "q_linkage_patterns",
-    "q_linkage_fs_score",
-    "q_linkage_certificate",
-    "q_streaming_linkage",
-    "q_heavy_hitters_mg",
-    "q_streaming_heavy_hitters",
-    "q_quantile_sketch",
-    "q_ann_opq",
-    "q_streaming_semantic_dedup_planted",
-    # (b) r5-era rotation, all 5 remaining ---------------------------------
-    "q_term_cooccurrence",
-    "q_text_normalize",
-    "q_token_budget_mix",
-    "q_transition_matrix",
-    "q_vector_lambda_ops",
-    # (c) r6-era rotation, 36 of 43 ----------------------------------------
-    "q_ann_lsh",
-    "q_ann_lsh_persist",
-    "q_ann_lsh_topk",
-    "q_ann_topk",
-    "q_context_windows",
-    "q_cosine_pairs",
-    "q_curriculum_buckets",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_normalized",
-    "q_dedup_simhash",
-    "q_doc_fingerprint",
-    "q_doc_packing",
-    "q_doc_packing_invariants",
-    "q_embedding_coverage",
-    "q_glm_convergence",
-    "q_lang_id",
-    "q_levenshtein",
-    "q_minhash_cross_dedup",
-    "q_minhash_lsh_bucket_persist",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    "q_multimodal_metadata",
-    "q_ngram_jaccard",
-    "q_quality_score",
-    "q_semantic_dedup_clusters",
-    "q_session_window",
-    "q_simhash_near_pairs",
-    "q_skyline",
-    "q_sliding_window",
-    "q_stateful_stream",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_streaming_dedup",
-    "q_streaming_minhash_dedup",
-    "q_streaming_tumbling",
-]  # the driver's r13 window = first 50 registered
-#
-# r14 window sketch: (a) the 4 r13-staged flips — q_quality_nb_filter
-# (text_pipeline.py), q_crossmodal_dedup (multimodal_queries.py),
-# q_overlap_kmv (corpus_ops.py), q_survey_covmat (relational.py) — all
-# full-oracle and parity-verified at all 3 driver SFs while staged —
-# then (b) the 7 remaining r6-era names (q_streaming_upsert, q_tfidf,
-# q_token_count, q_top_terms, q_vocab_build, q_vocab_encode,
-# q_window_gather), then (c) 39 of the 50 r7-era names (alphabetical)
-# to fill 50.
+    # --- r14 window (VERDICT r13 #1/#6). The r13 signing run went 50/50,
+    # so every r13-window name has a current driver row and leaves the
+    # list. r14 slots:
+    # (a) the 4 r13-staged ops flipped live this round — q_quality_nb_filter
+    #     (NB model-based quality filtering), q_crossmodal_dedup
+    #     (image↔text near-dup), q_overlap_kmv (KMV corpus overlap),
+    #     q_survey_covmat (svyby covmat=TRUE) — all full-oracle,
+    #     parity-verified at all 3 driver SFs while staged AND
+    #     independently re-verified by the r13 judge;
+    # (b) the 7 r6-era stragglers (the oldest live signatures);
+    # (c) 39 of the 50 r7-era names (alphabetical). The 11 r7 names left
+    #     after this window (q_rolling_regression, q_sketch_bounds,
+    #     q_streaming_index_append, q_streaming_pq_encode,
+    #     q_substring_dedup, q_substring_dedup_apply, q_time_gapfill,
+    #     q_training_order_shuffle, q_triangle_count,
+    #     q_window_count_distinct, q_zorder_key) queue for r15 — after
+    #     r14 lands, every name carries an r8+ signature except those 11.
+    # (a) flipped r14 payload ----------------------------------------------
+    "q_quality_nb_filter",
+    "q_crossmodal_dedup",
+    "q_overlap_kmv",
+    "q_survey_covmat",
+    # (b) r6-era rotation, all 7 remaining ---------------------------------
+    "q_streaming_upsert",
+    "q_tfidf",
+    "q_token_count",
+    "q_top_terms",
+    "q_vocab_build",
+    "q_vocab_encode",
+    "q_window_gather",
+    # (c) r7-era rotation, 39 of 50 ----------------------------------------
+    "q_ab_conversion_ztest",
+    "q_ann_ivf_invariants",
+    "q_ann_ivfpq",
+    "q_ann_ivfpq_invariants",
+    "q_ann_pq",
+    "q_ann_pq_invariants",
+    "q_ann_recall_certificate",
+    "q_anova",
+    "q_association_rules",
+    "q_attribution",
+    "q_bigram_lm_score",
+    "q_bpe_invariants",
+    "q_bpe_train",
+    "q_corpus_diff",
+    "q_dau_wau",
+    "q_distinct_ngrams",
+    "q_dsir_importance",
+    "q_em_convergence",
+    "q_event_paths",
+    "q_ewma_smoothing",
+    "q_funnel_analysis",
+    "q_funnel_conversion_window",
+    "q_gini",
+    "q_group_concat",
+    "q_hard_negatives",
+    "q_incremental_agg_maintenance",
+    "q_interval_merge",
+    "q_kaplan_meier",
+    "q_kfold_assign",
+    "q_ks_test",
+    "q_local_clustering",
+    "q_mann_whitney",
+    "q_mode_per_group",
+    "q_ntile_percent_rank",
+    "q_pca_invariants",
+    "q_quality_classifier",
+    "q_retention_value",
+    "q_rfm_segments",
+    "q_rng_certificate",
+]  # the driver's r14 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
 # because a code change invalidated what the row attests to. Empty for r13:

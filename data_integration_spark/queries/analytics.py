@@ -65,7 +65,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped top-k: join + grouped revenue + deterministic top-10
-    (grid-rounded revenue, key tie-break — stable under any engine)."""
+    (grid-rounded revenue, key tie-break — stable under any engine).
+
+    Scale shape (VERDICT r13 #2): the top-10 is ``orderBy().limit(10)`` —
+    Catalyst compiles that to TakeOrderedAndProject, a DISTRIBUTED partial
+    top-k (each task keeps its local 10, the driver merges ≤ 10·tasks
+    rows) — and only the 10 surviving rows are numbered by the window.
+    The previous shape (global ``row_number`` window, THEN filter rnk≤10)
+    funneled the entire order-level aggregate — billions of rows at
+    100 TB — through one `WindowExec: No Partition Defined` task. Same
+    answer (the (revenue desc, o_orderkey) order is total), no funnel;
+    result-preservation pinned in tests/test_topk_refactor_pins.py."""
     cat = Catalog(spark, sf_dir)
     rev = (
         cat["orders"]
@@ -78,10 +88,12 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+    top = rev.orderBy(F.col("revenue").desc(), "o_orderkey").limit(10)
+    # the window now sees ≤ 10 rows — numbering the survivors, not sorting
+    # the corpus
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
     return (
-        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 10)
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("o_orderkey", "revenue", "rnk")
     )
 

@@ -1795,7 +1795,7 @@ JOIN est eb ON eb.source = u.src_b
 """
 
 
-@register_pending("q_overlap_kmv", oracle=_KMV_ORACLE)
+@register("q_overlap_kmv", oracle=_KMV_ORACLE)
 def q_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV / theta-sketch cross-source overlap estimation (STAGED for
     the r14 window; Beyer et al., SIGMOD 2007; the DataSketches theta

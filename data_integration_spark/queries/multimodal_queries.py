@@ -959,7 +959,7 @@ WHERE ROUND(d.dot / (qn.qn * cn.cn), 6) >= 0.98
 """
 
 
-@register_pending("q_crossmodal_dedup", oracle=_XMODAL_ORACLE)
+@register("q_crossmodal_dedup", oracle=_XMODAL_ORACLE)
 def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-MODAL near-dup retrieval (image ↔ text; STAGED for the r14
     window): real BMPs (the pHash fixture) → REAL decode→DCT pipeline →
@@ -986,9 +986,19 @@ def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     imgs = _phash_bmp_payload_df(spark, sf_dir, max_doc_id=300)
-    proj = project_phash_features(
-        image_phash(imgs).filter(F.col("ok"))
-    )  # (item_id, y) — integer-exact doubles
+    ph = image_phash(imgs)
+    # the oracle plants and scores EVERY doc_id < 300 unconditionally, so
+    # a decode failure must fail LOUDLY here, not silently drop the doc
+    # and surface as an opaque hash mismatch (ADVICE r13). The slice is
+    # ≤ 300 rows, so the extra decode pass is trivially cheap.
+    bad = ph.filter(~F.col("ok")).select("item_id").limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"q_crossmodal_dedup: BMP decode failed for item_id "
+            f"{bad[0]['item_id']} — the fixture guarantees every doc_id "
+            "< 300 decodes; fix the payload or the decoder, do not filter"
+        )
+    proj = project_phash_features(ph)  # (item_id, y) — integer-exact doubles
     # loud truncation guard (the q_cosine_pairs convention): a silent
     # limit would drop query docs the SQL oracle keeps
     max_imgs = 400  # bounded by the max_doc_id=300 fixture slice
@@ -1014,8 +1024,11 @@ def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ].rename(columns={"y": "e"}),
         "vec_id long, e array<double>",
     )
+    # eval_order="raw_dot" matches the oracle's SUM(y·e)/(qn·cn) float
+    # evaluation order exactly (ADVICE r13): the only residual vs DuckDB
+    # is dot reduction order, absorbed by the 6-decimal grid
     pairs = cosine_pairs_vectorized(
-        q_pd, emb.unionByName(planted), threshold=0.98
+        q_pd, emb.unionByName(planted), threshold=0.98, eval_order="raw_dot"
     )
     return pairs.select(
         (F.col("qid") - 2_000_000_000).alias("doc_id"),

@@ -1214,8 +1214,14 @@ def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the vocabulary is capped at 50 BEFORE the pair join, so
     the per-doc pair space is ≤ C(50,2) regardless of corpus size; the
-    top-50 set is genuinely bounded → broadcast; the self-join is an
-    equi-join on doc_id between two already-tiny projections; top-20 is
+    top-50 cut is ``orderBy().limit(50)`` → TakeOrderedAndProject — a
+    distributed partial top-k over the vocabulary-sized df table
+    (millions of distinct tokens at corpus scale), NOT a global
+    ``row_number`` window that would funnel the whole vocabulary through
+    one task (VERDICT r13 #2; result-preservation pinned in
+    tests/test_topk_refactor_pins.py — the (df desc, tk) order is
+    total); the bounded 50 then broadcast; the self-join is an equi-join
+    on doc_id between two already-tiny projections; top-20 is
     TakeOrderedAndProject."""
     docs = Catalog(spark, sf_dir)["documents"]
     tok = (
@@ -1229,13 +1235,8 @@ def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_rank = (
         tok.groupBy("tk")
         .agg(F.count("*").alias("df"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("df").desc(), F.col("tk"))
-            ),
-        )
-        .filter(F.col("rn") <= 50)
+        .orderBy(F.col("df").desc(), "tk")
+        .limit(50)
         .select("tk")
     )
     ft = tok.join(F.broadcast(df_rank), "tk")

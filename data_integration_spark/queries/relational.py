@@ -1032,7 +1032,7 @@ FROM dom a JOIN dom b ON a.flag <= b.flag, tot t
 """
 
 
-@register_pending("q_survey_covmat", oracle=_COVMAT_ORACLE)
+@register("q_survey_covmat", oracle=_COVMAT_ORACLE)
 def q_survey_covmat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 companion, ``svyby(..., covmat = TRUE)`` (``Rmd:459-462``;
     STAGED for the r14 window — closes the VERDICT r12 "missing" #2

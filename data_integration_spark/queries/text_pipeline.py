@@ -1296,7 +1296,7 @@ FROM dt LEFT JOIN ds ON dt.doc_id = ds.doc_id
 """
 
 
-@register_pending("q_quality_nb_filter", oracle=_NBQ_ORACLE)
+@register("q_quality_nb_filter", oracle=_NBQ_ORACLE)
 def q_quality_nb_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrapped NB quality-FILTER scoring (CCNet / GPT-3-style
     model-based filter; STAGED for the r14 window; distinct from the

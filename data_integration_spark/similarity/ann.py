@@ -280,6 +280,7 @@ def cosine_pairs_vectorized(
     vec_col: str = "e",
     round_decimals: int = 6,
     on_zero_norm: str = "raise",
+    eval_order: str = "normalized",
 ) -> DataFrame:
     """Thresholded cosine pairs with the query block as a NumPy matrix
     inside ``mapInPandas`` — the vectorized sibling of ``cosine_pairs``
@@ -303,12 +304,27 @@ def cosine_pairs_vectorized(
     the SQL-oracle semantics (NULL/NaN fails every threshold comparison).
     Pass ``"drop"`` when the caller's contract is "score what's scorable
     on dirty data" rather than "certify the corpus is clean" (ADVICE r10).
+
+    ``eval_order``: float-evaluation order of the cosine (ADVICE r13).
+    ``"normalized"`` (default, the historical kernel) pre-normalizes both
+    sides and takes one GEMM of unit rows — (M/‖M‖)(Q/‖Q‖)ᵀ. ``"raw_dot"``
+    takes the raw GEMM then ONE division per pair — round(M·Qᵀ/(‖M‖‖Q‖)) —
+    the exact evaluation order of the SQL oracles' SUM(m·q)/(mn·qn), so a
+    full-oracle caller's only residual vs DuckDB is dot reduction order
+    (absorbed by the 6-decimal grid everywhere but an exact .5e-6 tie),
+    not 2·d extra per-element divisions. Both orders agree to ~1 ulp;
+    callers whose oracle hash-matches cosine VALUES near the threshold
+    (q_crossmodal_dedup) pass ``"raw_dot"``.
     """
     import numpy as np
     import pandas as pd
 
     if on_zero_norm not in ("raise", "drop"):
         raise ValueError(f"on_zero_norm must be 'raise' or 'drop', got {on_zero_norm!r}")
+    if eval_order not in ("normalized", "raw_dot"):
+        raise ValueError(
+            f"eval_order must be 'normalized' or 'raw_dot', got {eval_order!r}"
+        )
     q_ids = queries_pd[id_col].to_numpy()
     Q = np.stack(queries_pd[vec_col].to_numpy()).astype(float)
     q_norms = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -335,8 +351,13 @@ def cosine_pairs_vectorized(
                     continue
             else:
                 _require_nonzero_norms(m_norms, "corpus batch")
-            Mn = M / m_norms
-            cos = _np_round_half_up(Mn @ Qn.T, round_decimals)  # (nm, nq)
+            if eval_order == "raw_dot":  # oracle order: dot, ONE divide
+                cos = _np_round_half_up(
+                    (M @ Q.T) / (m_norms * q_norms.T), round_decimals
+                )  # (nm, nq)
+            else:
+                Mn = M / m_norms
+                cos = _np_round_half_up(Mn @ Qn.T, round_decimals)  # (nm, nq)
             mids = pdf[id_col].to_numpy()
             keep = (cos >= threshold) & (mids[:, None] != q_ids[None, :])
             mi, qi = np.nonzero(keep)

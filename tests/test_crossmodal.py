@@ -56,10 +56,10 @@ def test_projection_is_integer_exact(spark):
 
 
 def test_planted_recovery_and_natural_margin(spark):
-    from data_integration_spark.queries import PENDING_R10, load_all
+    from data_integration_spark.queries import QUERIES, load_all
 
     load_all()
-    fn, _oracle = PENDING_R10["q_crossmodal_dedup"]
+    fn = QUERIES["q_crossmodal_dedup"]  # LIVE since the r14 flip
     rows = fn(spark, SF).collect()
     got = {(r["doc_id"], r["vec_id"]): r["cosine"] for r in rows}
     planted = {d for d in range(300) if d % 29 == 5}

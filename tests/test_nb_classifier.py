@@ -67,6 +67,14 @@ def test_seed_label_matches_float_heuristic(spark):
     assert set(want.values()) == {0, 1}  # both classes are exercised
 
 
+def _round_half_up(x: float) -> int:
+    """F.round / DuckDB ROUND semantics (half AWAY from zero) — Python's
+    built-in round() is banker's (half-to-even), so an exact .5e-6 tie in
+    a log-odds value would diverge even when the engines agree (ADVICE
+    r13). Sign-symmetric floor(|x| + 0.5)."""
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
 def _python_reference(texts: dict[int, str], min_df: int = 3):
     """From-scratch recomputation with the SAME double ops the engines
     run (math.log == libm), fixed-point rounded the same way."""
@@ -82,7 +90,7 @@ def _python_reference(texts: dict[int, str], min_df: int = 3):
     big1 = sum(c[1] for c in vocab.values())
     big0 = sum(c[0] for c in vocab.values())
     w_fp = {
-        w: round(
+        w: _round_half_up(
             (
                 math.log((c[1] + 0.5) / (big1 + 0.5 * v))
                 - math.log((c[0] + 0.5) / (big0 + 0.5 * v))
@@ -93,7 +101,7 @@ def _python_reference(texts: dict[int, str], min_df: int = 3):
     }
     n_pos = sum(lab.values())
     n_neg = len(lab) - n_pos
-    prior_fp = round(math.log((n_pos + 0.5) / (n_neg + 0.5)) * 1e6)
+    prior_fp = _round_half_up(math.log((n_pos + 0.5) / (n_neg + 0.5)) * 1e6)
     out = {}
     for i, ws in toks.items():
         llr = sum(w_fp.get(w, 0) for w in ws)
@@ -148,3 +156,59 @@ def test_partition_invariance(spark):
         map(tuple, nb_quality_classifier(df.repartition(7)).collect())
     )
     assert a == b
+
+
+def test_single_corpus_scan_via_exchange_reuse(spark):
+    """VERDICT r13 #4: the classifier's contingency, prior, and scoring
+    branches must all read ONE shared (doc, label, tok) aggregation —
+    the corpus text scanned (and the label regexes run) exactly once.
+    The construction is deliberately reuse-safe (NULL sentinel rows, no
+    pushable key filters, coalesced join keys so the left-outer join
+    can't infer isnotnull(tok) into the weights branch); this pins the
+    resulting plan shape so an optimizer-rule or refactor regression
+    that silently forks the scan fails here, not at the sf100
+    rehearsal. Uses the registered parquet query so the scan is a real
+    FileScan (an in-memory localRelation wouldn't exercise reuse)."""
+    from data_integration_spark.queries import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["q_quality_nb_filter"](spark, "/root/testdata/sf0.001")
+    df.collect()  # AQE exchange reuse is decided at runtime
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert final.count("documents.parquet") == 1, final
+    assert final.count("ReusedExchange") >= 2, final
+
+
+def test_token_less_document_counts_in_prior_not_output(spark):
+    """The NULL-sentinel construction must keep a document with no real
+    tokens visible to the PRIOR (the oracle's `lab` CTE counts every
+    document) while excluding it from the scored output (the oracle's
+    `dt` CTE only sees real-token rows)."""
+    texts = dict(enumerate(_POS + _NEG))
+    rows = [(i, t) for i, t in texts.items()] + [(777, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in nb_quality_classifier(df).collect()}
+    assert 777 not in out  # no real tokens -> not scored
+    # the prior shifts vs the corpus without doc 777: label("") = 0 adds
+    # one negative -> prior_fp must match the reference computed WITH it
+    texts_with = dict(texts)
+    texts_with[777] = ""
+    _, _, prior_with = _python_reference(texts_with)
+    some = next(iter(out.values()))
+    got_prior = (
+        some["prior_fp"] if "prior_fp" in some.__fields__ else None
+    )
+    if got_prior is None:
+        # prior_fp is folded into keep/prob, not emitted: recover it from
+        # the integer keep identity on a doc with known n_tok/llr
+        import math
+
+        # keep == (prior_fp * n_tok + llr_fp > 0); instead assert via prob
+        p = some["prob"]
+        z = prior_with / 1e6 + some["llr_fp"] / some["n_tok"] / 1e6
+        assert abs(p - round(1.0 / (1.0 + math.exp(-z)), 6)) <= 1e-6

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import duckdb
 
-from data_integration_spark.queries import PENDING_R10, load_all
+from data_integration_spark.queries import QUERIES, load_all
 
 load_all()
 
@@ -46,7 +46,7 @@ def _exact_matrix(sf_dir: str):
 
 
 def test_kmv_accuracy_within_theory_band(spark):
-    fn, _oracle = PENDING_R10["q_overlap_kmv"]
+    fn = QUERIES["q_overlap_kmv"]  # LIVE since the r14 flip
     est = {
         (r["src_a"], r["src_b"]): r for r in fn(spark, SF).collect()
     }

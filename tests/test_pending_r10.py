@@ -28,14 +28,16 @@ from data_integration_spark.queries import (
 load_all()
 
 
-def test_pending_block_drained_after_r13_flip():
+def test_pending_block_drained_after_r14_flip():
     """Every previously staged name is LIVE — the r10 flip (r9 payload),
-    the r12 flip (r11 payload) and the r13 flip (the 9-entry r12 payload:
+    the r12 flip (r11 payload), the r13 flip (the 9-entry r12 payload:
     F-S linkage family, Misra-Gries batch + streaming, GK quantiles, OPQ,
-    planted streaming semantic dedup) all happened exactly as staged.
-    q_linkage_fs_score is the trio's contract-permitted rows-only member
-    (its full-oracle certificate sibling is q_linkage_certificate), so it
-    registers WITHOUT an oracle by design."""
+    planted streaming semantic dedup) and the r14 flip (the 4-entry r13
+    payload: NB quality filter, cross-modal dedup, KMV overlap, survey
+    covmat) all happened exactly as staged. q_linkage_fs_score is the
+    linkage trio's contract-permitted rows-only member (its full-oracle
+    certificate sibling is q_linkage_certificate), so it registers
+    WITHOUT an oracle by design."""
     for name in (
         "q_multimodal_audio_features",
         "q_multimodal_resize",
@@ -55,6 +57,11 @@ def test_pending_block_drained_after_r13_flip():
         "q_linkage_fs_score",
         "q_linkage_certificate",
         "q_streaming_linkage",
+        # r14 flip
+        "q_quality_nb_filter",
+        "q_crossmodal_dedup",
+        "q_overlap_kmv",
+        "q_survey_covmat",
     ):
         assert name in QUERIES, name
         if name != "q_linkage_fs_score":

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from data_integration_spark.queries import PENDING_R10, QUERIES, load_all
+from data_integration_spark.queries import QUERIES, load_all
 
 load_all()
 
@@ -78,7 +78,7 @@ def test_matches_numpy_reference(spark):
 
 
 def test_offdiag_zero_and_diag_consistent_on_testdata(spark):
-    fn, _oracle = PENDING_R10["q_survey_covmat"]
+    fn = QUERIES["q_survey_covmat"]  # LIVE since the r14 flip
     cov = {
         (r["flag_a"], r["flag_b"]): (r["cov"], r["n_total"])
         for r in fn(spark, SF).collect()

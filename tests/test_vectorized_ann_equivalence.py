@@ -164,3 +164,27 @@ def test_topk_partial_cut_is_lossless_with_tiny_batches(spark):
     )
     vec = cosine_topk_vectorized(q_pd, df, k=5)
     assert _rows(expr) == _rows(vec)
+
+
+def test_pairs_eval_order_raw_dot_matches_normalized(spark, corpus):
+    """ADVICE r13: eval_order="raw_dot" (the SQL oracles' dot-then-ONE-divide
+    order) and the historical normalize-then-GEMM order agree to ~1 ulp, so
+    on a fixture with no 6th-decimal .5 ties the emitted pair sets are
+    identical — and raw_dot is what full-oracle callers that hash cosine
+    VALUES near the threshold (q_crossmodal_dedup) ride."""
+    q_pd = _corpus_pd().iloc[:15]
+    norm = cosine_pairs_vectorized(
+        q_pd, corpus, threshold=0.25, eval_order="normalized"
+    )
+    raw = cosine_pairs_vectorized(
+        q_pd, corpus, threshold=0.25, eval_order="raw_dot"
+    )
+    assert _rows(norm) == _rows(raw)
+
+
+def test_pairs_eval_order_validated(spark, corpus):
+    import pytest as _pytest
+
+    q_pd = _corpus_pd().iloc[:3]
+    with _pytest.raises(ValueError, match="eval_order"):
+        cosine_pairs_vectorized(q_pd, corpus, eval_order="fused")
