@@ -59,11 +59,13 @@ LLM_OPS = [
     "q_heavy_hitters_mg",        # one-pass Misra-Gries summary + certificate (r13)
     "q_linkage_certificate",     # blocked F-S pattern reduction + EM + 9M-pair score (r13)
     "q_ann_opq",                 # OPQ rotation fit + dual PQ MSE certificate (r13)
-    # r14 (when the staged payload flips live — bench resolves names from
+    "q_quality_nb_filter",       # NB quality filter: 1-scan label+train+score (r14)
+    "q_crossmodal_dedup",        # image↔text: decode→DCT→projection→GEMM (r14)
+    "q_overlap_kmv",             # KMV/theta-sketch source-overlap matrix (r14)
+    # r15 (when the staged payload flips live — bench resolves names from
     # the REGISTERED map, so staged queries cannot appear before the
-    # flip): add "q_quality_nb_filter" (NB quality scoring),
-    # "q_crossmodal_dedup" (image↔text GEMM retrieval) and
-    # "q_overlap_kmv" (theta-sketch overlap matrix).
+    # flip): add "q_semdedup" (cluster-then-dedup mapping) and
+    # "q_crawl_frontier" (URL canonicalize + host politeness stats).
 ]
 
 

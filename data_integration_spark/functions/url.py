@@ -1,0 +1,72 @@
+"""URL canonicalization + host extraction for crawl curation — the
+URL/host-level dedup preprocessing every web-scale corpus pipeline runs
+before content dedup (CCNet, Wenzek et al. 2020 §2; the RFC 3986 §6
+normalization subset that is safe without fetching):
+
+- scheme and host lowercase;
+- default ports stripped (``:443`` for https, ``:80`` for http);
+- fragment dropped (never sent to the server);
+- tracking query params dropped (``utm_*``, ``fbclid``), remaining
+  params kept in original order (param REORDERING is deliberately out
+  of scope — it changes semantics for some endpoints);
+- trailing slashes collapsed (empty path → ``/``).
+
+Everything is native column expressions (regexp_extract / filter /
+array_join) — whole-stage codegen end-to-end, no Python in the path, so
+canonicalization is a narrow map over the crawl manifest at any scale.
+The regex subset used (character classes, ``[0-9]+``, anchors) parses
+identically under Java regex (Spark) and RE2 (DuckDB), which is what
+lets the t2 oracles re-run the SAME algebra in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+_PORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = "\\?([^#]*)"
+
+#: query params dropped by canonicalization (tracking noise)
+TRACKING_PREFIXES = ("utm_", "fbclid")
+
+
+def url_scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host — the crawl-politeness grouping key."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def canonicalize_url(url: Column) -> Column:
+    """The canonical form (see module docstring). Malformed URLs (no
+    scheme://host) canonicalize to an empty-host form rather than
+    raising — crawl manifests are dirty by nature and the dedup layer
+    groups the garbage together where a filter can drop it."""
+    scheme = url_scheme(url)
+    host = url_host(url)
+    port = F.regexp_extract(url, _PORT_RE, 1)
+    default_port = ((scheme == "https") & (port == "443")) | (
+        (scheme == "http") & (port == "80")
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path_c = F.regexp_replace(path, "/+$", "")
+    path_c = F.when(path_c == "", F.lit("/")).otherwise(path_c)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith(TRACKING_PREFIXES[0])
+        & ~p.startswith(TRACKING_PREFIXES[1]),
+    )
+    qs = F.array_join(kept, "&")
+    q_part = F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs))
+    return F.concat(scheme, F.lit("://"), host, port_part, path_c, q_part)

@@ -1797,8 +1797,8 @@ JOIN est eb ON eb.source = u.src_b
 
 @register("q_overlap_kmv", oracle=_KMV_ORACLE)
 def q_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV / theta-sketch cross-source overlap estimation (STAGED for
-    the r14 window; Beyer et al., SIGMOD 2007; the DataSketches theta
+    """KMV / theta-sketch cross-source overlap estimation (LIVE since
+    the r14 flip; Beyer et al., SIGMOD 2007; the DataSketches theta
     family): the 100 TB sibling of the exact q_source_overlap_matrix:
     per source, keep only the K=256 smallest distinct bigram hashes;
     estimate per-source distinct counts, pairwise unions (merge the two

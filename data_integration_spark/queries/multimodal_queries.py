@@ -961,8 +961,8 @@ WHERE ROUND(d.dot / (qn.qn * cn.cn), 6) >= 0.98
 
 @register("q_crossmodal_dedup", oracle=_XMODAL_ORACLE)
 def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CROSS-MODAL near-dup retrieval (image ↔ text; STAGED for the r14
-    window): real BMPs (the pHash fixture) → REAL decode→DCT pipeline →
+    """CROSS-MODAL near-dup retrieval (image ↔ text; LIVE since the r14
+    flip, leading that round's signing window): real BMPs (the pHash fixture) → REAL decode→DCT pipeline →
     ±1 DCT-sign features → pinned int64 projection into the 64-d
     text-embedding space (similarity/crossmodal.py) → guarded broadcast
     cosine (≥ 0.98) against the embeddings corpus UNIONed with planted

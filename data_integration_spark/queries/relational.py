@@ -149,10 +149,21 @@ def q_withcolumn_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rowid_rownumber(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/W1 dense row id (``df$ID <- 1:nrow(df)``, ``Rmd:48,208``) — the
-    positional idiom made explicit over a deterministic ordering key."""
-    return add_row_id(
-        Catalog(spark, sf_dir)["orders"].select("o_orderkey"), order_by="o_orderkey"
-    )
+    positional idiom made explicit over a deterministic ordering key.
+
+    Scale shape (r14, part of the global-window lint sweep): orders is a
+    FACT table, so the id rides ``range_row_number`` (range-partitioned
+    ranking + per-partition offsets — operators/prefix.py) instead of an
+    unpartitioned ``row_number`` window that would funnel every order
+    through one task at 100 TB. Identical output (the key is a total
+    order); the oracle is unchanged."""
+    from data_integration_spark.operators.prefix import range_row_number
+
+    return range_row_number(
+        Catalog(spark, sf_dir)["orders"].select("o_orderkey"),
+        [F.col("o_orderkey")],
+        out_col="ID",
+    ).select("o_orderkey", F.col("ID").cast("long").alias("ID"))
 
 
 @register(
@@ -1035,7 +1046,7 @@ FROM dom a JOIN dom b ON a.flag <= b.flag, tot t
 @register("q_survey_covmat", oracle=_COVMAT_ORACLE)
 def q_survey_covmat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 companion, ``svyby(..., covmat = TRUE)`` (``Rmd:459-462``;
-    STAGED for the r14 window — closes the VERDICT r12 "missing" #2
+    LIVE since the r14 flip, leading the r14 window — closes the VERDICT r12 "missing" #2
     residual): the JOINT covariance matrix of the per-domain survey
     means via stacked Taylor influence functions under the reference's
     ``ids=~1`` design, computed DISTRIBUTED (one influence pass + one

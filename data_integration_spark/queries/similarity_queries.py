@@ -2145,3 +2145,112 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
         " variance_preserved long, mse_opq_within_pq long,"
         " balance_not_worse long",
     )
+
+
+# --- SemDeDup cluster-then-dedup corpus mapping (STAGED for r15) ---------
+# VERDICT r13 #5 option (b): k-means-cluster the embedding corpus with
+# the PINNED centroid grid, dedup within each cluster at cosine ≥ 0.4,
+# keep rule = lowest rounded centroid-cosine (farthest-from-centroid,
+# the SemDeDup paper's diversity-preserving choice), vec_id tie-break.
+# Planted exact copies (vec_id % 23 == 5, offset +1e6) guarantee
+# cosine-1.0 relations at every SF; τ = 0.4 additionally catches the
+# corpus's NATURAL same-cell near-pairs (18 / 13 / 283 pairs at the
+# three driver SFs — measured before staging, so the op is non-vacuous
+# on natural data too, not planted-only).
+_SEMDEDUP_ORACLE = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 23 = 5
+),
+cents AS (
+  SELECT CAST(c.c AS INT) AS cell, CAST(j.j AS INT) AS j,
+         CAST((c.c * 7 + (j.j - 1) * 13) % 11 - 5 AS DOUBLE) / 10.0 AS cv
+  FROM UNNEST(GENERATE_SERIES(0, 7)) AS c(c),
+       UNNEST(GENERATE_SERIES(1, 64)) AS j(j)
+),
+d2 AS (
+  SELECT b.vec_id, cents.cell,
+         SUM((CAST(b.embedding[cents.j] AS DOUBLE) - cents.cv)
+             * (CAST(b.embedding[cents.j] AS DOUBLE) - cents.cv)) AS dd,
+         SUM(CAST(b.embedding[cents.j] AS DOUBLE) * cents.cv) AS cdot
+  FROM base b, cents
+  GROUP BY b.vec_id, cents.cell
+),
+assigned AS (
+  SELECT vec_id, cell, cdot FROM (
+    SELECT vec_id, cell, cdot,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+cnorm AS (SELECT cell, SQRT(SUM(cv * cv)) AS cn FROM cents GROUP BY cell),
+vnorm AS (
+  SELECT vec_id, SQRT(SUM(CAST(embedding[u.i] AS DOUBLE)
+                          * CAST(embedding[u.i] AS DOUBLE))) AS nrm
+  FROM base, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS u(i)
+  GROUP BY vec_id
+),
+cc AS (
+  SELECT a.vec_id, a.cell, ROUND(a.cdot / (v.nrm * cn.cn), 6) AS cent_cos
+  FROM assigned a
+  JOIN vnorm v USING (vec_id)
+  JOIN cnorm cn USING (cell)
+),
+pdots AS (
+  SELECT x.vec_id AS u, y.vec_id AS v,
+         SUM(CAST(bu.embedding[t.i] AS DOUBLE)
+             * CAST(bv.embedding[t.i] AS DOUBLE)) AS dot
+  FROM assigned x
+  JOIN assigned y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+  JOIN base bu ON bu.vec_id = x.vec_id
+  JOIN base bv ON bv.vec_id = y.vec_id,
+  UNNEST(GENERATE_SERIES(1, LEN(bu.embedding))) AS t(i)
+  GROUP BY x.vec_id, y.vec_id
+),
+pairs AS (
+  SELECT p.u, p.v
+  FROM pdots p
+  JOIN vnorm nu ON nu.vec_id = p.u
+  JOIN vnorm nv ON nv.vec_id = p.v
+  WHERE ROUND(p.dot / (nu.nrm * nv.nrm), 6) >= 0.4
+),
+dropped AS (
+  SELECT DISTINCT p.v
+  FROM pairs p
+  JOIN cc cu ON cu.vec_id = p.u
+  JOIN cc cv ON cv.vec_id = p.v
+  WHERE cu.cent_cos < cv.cent_cos
+     OR (cu.cent_cos = cv.cent_cos AND p.u < p.v)
+)
+SELECT cc.vec_id, cc.cell, cc.cent_cos,
+       CAST(CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM cc LEFT JOIN dropped d ON d.v = cc.vec_id
+"""
+
+
+@register_pending("q_semdedup", oracle=_SEMDEDUP_ORACLE)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-dedup corpus mapping (Abbas et al. 2023;
+    STAGED for the r15 window): assign every embedding — plus planted
+    exact copies — to its pinned k-means cell, score SAME-CELL cosine
+    relations at ≥ 0.4, and emit the per-vector mapping
+    (vec_id, cell, cent_cos, keep) where the keep rule retains each
+    duplicate relation's farthest-from-centroid member. The whole pair
+    space lives inside the per-cell chunked GEMM
+    (similarity/semdedup.py); no pair row ever leaves Python — the
+    operator's output is corpus-sized by construction. At retrieval
+    scale the pinned 8-cell grid swaps for trained K ≈ √N centroids
+    (the IVF family's premise), which also keeps cells GEMM-sized."""
+    from data_integration_spark.similarity.semdedup import semdedup_decisions
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    planted = emb.filter(F.col("vec_id") % 23 == 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "e"
+    )
+    return semdedup_decisions(
+        emb.unionByName(planted), pinned_centroid_grid(), threshold=0.40
+    )

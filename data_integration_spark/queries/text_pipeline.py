@@ -1299,7 +1299,7 @@ FROM dt LEFT JOIN ds ON dt.doc_id = ds.doc_id
 @register("q_quality_nb_filter", oracle=_NBQ_ORACLE)
 def q_quality_nb_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrapped NB quality-FILTER scoring (CCNet / GPT-3-style
-    model-based filter; STAGED for the r14 window; distinct from the
+    model-based filter; LIVE since the r14 flip, leading that round's signing window; distinct from the
     r7-signed q_quality_classifier, which TRAINS a hashed logistic by
     damped Newton — this op is the label-bootstrap + NB-weight scoring
     pipeline over the raw token vocabulary): the q_quality_score

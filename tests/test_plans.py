@@ -836,3 +836,84 @@ def test_bloom_semi_join_plan_prunes_before_join(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+#: Queries whose UNPARTITIONED windows run over frames that are bounded
+#: by the DOMAIN of a post-aggregation group key — provably small at any
+#: corpus scale, but not detectable by `unbounded_global_windows`'s
+#: automatic rule (which only proves boundedness from an explicit
+#: limit-shaped operator below the window). Each entry documents the
+#: bounding argument (VERDICT r13 #3); anything NOT listed here that
+#: windows an unaggregated or corpus-keyed frame without partitionBy
+#: fails the lint below.
+_GLOBAL_WINDOW_BOUNDED = {
+    # total-sum window over the 9-row leading-digit aggregate
+    "q_benford",
+    # row_number over the per-DAY event aggregate (calendar-granularity)
+    "q_changepoint",
+    # margin/total windows over the |event_type|×7 contingency cells
+    "q_chi_square",
+    # at-risk prefix window over DISTINCT event durations (the KM grid)
+    "q_kaplan_meier",
+    # lag window over the per-MONTH revenue aggregate
+    "q_mom_growth",
+    # centered moving average over the per-DAY revenue aggregate
+    "q_seasonal_decompose",
+    # total-sum window over the |sources|-row token-count aggregate
+    "q_temperature_mix",
+}
+
+
+def test_no_unbounded_global_windows(spark):
+    """Registry-wide lint (VERDICT r13 #2/#3): an unpartitioned window
+    over a frame that is neither post-limit (TakeOrderedAndProject /
+    GlobalLimit below it — the scale-safe top-k shape q_top_orders and
+    q_term_cooccurrence now use) nor domain-bounded (the documented
+    whitelist above) is a single-task funnel at 100 TB. The two r13
+    offenders are FIXED, not whitelisted — this keeps the anti-pattern
+    from coming back."""
+    from data_integration_spark.plans.explain import unbounded_global_windows
+    from data_integration_spark.queries import PENDING_R10
+
+    failures = []
+    errored: dict[str, str] = {}
+    staged = [(f"{n} [staged]", n, fn) for n, (fn, _o) in PENDING_R10.items()]
+    live = [(n, n, fn) for n, fn in QUERIES.items()]
+    for label, name, fn in sorted(staged + live):
+        if name in _PLAN_LINT_EXCLUDED or name in _GLOBAL_WINDOW_BOUNDED:
+            continue
+        try:
+            hits = unbounded_global_windows(fn(spark, SF))
+        except Exception as exc:  # noqa: BLE001 — reported below, not swallowed
+            errored[label] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        if hits:
+            failures.append(f"{label}: {hits[0][:120]}")
+    assert not failures, failures
+    assert not errored, (
+        "query builders errored during the global-window lint — fix them "
+        f"or exclude deliberately: {errored}"
+    )
+
+
+def test_top_orders_and_cooccurrence_use_take_ordered(spark):
+    """The VERDICT r13 #2 refactors' positive contract: the top-k cut
+    compiles to TakeOrderedAndProject (distributed partial top-k), and
+    the only windows left run over already-bounded survivors."""
+    from data_integration_spark.plans.explain import unbounded_global_windows
+
+    for name in ("q_top_orders", "q_term_cooccurrence"):
+        df = QUERIES[name](spark, SF)
+        assert "TakeOrderedAndProject" in formatted_plan(df), name
+        assert not unbounded_global_windows(df), name
+
+
+def test_rowid_uses_range_partitioned_ranking(spark):
+    """q_rowid_rownumber ids a FACT table, so it must ride
+    range_row_number (range exchange + offsets), never an unpartitioned
+    row_number window (r14 global-window sweep)."""
+    from data_integration_spark.plans.explain import unbounded_global_windows
+
+    df = QUERIES["q_rowid_rownumber"](spark, SF)
+    assert not unbounded_global_windows(df), formatted_plan(df)
+    assert "rangepartitioning" in formatted_plan(df).lower()

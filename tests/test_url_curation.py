@@ -1,0 +1,87 @@
+"""Laws for the URL crawl-curation surface (functions/url.py, staged
+q_url_canonicalize / q_crawl_frontier):
+
+1. canonicalization component laws on hand-built URLs — scheme/host
+   case, default vs non-default ports, fragment drop, tracking-param
+   filtering with survivor ORDER preserved, trailing-slash collapse,
+   and the malformed-input (no scheme://host) non-raising contract;
+2. manifest non-vacuity: canonical dedup collapses rows at every
+   driver SF (the synthetic manifest plants real collisions);
+3. frontier consistency: Σ n_raw = |documents|, crawl_sec = 2·n_pages,
+   dup_rate agrees with n_raw/n_pages on the 6-decimal grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_spark.functions.url import canonicalize_url, url_host
+from data_integration_spark.queries import PENDING_R10, load_all
+
+load_all()
+
+_CASES = [
+    # (raw, canonical)
+    ("HTTPS://WWW.Site.COM:443/a/b/", "https://www.site.com/a/b"),
+    ("http://host.org:80/x", "http://host.org/x"),
+    ("http://host.org:8080/x", "http://host.org:8080/x"),  # non-default kept
+    ("https://h.io/p?utm_source=a&ref=1&utm_medium=b", "https://h.io/p?ref=1"),
+    ("https://h.io/p?b=2&a=1", "https://h.io/p?b=2&a=1"),  # order preserved
+    ("https://h.io/p?fbclid=xyz", "https://h.io/p"),
+    ("https://h.io/p#frag", "https://h.io/p"),
+    ("https://h.io", "https://h.io/"),  # empty path -> /
+    ("https://h.io///", "https://h.io/"),
+    ("not a url at all", "://" + "/"),  # malformed: empty-host form, no raise
+]
+
+
+def test_canonicalization_component_laws(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(_CASES)], "i long, u string"
+    ).select("i", canonicalize_url(F.col("u")).alias("c"))
+    got = {r["i"]: r["c"] for r in df.collect()}
+    for i, (raw, want) in enumerate(_CASES):
+        assert got[i] == want, (raw, got[i], want)
+
+
+def test_host_extraction(spark):
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.Site.COM:443/a")], "i long, u string"
+    ).select(url_host(F.col("u")).alias("h"))
+    assert df.collect()[0]["h"] == "www.site.com"
+
+
+def test_manifest_dedup_non_vacuous(spark):
+    fn, _o = PENDING_R10["q_url_canonicalize"]
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = fn(spark, sf).collect()
+        n_raw = len(rows)
+        n_canon = len({r["canon_url"] for r in rows})
+        assert 0 < n_canon < n_raw, (sf, n_raw, n_canon)
+        # every canonical is actually canonical: lowercase scheme+host,
+        # no fragment, no tracking params, no default port
+        for r in rows:
+            c = r["canon_url"]
+            assert "#" not in c and "utm_" not in c and ":443" not in c, c
+            assert c.startswith("https://"), c
+
+
+def test_frontier_consistency(spark):
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    fn, _o = PENDING_R10["q_crawl_frontier"]
+    rows = fn(spark, sf).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_raw"] for r in rows) == n_docs
+    for r in rows:
+        assert r["crawl_sec"] == 2 * r["n_pages"]
+        assert 0 <= r["dup_rate"] < 1
+        want_tier = (
+            "deep"
+            if r["n_pages"] >= 100
+            else "mid" if r["n_pages"] >= 20 else "shallow"
+        )
+        assert r["tier"] == want_tier
