@@ -24,11 +24,17 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: RFC 3986 authority is [userinfo@]host[:port] — the optional
+#: non-capturing `(?:[^/?#@]*@)?` skips userinfo so 'user:pass@h.io'
+#: yields host 'h.io', not 'user' (r14 review finding #2)
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
-_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
-_PORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
+_PORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]+:([0-9]+)"
 _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = "\\?([^#]*)"
+#: the query starts at the FIRST '?' BEFORE any '#' — an unanchored
+#: `\?` would claim a '?' inside the fragment as the query, keeping
+#: fragment data the contract says is dropped (r14 review finding #1)
+_QUERY_RE = "^[^#?]*\\?([^#]*)"
 
 #: query params dropped by canonicalization (tracking noise)
 TRACKING_PREFIXES = ("utm_", "fbclid")

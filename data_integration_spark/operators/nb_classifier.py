@@ -98,8 +98,16 @@ def nb_quality_classifier(
     column (any deterministic 0/1 Column) for classifier reuse beyond
     the heuristic bootstrap."""
     lab = seed_quality_label(F.col(text_col)) if label is None else label
+    # a NULL label (NULL text, or a caller-supplied label Column with
+    # NULLs) counts as NEGATIVE — the oracle's CASE … ELSE 0 semantics
+    # and the pre-r14 count(*) − sum(label) arithmetic. The r14
+    # weighted-sum rewrites (Σ c·label etc.) would otherwise SKIP the
+    # NULL rows, silently shifting the prior and every token weight
+    # (r14 review finding #3), so the NULL→0 collapse happens once here.
     base = docs.select(
-        F.col(id_col), F.col(text_col), lab.cast("long").alias("label")
+        F.col(id_col),
+        F.col(text_col),
+        F.coalesce(lab.cast("long"), F.lit(0)).alias("label"),
     )
     # ONE corpus pass (VERDICT r13 #4 — the sf100 rehearsal showed three
     # separate label-regex + tokenize scans saturating one node's memory

@@ -91,15 +91,27 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
     )
 
     def subtree_bounded(node) -> bool:
-        stack = [node]
-        while stack:
-            p = stack.pop()
-            if p.getClass().getSimpleName() in _BOUNDED:
-                return True
-            ch = p.children()
-            for i in range(ch.size()):
-                stack.append(ch.apply(i))
-        return False
+        """True iff the node's OUTPUT row count is bounded by a literal
+        (a limit on the direct chain, or all inputs of a join/union
+        bounded). A limit hiding on ONE side of a join must NOT bound
+        the join (r14 review: big_fact ⋈ small.limit(10) is fact-sized),
+        and a Generate (explode) re-expands rows past any limit below
+        it, so neither is crossed optimistically."""
+        name = node.getClass().getSimpleName()
+        if name in _BOUNDED:
+            return True
+        if "Generate" in name:  # row-multiplying: a limit below is void
+            return False
+        ch = node.children()
+        n = ch.size()
+        if n == 0:
+            return False  # a real scan: corpus-sized
+        if n == 1:
+            # project/filter/sort/agg/exchange/window/codegen: output ≤ input
+            return subtree_bounded(ch.apply(0))
+        # joins, unions, cartesian products: output bounded only if EVERY
+        # input is (|A ⋈ B| ≤ |A|·|B|, both literal-bounded → literal)
+        return all(subtree_bounded(ch.apply(i)) for i in range(n))
 
     flagged: list[str] = []
     stack = [plan]

@@ -160,20 +160,21 @@ _SIGN_PRIORITY: list[str] = [
 ]  # the driver's r14 window = first 50 registered
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
-# because a code change invalidated what the row attests to. Empty for r13:
+# because a code change invalidated what the row attests to. Empty for r14:
 # this round's changes to ALREADY-SIGNED queries are result-preserving —
-# the cosine_pairs query-side guard only adds a bounded pre-count (its one
-# registered caller, q_semantic_dedup_clusters, bounds Q to vec_id < 200,
-# far under the 10k guard); the eigen_allocation natural-layout
-# fallback only fires on spectra where the greedy loses (none at any
-# driver SF — the certificate's balance_not_worse was already 1); and the
-# bigram-shingle helper extraction (corpus_ops._bigram_shingles) moved a
-# VERBATIM-identical expression for q_source_overlap_matrix,
-# q_ngram_novelty and q_ngram_containment, re-verified against their
-# oracles post-refactor (3/3 pass at sf0.01). The
-# r12 ADVICE fixes (streaming-MG awaitTermination guard + empty-counter
-# rider, linkage ll_monotone clamp-aware tolerance) land on queries that
-# were STAGED, not signed, when fixed.
+# the q_top_orders / q_term_cooccurrence top-k re-plans (global
+# row_number window → orderBy().limit(k) TakeOrderedAndProject) keep
+# identical outputs because both orders are TOTAL (unique tie-break
+# column), pinned against pre-refactor values at 2 SFs in
+# tests/test_topk_refactor_pins.py and re-verified against their
+# unchanged oracles; q_rowid_rownumber's swap to range_row_number is the
+# same total-order argument (oracle re-verified at all 3 SFs +
+# rangepartitioning plan pin, tests/test_plans.py). The NB classifier's
+# single-scan restructure and the crossmodal single-decode/raw_dot/
+# ok-guard fixes land on queries whose FIRST signature is this round's
+# window (flipped from staging this round), so no prior row is
+# invalidated. (r13's empty-set justification is preserved in git
+# history at tag-commit 0cf1281.)
 _RESIGN: frozenset[str] = frozenset()
 
 

@@ -986,28 +986,37 @@ def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     imgs = _phash_bmp_payload_df(spark, sf_dir, max_doc_id=300)
-    ph = image_phash(imgs)
-    # the oracle plants and scores EVERY doc_id < 300 unconditionally, so
-    # a decode failure must fail LOUDLY here, not silently drop the doc
-    # and surface as an opaque hash mismatch (ADVICE r13). The slice is
-    # ≤ 300 rows, so the extra decode pass is trivially cheap.
-    bad = ph.filter(~F.col("ok")).select("item_id").limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"q_crossmodal_dedup: BMP decode failed for item_id "
-            f"{bad[0]['item_id']} — the fixture guarantees every doc_id "
-            "< 300 decodes; fix the payload or the decoder, do not filter"
-        )
-    proj = project_phash_features(ph)  # (item_id, y) — integer-exact doubles
-    # loud truncation guard (the q_cosine_pairs convention): a silent
-    # limit would drop query docs the SQL oracle keeps
+    # ONE decode pass: collect the (≤ 400-row) fingerprint slice, then
+    # (a) loud truncation guard (the q_cosine_pairs convention — a
+    #     silent limit would drop query docs the SQL oracle keeps),
+    # (b) loud decode-failure guard (ADVICE r13: the oracle plants and
+    #     scores EVERY doc_id < 300 unconditionally, so a failed decode
+    #     must raise by item_id, never silently drop),
+    # (c) the pinned projection over a re-uploaded local relation of the
+    #     SAME collected hashes — identical y values, and the BMP→DCT
+    #     lineage runs once instead of once per guard + once per
+    #     consumer (r14 review finding #5: the previous shape decoded
+    #     the fixture twice on every bench pass and turned every
+    #     plan-only inspection of this query into a real decode job).
     max_imgs = 400  # bounded by the max_doc_id=300 fixture slice
-    proj_pd = proj.limit(max_imgs + 1).toPandas()
-    if len(proj_pd) > max_imgs:  # not assert: survives python -O
+    ph_pd = image_phash(imgs).limit(max_imgs + 1).toPandas()
+    if len(ph_pd) > max_imgs:  # not assert: survives python -O
         raise ValueError(
             f"q_crossmodal_dedup image side exceeds {max_imgs}; widen the "
             "bound deliberately or move to the IVF probe path"
         )
+    if not ph_pd["ok"].all():
+        bad_id = int(ph_pd.loc[~ph_pd["ok"], "item_id"].iloc[0])
+        raise ValueError(
+            f"q_crossmodal_dedup: BMP decode failed for item_id "
+            f"{bad_id} — the fixture guarantees every doc_id "
+            "< 300 decodes; fix the payload or the decoder, do not filter"
+        )
+    ph_small = spark.createDataFrame(
+        ph_pd[["item_id", "phash"]], "item_id long, phash long"
+    )
+    # (item_id, y) — integer-exact doubles
+    proj_pd = project_phash_features(ph_small).toPandas()
     q_pd = proj_pd.assign(vec_id=proj_pd["item_id"] + 2_000_000_000)[
         ["vec_id", "y"]
     ].rename(columns={"y": "e"})

@@ -212,3 +212,34 @@ def test_token_less_document_counts_in_prior_not_output(spark):
         p = some["prob"]
         z = prior_with / 1e6 + some["llr_fp"] / some["n_tok"] / 1e6
         assert abs(p - round(1.0 / (1.0 + math.exp(-z)), 6)) <= 1e-6
+
+
+def test_null_label_counts_as_negative(spark):
+    """A NULL seed label (NULL text, or caller NULLs in label=) must
+    count as NEGATIVE everywhere — the oracle's CASE … ELSE 0 and the
+    pre-r14 count-minus-sum arithmetic (r14 review finding: the
+    weighted-sum rewrites would otherwise skip NULL rows, shifting the
+    prior and every token weight). A NULL-text doc contributes no
+    tokens, so the ONLY change vs the base corpus is one extra negative
+    in the prior — verified against the reference with that negative
+    injected by hand."""
+    texts = dict(enumerate(_POS + _NEG))
+    rows = [(i, t) for i, t in texts.items()]
+    df_with_null = spark.createDataFrame(
+        rows + [(555, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in nb_quality_classifier(df_with_null).collect()
+    }
+    assert 555 not in got  # no real tokens -> not scored
+    want, _w_fp, _ = _python_reference(texts)
+    lab = {i: _float_label(t) for i, t in texts.items()}
+    n_pos = sum(lab.values())
+    n_neg = len(lab) - n_pos + 1  # + the NULL doc, counted negative
+    prior_fp = _round_half_up(math.log((n_pos + 0.5) / (n_neg + 0.5)) * 1e6)
+    for i, (n_tok, llr, _k) in want.items():
+        r = got[i]
+        assert (r["n_tok"], r["llr_fp"]) == (n_tok, llr), i
+        z = (prior_fp + llr / n_tok) / 1e6
+        assert r["prob"] == round(1.0 / (1.0 + math.exp(-z)), 6), i
+        assert r["keep"] == int(prior_fp * n_tok + llr > 0), i

@@ -917,3 +917,30 @@ def test_rowid_uses_range_partitioned_ranking(spark):
     df = QUERIES["q_rowid_rownumber"](spark, SF)
     assert not unbounded_global_windows(df), formatted_plan(df)
     assert "rangepartitioning" in formatted_plan(df).lower()
+
+
+def test_boundedness_walk_semantics(spark):
+    """The global-window lint's boundedness rule (r14 review hardening):
+    a limit on ONE side of a join does NOT bound the join; a join/union
+    of all-bounded inputs IS bounded; a Generate (explode) above a limit
+    re-expands rows and voids it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.plans.explain import unbounded_global_windows
+
+    df = spark.range(1000).withColumn("g", F.col("id") % 3)
+    small = spark.range(100).orderBy("id").limit(10).withColumnRenamed("id", "sid")
+    joined = df.join(small, df.id % 10 == small.sid)
+    bad = joined.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert len(unbounded_global_windows(bad)) == 1
+    j2 = small.crossJoin(
+        spark.range(5).orderBy("id").limit(3).withColumnRenamed("id", "k")
+    )
+    ok = j2.withColumn("rn", F.row_number().over(Window.orderBy("sid")))
+    assert not unbounded_global_windows(ok)
+    ex = small.select(
+        F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("x")
+    )
+    bad2 = ex.withColumn("rn", F.row_number().over(Window.orderBy("x")))
+    assert len(unbounded_global_windows(bad2)) == 1

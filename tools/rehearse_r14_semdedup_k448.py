@@ -37,15 +37,23 @@ if __name__ == "__main__":
         [r["e"] for r in emb.filter("vec_id % 101 < 6").limit(12000).collect()]
     )
     K = 448
+    if len(sample) < K:  # a too-small sample would silently mis-shape C
+        raise SystemExit(f"sample {len(sample)} < K={K}; widen the filter")
     C = sample[:K].copy()
     for _ in range(5):
-        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        # GEMM distance identity (the semdedup kernel's own form) — the
+        # broadcast (12000, 448, 64) difference tensor would be ~2.8 GB
+        # per iteration (r14 review finding #6)
+        d2 = (
+            (sample**2).sum(1)[:, None]
+            - 2.0 * sample @ C.T
+            + (C**2).sum(1)[None, :]
+        )
         a = d2.argmin(1)
         for k in range(K):
             m = sample[a == k]
             if len(m):
                 C[k] = m.mean(0)
-    t_fit = time.perf_counter()
 
     def run():
         semdedup_decisions(emb, C.tolist(), 0.40).write.format("noop").mode(

@@ -12,9 +12,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
-
 from data_integration_spark import queries as Q
+from data_integration_spark.session import get_spark
 from tests.oracle_harness import compare, duck_connection
 
 Q.load_all()
@@ -25,13 +24,10 @@ sfs = os.environ.get(
     "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1",
 ).split(",")
 
-spark = (
-    SparkSession.builder.master("local[32]")
-    .config("spark.sql.shuffle.partitions", "32")
-    .config("spark.driver.memory", "48g")
-    .appName("verify-staged")
-    .getOrCreate()
-)
+# the engine's own session profile (honors SPARK_GRAFT_CPUS + standard
+# confs) — staged parity must run under the SAME profile that the tests
+# and the driver use (r14 review finding #8)
+spark = get_spark(app_name="verify-staged")
 spark.sparkContext.setLogLevel("ERROR")
 
 fail = 0
