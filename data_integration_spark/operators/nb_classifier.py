@@ -80,6 +80,7 @@ def nb_quality_classifier(
     text_col: str = "text",
     min_df: int = 3,
     label: Column | None = None,
+    include_prior: bool = False,
 ) -> DataFrame:
     """Train-and-score in one lineage: seed labels → multinomial-NB
     per-token fixed-point log-odds → every document scored against the
@@ -238,12 +239,15 @@ def nb_quality_classifier(
         F.col("prior_fp")
         + F.col("llr_fp").cast("double") / F.col("n_tok")
     ) / FP_SCALE
-    return out.select(
-        id_col,
-        "n_tok",
-        "llr_fp",
+    cols = [
+        F.col(id_col),
+        F.col("n_tok"),
+        F.col("llr_fp"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob"),
         (F.col("prior_fp") * F.col("n_tok") + F.col("llr_fp") > 0)
         .cast("long")
         .alias("keep"),
-    )
+    ]
+    if include_prior:  # operating-point sweeps need the exact integer prior
+        cols.append(F.col("prior_fp"))
+    return out.select(*cols)

@@ -45,7 +45,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# --- staged registrations (r14-staged r15 payload) -----------------------
+# --- staged registrations (the r14-staged r15 payload: q_semdedup,
+# q_corpus_map, q_url_canonicalize, q_crawl_frontier,
+# q_quality_calibration — all full-oracle) --------------------------------
 # When a driver signing window is already fully planned, NEW queries stage
 # here instead of registering (each entry: name -> (fn, oracle_sql or
 # None)); tests/test_pending_r10.py runs every entry through the same
@@ -158,6 +160,14 @@ _SIGN_PRIORITY: list[str] = [
     "q_rfm_segments",
     "q_rng_certificate",
 ]  # the driver's r14 window = first 50 registered
+#
+# r15 window sketch: (a) the 5 r14-staged flips — q_semdedup +
+# q_corpus_map (similarity_queries.py), q_url_canonicalize +
+# q_crawl_frontier (curation_extra.py), q_quality_calibration
+# (text_pipeline.py) — all full-oracle, parity-verified at all 3 driver
+# SFs while staged — then (b) the 11 remaining r7-era names
+# (q_rolling_regression … q_zorder_key, listed above), then (c) 34 of
+# the 50 r8-era names (alphabetical) to fill 50.
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
 # because a code change invalidated what the row attests to. Empty for r14:

@@ -2157,7 +2157,7 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus's NATURAL same-cell near-pairs (18 / 13 / 283 pairs at the
 # three driver SFs — measured before staging, so the op is non-vacuous
 # on natural data too, not planted-only).
-_SEMDEDUP_ORACLE = """
+_SEMDEDUP_ORACLE_BODY = """
 WITH base AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
@@ -2224,10 +2224,16 @@ dropped AS (
   WHERE cu.cent_cos < cv.cent_cos
      OR (cu.cent_cos = cv.cent_cos AND p.u < p.v)
 )
+"""
+
+_SEMDEDUP_ORACLE = (
+    _SEMDEDUP_ORACLE_BODY
+    + """
 SELECT cc.vec_id, cc.cell, cc.cent_cos,
        CAST(CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM cc LEFT JOIN dropped d ON d.v = cc.vec_id
 """
+)
 
 
 @register_pending("q_semdedup", oracle=_SEMDEDUP_ORACLE)
@@ -2253,4 +2259,57 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return semdedup_decisions(
         emb.unionByName(planted), pinned_centroid_grid(), threshold=0.40
+    )
+
+
+_CORPUS_MAP_ORACLE = (
+    _SEMDEDUP_ORACLE_BODY
+    + """
+, dec AS (
+  SELECT cc.vec_id, cc.cell, cc.cent_cos,
+         CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS keep
+  FROM cc LEFT JOIN dropped d ON d.v = cc.vec_id
+)
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dropped,
+       ROUND(AVG(cent_cos), 6) AS mean_cent_cos,
+       MIN(cent_cos) AS min_cent_cos,
+       MAX(cent_cos) AS max_cent_cos
+FROM dec
+GROUP BY cell
+"""
+)
+
+
+@register_pending("q_corpus_map", oracle=_CORPUS_MAP_ORACLE)
+def q_corpus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means corpus MAP (STAGED for r15; the cartography half of the
+    VERDICT r13 #5 option (b) wording — q_semdedup is the dedup half):
+    per-cluster population, SemDeDup keep/drop split, and the
+    centroid-cosine spread (mean/min/max on the 6-decimal grid) — the
+    |cells|-row table a curation dashboard reads to see where the corpus
+    masses, which regions are duplicate-heavy, and how tight each
+    cluster is. Same machinery and exactness argument as q_semdedup
+    (min/max over grid-rounded values are exact; only AVG re-rounds);
+    one extra |corpus|-row → |cells|-row aggregation on top."""
+    from data_integration_spark.similarity.semdedup import semdedup_decisions
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    planted = emb.filter(F.col("vec_id") % 23 == 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "e"
+    )
+    dec = semdedup_decisions(
+        emb.unionByName(planted), pinned_centroid_grid(), threshold=0.40
+    )
+    return dec.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        (F.count("*") - F.sum("keep")).cast("long").alias("n_dropped"),
+        F.round(F.avg("cent_cos"), 6).alias("mean_cent_cos"),
+        F.min("cent_cos").alias("min_cent_cos"),
+        F.max("cent_cos").alias("max_cent_cos"),
     )

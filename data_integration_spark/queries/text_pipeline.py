@@ -1232,7 +1232,7 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NBQ_ORACLE = """
+_NBQ_ORACLE_BODY = """
 WITH s AS (
   SELECT doc_id, text,
          CAST(LENGTH(text) AS BIGINT) AS nc,
@@ -1285,6 +1285,13 @@ ds AS (
   SELECT t.doc_id, CAST(SUM(w.w_fp) AS BIGINT) AS llr
   FROM tok t JOIN w USING (tok) GROUP BY t.doc_id
 )
+"""
+
+# body + final split (r14): q_quality_calibration reuses every CTE up to
+# ds; composing keeps the LIVE q_quality_nb_filter oracle text identical
+_NBQ_ORACLE = (
+    _NBQ_ORACLE_BODY
+    + """
 SELECT dt.doc_id, dt.n_tok,
        CAST(COALESCE(ds.llr, 0) AS BIGINT) AS llr_fp,
        ROUND(1.0 / (1.0 + EXP(-((SELECT prior_fp FROM prior)
@@ -1294,6 +1301,7 @@ SELECT dt.doc_id, dt.n_tok,
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM dt LEFT JOIN ds ON dt.doc_id = ds.doc_id
 """
+)
 
 
 @register("q_quality_nb_filter", oracle=_NBQ_ORACLE)
@@ -1321,3 +1329,112 @@ def q_quality_nb_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir)["documents"]
     return nb_quality_classifier(docs, min_df=3)
+
+
+# --- NB-filter operating-point calibration (STAGED for r15) --------------
+# VERDICT r13 #5 option (a): the learned-filter THRESHOLD CALIBRATION
+# sweep — the precision / keep-rate curve a curation team reads to pick
+# the filter's operating point (GPT-3 appendix A picks by Pareto
+# document quality vs corpus size; DSIR-style resampling needs the same
+# curve to set its acceptance scale). Every decision is the integer
+# sign test prior_fp·n_tok + llr_fp > τ_fp·n_tok on the fixed-point
+# grid, so the whole sweep is reduction-order-proof; the three rates
+# are exact-integer ratios rounded at 6.
+_NBQ_CALIB_ORACLE = (
+    _NBQ_ORACLE_BODY
+    + """
+, scored AS (
+  SELECT dt.doc_id, dt.n_tok,
+         CAST(COALESCE(ds.llr, 0) AS BIGINT) AS llr_fp,
+         l.label
+  FROM dt
+  LEFT JOIN ds ON dt.doc_id = ds.doc_id
+  JOIN lab l ON l.doc_id = dt.doc_id
+),
+thr AS (
+  SELECT CAST(t.t AS BIGINT) AS thr_fp
+  FROM UNNEST([-1000000, -500000, -250000, 0,
+               250000, 500000, 1000000]) AS t(t)
+),
+sw AS (
+  SELECT thr_fp, n_tok, llr_fp, label,
+         CASE WHEN (SELECT prior_fp FROM prior) * n_tok + llr_fp
+                   > thr_fp * n_tok
+              THEN 1 ELSE 0 END AS kp
+  FROM scored CROSS JOIN thr
+)
+SELECT thr_fp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kp) AS BIGINT) AS n_keep,
+       ROUND(SUM(kp) * 1.0 / COUNT(*), 6) AS keep_rate,
+       CAST(SUM(label) AS BIGINT) AS n_seed_pos,
+       CAST(SUM(kp * label) AS BIGINT) AS n_keep_seed_pos,
+       ROUND(SUM(kp * label) * 1.0 / NULLIF(SUM(kp), 0), 6) AS precision,
+       ROUND(SUM(kp * label) * 1.0 / NULLIF(SUM(label), 0), 6) AS recall
+FROM sw
+GROUP BY thr_fp
+"""
+)
+
+#: fixed-point thresholds on the mean-log-odds scale (τ · 1e6)
+_CALIB_THRS = [-1_000_000, -500_000, -250_000, 0, 250_000, 500_000, 1_000_000]
+
+
+@register_pending("q_quality_calibration", oracle=_NBQ_CALIB_ORACLE)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB quality-filter threshold calibration sweep (STAGED for r15):
+    per fixed-point threshold τ_fp — documents kept, keep rate, and
+    precision/recall against the seed labels, where keep means
+    mean log-odds + prior > τ (the integer sign test
+    prior_fp·n_tok + llr_fp > τ_fp·n_tok, exact on both engines).
+    Scale shape: the classifier's single-corpus-scan lineage + one
+    broadcast cross with the 7-row threshold frame + one map-side
+    combined groupBy(thr_fp) — the sweep costs one pass over the
+    scored frame regardless of how many operating points it rates."""
+    from data_integration_spark.operators.nb_classifier import (
+        nb_quality_classifier,
+        seed_quality_label,
+    )
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    nb = nb_quality_classifier(docs, min_df=3, include_prior=True)
+    labs = docs.select(
+        "doc_id",
+        F.coalesce(
+            seed_quality_label(F.col("text")).cast("long"), F.lit(0)
+        ).alias("label"),
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in _CALIB_THRS], "thr_fp long"
+    )
+    kp = (
+        F.col("prior_fp") * F.col("n_tok") + F.col("llr_fp")
+        > F.col("thr_fp") * F.col("n_tok")
+    ).cast("long")
+    return (
+        nb.join(labs, "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .withColumn("kp", kp)
+        .groupBy("thr_fp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("kp").cast("long").alias("n_keep"),
+            F.round(F.sum("kp") * 1.0 / F.count("*"), 6).alias("keep_rate"),
+            F.sum("label").cast("long").alias("n_seed_pos"),
+            F.sum(F.col("kp") * F.col("label"))
+            .cast("long")
+            .alias("n_keep_seed_pos"),
+            F.round(
+                F.sum(F.col("kp") * F.col("label"))
+                * 1.0
+                / F.nullif(F.sum("kp"), F.lit(0)),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.sum(F.col("kp") * F.col("label"))
+                * 1.0
+                / F.nullif(F.sum("label"), F.lit(0)),
+                6,
+            ).alias("recall"),
+        )
+    )
