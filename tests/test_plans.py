@@ -353,6 +353,9 @@ _BNLJ_ALLOWED = {
     "q_quality_nb_filter",  # 1-row vocab-totals + 1-row prior scalar crosses
     "q_overlap_kmv",  # |sources|² pairing joins on a 20-row source list
     "q_survey_covmat",  # |domains|² matrix assembly + 1-row n cross
+    # inherits the NB filter's two scalar crosses + a 7-row literal
+    # threshold-grid cross (the sweep frame is bounded by construction)
+    "q_quality_calibration",
 }
 
 
