@@ -81,6 +81,7 @@ def nb_quality_classifier(
     min_df: int = 3,
     label: Column | None = None,
     include_prior: bool = False,
+    include_label: bool = False,
 ) -> DataFrame:
     """Train-and-score in one lineage: seed labels → multinomial-NB
     per-token fixed-point log-odds → every document scored against the
@@ -219,7 +220,11 @@ def nb_quality_classifier(
             F.coalesce("tok", F.lit(" L")) == F.col("wtok"),
             "left",
         )
-        .groupBy(id_col)
+        # include_label adds the per-doc label (a dtc GROUP KEY, constant
+        # per doc) to the scoring keys so downstream consumers (the
+        # calibration sweep) need NO second corpus scan or label join;
+        # the grouping sits ABOVE the shared exchange, so reuse holds
+        .groupBy(*([id_col, "label"] if include_label else [id_col]))
         .agg(
             F.sum(F.when(is_real, F.col("c")).otherwise(0))
             .cast("long")
@@ -250,4 +255,6 @@ def nb_quality_classifier(
     ]
     if include_prior:  # operating-point sweeps need the exact integer prior
         cols.append(F.col("prior_fp"))
+    if include_label:  # carried through the scoring keys — no extra scan
+        cols.append(F.col("label"))
     return out.select(*cols)

@@ -102,6 +102,15 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
             return True
         if "Generate" in name:  # row-multiplying: a limit below is void
             return False
+        if name == "ReusedExchangeExec":
+            # a childless REFERENCE node — follow the referenced exchange
+            # so a bounded-and-reused subtree isn't flagged as a scan
+            # (review pass 2); if the accessor ever changes, fall back to
+            # the conservative (flagging) answer
+            try:
+                return subtree_bounded(node.child())
+            except Exception:  # noqa: BLE001 — conservative fallback
+                return False
         ch = node.children()
         n = ch.size()
         if n == 0:

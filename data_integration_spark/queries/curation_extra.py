@@ -395,7 +395,7 @@ _URL_CANON_SQL = """
          LOWER(REGEXP_EXTRACT(raw_url,
                '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host,
          REGEXP_EXTRACT(raw_url,
-               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]+:([0-9]+)', 1) AS port,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]+:([0-9]+)(?:[/?#]|$)', 1) AS port,
          REGEXP_EXTRACT(raw_url,
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
          REGEXP_EXTRACT(raw_url, '^[^#?]*\\?([^#]*)', 1) AS query

@@ -2274,7 +2274,13 @@ SELECT cell,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(SUM(keep) AS BIGINT) AS n_kept,
        CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dropped,
-       ROUND(AVG(cent_cos), 6) AS mean_cent_cos,
+       -- cent_cos is grid-rounded, so SUM over recovered integer
+       -- microunits is EXACT and order-free; ROUND(AVG(double)) would
+       -- sit on a half-tie whenever an even count's microunit sum is
+       -- odd, and the engines' summation orders could round it apart
+       -- (r14 review pass 2)
+       ROUND(SUM(CAST(ROUND(cent_cos * 1e6) AS BIGINT)) * 1.0
+             / COUNT(*) / 1e6, 6) AS mean_cent_cos,
        MIN(cent_cos) AS min_cent_cos,
        MAX(cent_cos) AS max_cent_cos
 FROM dec
@@ -2294,22 +2300,22 @@ def q_corpus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster is. Same machinery and exactness argument as q_semdedup
     (min/max over grid-rounded values are exact; only AVG re-rounds);
     one extra |corpus|-row → |cells|-row aggregation on top."""
-    from data_integration_spark.similarity.semdedup import semdedup_decisions
-
-    emb = Catalog(spark, sf_dir)["embeddings"].select(
-        "vec_id", as_double_array("embedding", "e")
-    )
-    planted = emb.filter(F.col("vec_id") % 23 == 5).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "e"
-    )
-    dec = semdedup_decisions(
-        emb.unionByName(planted), pinned_centroid_grid(), threshold=0.40
-    )
+    # the decision frame IS q_semdedup's — calling it keeps the planted
+    # spec / threshold / centroid source in lockstep by construction
+    # (review pass 2: a drifted copy would break the rollup law
+    # silently, each oracle matching its own drifted twin)
+    dec = q_semdedup(spark, sf_dir)
+    # mean over recovered integer microunits: exact + order-free (the
+    # ROUND(AVG) form sits on a half-tie for even counts with odd
+    # microunit sums, where engine summation order decides the side)
+    micro = F.round(F.col("cent_cos") * 1e6).cast("long")
     return dec.groupBy("cell").agg(
         F.count("*").cast("long").alias("n_vecs"),
         F.sum("keep").cast("long").alias("n_kept"),
         (F.count("*") - F.sum("keep")).cast("long").alias("n_dropped"),
-        F.round(F.avg("cent_cos"), 6).alias("mean_cent_cos"),
+        F.round(
+            F.sum(micro) * 1.0 / F.count("*") / 1e6, 6
+        ).alias("mean_cent_cos"),
         F.min("cent_cos").alias("min_cent_cos"),
         F.max("cent_cos").alias("max_cent_cos"),
     )

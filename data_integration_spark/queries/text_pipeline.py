@@ -1393,16 +1393,16 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored frame regardless of how many operating points it rates."""
     from data_integration_spark.operators.nb_classifier import (
         nb_quality_classifier,
-        seed_quality_label,
     )
 
     docs = Catalog(spark, sf_dir)["documents"]
-    nb = nb_quality_classifier(docs, min_df=3, include_prior=True)
-    labs = docs.select(
-        "doc_id",
-        F.coalesce(
-            seed_quality_label(F.col("text")).cast("long"), F.lit(0)
-        ).alias("label"),
+    # include_label rides the classifier's OWN single-corpus-scan
+    # lineage (the label is a group key of the shared exchange) — a
+    # separate seed-label projection would re-scan the corpus and
+    # re-run the label regexes, precisely the shape VERDICT r13 #4
+    # removed (r14 review pass 2)
+    nb = nb_quality_classifier(
+        docs, min_df=3, include_prior=True, include_label=True
     )
     thr = spark.createDataFrame(
         [(t,) for t in _CALIB_THRS], "thr_fp long"
@@ -1412,8 +1412,7 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         > F.col("thr_fp") * F.col("n_tok")
     ).cast("long")
     return (
-        nb.join(labs, "doc_id")
-        .crossJoin(F.broadcast(thr))
+        nb.crossJoin(F.broadcast(thr))
         .withColumn("kp", kp)
         .groupBy("thr_fp")
         .agg(

@@ -241,5 +241,8 @@ def test_null_label_counts_as_negative(spark):
         r = got[i]
         assert (r["n_tok"], r["llr_fp"]) == (n_tok, llr), i
         z = (prior_fp + llr / n_tok) / 1e6
-        assert r["prob"] == round(1.0 / (1.0 + math.exp(-z)), 6), i
+        # tolerance, not exact ==: Python round() is banker's vs
+        # F.round's HALF_UP, and JVM exp can differ by 1 ulp (the same
+        # reason _round_half_up exists — review pass 2)
+        assert abs(r["prob"] - 1.0 / (1.0 + math.exp(-z))) <= 1e-6, i
         assert r["keep"] == int(prior_fp * n_tok + llr > 0), i
