@@ -80,11 +80,13 @@ def gen(spark) -> None:
 
 
 def run(spark) -> None:
-    from data_integration_spark.queries import PENDING_R10, QUERIES, load_all
+    from data_integration_spark.queries import QUERIES, load_all
 
     load_all()
     jobs = [
-        ("q_quality_nb_filter", PENDING_R10["q_quality_nb_filter"][0], OUT),
+        # LIVE since the r14 flip (was PENDING_R10 when this tool was
+        # written; tools/rehearse_r14_nbq.py holds the current row)
+        ("q_quality_nb_filter", QUERIES["q_quality_nb_filter"], OUT),
         ("q_heavy_hitters_mg", QUERIES["q_heavy_hitters_mg"], OUT_SHARED),
         ("q_dedup_exact", QUERIES["q_dedup_exact"], OUT),
         ("q_token_count", QUERIES["q_token_count"], OUT),
