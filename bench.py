@@ -62,10 +62,8 @@ LLM_OPS = [
     "q_quality_nb_filter",       # NB quality filter: 1-scan label+train+score (r14)
     "q_crossmodal_dedup",        # image↔text: decode→DCT→projection→GEMM (r14)
     "q_overlap_kmv",             # KMV/theta-sketch source-overlap matrix (r14)
-    # r15 (when the staged payload flips live — bench resolves names from
-    # the REGISTERED map, so staged queries cannot appear before the
-    # flip): add "q_semdedup" (cluster-then-dedup mapping) and
-    # "q_crawl_frontier" (URL canonicalize + host politeness stats).
+    "q_semdedup",                # SemDeDup: assign + per-cell GEMM dedup map (r15)
+    "q_crawl_frontier",          # URL canonicalize + host politeness stats (r15)
 ]
 
 
@@ -126,7 +124,9 @@ def main() -> None:
     # cross-round reader separate code regressions from the documented
     # ±20%/day box swings that made r8→r9 look like a uniform +13%.
     passes_env = os.environ.get("SPARK_GRAFT_BENCH_PASSES")
-    n_passes = int(passes_env) if passes_env is not None else 3
+    # clamp to ≥1: an explicit 0/negative would otherwise leave cal_passes
+    # empty and min() raising ValueError (ADVICE r14)
+    n_passes = max(1, int(passes_env)) if passes_env is not None else 3
     # the calibration scan is the DENOMINATOR of every cross-round
     # comparison, so BY DEFAULT it gets a tighter floor than the queries:
     # min-of-5 (VERDICT r12 #3 — the r11→r12 calibrated_ratio drift was

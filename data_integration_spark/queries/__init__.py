@@ -45,9 +45,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# --- staged registrations (the r14-staged r15 payload: q_semdedup,
-# q_corpus_map, q_url_canonicalize, q_crawl_frontier,
-# q_quality_calibration — all full-oracle) --------------------------------
+# --- staged registrations (the r15-staged r16 payload) -------------------
 # When a driver signing window is already fully planned, NEW queries stage
 # here instead of registering (each entry: name -> (fn, oracle_sql or
 # None)); tests/test_pending_r10.py runs every entry through the same
@@ -62,7 +60,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # streaming, GK quantiles, OPQ, planted streaming semantic dedup)
 # flipped at the r13 window; the 4-entry r13-staged payload
 # (q_quality_nb_filter, q_crossmodal_dedup, q_overlap_kmv,
-# q_survey_covmat) flipped at the r14 window the same way.
+# q_survey_covmat) flipped at the r14 window the same way; the 5-entry
+# r14-staged payload (q_semdedup, q_corpus_map, q_url_canonicalize,
+# q_crawl_frontier, q_quality_calibration) flipped at the r15 window.
 #
 # A name that ALREADY exists in QUERIES marks a REPLACEMENT: the staged
 # fn+oracle upgrade a currently rows-only query to full-oracle.
@@ -89,85 +89,87 @@ def register_pending(name: str, oracle: str | None = None):
 # ever shrinks. Maintained per round: names signed in CORRECTNESS_r{N} leave,
 # new queries join at the tail of the front block.
 _SIGN_PRIORITY: list[str] = [
-    # --- r14 window (VERDICT r13 #1/#6). The r13 signing run went 50/50,
-    # so every r13-window name has a current driver row and leaves the
-    # list. r14 slots:
-    # (a) the 4 r13-staged ops flipped live this round — q_quality_nb_filter
-    #     (NB model-based quality filtering), q_crossmodal_dedup
-    #     (image↔text near-dup), q_overlap_kmv (KMV corpus overlap),
-    #     q_survey_covmat (svyby covmat=TRUE) — all full-oracle,
-    #     parity-verified at all 3 driver SFs while staged AND
-    #     independently re-verified by the r13 judge;
-    # (b) the 7 r6-era stragglers (the oldest live signatures);
-    # (c) 39 of the 50 r7-era names (alphabetical). The 11 r7 names left
-    #     after this window (q_rolling_regression, q_sketch_bounds,
-    #     q_streaming_index_append, q_streaming_pq_encode,
-    #     q_substring_dedup, q_substring_dedup_apply, q_time_gapfill,
-    #     q_training_order_shuffle, q_triangle_count,
-    #     q_window_count_distinct, q_zorder_key) queue for r15 — after
-    #     r14 lands, every name carries an r8+ signature except those 11.
-    # (a) flipped r14 payload ----------------------------------------------
-    "q_quality_nb_filter",
-    "q_crossmodal_dedup",
-    "q_overlap_kmv",
-    "q_survey_covmat",
-    # (b) r6-era rotation, all 7 remaining ---------------------------------
-    "q_streaming_upsert",
-    "q_tfidf",
-    "q_token_count",
-    "q_top_terms",
-    "q_vocab_build",
-    "q_vocab_encode",
-    "q_window_gather",
-    # (c) r7-era rotation, 39 of 50 ----------------------------------------
-    "q_ab_conversion_ztest",
-    "q_ann_ivf_invariants",
-    "q_ann_ivfpq",
-    "q_ann_ivfpq_invariants",
-    "q_ann_pq",
-    "q_ann_pq_invariants",
-    "q_ann_recall_certificate",
-    "q_anova",
-    "q_association_rules",
-    "q_attribution",
-    "q_bigram_lm_score",
-    "q_bpe_invariants",
-    "q_bpe_train",
-    "q_corpus_diff",
-    "q_dau_wau",
-    "q_distinct_ngrams",
-    "q_dsir_importance",
-    "q_em_convergence",
-    "q_event_paths",
-    "q_ewma_smoothing",
-    "q_funnel_analysis",
-    "q_funnel_conversion_window",
-    "q_gini",
-    "q_group_concat",
-    "q_hard_negatives",
-    "q_incremental_agg_maintenance",
-    "q_interval_merge",
-    "q_kaplan_meier",
-    "q_kfold_assign",
-    "q_ks_test",
-    "q_local_clustering",
-    "q_mann_whitney",
-    "q_mode_per_group",
-    "q_ntile_percent_rank",
-    "q_pca_invariants",
-    "q_quality_classifier",
-    "q_retention_value",
-    "q_rfm_segments",
-    "q_rng_certificate",
-]  # the driver's r14 window = first 50 registered
+    # --- r15 window (VERDICT r14 #1/#6). The r14 signing run went 50/50
+    # (47 full-oracle + 3 contract-permitted rows-only, 0 failures), so
+    # every r14-window name has a current driver row and leaves the list.
+    # r15 slots:
+    # (a) the 5 r14-staged ops flipped live this round — q_semdedup
+    #     (SemDeDup cluster-then-dedup mapping) + q_corpus_map
+    #     (per-cluster cartography rollup), q_url_canonicalize +
+    #     q_crawl_frontier (RFC 3986-subset canonicalization + host
+    #     politeness frontier), q_quality_calibration (NB-filter
+    #     threshold sweep) — all full-oracle, parity-verified at all 3
+    #     driver SFs while staged AND independently re-verified by the
+    #     r14 judge (15/15 PASS);
+    # (b) the 11 remaining r7-era names (the oldest live signatures);
+    # (c) 34 of the 50 r8-era names (alphabetical).
+    # (a) flipped r15 payload ----------------------------------------------
+    "q_semdedup",
+    "q_corpus_map",
+    "q_url_canonicalize",
+    "q_crawl_frontier",
+    "q_quality_calibration",
+    # (b) r7-era rotation, all 11 remaining --------------------------------
+    "q_rolling_regression",
+    "q_sketch_bounds",
+    "q_streaming_index_append",
+    "q_streaming_pq_encode",
+    "q_substring_dedup",
+    "q_substring_dedup_apply",
+    "q_time_gapfill",
+    "q_training_order_shuffle",
+    "q_triangle_count",
+    "q_window_count_distinct",
+    "q_zorder_key",
+    # (c) r8-era rotation, 34 of 50 ----------------------------------------
+    "q_approx_distinct",
+    "q_approx_quantile",
+    "q_calibration_bins",
+    "q_changepoint",
+    "q_churn_labels",
+    "q_cohens_kappa",
+    "q_cuped",
+    "q_deletion_cascade",
+    "q_drop_cols",
+    "q_ece",
+    "q_freq_items",
+    "q_holt_linear",
+    "q_item_item_cf",
+    "q_k_anonymity",
+    "q_l_diversity",
+    "q_linear_interpolation",
+    "q_mrl_truncation_recall",
+    "q_multimodal_decode",
+    "q_mutual_information",
+    "q_ndcg",
+    "q_negative_sampling",
+    "q_oov_rate",
+    "q_out_of_order_audit",
+    "q_pr_curve",
+    "q_price_volume_mix",
+    "q_raking_weights",
+    "q_rank_fusion",
+    "q_rename",
+    "q_report_final",
+    "q_roc_auc",
+    "q_salted_join",
+    "q_scan_parquet",
+    "q_seasonal_decompose",
+    "q_select_project",
+]  # the driver's r15 window = first 50 registered
 #
-# r15 window sketch: (a) the 5 r14-staged flips — q_semdedup +
-# q_corpus_map (similarity_queries.py), q_url_canonicalize +
-# q_crawl_frontier (curation_extra.py), q_quality_calibration
-# (text_pipeline.py) — all full-oracle, parity-verified at all 3 driver
-# SFs while staged — then (b) the 11 remaining r7-era names
-# (q_rolling_regression … q_zorder_key, listed above), then (c) 34 of
-# the 50 r8-era names (alphabetical) to fill 50.
+# r16 window sketch (VERDICT r14 #6): (a) whatever stages live this
+# round flips first (the SemDeDup trained-centroid production pair +
+# any new-capability entries — see PENDING_R10), then (b) the 16 r8-era
+# names left after this window's slot (c) —
+# q_semantic_threshold_sweep, q_setsim_prefix_join, q_sink_roundtrip,
+# q_skew_report, q_sorted_neighborhood, q_sorted_neighborhood_multipass,
+# q_spearman_rank_corr, q_streaming_late_drop,
+# q_survey_pipeline_certificate, q_target_encoding, q_tfidf_knn,
+# q_theil_sen, q_time_to_convert, q_todf_headers, q_welch_ttest,
+# q_zorder_pruning — then (c) r9-era names (alphabetical) to fill 50.
+# After r15 lands the signature-age histogram is r8: 16, r9–r14: 50
+# each, r15: 50 — oldest signature moves r7 → r8.
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
 # because a code change invalidated what the row attests to. Empty for r14:

@@ -351,7 +351,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- URL/host-level crawl curation (STAGED for r15) ----------------------
+# --- URL/host-level crawl curation (staged r14, LIVE since r15) ----------
 # VERDICT r13 #5 option (c) — the second branch, alongside q_semdedup's
 # option (b): URL canonicalization + host-level dedup + frontier
 # politeness stats, the curation layer that runs BEFORE content dedup in
@@ -466,9 +466,9 @@ def _raw_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_pending("q_url_canonicalize", oracle=_URL_CANONICALIZE_ORACLE)
+@register("q_url_canonicalize", oracle=_URL_CANONICALIZE_ORACLE)
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization over the crawl manifest (STAGED for r15):
+    """URL canonicalization over the crawl manifest (staged r14, live r15):
     per-doc (doc_id, raw_url, host, canon_url) — scheme/host lowercase,
     default port stripped, fragment dropped, utm_*/fbclid params
     filtered with survivor order preserved, trailing slashes collapsed
@@ -508,9 +508,9 @@ GROUP BY host
 """
 
 
-@register_pending("q_crawl_frontier", oracle=_CRAWL_FRONTIER_ORACLE)
+@register("q_crawl_frontier", oracle=_CRAWL_FRONTIER_ORACLE)
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-level frontier politeness stats (STAGED for r15): per host —
+    """Host-level frontier politeness stats (staged r14, live r15): per host —
     raw manifest rows, DISTINCT canonical pages (the post-URL-dedup
     fetch set), the dedup rate, the serial crawl time at a 2 s/request
     politeness delay, and a depth tier for scheduler prioritization.

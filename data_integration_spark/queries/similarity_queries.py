@@ -2147,7 +2147,7 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- SemDeDup cluster-then-dedup corpus mapping (STAGED for r15) ---------
+# --- SemDeDup cluster-then-dedup corpus mapping (staged r14, LIVE r15) ---
 # VERDICT r13 #5 option (b): k-means-cluster the embedding corpus with
 # the PINNED centroid grid, dedup within each cluster at cosine ≥ 0.4,
 # keep rule = lowest rounded centroid-cosine (farthest-from-centroid,
@@ -2236,10 +2236,10 @@ FROM cc LEFT JOIN dropped d ON d.v = cc.vec_id
 )
 
 
-@register_pending("q_semdedup", oracle=_SEMDEDUP_ORACLE)
+@register("q_semdedup", oracle=_SEMDEDUP_ORACLE)
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup cluster-then-dedup corpus mapping (Abbas et al. 2023;
-    STAGED for the r15 window): assign every embedding — plus planted
+    staged r14, live since the r15 window): assign every embedding — plus planted
     exact copies — to its pinned k-means cell, score SAME-CELL cosine
     relations at ≥ 0.4, and emit the per-vector mapping
     (vec_id, cell, cent_cos, keep) where the keep rule retains each
@@ -2289,9 +2289,9 @@ GROUP BY cell
 )
 
 
-@register_pending("q_corpus_map", oracle=_CORPUS_MAP_ORACLE)
+@register("q_corpus_map", oracle=_CORPUS_MAP_ORACLE)
 def q_corpus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means corpus MAP (STAGED for r15; the cartography half of the
+    """K-means corpus MAP (staged r14, live r15; the cartography half of the
     VERDICT r13 #5 option (b) wording — q_semdedup is the dedup half):
     per-cluster population, SemDeDup keep/drop split, and the
     centroid-cosine spread (mean/min/max on the 6-decimal grid) — the
@@ -2318,4 +2318,217 @@ def q_corpus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_cent_cos"),
         F.min("cent_cos").alias("min_cent_cos"),
         F.max("cent_cos").alias("max_cent_cos"),
+    )
+
+
+# --- SemDeDup PRODUCTION-config attestation (staged r15 for the r16
+# window; VERDICT r14 #3). q_semdedup's signed artifact exercises the
+# pinned 8-cell ORACLE grid; the scale story (sf10: 3.77 s trained
+# K≈√N vs 209.7 s pinned-8 on the same 200k vectors, SCALING.md) rests
+# on the TRAINED-centroid path — which until now was only a rehearsal
+# measurement. The q_ann_ivf precedent closes that gap: a rows-only
+# fitted-centroid query (centroids are engine-internal — no SQL oracle
+# can restate a Lloyd fit) plus a full-oracle invariant CERTIFICATE
+# whose violation counts are engine-independent literals, so the path
+# that ships at scale is driver-attested, not just measured. ----------
+
+
+def _semdedup_trained_decisions(spark: SparkSession, sf_dir: str):
+    """The shared trained-path build: fit K ≈ √N centroids with the IVF
+    family's OWN bounded deterministic trainer (ivf.py::train_centroids —
+    content-keyed xxhash subsample, id-sorted collect, driver-side
+    Lloyd; seed 11), then run the SAME semdedup_decisions kernel the
+    signed q_semdedup runs — only the centroid source changes (the
+    q_ann_ivf pinned/fitted split). Returns (decisions, n_real, K).
+    The planted-copy spec matches q_semdedup (every vec_id ≡ 5 mod 23
+    duplicated at id + 1e6) so copy recall is assertable here too."""
+    from data_integration_spark.similarity.ivf import train_centroids
+    from data_integration_spark.similarity.semdedup import semdedup_decisions
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    planted = emb.filter(F.col("vec_id") % 23 == 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "e"
+    )
+    n_real = emb.count()
+    k = _scale_n_cells(n_real)
+    cents = train_centroids(emb, k, seed=11)
+    dec = semdedup_decisions(
+        emb.unionByName(planted), cents.tolist(), threshold=0.40
+    )
+    return dec, cents, n_real, k
+
+
+@register_pending("q_semdedup_trained")  # rows-only: trained centroids are
+# engine-internal (a Lloyd fit is not SQL-restatable); the invariant
+# certificate sibling below is the full-oracle attestation
+def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over TRAINED K ≈ √N centroids — the production
+    configuration the scale story rests on (Abbas et al. 2023 run
+    K=50k on LAION; K ≈ √N keeps every cell GEMM-sized so the
+    within-cell pair space is linear-times-constant, not quadratic).
+    Same per-vector mapping (vec_id, cell, cent_cos, keep) and kernel
+    as the signed q_semdedup; only the centroid source changes."""
+    dec, _c, _n, _k = _semdedup_trained_decisions(spark, sf_dir)
+    return dec
+
+
+@register_pending(
+    "q_semdedup_certificate",
+    # invariants-certificate oracle (the q_ann_ivf_invariants pattern):
+    # the trained centroids stay engine-internal, but the properties any
+    # valid SemDeDup decision table must satisfy are engine-independent
+    # literals — conservation, assignment optimality, cell population
+    # bounds, the keep rule's per-cell law, and planted-copy recall
+    # (VERDICT r14 #3's list). n_vectors/n_planted restate the planted
+    # spec arithmetic from the embeddings table alone.
+    oracle="""
+    SELECT CAST(COUNT(*)
+                + COUNT(*) FILTER (WHERE vec_id % 23 = 5) AS BIGINT)
+             AS n_vectors,
+           CAST(COUNT(*)
+                + COUNT(*) FILTER (WHERE vec_id % 23 = 5) AS BIGINT)
+             AS n_distinct_ids,
+           CAST(COUNT(*) FILTER (WHERE vec_id % 23 = 5) AS BIGINT)
+             AS n_planted,
+           CAST(0 AS BIGINT) AS n_assign_suboptimal,
+           CAST(0 AS BIGINT) AS n_cell_overflow,
+           CAST(0 AS BIGINT) AS n_first_dropped,
+           CAST(0 AS BIGINT) AS n_keep_domain_violations,
+           CAST(0 AS BIGINT) AS n_planted_split_cells,
+           CAST(0 AS BIGINT) AS n_planted_kept
+    FROM embeddings
+    """,
+)
+def q_semdedup_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariants CERTIFICATE for the trained-centroid SemDeDup path —
+    builds q_semdedup_trained's exact decision table, then hash-checks:
+
+    - ``n_vectors`` / ``n_distinct_ids``: exactly one decision per
+      corpus + planted vector (conservation — a vector dropped or
+      duplicated by the assign shuffle breaks the COUNT oracle);
+    - ``n_assign_suboptimal`` == 0: every emitted cell's squared
+      distance is within 1e-9 (relative) of the true argmin over ALL
+      trained centroids, recomputed here by an INDEPENDENTLY CODED
+      kernel (per-chunk difference tensor ‖x−c‖², not the GEMM
+      expansion the production kernel uses — a bug in either path
+      disagrees here); the tolerance admits reduction-order float
+      noise (~1e-13) while catching any real mis-assignment;
+    - ``n_cell_overflow`` == 0: no cell holds more than 8× the mean
+      population ceil(8N/K) — the measured trained-K balance is ≤1.6×
+      mean on every driver SF, and THIS bound is what makes the
+      linear-times-GEMM scale claim true (a mega-cell would be
+      quadratic again; the kernel's own max_cell guard is the loud
+      runtime version of the same contract);
+    - ``n_first_dropped`` == 0: in every cell the (cent_cos, vec_id)-
+      minimal vector has keep = 1 — the keep rule's per-cell law (the
+      farthest-from-centroid member of any relation survives; the
+      order-first vector has no earlier neighbor to drop it);
+    - ``n_keep_domain_violations`` == 0: keep ∈ {0, 1};
+    - ``n_planted_split_cells`` == 0: every planted exact copy lands in
+      its original's cell (identical embedding ⇒ identical distances ⇒
+      same argmin under the deterministic first-min tie-break);
+    - ``n_planted_kept`` == 0: every planted copy is DROPPED — its
+      original precedes it in the keep order (equal cent_cos, lower
+      id) at cosine 1.0 ≥ τ, so recall of exact duplicates is total.
+
+    All checks are distributed aggregations/joins (broadcast centroid
+    matrix only); the driver holds nine scalar counts."""
+    import numpy as np
+    import pandas as pd
+
+    dec, cents, n_real, k = _semdedup_trained_decisions(spark, sf_dir)
+    dec = dec.cache()
+
+    n_vectors = dec.count()
+    n_distinct = dec.select("vec_id").distinct().count()
+    n_keep_domain = dec.filter(~F.col("keep").isin(0, 1)).count()
+
+    bound = -(-8 * n_vectors // k)  # ceil(8N/K), N incl. planted
+    n_overflow = (
+        dec.groupBy("cell").count().filter(F.col("count") > bound).count()
+    )
+    # per-cell (cent_cos, vec_id) lexicographic minimum carries its keep
+    # flag through the struct-min (vec_id is unique, so the min is total)
+    n_first_dropped = (
+        dec.groupBy("cell")
+        .agg(F.min(F.struct("cent_cos", "vec_id", "keep")).alias("s"))
+        .filter(F.col("s.keep") == 0)
+        .count()
+    )
+
+    planted = dec.filter(F.col("vec_id") >= 1_000_000)
+    n_planted = planted.count()
+    n_planted_kept = planted.filter(F.col("keep") == 1).count()
+    n_planted_split = (
+        planted.select(
+            (F.col("vec_id") - 1_000_000).alias("ovid"),
+            F.col("cell").alias("pcell"),
+        )
+        .join(
+            dec.select(F.col("vec_id").alias("ovid"), F.col("cell").alias("ocell")),
+            "ovid",
+        )
+        .filter(F.col("pcell") != F.col("ocell"))
+        .count()
+    )
+
+    # independent assignment recompute: difference-tensor distances (a
+    # separate float path from the kernel's ‖x‖²−2x·c+‖c‖² expansion),
+    # chunked so the (chunk, K, dim) tensor stays ~tens of MB
+    C = np.ascontiguousarray(cents, dtype=np.float64)
+
+    def recheck(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.ascontiguousarray(
+                np.stack(pdf["e"].to_numpy()), dtype=np.float64
+            )
+            got = pdf["cell"].to_numpy()
+            bad = 0
+            for lo in range(0, len(X), 512):
+                hi = min(lo + 512, len(X))
+                d2 = ((X[lo:hi, None, :] - C[None, :, :]) ** 2).sum(-1)
+                mn = d2.min(axis=1)
+                mine = d2[np.arange(hi - lo), got[lo:hi]]
+                bad += int(
+                    (mine > mn + 1e-9 * np.maximum(1.0, mn)).sum()
+                )
+            yield pd.DataFrame({"bad": [bad]})
+
+    emb = Catalog(spark, sf_dir)["embeddings"].select(
+        "vec_id", as_double_array("embedding", "e")
+    )
+    pl = emb.filter(F.col("vec_id") % 23 == 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "e"
+    )
+    corpus = emb.unionByName(pl)
+    n_suboptimal = (
+        corpus.join(dec.select("vec_id", "cell"), "vec_id")
+        .select("e", "cell")
+        .mapInPandas(recheck, "bad long")
+        .agg(F.sum("bad"))
+        .first()[0]
+        or 0
+    )
+    dec.unpersist()
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_vectors": n_vectors,
+                    "n_distinct_ids": n_distinct,
+                    "n_planted": n_planted,
+                    "n_assign_suboptimal": int(n_suboptimal),
+                    "n_cell_overflow": n_overflow,
+                    "n_first_dropped": n_first_dropped,
+                    "n_keep_domain_violations": n_keep_domain,
+                    "n_planted_split_cells": n_planted_split,
+                    "n_planted_kept": n_planted_kept,
+                }
+            ]
+        )
     )

@@ -1331,7 +1331,7 @@ def q_quality_nb_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_quality_classifier(docs, min_df=3)
 
 
-# --- NB-filter operating-point calibration (STAGED for r15) --------------
+# --- NB-filter operating-point calibration (staged r14, LIVE r15) --------
 # VERDICT r13 #5 option (a): the learned-filter THRESHOLD CALIBRATION
 # sweep — the precision / keep-rate curve a curation team reads to pick
 # the filter's operating point (GPT-3 appendix A picks by Pareto
@@ -1380,9 +1380,9 @@ GROUP BY thr_fp
 _CALIB_THRS = [-1_000_000, -500_000, -250_000, 0, 250_000, 500_000, 1_000_000]
 
 
-@register_pending("q_quality_calibration", oracle=_NBQ_CALIB_ORACLE)
+@register("q_quality_calibration", oracle=_NBQ_CALIB_ORACLE)
 def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NB quality-filter threshold calibration sweep (STAGED for r15):
+    """NB quality-filter threshold calibration sweep (staged r14, live r15):
     per fixed-point threshold τ_fp — documents kept, keep rate, and
     precision/recall against the seed labels, where keep means
     mean log-odds + prior > τ (the integer sign test

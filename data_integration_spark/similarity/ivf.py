@@ -93,6 +93,44 @@ def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 25,
     return C
 
 
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    seed: int,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    train_per_cell: int | None = 256,
+) -> np.ndarray:
+    """The bounded deterministic quantizer-training leg, extracted from
+    ``IVFIndex.fit`` VERBATIM (r15) so non-IVF consumers — SemDeDup's
+    trained-K production path — fit centroids with the SAME machinery:
+    a content-keyed ``pmod(xxhash64(id), 1e6) < frac`` subsample
+    (reproducible on any partitioning), collected SORTED by id (so
+    centroids are partition-order independent) and bounded by
+    construction (~``n_cells * train_per_cell`` rows at ANY corpus
+    size), then driver-side Lloyd (``_lloyd``). Returns the
+    (n_cells, dim) float64 centroid matrix."""
+    train = corpus
+    target = n_cells * (train_per_cell or 4096)
+    n = corpus.count()
+    if train_per_cell is not None and n > target:
+        frac_ppm = int(target * 1_000_000 / n)
+        train = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < frac_ppm
+        )
+    # bounded by the sample predicate (or the corpus itself when the
+    # caller opted out of sampling on a small corpus) — never collect
+    # an unbounded training set
+    sample_pd = (
+        train.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
+        .orderBy("_id")
+        .limit(target * 4)
+        .toPandas()
+    )
+    X = np.stack(sample_pd["_e"].to_numpy()).astype(np.float64)
+    return _lloyd(X, n_cells, seed)
+
+
 class IVFIndex:
     """Build once over a corpus (vec col must be array<double>), then
     ``search`` with any query subset."""
@@ -160,26 +198,9 @@ class IVFIndex:
         for the inverted-list assignment (``assign``, broadcast
         centroids, narrow map)."""
         spark = corpus.sparkSession
-        train = corpus
-        target = self.n_cells * (train_per_cell or 4096)
-        n = corpus.count()
-        if train_per_cell is not None and n > target:
-            frac_ppm = int(target * 1_000_000 / n)
-            train = corpus.filter(
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
-                < frac_ppm
-            )
-        # bounded by the sample predicate (or the corpus itself when the
-        # caller opted out of sampling on a small corpus) — never collect
-        # an unbounded training set
-        sample_pd = (
-            train.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
-            .orderBy("_id")
-            .limit(target * 4)
-            .toPandas()
+        centers = train_centroids(
+            corpus, self.n_cells, self.seed, id_col, vec_col, train_per_cell
         )
-        X = np.stack(sample_pd["_e"].to_numpy()).astype(np.float64)
-        centers = _lloyd(X, self.n_cells, self.seed)
         self.centroids = spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
             "cell int, ce array<double>",

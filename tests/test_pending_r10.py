@@ -28,13 +28,15 @@ from data_integration_spark.queries import (
 load_all()
 
 
-def test_pending_block_drained_after_r14_flip():
+def test_pending_block_drained_after_r15_flip():
     """Every previously staged name is LIVE — the r10 flip (r9 payload),
     the r12 flip (r11 payload), the r13 flip (the 9-entry r12 payload:
     F-S linkage family, Misra-Gries batch + streaming, GK quantiles, OPQ,
-    planted streaming semantic dedup) and the r14 flip (the 4-entry r13
+    planted streaming semantic dedup), the r14 flip (the 4-entry r13
     payload: NB quality filter, cross-modal dedup, KMV overlap, survey
-    covmat) all happened exactly as staged. q_linkage_fs_score is the
+    covmat) and the r15 flip (the 5-entry r14 payload: SemDeDup mapping +
+    corpus map, URL canonicalize + crawl frontier, NB threshold
+    calibration) all happened exactly as staged. q_linkage_fs_score is the
     linkage trio's contract-permitted rows-only member (its full-oracle
     certificate sibling is q_linkage_certificate), so it registers
     WITHOUT an oracle by design."""
@@ -62,6 +64,12 @@ def test_pending_block_drained_after_r14_flip():
         "q_crossmodal_dedup",
         "q_overlap_kmv",
         "q_survey_covmat",
+        # r15 flip
+        "q_semdedup",
+        "q_corpus_map",
+        "q_url_canonicalize",
+        "q_crawl_frontier",
+        "q_quality_calibration",
     ):
         assert name in QUERIES, name
         if name != "q_linkage_fs_score":
