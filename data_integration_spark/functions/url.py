@@ -11,6 +11,19 @@ normalization subset that is safe without fetching):
   of scope — it changes semantics for some endpoints);
 - trailing slashes collapsed (empty path → ``/``).
 
+Out of scope (documented limitations, same on both engines):
+
+- param REORDERING (see above) and percent-encoding normalization;
+- IPv6 literal authorities (``https://[::1]:8080/x``): the host/port
+  regexes treat ``[``/``]``/``:`` as ordinary authority characters, so
+  a bracketed host extracts as ``[`` and its port is missed (ADVICE
+  r14). The synthetic crawl manifests the registered queries build
+  contain no IPv6 literals; a caller canonicalizing real crawl logs
+  should pre-filter them (they are ~0% of web URLs) or extend
+  ``_HOST_RE``/``_PORT_RE`` with a bracketed-host alternative — kept
+  out of the signed algebra because the extra alternation would have
+  to parse identically under Java regex and RE2 on both engines.
+
 Everything is native column expressions (regexp_extract / filter /
 array_join) — whole-stage codegen end-to-end, no Python in the path, so
 canonicalization is a narrow map over the crawl manifest at any scale.

@@ -128,7 +128,20 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
         p = stack.pop()
         name = p.getClass().getSimpleName()
         if name in ("WindowExec", "WindowGroupLimitExec") and p.partitionSpec().isEmpty():
-            if not subtree_bounded(p):
+            # an unpartitioned rank-filter plans as TWO WindowGroupLimit
+            # nodes: a Partial-mode instance that prunes MAP-SIDE on every
+            # partition (distributed — not itself a funnel) below the
+            # single-partition Final one. Flag only the Final/WindowExec
+            # hit so a future rank()<=k query gets ONE genuine finding,
+            # not a duplicate needing whitelisting (ADVICE r14). Unknown
+            # mode accessors fall through to flagging (conservative).
+            partial = False
+            if name == "WindowGroupLimitExec":
+                try:
+                    partial = str(p.mode()) == "Partial"
+                except Exception:  # noqa: BLE001 — conservative fallback
+                    partial = False
+            if not partial and not subtree_bounded(p):
                 flagged.append(p.simpleString(120))
         ch = p.children()
         for i in range(ch.size()):
