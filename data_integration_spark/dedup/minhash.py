@@ -351,3 +351,86 @@ def minhash_lsh_pairs(
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= verify_threshold)
     )
+
+
+def edit_verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lev_cap: int = 128,
+    sim_num: int = 4,
+    sim_den: int = 5,
+) -> DataFrame:
+    """Character-level EDIT-DISTANCE verify tier over an already
+    shingle-verified near-dup pair set (the second verification stage a
+    production dedup pipeline runs: shingle Jaccard is blind to word
+    ORDER and repetition, so a doc concatenated with itself — or a
+    shuffled copy — scores J ≈ 1 while being a different document at
+    the character level; Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better" dedups on exact character spans for
+    the same reason). Emits per pair:
+
+    - ``lev``       — Levenshtein distance, computed with Spark's
+      BANDED builtin ``levenshtein(t1, t2, lev_cap)`` (-1 past the
+      cap): the O(len·cap) band is the production knob — unbounded
+      Levenshtein is O(len²) per pair, and past the cap the exact
+      distance is irrelevant (the pair is already 'far' at character
+      level);
+    - ``edit_sim``  — 1 − lev/max(len), on the 6-decimal grid (NULL
+      when the band was exceeded);
+    - ``tier``      — 'exact' (lev = 0), 'near_exact' (edit_sim ≥
+      sim_num/sim_den, decided by the INTEGER sign test
+      sim_den·(mx − lev) ≥ sim_num·mx — no float ever decides a
+      tier), else 'band_far'.
+
+    ``lev_cap`` must be ≥ ceil((1 − sim_num/sim_den) · max doc length)
+    for the tier decision to be exact (a capped pair could otherwise
+    have been near_exact); callers size it off the corpus length cap
+    the way the registered query does.
+
+    Scale shape: ``pairs`` is near-dup-density-sized (the banded-LSH +
+    Jaccard-verify output, never O(N²)); two equi-joins fetch the two
+    texts (AQE broadcasts the pair side while it fits), and the edit
+    computation is a narrow whole-stage-codegen map over the joined
+    rows — no Python, no extra shuffle."""
+    t1 = docs.select(F.col(id_col).alias("d1"), F.col(text_col).alias("t1"))
+    t2 = docs.select(F.col(id_col).alias("d2"), F.col(text_col).alias("t2"))
+    lev = F.levenshtein("t1", "t2", lev_cap)
+    mx = F.greatest(F.length("t1"), F.length("t2"))
+    extra = [c for c in pairs.columns if c not in ("d1", "d2")]
+    return (
+        pairs.join(t1, "d1")
+        .join(t2, "d2")
+        .select(
+            "d1",
+            "d2",
+            *extra,
+            lev.cast("long").alias("lev"),
+            mx.alias("_mx"),
+        )
+        .select(
+            "d1",
+            "d2",
+            *extra,
+            "lev",
+            F.when(F.col("lev") == -1, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.lit(1.0) - F.col("lev") / F.col("_mx"), 6
+                )
+            )
+            .alias("edit_sim"),
+            F.when(F.col("lev") == 0, F.lit("exact"))
+            .when(
+                (F.col("lev") != -1)
+                & (
+                    sim_den * (F.col("_mx") - F.col("lev"))
+                    >= sim_num * F.col("_mx")
+                ),
+                F.lit("near_exact"),
+            )
+            .otherwise(F.lit("band_far"))
+            .alias("tier"),
+        )
+    )
