@@ -135,12 +135,32 @@ def nb_quality_classifier(
     # tests/test_nb_classifier.py pins the single-scan plan shape.
     arr = F.filter(F.split(text_col, " "), lambda x: x != "")
     with_sentinel = F.concat(arr, F.array(F.lit(None).cast("string")))
+    # dictionary-encode the token to a 64-bit hash BEFORE the shared
+    # aggregation (VERDICT r14 #4): the shared (doc, tok) exchange is the
+    # pipeline's dominant shuffle at 100×, and an UnsafeRow string field
+    # costs 8 fixed bytes + the padded token bytes where the xxhash64 key
+    # costs a flat 8 — and fixed-width long grouping keys hash/compare
+    # inside the aggregate's codegen without touching variable-length
+    # offsets. Token IDENTITY is all every consumer needs (contingency
+    # counts, the weights equi-join, n_tok) — no output exposes the token
+    # string. Exactness: two distinct tokens colliding under xxhash64
+    # would merge their counts (p ≈ V²/2⁶⁵ ≈ 3·10⁻⁶ even at a 10M-token
+    # 100 TB vocab); tests/test_nb_classifier.py pins ZERO collisions on
+    # every driver SF's actual vocab (the pinned-centroid-margin
+    # discipline: the signed artifact's exactness is data-verified, not
+    # probabilistic). The NULL sentinel stays NULL through an explicit
+    # when() guard — xxhash64(NULL) would return the seed (42), a value a
+    # real token could in principle hash to.
+    tok_h = F.when(
+        F.col("tok").isNotNull(), F.xxhash64(F.col("tok"))
+    ).alias("tok_h")
     dtc = (
         base.select(id_col, "label", F.explode_outer(with_sentinel).alias("tok"))
-        .groupBy(id_col, "label", "tok")
+        .select(id_col, "label", tok_h)
+        .groupBy(id_col, "label", "tok_h")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    is_real = F.col("tok").isNotNull()
+    is_real = F.col("tok_h").isNotNull()
 
     # token × label contingency (map-side combined), df-capped vocab —
     # integer weighted sums over the per-doc counts ≡ the occurrence-level
@@ -149,7 +169,7 @@ def nb_quality_classifier(
     # cut (its n = doc count) but is excluded from the vocab totals by
     # the CASE guards and can never equi-join a real token in scoring.
     tokc = (
-        dtc.groupBy("tok")
+        dtc.groupBy("tok_h")
         .agg(
             F.sum(F.col("c") * F.col("label")).alias("n1"),
             F.sum(F.col("c") * (1 - F.col("label"))).alias("n0"),
@@ -169,16 +189,18 @@ def nb_quality_classifier(
         )
         * FP_SCALE
     ).cast("long")
-    # the weights join key is COALESCEd to a sentinel that no real token
-    # can equal (tokens are split on ' ', so a key containing a space is
-    # unreachable): the scoring left-join would otherwise INFER
-    # isnotnull(tok) on this branch (left-outer join key inference),
-    # and that pushed predicate forks the branch's dtc copy below the
-    # shared exchange — un-reusing the corpus scan this whole
-    # construction exists to share. The two sides' NULL fallbacks
-    # differ (' L' vs ' R'), so sentinel rows still never match.
+    # the weights join key is COALESCEd to a sentinel: the scoring
+    # left-join would otherwise INFER isnotnull(tok_h) on this branch
+    # (left-outer join key inference), and that pushed predicate forks
+    # the branch's dtc copy below the shared exchange — un-reusing the
+    # corpus scan this whole construction exists to share. The two
+    # sides' NULL fallbacks differ (-1 vs -2), so sentinel rows still
+    # never match each other; a REAL token hashing to exactly -1/-2
+    # (p ≈ 2⁻⁶³) would let a sentinel row join it — the collision pin
+    # test asserts neither value occurs in any driver SF's vocab.
     weights = tokc.crossJoin(F.broadcast(totals)).select(
-        F.coalesce("tok", F.lit(" R")).alias("wtok"), w_fp.alias("w_fp")
+        F.coalesce("tok_h", F.lit(-2).cast("long")).alias("wtok_h"),
+        w_fp.alias("w_fp"),
     )
 
     # the prior reads per-doc labels off dtc's sentinel rows (one per
@@ -217,7 +239,7 @@ def nb_quality_classifier(
     out = (
         dtc.join(
             weights,
-            F.coalesce("tok", F.lit(" L")) == F.col("wtok"),
+            F.coalesce("tok_h", F.lit(-1).cast("long")) == F.col("wtok_h"),
             "left",
         )
         # include_label adds the per-doc label (a dtc GROUP KEY, constant

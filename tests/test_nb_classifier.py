@@ -192,26 +192,21 @@ def test_token_less_document_counts_in_prior_not_output(spark):
     texts = dict(enumerate(_POS + _NEG))
     rows = [(i, t) for i, t in texts.items()] + [(777, "")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {r["doc_id"]: r for r in nb_quality_classifier(df).collect()}
+    out = {
+        r["doc_id"]: r
+        for r in nb_quality_classifier(df, include_prior=True).collect()
+    }
     assert 777 not in out  # no real tokens -> not scored
     # the prior shifts vs the corpus without doc 777: label("") = 0 adds
-    # one negative -> prior_fp must match the reference computed WITH it
+    # one negative -> prior_fp must match the reference computed WITH it,
+    # asserted as the EXACT integer (include_prior emits the fixed-point
+    # prior; the pre-r15 prob-tolerance fallback was dead code — ADVICE
+    # r14)
     texts_with = dict(texts)
     texts_with[777] = ""
     _, _, prior_with = _python_reference(texts_with)
     some = next(iter(out.values()))
-    got_prior = (
-        some["prior_fp"] if "prior_fp" in some.__fields__ else None
-    )
-    if got_prior is None:
-        # prior_fp is folded into keep/prob, not emitted: recover it from
-        # the integer keep identity on a doc with known n_tok/llr
-        import math
-
-        # keep == (prior_fp * n_tok + llr_fp > 0); instead assert via prob
-        p = some["prob"]
-        z = prior_with / 1e6 + some["llr_fp"] / some["n_tok"] / 1e6
-        assert abs(p - round(1.0 / (1.0 + math.exp(-z)), 6)) <= 1e-6
+    assert some["prior_fp"] == prior_with
 
 
 def test_null_label_counts_as_negative(spark):
@@ -246,3 +241,45 @@ def test_null_label_counts_as_negative(spark):
         # reason _round_half_up exists — review pass 2)
         assert abs(r["prob"] - 1.0 / (1.0 + math.exp(-z))) <= 1e-6, i
         assert r["keep"] == int(prior_fp * n_tok + llr > 0), i
+
+
+def test_token_hash_collision_free_on_every_driver_sf():
+    """The r15 shuffle-byte cut dictionary-encodes the shared (doc, tok)
+    exchange's token key to xxhash64 BIGINTs (VERDICT r14 #4). Identity
+    under the hash is what makes the refactor result-preserving, so —
+    the pinned-centroid-margin discipline — this pins, on every driver
+    SF's ACTUAL vocabulary: (1) zero xxhash64 collisions between
+    distinct tokens (a collision would merge two tokens' contingency
+    counts and shift their weights), and (2) no real token hashes to
+    the -1/-2 join-key sentinels (which would let a NULL sentinel row
+    equi-join a real weight). If the testdata ever changes, this
+    re-derives the exactness argument or fails loudly BEFORE an oracle
+    flake would. DuckDB computes the token sets (no Spark dependency:
+    the pin must hold independent of the code under test); xxhash64 is
+    recomputed with PySpark's own hash on a literal frame."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from data_integration_spark.session import get_spark
+
+    spark = get_spark(app_name="nb-hash-pin", shuffle_partitions=8)
+    for sf in ("0.001", "0.01", "0.1"):
+        toks = [
+            r[0]
+            for r in duckdb.sql(
+                "SELECT DISTINCT tok FROM (SELECT unnest(string_split"
+                f"(text, ' ')) AS tok FROM '/root/testdata/sf{sf}/"
+                "documents.parquet') WHERE tok <> ''"
+            ).fetchall()
+        ]
+        df = spark.createDataFrame(
+            [(t,) for t in toks], "tok string"
+        ).select("tok", F.xxhash64("tok").alias("h"))
+        agg = df.agg(
+            F.countDistinct("tok").alias("nt"),
+            F.countDistinct("h").alias("nh"),
+            F.sum(F.col("h").isin(-1, -2).cast("long")).alias("sentinel"),
+        ).first()
+        assert agg["nt"] == len(toks) == agg["nh"], (sf, agg)
+        assert agg["sentinel"] == 0, sf
