@@ -1909,3 +1909,129 @@ def q_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter / F.col("u_est"), 6).alias("kmv_jaccard"),
         )
     )
+
+
+# --- bytes-per-token compression-ratio quality signal (staged r15 for
+# the r16 window; VERDICT r14 #5 option (c), shipped alongside (b)) ------
+
+#: integer thresholds for the per-doc flags — both are SIGN TESTS on
+#: 64-bit integers, so no float ever decides a flag:
+#: bloat: bytes > 12·ws_tok (mean token ≳ 11 bytes + separator — long
+#: opaque runs: base64/URLs/minified code, the stuff gzip would expose);
+#: fragment: re_tok > 3·ws_tok (≥ 2 punctuation marks per whitespace
+#: token on average — markup/boilerplate-dense text).
+_BLOAT_BYTES_PER_TOK = 12
+_FRAGMENT_RE_PER_WS = 3
+
+_COMPRESSION_ORACLE = f"""
+WITH docs_p AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source, text || ' ' || REPEAT('x', 4000) FROM documents
+  WHERE doc_id % 41 = 7
+  UNION ALL
+  SELECT source, text || REPEAT(' ' || ',,,,,,,,,,', 300) FROM documents
+  WHERE doc_id % 43 = 9
+),
+d AS (
+  SELECT source,
+         strlen(text) AS n_bytes,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
+           AS ws_tok,
+         LEN(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))
+           AS re_tok
+  FROM docs_p
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(ws_tok) AS BIGINT) AS total_ws_tok,
+       CAST(SUM(re_tok) AS BIGINT) AS total_re_tok,
+       ROUND(SUM(n_bytes) * 1.0 / NULLIF(SUM(ws_tok), 0), 6)
+         AS bytes_per_ws_tok,
+       ROUND(SUM(n_bytes) * 1.0 / NULLIF(SUM(re_tok), 0), 6)
+         AS bytes_per_re_tok,
+       CAST(SUM(CASE WHEN n_bytes > {_BLOAT_BYTES_PER_TOK} * ws_tok
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bloat,
+       CAST(SUM(CASE WHEN re_tok > {_FRAGMENT_RE_PER_WS} * ws_tok
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fragment
+FROM d
+GROUP BY source
+"""
+
+
+@register_pending("q_compression_ratio", oracle=_COMPRESSION_ORACLE)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bytes-per-token compression-ratio quality card (staged
+    r15 — VERDICT r14 #5 option (c)): the tokenizer-aware cost signal a
+    pretraining pipeline reads before spending tokenizer/training
+    budget on a source. Two token denominators per document — greedy
+    whitespace tokens and a BPE-ish pre-tokenization regex
+    ``[A-Za-z0-9]+|[^A-Za-z0-9 ]`` (alnum runs + every other non-space
+    byte, the word/punct split GPT-2-style pre-tokenizers make; the
+    alternation counts identically under Java regex and RE2: at an
+    alnum position the first branch is both first AND longest) — give
+    bytes/token ratios whose outliers mark opaque-blob sources (high
+    bytes per regex token) vs markup-fragment sources (regex tokens ≫
+    whitespace tokens). Per-doc flags are integer sign tests
+    (bytes > 12·ws_tok, re_tok > 3·ws_tok); source ratios are ONE
+    divide of exact integer sums on the 6-decimal grid. Two planted
+    families (opaque 4000-byte runs at doc_id ≡ 7 mod 41, ten-comma
+    fragment tokens at ≡ 9 mod 43, both replanted identically in the
+    oracle) keep both flags — and the ws/re denominator split — non-
+    vacuous on the punctuation-free synthetic corpus.
+
+    Scale shape: one corpus scan, all per-doc work in a narrow
+    whole-stage-codegen map (octet_length / size / regexp_count — no
+    Python, no explode: the regex COUNT never materializes the token
+    array), then one map-side-combined groupBy(source) emitting
+    |sources| rows."""
+    docs = Catalog(spark, sf_dir)["documents"].select(
+        "doc_id", "source", "text"
+    )
+    # planted families keep both flags non-vacuous on the synthetic
+    # corpus (which is pure alnum+space prose — naturally 0 flags and
+    # re_tok == ws_tok exactly): a 4000-byte opaque run (always trips
+    # the bloat test: 12·ws ≤ 12·290 < +4001 bytes at any corpus doc
+    # shape) and 300 ten-comma tokens (always trips the fragment test:
+    # re−3·ws gains 3000−900 ≫ 2·ws; never trips bloat). The oracle
+    # replants identically, so every count stays value-checked.
+    bloat = docs.filter(F.col("doc_id") % 41 == 7).select(
+        "source", F.concat("text", F.lit(" " + "x" * 4000)).alias("text")
+    )
+    frag = docs.filter(F.col("doc_id") % 43 == 9).select(
+        "source",
+        F.concat("text", F.lit((" " + "," * 10) * 300)).alias("text"),
+    )
+    docs = docs.select("source", "text").unionByName(bloat).unionByName(frag)
+    ws_tok = F.size(
+        F.filter(F.split("text", " "), lambda x: x != "")
+    ).cast("long")
+    re_tok = F.regexp_count(
+        F.col("text"), F.lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]")
+    ).cast("long")
+    d = docs.select(
+        "source",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        ws_tok.alias("ws_tok"),
+        re_tok.alias("re_tok"),
+    )
+    safe_div = lambda num, den: F.round(  # noqa: E731 — one-expression local
+        num / F.when(den != 0, den), 6
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("ws_tok").alias("total_ws_tok"),
+        F.sum("re_tok").alias("total_re_tok"),
+        safe_div(F.sum("n_bytes"), F.sum("ws_tok")).alias("bytes_per_ws_tok"),
+        safe_div(F.sum("n_bytes"), F.sum("re_tok")).alias("bytes_per_re_tok"),
+        F.sum(
+            (F.col("n_bytes") > _BLOAT_BYTES_PER_TOK * F.col("ws_tok"))
+            .cast("long")
+        ).alias("n_bloat"),
+        F.sum(
+            (F.col("re_tok") > _FRAGMENT_RE_PER_WS * F.col("ws_tok"))
+            .cast("long")
+        ).alias("n_fragment"),
+    )

@@ -539,3 +539,94 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("shallow"))
         .alias("tier"),
     )
+
+
+# --- streaming/incremental crawl-frontier maintenance (staged r15 for
+# the r16 window; VERDICT r14 #5 option (a), shipped alongside (b)/(c))
+
+
+@register_pending("q_streaming_crawl_frontier", oracle=_CRAWL_FRONTIER_ORACLE)
+def q_streaming_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL crawl-frontier maintenance (staged r15 — VERDICT r14
+    #5 option (a)): the raw crawl manifest arrives as a STREAM (4-file
+    replay, maxFilesPerTrigger=1 → ≥ 4 real micro-batches), each batch
+    canonicalizes in-flight (functions/url.py — stateless narrow
+    expressions, streaming-legal) and foreachBatch-merges into the
+    per-(host, canon_url) frontier table with ADDITIVE counters
+    (streaming/sinks.py::streaming_counter_merge_sink: count is a
+    commutative monoid, so cross-batch merge is exact in any arrival
+    order; a batch-id ledger committed atomically WITH the counters
+    makes at-least-once redelivery a no-op instead of a double count).
+    The registered output is the per-host politeness stats computed
+    from the MAINTAINED table — after the availableNow replay it must
+    equal the batch q_crawl_frontier answer, which is exactly what the
+    shared oracle checks (n_raw = Σ per-key counters, n_pages = table
+    key count per host).
+
+    At 100 TB this is the operator that keeps the frontier fresh as
+    crawl batches land: each refresh costs one batch-sized groupBy +
+    one |frontier|-keyed merge join — history is never rescanned, and
+    the scheduler reads the same host-tier table the batch query
+    produces."""
+    import json
+    import os
+    import shutil
+
+    from data_integration_spark.functions.url import (
+        canonicalize_url,
+        url_host,
+    )
+    from data_integration_spark.queries.streaming_queries import _SCRATCH
+    from data_integration_spark.streaming.sinks import (
+        streaming_counter_merge_sink,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"{_SCRATCH}/frontier_src_{tag}"
+    table = f"{_SCRATCH}/frontier_table_{tag}"
+    ck = f"{_SCRATCH}/frontier_ck_{tag}"
+    for d in (src, table, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    raw = _raw_manifest(spark, sf_dir)
+    # 4 files → 4 micro-batches under maxFilesPerTrigger=1: the merge
+    # path must actually merge (a single-batch run would certify only
+    # the initial write)
+    raw.repartition(4, "doc_id").write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream_in = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            url_host(F.col("raw_url")).alias("host"),
+            canonicalize_url(F.col("raw_url")).alias("canon_url"),
+        )
+    )
+    q = streaming_counter_merge_sink(
+        stream_in, table, keys=["host", "canon_url"], checkpoint=ck,
+        query_name="t2_frontier",
+    )
+    q.awaitTermination(300)
+
+    with open(os.path.join(table, "_last_batch.json")) as fh:
+        applied = json.load(fh)["applied"]
+    if len(applied) < 2:  # the multi-batch merge story must be exercised
+        raise RuntimeError(
+            f"frontier replay ran {len(applied)} batch(es); expected >= 2 "
+            "(merge path untested — check maxFilesPerTrigger/source files)"
+        )
+
+    t = spark.read.parquet(table)
+    n_pages = F.count("*")  # one table row per (host, canon_url)
+    return t.groupBy("host").agg(
+        F.sum("n_raw").cast("long").alias("n_raw"),
+        n_pages.cast("long").alias("n_pages"),
+        F.round(1.0 - n_pages * 1.0 / F.sum("n_raw"), 6).alias("dup_rate"),
+        (2 * n_pages).cast("long").alias("crawl_sec"),
+        F.when(n_pages >= 100, F.lit("deep"))
+        .when(n_pages >= 20, F.lit("mid"))
+        .otherwise(F.lit("shallow"))
+        .alias("tier"),
+    )
