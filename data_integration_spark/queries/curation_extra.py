@@ -528,11 +528,24 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_host(F.col("raw_url")).alias("host"),
         canonicalize_url(F.col("raw_url")).alias("canon_url"),
     )
-    n_pages = F.count_distinct("canon_url")
-    return c.groupBy("host").agg(
-        F.count("*").cast("long").alias("n_raw"),
+    return _politeness_stats(
+        c, F.count("*"), F.count_distinct("canon_url")
+    )
+
+
+def _politeness_stats(df, n_raw, n_pages) -> DataFrame:
+    """The per-host politeness aggregation, shared by the batch
+    q_crawl_frontier and the streaming q_streaming_crawl_frontier (r15
+    review: a drifted copy of the dup-rate formula / 2 s politeness
+    delay / 100-20 tier thresholds in one of the two would silently
+    break their batch==streaming equivalence between parity runs).
+    ``n_raw`` / ``n_pages`` are the caller's aggregate EXPRESSIONS over
+    its own grouped source (raw manifest rows vs the maintained
+    counter table)."""
+    return df.groupBy("host").agg(
+        n_raw.cast("long").alias("n_raw"),
         n_pages.cast("long").alias("n_pages"),
-        F.round(1.0 - n_pages * 1.0 / F.count("*"), 6).alias("dup_rate"),
+        F.round(1.0 - n_pages * 1.0 / n_raw, 6).alias("dup_rate"),
         (2 * n_pages).cast("long").alias("crawl_sec"),
         F.when(n_pages >= 100, F.lit("deep"))
         .when(n_pages >= 20, F.lit("mid"))
@@ -608,7 +621,14 @@ def q_streaming_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_in, table, keys=["host", "canon_url"], checkpoint=ck,
         query_name="t2_frontier",
     )
-    q.awaitTermination(300)
+    # never read a sink mid-append (the q_streaming_* hardened pattern,
+    # r15 review: an unchecked timeout would fall through with >= 2
+    # batches committed, pass the merge-count guard, and return stats
+    # silently missing the remaining batches — against a table a
+    # concurrent merge is still atomically swapping)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("frontier replay did not finish within 300 s")
 
     with open(os.path.join(table, "_last_batch.json")) as fh:
         applied = json.load(fh)["applied"]
@@ -619,14 +639,12 @@ def q_streaming_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     t = spark.read.parquet(table)
-    n_pages = F.count("*")  # one table row per (host, canon_url)
-    return t.groupBy("host").agg(
-        F.sum("n_raw").cast("long").alias("n_raw"),
-        n_pages.cast("long").alias("n_pages"),
-        F.round(1.0 - n_pages * 1.0 / F.sum("n_raw"), 6).alias("dup_rate"),
-        (2 * n_pages).cast("long").alias("crawl_sec"),
-        F.when(n_pages >= 100, F.lit("deep"))
-        .when(n_pages >= 20, F.lit("mid"))
-        .otherwise(F.lit("shallow"))
-        .alias("tier"),
+    # one table row per (host, canon_url) KEY — but a NULL canon_url
+    # (NULL raw_url input) must not count as a page: the batch query's
+    # count_distinct skips NULLs, and batch==streaming equivalence is
+    # this query's contract (r15 review). Its raw rows still count.
+    return _politeness_stats(
+        t,
+        F.sum("n_raw"),
+        F.sum(F.col("canon_url").isNotNull().cast("long")),
     )

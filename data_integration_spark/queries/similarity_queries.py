@@ -2339,9 +2339,12 @@ def _semdedup_trained_decisions(spark: SparkSession, sf_dir: str):
     content-keyed xxhash subsample, id-sorted collect, driver-side
     Lloyd; seed 11), then run the SAME semdedup_decisions kernel the
     signed q_semdedup runs — only the centroid source changes (the
-    q_ann_ivf pinned/fitted split). Returns (decisions, n_real, K).
-    The planted-copy spec matches q_semdedup (every vec_id ≡ 5 mod 23
-    duplicated at id + 1e6) so copy recall is assertable here too."""
+    q_ann_ivf pinned/fitted split). Returns the 5-tuple
+    (decisions, corpus, centroids, n_real, k) — the certificate reuses
+    ``corpus`` so the planted spec (every vec_id ≡ 5 mod 23 duplicated
+    at id + 1e6, matching q_semdedup) exists in ONE place and the
+    argmin recheck joins against the exact frame the decisions came
+    from (r15 review)."""
     from data_integration_spark.similarity.ivf import train_centroids
     from data_integration_spark.similarity.semdedup import semdedup_decisions
 
@@ -2353,11 +2356,12 @@ def _semdedup_trained_decisions(spark: SparkSession, sf_dir: str):
     )
     n_real = emb.count()
     k = _scale_n_cells(n_real)
-    cents = train_centroids(emb, k, seed=11)
-    dec = semdedup_decisions(
-        emb.unionByName(planted), cents.tolist(), threshold=0.40
-    )
-    return dec, cents, n_real, k
+    # n_rows skips train_centroids' own count of the same frame (the
+    # helper just counted it)
+    cents = train_centroids(emb, k, seed=11, n_rows=n_real)
+    corpus = emb.unionByName(planted)
+    dec = semdedup_decisions(corpus, cents.tolist(), threshold=0.40)
+    return dec, corpus, cents, n_real, k
 
 
 @register_pending("q_semdedup_trained")  # rows-only: trained centroids are
@@ -2370,7 +2374,7 @@ def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell pair space is linear-times-constant, not quadratic).
     Same per-vector mapping (vec_id, cell, cent_cos, keep) and kernel
     as the signed q_semdedup; only the centroid source changes."""
-    dec, _c, _n, _k = _semdedup_trained_decisions(spark, sf_dir)
+    dec, _corpus, _c, _n, _k = _semdedup_trained_decisions(spark, sf_dir)
     return dec
 
 
@@ -2438,7 +2442,9 @@ def q_semdedup_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    dec, cents, n_real, k = _semdedup_trained_decisions(spark, sf_dir)
+    dec, corpus, cents, n_real, k = _semdedup_trained_decisions(
+        spark, sf_dir
+    )
     dec = dec.cache()
 
     n_vectors = dec.count()
@@ -2476,7 +2482,13 @@ def q_semdedup_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # independent assignment recompute: difference-tensor distances (a
     # separate float path from the kernel's ‖x‖²−2x·c+‖c‖² expansion),
-    # chunked so the (chunk, K, dim) tensor stays ~tens of MB
+    # chunked so the (chunk, K, dim) tensor stays ~tens of MB. Each
+    # Arrow batch also reports how many rows it rechecked: the corpus
+    # frame is the SAME one the decisions came from (the helper's), but
+    # an inner join could still silently shrink if the kernel ever
+    # corrupted ids while preserving counts — the rechecked-row total is
+    # reconciled against n_vectors below so a dropped row can never
+    # masquerade as "0 violations" (r15 review).
     C = np.ascontiguousarray(cents, dtype=np.float64)
 
     def recheck(batches):
@@ -2496,23 +2508,16 @@ def q_semdedup_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bad += int(
                     (mine > mn + 1e-9 * np.maximum(1.0, mn)).sum()
                 )
-            yield pd.DataFrame({"bad": [bad]})
+            yield pd.DataFrame({"bad": [bad], "n": [len(X)]})
 
-    emb = Catalog(spark, sf_dir)["embeddings"].select(
-        "vec_id", as_double_array("embedding", "e")
-    )
-    pl = emb.filter(F.col("vec_id") % 23 == 5).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "e"
-    )
-    corpus = emb.unionByName(pl)
-    n_suboptimal = (
+    rc = (
         corpus.join(dec.select("vec_id", "cell"), "vec_id")
         .select("e", "cell")
-        .mapInPandas(recheck, "bad long")
-        .agg(F.sum("bad"))
-        .first()[0]
-        or 0
+        .mapInPandas(recheck, "bad long, n long")
+        .agg(F.sum("bad").alias("bad"), F.sum("n").alias("n"))
+        .first()
     )
+    n_suboptimal = (rc["bad"] or 0) + abs(n_vectors - (rc["n"] or 0))
     dec.unpersist()
 
     return spark.createDataFrame(

@@ -100,6 +100,7 @@ def train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "e",
     train_per_cell: int | None = 256,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """The bounded deterministic quantizer-training leg, extracted from
     ``IVFIndex.fit`` VERBATIM (r15) so non-IVF consumers — SemDeDup's
@@ -109,10 +110,12 @@ def train_centroids(
     centroids are partition-order independent) and bounded by
     construction (~``n_cells * train_per_cell`` rows at ANY corpus
     size), then driver-side Lloyd (``_lloyd``). Returns the
-    (n_cells, dim) float64 centroid matrix."""
+    (n_cells, dim) float64 centroid matrix. ``n_rows``: the corpus row
+    count, when the caller already has it (saves re-counting the same
+    frame; callers that sized n_cells off a count always do)."""
     train = corpus
     target = n_cells * (train_per_cell or 4096)
-    n = corpus.count()
+    n = corpus.count() if n_rows is None else n_rows
     if train_per_cell is not None and n > target:
         frac_ppm = int(target * 1_000_000 / n)
         train = corpus.filter(

@@ -76,4 +76,56 @@ if __name__ == "__main__":
         ]
         _time("sf10 (100x)", "q_dedup_edit_verify", lambda: fn(spark, SF10))
 
+    # extended legs (added after the first idle-box run): the two bonus
+    # r15-staged capabilities. Invoke: python tools/rehearse_r15.py extra
+    if "extra" in legs:
+        for name in ("q_compression_ratio", "q_streaming_crawl_frontier"):
+            fn = PENDING_R10[name][0]
+            _time("sf10 (100x)", name, lambda fn=fn: fn(spark, SF10))
+
+    # the trained-semdedup leg with the FIT timed separately from the
+    # decisions pass (the production split a release pipeline sees:
+    # fit once per release, decide per corpus)
+    if "semdedup_split" in legs:
+        import numpy as _np
+
+        from data_integration_spark.queries.similarity_queries import (
+            _scale_n_cells,
+        )
+        from data_integration_spark.similarity.ann import as_double_array
+        from data_integration_spark.similarity.ivf import train_centroids
+        from data_integration_spark.similarity.semdedup import (
+            semdedup_decisions,
+        )
+        from data_integration_spark.sources.catalog import Catalog
+        from pyspark.sql import functions as F
+
+        emb = Catalog(spark, SF10)["embeddings"].select(
+            "vec_id", as_double_array("embedding", "e")
+        )
+        n = emb.count()
+        t0 = time.perf_counter()
+        cents = train_centroids(emb, _scale_n_cells(n), seed=11)
+        fit_sec = round(time.perf_counter() - t0, 2)
+        planted = emb.filter(F.col("vec_id") % 23 == 5).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "e"
+        )
+        corpus = emb.unionByName(planted)
+        dec = lambda: semdedup_decisions(corpus, cents.tolist(), 0.40)  # noqa: E731
+        dec().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        dec().write.format("noop").mode("overwrite").save()
+        print(
+            json.dumps(
+                {
+                    "op": "q_semdedup_trained[split]",
+                    "tag": "sf10 (100x)",
+                    "fit_sec": fit_sec,
+                    "decide_sec": round(time.perf_counter() - t0, 2),
+                    "k": _scale_n_cells(n),
+                }
+            ),
+            flush=True,
+        )
+
     spark.stop()
