@@ -947,3 +947,33 @@ def test_boundedness_walk_semantics(spark):
     )
     bad2 = ex.withColumn("rn", F.row_number().over(Window.orderBy("x")))
     assert len(unbounded_global_windows(bad2)) == 1
+
+
+def test_r15_staged_plan_contracts(spark):
+    """Plan contracts for the r15-staged payload (the every-new-heavy-op
+    discipline):
+
+    - q_compression_ratio is native end-to-end (no Python eval node —
+      the regex token count must compile to the codegen builtin, not a
+      UDF) and costs exactly ONE exchange (the map-side-combined
+      groupBy(source)); the planted unions stay narrow.
+    - q_dedup_edit_verify plans no Cartesian/broadcast-nested-loop
+      join (every join in the LSH + verify + text-fetch chain is an
+      equi-join) and computes lev via the levenshtein BUILTIN.
+    """
+    from data_integration_spark.queries import PENDING_R10, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+
+    comp = PENDING_R10["q_compression_ratio"][0](spark, sf)
+    plan = formatted_plan(comp)
+    assert "EvalPython" not in plan, "compression card fell off codegen"
+    assert count_shuffles(comp) == 1, plan
+
+    edit = PENDING_R10["q_dedup_edit_verify"][0](spark, sf)
+    plan = formatted_plan(edit)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "EvalPython" not in plan, "edit tier fell off codegen"
