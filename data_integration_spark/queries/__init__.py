@@ -172,21 +172,20 @@ _SIGN_PRIORITY: list[str] = [
 # each, r15: 50 — oldest signature moves r7 → r8.
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
-# because a code change invalidated what the row attests to. Empty for r14:
-# this round's changes to ALREADY-SIGNED queries are result-preserving —
-# the q_top_orders / q_term_cooccurrence top-k re-plans (global
-# row_number window → orderBy().limit(k) TakeOrderedAndProject) keep
-# identical outputs because both orders are TOTAL (unique tie-break
-# column), pinned against pre-refactor values at 2 SFs in
-# tests/test_topk_refactor_pins.py and re-verified against their
-# unchanged oracles; q_rowid_rownumber's swap to range_row_number is the
-# same total-order argument (oracle re-verified at all 3 SFs +
-# rangepartitioning plan pin, tests/test_plans.py). The NB classifier's
-# single-scan restructure and the crossmodal single-decode/raw_dot/
-# ok-guard fixes land on queries whose FIRST signature is this round's
-# window (flipped from staging this round), so no prior row is
-# invalidated. (r13's empty-set justification is preserved in git
-# history at tag-commit 0cf1281.)
+# because a code change invalidated what the row attests to. Empty for r15:
+# this round's only change to an ALREADY-SIGNED query is the NB filter's
+# token-key dictionary-encode (operators/nb_classifier.py: the shared
+# exchange groups on xxhash64(tok) instead of the token string), which is
+# result-preserving by VERIFICATION, not just argument — outputs pinned
+# bit-identical pre/post refactor at sf0.001+sf0.01, the oracle
+# re-verified at sf0.1, and tests/test_nb_classifier.py pins ZERO hash
+# collisions (and no sentinel-valued real token) on every driver SF's
+# actual vocabulary, so identity-under-the-hash is data-verified. The
+# q_crawl_frontier _politeness_stats extraction is expression-identical
+# (oracle re-verified at sf0.01), and the ivf.train_centroids extraction
+# is verbatim (IVF family oracles re-verified 3/3). Everything else this
+# round lands on queries whose FIRST signature is this round's window or
+# on staged names. (r14's justification is preserved in git history.)
 _RESIGN: frozenset[str] = frozenset()
 
 
