@@ -142,6 +142,13 @@ def minhash_lsh_cross_pairs(
                 "old_df is required unless both old_buckets and old_shingles "
                 "are supplied from a persisted index"
             )
+    # r15: spread the (usually single-split) scans before the shingle +
+    # k-hash kernels — same fix as minhash_lsh_pairs; projection only
+    from data_integration_spark.sources.catalog import spread_scan
+
+    new_df = spread_scan(new_df.select(id_col, text_col))
+    if old_df is not None:
+        old_df = spread_scan(old_df.select(id_col, text_col))
     b_new = band_buckets(
         minhash_signatures(new_df, id_col, text_col, n_gram, k, seed),
         id_col, k, bands,
@@ -156,12 +163,16 @@ def minhash_lsh_cross_pairs(
         b_new.join(b_old, ["band", "bh"]).select("new_id", "old_id").distinct()
     )
     # exact verification on candidates only (same as the within-corpus path);
-    # shingle long tables stay per-side so same-id docs never merge
-    sh_new = shingle_df(new_df, id_col, text_col, n_gram)
+    # shingle long tables stay per-side so same-id docs never merge.
+    # Freshly derived sides are materialized once for their two consumers
+    # (size agg + verify join — the minhash_lsh_pairs r15 fix); a side
+    # loaded from the persisted index is already a parquet scan and is
+    # left lazy.
+    sh_new = shingle_df(new_df, id_col, text_col, n_gram).localCheckpoint()
     sh_old = (
         old_shingles
         if old_shingles is not None
-        else shingle_df(old_df, id_col, text_col, n_gram)
+        else shingle_df(old_df, id_col, text_col, n_gram).localCheckpoint()
     )
     sz_new = sh_new.groupBy(id_col).agg(F.countDistinct("shingle").alias("sz1"))
     sz_old = sh_old.groupBy(id_col).agg(F.countDistinct("shingle").alias("sz2"))
@@ -308,8 +319,22 @@ def minhash_lsh_pairs(
     near-empty documents, which the exact-dedup stage (run first in the
     curation pipeline) already collapses. ``None`` disables the cap."""
     assert k % bands == 0
+    # r15: spread the (usually single-split) scan before the two
+    # CPU-heavy kernels (shingle explode + 64 seeded hashes, and the
+    # verify-side shingle explode) — both materialization jobs below
+    # otherwise run the whole corpus through one task. Narrow projection
+    # only; identical rows, any partitioning.
+    from data_integration_spark.sources.catalog import spread_scan
+
+    df = spread_scan(df.select(id_col, text_col))
     sig = minhash_signatures(df, id_col, text_col, n_gram, k, seed)
-    buckets = band_buckets(sig, id_col, k, bands)
+    # r15 optimization: materialize the banded index once — it feeds the
+    # bucket-size aggregation AND both candidate join sides, and Catalyst
+    # replicated the whole scan→shingle→64-minhash subtree into each
+    # branch. The band table is exactly the artifact
+    # save_minhash_index persists per release (|docs|·bands rows of
+    # (id, band, bh)); localCheckpoint is fresh per invocation.
+    buckets = band_buckets(sig, id_col, k, bands).localCheckpoint()
     join_keys = ["band", "bh"]
     if max_bucket_size is not None:
         sizes_b = buckets.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
@@ -330,8 +355,13 @@ def minhash_lsh_pairs(
         .select("d1", "d2")
         .distinct()
     )
-    # exact verification on candidates only
-    sh = shingle_df(df, id_col, text_col, n_gram)
+    # exact verification on candidates only. The shingle long table is
+    # materialized once for its three consumers (sizes + both verify join
+    # sides — it was re-derived from the text per branch); it is the
+    # other half of the persisted release index (save_minhash_index
+    # stores buckets AND shingles), so the materialization mirrors what
+    # a 100 TB release job writes anyway.
+    sh = shingle_df(df, id_col, text_col, n_gram).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.countDistinct("shingle").alias("sz"))
     s1 = sh.select(F.col(id_col).alias("d1"), F.col("shingle"))
     s2 = sh.select(F.col(id_col).alias("d2"), F.col("shingle"))

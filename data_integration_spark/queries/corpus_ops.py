@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from data_integration_spark.queries import register, register_pending
 from data_integration_spark.similarity.ann import as_double_array, with_norm
-from data_integration_spark.sources.catalog import Catalog
+from data_integration_spark.sources.catalog import Catalog, spread_scan
 
 
 def _bigram_shingles(docs: DataFrame, key: str) -> DataFrame:
@@ -887,7 +887,11 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences, clustered on doc_id. No pair space is ever
     materialized: a gram shared by 10^6 docs is one registry row, not
     10^12 pairs."""
-    docs = Catalog(spark, sf_dir)["documents"]
+    # spread the single-split scan before the 5-gram string-build kernel
+    # (r15, guide §2.5 — identical rows, any partitioning)
+    docs = spread_scan(
+        Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    )
     span = 5
     tok = docs.select(
         "doc_id",
@@ -944,7 +948,7 @@ def _bpe_word_table(spark: SparkSession, sf_dir: str):
     """Shared (word, freq) TYPE table for the BPE queries: corpus tokens
     with the same >=5 frequency floor q_vocab_build uses (one hash
     aggregation; tokens never leave the scan un-aggregated)."""
-    docs = Catalog(spark, sf_dir)["documents"]
+    docs = spread_scan(Catalog(spark, sf_dir)["documents"].select("text"))
     return (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -1479,8 +1483,20 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Portable 60-bit md5-prefix hashes; the oracle re-derives window
     minima with a range self-join instead of a frame."""
     K, W, DF_CAP = 4, 4, 45
-    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
-    fpd = winnow_fingerprints(docs, k=K, w=W)
+    # spread before the gram-explode + md5 kernel (single-split input)
+    docs = spread_scan(
+        Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    )
+    # r15 optimization: materialize the fingerprint table once — it
+    # feeds THREE consumers (the df-cap aggregation and both sides of
+    # the pair self-join), and Catalyst replicated the whole corpus
+    # gram→md5→window→distinct subtree into each (the pre-r15 plan held
+    # 4 parquet scans / 8 window stages). Fingerprints are the ~2/(w+1)
+    # compressed representation winnowing exists to produce — exactly
+    # the artifact a 100 TB run materializes per release
+    # (q_winnowing_registry_persist persists this very table); fresh per
+    # invocation (localCheckpoint never caches across runs).
+    fpd = winnow_fingerprints(docs, k=K, w=W).localCheckpoint()
     hot = (
         fpd.groupBy("h")
         .agg(F.count("*").alias("_df"))
@@ -1560,8 +1576,13 @@ def q_winnowing_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole corpus cannot pair). Shares ``winnow_fingerprints`` with
     q_winnowing_fingerprint — one extraction, two pairing policies."""
     K, W, DF_CAP = 4, 4, 45
-    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
-    fpd = winnow_fingerprints(docs, k=K, w=W)
+    # spread before the gram+md5 kernel; materialized once for its three
+    # consumers (df-cap + both pair sides) — the q_winnowing_fingerprint
+    # r15 single-winnow fix
+    docs = spread_scan(
+        Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    )
+    fpd = winnow_fingerprints(docs, k=K, w=W).localCheckpoint()
     hot = (
         fpd.groupBy("h")
         .agg(F.count("*").alias("_df"))
@@ -1615,12 +1636,20 @@ def q_winnowing_registry_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, W, DF_CAP = 4, 4, 45
     docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
     path = _index_path("winnow_registry", sf_dir)
-    # once-per-release: fingerprint + save the old corpus
+    # once-per-release: fingerprint + save the old corpus (spread before
+    # the gram+md5 kernel — the save job is the archive-sized leg)
     save_winnowing_registry(
-        winnow_fingerprints(docs.filter(F.col("doc_id") >= 60), k=K, w=W),
+        winnow_fingerprints(
+            spread_scan(docs.filter(F.col("doc_id") >= 60)), k=K, w=W
+        ),
         path, k=K, w=W,
     )
-    # per-crawl: load the artifact, fingerprint ONLY the new batch
+    # per-crawl: load the artifact, fingerprint ONLY the new batch.
+    # (Deliberately NOT materialized like q_winnowing_fingerprint's fpd:
+    # the plan contract pinned by
+    # test_winnowing_registry_percrawl_plan_never_reads_archive_text
+    # checks the pushed |batch| bound on the live documents scan, and the
+    # batch side is 60 docs — the duplicate winnow is noise here.)
     old_fp, old_df = load_winnowing_registry(spark, path, k=K, w=W)
     new_fp = winnow_fingerprints(docs.filter(F.col("doc_id") < 60), k=K, w=W)
     new_df = new_fp.groupBy("h").agg(F.count("*").cast("long").alias("df"))
@@ -1822,7 +1851,12 @@ def q_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB."""
     from pyspark.sql import Window
 
-    docs = Catalog(spark, sf_dir)["documents"]
+    # spread the single-split scan before the gram explode + md5 kernel
+    # (r15: the sketch build ran single-core — measured 4.3 s → 1.8 s at
+    # sf0.1 with the spread; values are row-independent)
+    docs = spread_scan(
+        Catalog(spark, sf_dir)["documents"].select("source", "text")
+    )
     sh = _bigram_shingles(docs, "source")
     dh = (
         sh.select(
@@ -1842,72 +1876,77 @@ def q_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     w_src = Window.partitionBy("source").orderBy("h")
+    # ONE corpus pass builds the per-source sketches (explode → distinct
+    # → K-min window, all distributed); everything past this line is
+    # sketch algebra over ≤ |sources|·K 16-byte rows.
     sk = dh.withColumn("rn", F.row_number().over(w_src)).filter(
         F.col("rn") <= k
     )
-    est = sk.groupBy("source").agg(
-        kmv_est(
-            F.count("*"),
-            F.max(F.when(F.col("rn") == k, F.col("h"))),
-        ).alias("d_est")
-    )
-    # source list from the sketch-sized `est` (≤ |sources| rows) — NOT a
-    # second distinct pass over the corpus-scale (source, hash) relation;
-    # a source appears in dh iff it appears in est
-    srcs = est.select("source")
-    prs = (
-        srcs.select(F.col("source").alias("src_a"))
-        .join(
-            srcs.select(F.col("source").alias("src_b")),
-            F.col("src_a") < F.col("src_b"),
+    # r15 optimization: merge the sketches ON THE COORDINATOR — the
+    # DataSketches/theta design (sketches exist precisely so the merge
+    # fits one process). The previous engine-side pairing consumed `sk`
+    # from four join branches and Catalyst replicated the corpus-scale
+    # explode→distinct→K-min subtree into each (8 parquet scans, 22
+    # exchanges, 17 WindowGroupLimit copies in the pre-r15 plan; 12
+    # exchanges after a localCheckpoint variant) — all to shuffle
+    # |sources|²·K sketch rows. Collected bounded with the loud guard
+    # convention (q_cosine_pairs); estimates replay the engine
+    # expressions value-for-value: single divisions of exact integers,
+    # the same left-associated inter = (a + b) − u, and F.round's
+    # BigDecimal HALF_UP via _np_round_half_up (similarity/ann.py), so
+    # the emitted doubles are bit-identical to the retired join form
+    # (oracle re-verified at all 3 SFs).
+    import numpy as np
+
+    from data_integration_spark.similarity.ann import _np_round_half_up
+
+    max_sketch_rows = 2_000_000  # ≈ 7.8k sources at K=256
+    rows = sk.select("source", "h").limit(max_sketch_rows + 1).collect()
+    if len(rows) > max_sketch_rows:  # not assert: survives python -O
+        raise ValueError(
+            f"q_overlap_kmv sketch exceeds {max_sketch_rows} rows; merge "
+            "sketches hierarchically instead of on the coordinator"
         )
-    )
-    mh = sk.select("source", "h")
-    merged = (
-        prs.join(
-            mh.withColumnRenamed("source", "src_a"), "src_a"
-        )
-        .select("src_a", "src_b", "h")
-        .unionByName(
-            prs.join(
-                mh.withColumnRenamed("source", "src_b"), "src_b"
-            ).select("src_a", "src_b", "h")
-        )
-        .distinct()
-    )
-    w_pair = Window.partitionBy("src_a", "src_b").orderBy("h")
-    uni = (
-        merged.withColumn("rn", F.row_number().over(w_pair))
-        .filter(F.col("rn") <= k)
-        .groupBy("src_a", "src_b")
-        .agg(
-            kmv_est(
-                F.count("*"),
-                F.max(F.when(F.col("rn") == k, F.col("h"))),
-            ).alias("u_est")
-        )
-    )
-    ea = est.select(
-        F.col("source").alias("src_a"), F.col("d_est").alias("a_est")
-    )
-    eb = est.select(
-        F.col("source").alias("src_b"), F.col("d_est").alias("b_est")
-    )
-    inter = F.greatest(
-        F.col("a_est") + F.col("b_est") - F.col("u_est"), F.lit(0.0)
-    )
-    return (
-        uni.join(ea, "src_a")
-        .join(eb, "src_b")
-        .select(
-            "src_a",
-            "src_b",
-            F.round("a_est", 6).alias("kmv_a"),
-            F.round("b_est", 6).alias("kmv_b"),
-            F.round("u_est", 6).alias("kmv_union"),
-            F.round(inter, 6).alias("kmv_inter"),
-            F.round(inter / F.col("u_est"), 6).alias("kmv_jaccard"),
-        )
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["h"])
+    hashes = {s: np.sort(np.asarray(v, dtype=np.int64)) for s, v in by_src.items()}
+
+    def est_of(arr: np.ndarray) -> float:
+        # the kmv_est expression verbatim: exact count below K, else one
+        # double division of exact integers ((k−1)·2^60 is exactly
+        # representable)
+        if len(arr) < k:
+            return float(len(arr))
+        return (k - 1) * two60 / float(arr[k - 1])
+
+    def r6(x: float) -> float:
+        return float(_np_round_half_up(np.asarray([x]), 6)[0])
+
+    d_est = {s: est_of(a) for s, a in hashes.items()}
+    out = []
+    srcs = sorted(hashes)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            u_arr = np.union1d(hashes[sa], hashes[sb])  # sorted distinct
+            u_est = est_of(u_arr[:k])
+            a_est, b_est = d_est[sa], d_est[sb]
+            inter = max(a_est + b_est - u_est, 0.0)
+            out.append(
+                {
+                    "src_a": sa,
+                    "src_b": sb,
+                    "kmv_a": r6(a_est),
+                    "kmv_b": r6(b_est),
+                    "kmv_union": r6(u_est),
+                    "kmv_inter": r6(inter),
+                    "kmv_jaccard": r6(inter / u_est),
+                }
+            )
+    return spark.createDataFrame(
+        out,
+        "src_a string, src_b string, kmv_a double, kmv_b double,"
+        " kmv_union double, kmv_inter double, kmv_jaccard double",
     )
 
 

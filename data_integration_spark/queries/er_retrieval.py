@@ -1104,26 +1104,47 @@ def q_linkage_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
       tests/test_fs_linkage.py;
     - ``fpr_le_001``: ≤ 1% of non-matching candidate pairs cross the
       threshold (the balance band admits ~0.07% of random pairs)."""
-    from data_integration_spark.stats.fs_linkage import (
-        fs_em,
-        pattern_table,
-        score_pairs,
-    )
+    from data_integration_spark.stats.fs_linkage import fs_em, fs_weights
 
+    # r15 optimization (guide §1.2: don't recompute what a sufficient
+    # statistic already holds): the certificate needs ONE pass over the
+    # pair space, not two. The γ-pattern contingency table extended with
+    # the planted-truth count (≤ 2^F rows — exactly q_linkage_patterns'
+    # output) determines EVERY aggregate below: the F-S weight is a pure
+    # function of the pattern (score_pairs attaches
+    # lit(0.0) + Σ_f when(γ_f=1, agree_f).otherwise(disagree_f), the
+    # same per-pattern double for every pair of that pattern), so
+    # tp/fp/n_pairs/n_true are exact integer rollups of the table. The
+    # driver-side weight sum below replays score_pairs' float evaluation
+    # order term-for-term (0.0 + w_0 + w_1 + w_2, left-associated), so
+    # the weight > 0 test is bit-identical to the retired per-pair scan.
     pairs = _fs_pairs(spark, sf_dir)
-    _pi, m, u, lls = fs_em(pattern_table(pairs, _FS_GAMMA))
-    scored = score_pairs(pairs, _FS_GAMMA, m, u)
-    agg = scored.agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.sum("is_true").cast("long").alias("n_true"),
-        F.sum(
-            ((F.col("is_true") == 1) & (F.col("weight") > 0)).cast("long")
-        ).alias("tp"),
-        F.sum(
-            ((F.col("is_true") == 0) & (F.col("weight") > 0)).cast("long")
-        ).alias("fp"),
-    ).collect()[0]  # 1 row
-    n_true, n_pairs = int(agg["n_true"]), int(agg["n_pairs"])
+    rows = (
+        pairs.groupBy(*_FS_GAMMA)
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.sum("is_true").cast("long").alias("t"),
+        )
+        .collect()
+    )  # ≤ 2^F rows — the only driver traffic
+    table = [
+        (tuple(int(r[g]) for g in _FS_GAMMA), int(r["c"]), int(r["t"]))
+        for r in rows
+    ]
+    _pi, m, u, lls = fs_em([(g, c) for g, c, _t in table])
+    agree, disagree = fs_weights(m, u)
+
+    def pattern_weight(g: tuple[int, ...]) -> float:
+        w = 0.0
+        for f in range(len(g)):
+            w = w + (agree[f] if g[f] == 1 else disagree[f])
+        return w
+
+    n_pairs = sum(c for _g, c, _t in table)
+    n_true = sum(t for _g, _c, t in table)
+    tp = sum(t for g, _c, t in table if pattern_weight(g) > 0)
+    fp = sum(c - t for g, c, t in table if pattern_weight(g) > 0)
+    agg = {"tp": tp, "fp": fp}
     n_false = n_pairs - n_true
     row = {
         "n_pairs": n_pairs,

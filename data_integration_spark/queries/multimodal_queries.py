@@ -37,6 +37,20 @@ from data_integration_spark.queries import register, register_pending
 from data_integration_spark.sources.catalog import Catalog
 
 
+def _spread_scan(df: DataFrame) -> DataFrame:
+    """Parallelize the payload-synthesis ``mapInPandas`` kernels (r15
+    optimization, guide §2.5's unsplittable-input fix): the fixture
+    payload is generated FROM the id columns, so only a few bytes per
+    row cross this round-robin exchange — while WITHOUT it a single
+    small parquet file pins the whole synth→decode→hash pipeline to ONE
+    scan task (sf0.1 documents.parquet is one 594 KB file → one input
+    split → every codec kernel ran single-core). Scale-adaptive:
+    ``defaultParallelism`` tracks the cluster's cores, and at real scale
+    (many input files) the exchange still only carries the narrow id
+    projection, never payloads (guide §8: move keys, not payloads)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _hexbyte_sql(h: str, i: int) -> str:
     """SQL for byte i (0-based) of a lowercase hex digest string ``h``."""
     c1 = f"SUBSTR({h}, {2 * i + 1}, 1)"
@@ -74,7 +88,9 @@ def _bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec path, itself an Arrow-batched mapInPandas pass."""
     import pandas as pd
 
-    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    docs = _spread_scan(
+        Catalog(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    )
 
     def enc(batches):
         for pdf in batches:
@@ -225,7 +241,9 @@ def _gradient_bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND columns the resampler chose, not just that bytes survived."""
     import pandas as pd
 
-    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    docs = _spread_scan(
+        Catalog(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    )
 
     def enc(batches):
         for pdf in batches:
@@ -292,7 +310,7 @@ def _tone_wav_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
+    docs = _spread_scan(Catalog(spark, sf_dir)["documents"].select("doc_id"))
 
     def enc(batches):
         for pdf in batches:
@@ -360,7 +378,7 @@ def _video_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame index, dims with the doc)."""
     import pandas as pd
 
-    docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
+    docs = _spread_scan(Catalog(spark, sf_dir)["documents"].select("doc_id"))
 
     def enc(batches):
         for pdf in batches:
@@ -428,7 +446,7 @@ def _dhash_bmp_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         _encode_bmp_pixels,
     )
 
-    docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
+    docs = _spread_scan(Catalog(spark, sf_dir)["documents"].select("doc_id"))
 
     def enc(batches):
         for pdf in batches:
@@ -476,8 +494,18 @@ def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction, bit packing, block split, OR a recall-losing pair join
     all break the driver hash."""
     sig = image_dhash(_dhash_bmp_payload_df(spark, sf_dir))
+    # r15 optimization: materialize the 16-byte (id, hash) rows ONCE
+    # before the self-join — the pigeonhole join otherwise duplicates
+    # the whole synth→decode→hash lineage on BOTH sides (the corpus was
+    # decoded twice per run; guide §8: decide on small rows). Fresh per
+    # invocation (localCheckpoint never caches across runs).
+    fp = (
+        sig.filter(F.col("ok"))
+        .select(F.col("item_id"), F.col("dhash"))
+        .localCheckpoint()
+    )
     pairs = hamming_near_pairs(
-        sig.filter(F.col("ok")).select(F.col("item_id"), F.col("dhash")),
+        fp,
         bits=56,
         max_distance=3,
         id_col="item_id",
@@ -567,7 +595,9 @@ def _phash_bmp_payload_df(
 
     docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
     if max_doc_id is not None:
+        # prune at the scan (PushedFilters), THEN spread for the encode
         docs = docs.filter(F.col("doc_id") < max_doc_id)
+    docs = _spread_scan(docs)
     mag = 30.0
 
     def enc(batches):
@@ -608,8 +638,15 @@ def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization, block selection, DC handling, mean threshold, bit
     packing, or a recall-losing pair join all break the driver hash."""
     sig = image_phash(_phash_bmp_payload_df(spark, sf_dir))
+    # decode once, self-join the materialized 16-byte rows (see
+    # q_image_dedup_dhash — the same r15 double-decode fix)
+    fp = (
+        sig.filter(F.col("ok"))
+        .select(F.col("item_id"), F.col("phash"))
+        .localCheckpoint()
+    )
     pairs = hamming_near_pairs(
-        sig.filter(F.col("ok")).select(F.col("item_id"), F.col("phash")),
+        fp,
         bits=63,
         max_distance=3,
         id_col="item_id",
@@ -668,7 +705,7 @@ def _afp_wav_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_integration_spark.multimodal.binary_ops import encode_wav
 
-    docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
+    docs = _spread_scan(Catalog(spark, sf_dir)["documents"].select("doc_id"))
 
     def enc(batches):
         for pdf in batches:
@@ -716,8 +753,15 @@ def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_len=_AFP_FRAME_LEN,
         n_bits=56,
     )
+    # decode once, self-join the materialized 16-byte rows (see
+    # q_image_dedup_dhash — the same r15 double-decode fix)
+    fp = (
+        sig.filter(F.col("ok"))
+        .select(F.col("item_id"), F.col("afp"))
+        .localCheckpoint()
+    )
     pairs = hamming_near_pairs(
-        sig.filter(F.col("ok")).select(F.col("item_id"), F.col("afp")),
+        fp,
         bits=56,
         max_distance=3,
         id_col="item_id",
@@ -763,7 +807,7 @@ def _chirp_wav_payload_df(
 
     from data_integration_spark.multimodal.binary_ops import encode_wav
 
-    docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
+    docs = _spread_scan(Catalog(spark, sf_dir)["documents"].select("doc_id"))
 
     def enc(batches):
         s = np.arange(64)

@@ -254,7 +254,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir)["embeddings"].select(
         "vec_id", as_double_array("embedding", "e")
     )
-    index = IVFIndex(n_cells=_scale_n_cells(emb.count()), seed=11).fit(emb)
+    n = emb.count()
+    # one count sizes the quantizer AND bounds the trainer sample (r15:
+    # fit used to re-count the same frame)
+    index = IVFIndex(n_cells=_scale_n_cells(n), seed=11).fit(emb, n_rows=n)
     return index.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
 
 
@@ -440,6 +443,23 @@ def _pinned_ivf_centroids_df(spark: SparkSession):
     return spark.createDataFrame(rows, "cell int, ce array<double>")
 
 
+def _set_pinned_centroids(index, spark: SparkSession) -> None:
+    """Install the pinned literal centroid grid on an IVFIndex: upload
+    the (cell, ce) table AND seed the driver-side GEMM matrix cache
+    directly (r15 — the previous idiom collected the just-uploaded
+    literal table back, one round-trip job per query run). Bit-identical
+    to the collect path: float64 round-trips Python floats exactly, and
+    cells are dense 0..n-1 by construction."""
+    import numpy as np
+
+    grid = pinned_centroid_grid()
+    index.centroids = _pinned_ivf_centroids_df(spark)
+    index._cent_np = (
+        np.ascontiguousarray(grid, dtype=np.float64),
+        np.arange(len(grid), dtype=np.int64),
+    )
+
+
 @register(
     "q_ann_ivf_persist",
     oracle=_IVF_PIN_ORACLE_BODY
@@ -468,7 +488,7 @@ def q_ann_ivf_persist_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_array("embedding", "e")
     )
     index = IVFIndex(n_cells=_PIN_CELLS, seed=0)
-    index.centroids = _pinned_ivf_centroids_df(spark)
+    _set_pinned_centroids(index, spark)
     index.assigned = index.assign(emb)
     path = _index_path("ivf_pin", sf_dir)
     save_ivf_index(index, path)
@@ -506,7 +526,7 @@ def q_ann_ivf_append_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = emb.filter(F.col("vec_id") >= 50)
     new = emb.filter(F.col("vec_id") < 50)
     index = IVFIndex(n_cells=_PIN_CELLS, seed=0)
-    index.centroids = _pinned_ivf_centroids_df(spark)
+    _set_pinned_centroids(index, spark)
     # provenance must be stamped at assign/append time — after the union
     # the batch origin is unrecoverable from the index itself
     index.assigned = index.assign(old).withColumn(
@@ -553,7 +573,7 @@ def q_ann_ivf_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_array("embedding", "e")
     )
     index = IVFIndex(n_cells=_PIN_CELLS, seed=0)
-    index.centroids = _pinned_ivf_centroids_df(spark)
+    _set_pinned_centroids(index, spark)
     index.assigned = index.assign(emb)
     return index.search_all(emb, k=5, nprobe=3)
 
@@ -619,7 +639,7 @@ def q_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_array("embedding", "e")
     )
     index = IVFIndex(n_cells=_PIN_CELLS, seed=0)
-    index.centroids = _pinned_ivf_centroids_df(spark)
+    _set_pinned_centroids(index, spark)
     index.assigned = index.assign(emb)
     pairs = index.near_pairs(threshold=0.92, nprobe=3)
     return dedup_clusters(emb.select("vec_id"), pairs, id_col="vec_id")
@@ -1917,7 +1937,7 @@ def q_ann_ivfpq_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = IVFPQIndex(
         n_cells=_PIN_CELLS, m=_PQ_PIN_M, k_codes=_PQ_PIN_KC, seed=0
     )
-    index.ivf.centroids = _pinned_ivf_centroids_df(spark)
+    _set_pinned_centroids(index.ivf, spark)
     index._pull_centroids()
     index.codebooks = _pinned_pq_codebooks()
     index.codes = index.assign_encode(emb)
@@ -1960,7 +1980,7 @@ def q_ann_ivfpq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = IVFPQIndex(
         n_cells=_PIN_CELLS, m=_PQ_PIN_M, k_codes=_PQ_PIN_KC, seed=0
     )
-    index.ivf.centroids = _pinned_ivf_centroids_df(spark)
+    _set_pinned_centroids(index.ivf, spark)
     index._pull_centroids()
     index.codebooks = _pinned_pq_codebooks()
     index.codes = index.assign_encode(emb)
@@ -2043,8 +2063,11 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = R.shape[0]
     rot = rotate_vectors(emb, mu, R, "vec_id", "e").persist()
 
-    pq_plain = PQIndex(m=m, k_codes=k_codes, seed=13).fit(emb)
-    pq_opq = PQIndex(m=m, k_codes=k_codes, seed=13).fit(rot)
+    # one count serves both bounded-sample fits and the conservation law
+    # (r15: each fit used to re-count its corpus — rot is row-for-row emb)
+    n_vectors = int(emb.count())
+    pq_plain = PQIndex(m=m, k_codes=k_codes, seed=13).fit(emb, n_rows=n_vectors)
+    pq_opq = PQIndex(m=m, k_codes=k_codes, seed=13).fit(rot, n_rows=n_vectors)
 
     def mse_of(index: PQIndex, vectors: DataFrame) -> float:
         import pandas as pd
@@ -2105,7 +2128,6 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float(((ss - s * s / n) / (n - 1)).sum())
 
     v_orig, v_rot = var_total(emb), var_total(rot)
-    n_vectors = int(emb.count())  # served from cache
     emb.unpersist()
     rot.unpersist()
 

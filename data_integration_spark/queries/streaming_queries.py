@@ -1198,7 +1198,7 @@ def _sem_stream_pairs(
     from data_integration_spark.similarity.ivf import IVFIndex
     from data_integration_spark.queries.similarity_queries import (
         _PIN_CELLS,
-        _pinned_ivf_centroids_df,
+        _set_pinned_centroids,
     )
 
     reg = f"{base}_reg"
@@ -1209,7 +1209,7 @@ def _sem_stream_pairs(
         shutil.rmtree(d, ignore_errors=True)
 
     index = IVFIndex(n_cells=_PIN_CELLS, seed=0)
-    index.centroids = _pinned_ivf_centroids_df(spark)
+    _set_pinned_centroids(index, spark)
 
     def write_registry(vectors: DataFrame, mode: str) -> None:
         assigned = index.assign(vectors)  # (mid, me, cell)

@@ -41,9 +41,29 @@ def _train_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size (a 100 TB corpus still trains its tokenizer on a
     bounded sample)."""
     docs = Catalog(spark, sf_dir)["documents"]
-    return docs.filter(F.col("doc_id") % 10 == 3).select(
+    sample = docs.filter(F.col("doc_id") % 10 == 3).select(
         "doc_id", F.substring("text", 1, _CAP).alias("t")
     )
+    # r15 optimization (guide §2.5's unsplittable-input fix): the sample
+    # comes out of ONE small parquet split, so without this round-robin
+    # spread every lattice E-step (2·iters+1 passes over the cached
+    # sample) ran single-core. Partition count carries a WORK floor, not
+    # a byte floor: the lattice DP costs ~1.6 ms/doc, so ~128 docs/task
+    # (~0.2 s of compute) keeps per-task overhead (~20 ms) under 10% —
+    # measured at sf0.1: 1 part 0.90 s/E-step, 4 parts 0.45 s, 32 parts
+    # 0.80 s (task overhead re-dominates past the floor). Capped at
+    # defaultParallelism so a cluster scales out; the sizing count is
+    # parquet-metadata cheap. Only (doc_id, ≤256 chars) rows cross the
+    # exchange, once, before the cache. Piece/LL totals are unchanged up
+    # to float summation order (the groupBy already summed per-batch
+    # partials in arbitrary order); the trainer's determinism contract
+    # (9-dp tie-breaks, per the partition-invariance test) absorbs that.
+    n_sample = docs.count() // 10  # doc_id % 10 == 3 keeps ~a tenth
+    parts = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, -(-n_sample // 128)),
+    )
+    return sample.repartition(parts)
 
 
 @register("q_unigram_train")

@@ -176,8 +176,13 @@ class IVFIndex:
         id_col: str = "vec_id",
         vec_col: str = "e",
         train_per_cell: int | None = 256,
+        n_rows: int | None = None,
     ):
         """Train the coarse quantizer, then assign the FULL corpus.
+
+        ``n_rows``: the corpus row count when the caller already has it
+        (r15 — callers that size ``n_cells`` off a count always do;
+        passing it through saves one redundant count job per fit).
 
         ``train_per_cell``: the quantizer is trained on a bounded,
         DETERMINISTIC content-keyed subsample of ~``n_cells *
@@ -202,11 +207,22 @@ class IVFIndex:
         centroids, narrow map)."""
         spark = corpus.sparkSession
         centers = train_centroids(
-            corpus, self.n_cells, self.seed, id_col, vec_col, train_per_cell
+            corpus, self.n_cells, self.seed, id_col, vec_col, train_per_cell,
+            n_rows=n_rows,
         )
         self.centroids = spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
             "cell int, ce array<double>",
+        )
+        # r15: seed the driver-side matrix cache directly from the trainer
+        # output instead of collecting the just-uploaded table back
+        # (one round-trip job per fit saved). Bit-identical to the
+        # collect path: rows were built as float() of these values in
+        # cell order, and float64 round-trips Python floats exactly.
+        # MUST come after the `centroids` setter (which nulls the cache).
+        self._cent_np = (
+            np.ascontiguousarray(centers, dtype=np.float64),
+            np.arange(len(centers), dtype=np.int64),
         )
         # assign the corpus with the INDEX's own arithmetic (assign()),
         # never the trainer's internal distance path: a different distance

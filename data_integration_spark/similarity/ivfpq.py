@@ -110,12 +110,13 @@ class IVFPQIndex:
         return self
 
     def _pull_centroids(self) -> None:
-        cent_pd = self.ivf.centroids.orderBy("cell").toPandas()
-        if list(cent_pd["cell"]) != list(range(len(cent_pd))):
+        # r15: ride the IVFIndex's once-per-index matrix cache instead of
+        # a second toPandas of the same table (zero jobs when the cache
+        # was seeded driver-side — fit and the pinned fixtures both do)
+        C, cells = self.ivf._centroid_matrix()
+        if list(cells) != list(range(len(cells))):
             raise ValueError("centroid cell ids must be dense 0..n-1")
-        self.centroids_np = np.stack(cent_pd["ce"].to_numpy()).astype(
-            np.float64
-        )
+        self.centroids_np = np.ascontiguousarray(C, dtype=np.float64)
 
     # --------------------------------------------------------------- encode
     def _encode_assigned(self, assigned: DataFrame) -> DataFrame:

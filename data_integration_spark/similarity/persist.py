@@ -338,12 +338,18 @@ def save_winnowing_registry(fingerprints, path: str, *, k: int, w: int) -> None:
     extracted under different gram/window sizes collide only by accident,
     so a param mismatch must fail loudly instead of silently matching
     nothing."""
-    fingerprints.write.mode("overwrite").parquet(
-        os.path.join(path, "fingerprints")
-    )
+    fp_path = os.path.join(path, "fingerprints")
+    fingerprints.write.mode("overwrite").parquet(fp_path)
     from pyspark.sql import functions as F
 
-    fingerprints.groupBy("h").agg(
+    # r15 optimization: derive the df partials FROM THE WRITTEN artifact
+    # instead of the caller's lineage — the lineage form re-ran the whole
+    # archive winnow pipeline (scan → gram md5 → window minima →
+    # distinct) a second time just to count hashes; reading the 16-byte
+    # fingerprint rows back costs one sketch-sized scan and the archive
+    # text is touched exactly once per release. Row-for-row identical df
+    # (the parquet round-trip is value-faithful).
+    fingerprints.sparkSession.read.parquet(fp_path).groupBy("h").agg(
         F.count("*").cast("long").alias("df")
     ).write.mode("overwrite").parquet(os.path.join(path, "df"))
     meta = {"format": _FORMAT, "kind": "winnowing", "k": k, "w": w}

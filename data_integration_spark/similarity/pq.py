@@ -61,6 +61,7 @@ class PQIndex:
         id_col: str = "vec_id",
         vec_col: str = "e",
         train_per_code: int | None = 64,
+        n_rows: int | None = None,
     ) -> "PQIndex":
         """Train m per-subspace codebooks on a bounded deterministic
         sample, then encode the FULL corpus (one distributed pass).
@@ -70,7 +71,9 @@ class PQIndex:
         partitioning; the sample is collected SORTED by id so the
         k-means result is partition-order independent."""
         target = self.k_codes * (train_per_code or 256)
-        n = corpus.count()
+        # n_rows: caller-supplied corpus count (r15 — saves a redundant
+        # count job when the caller already ran one)
+        n = corpus.count() if n_rows is None else n_rows
         train = corpus
         if train_per_code is not None and n > target:
             frac_ppm = int(target * 1_000_000 / n)

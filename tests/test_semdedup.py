@@ -19,7 +19,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from data_integration_spark.queries import PENDING_R10, load_all
+from data_integration_spark.queries import QUERIES, load_all
 from data_integration_spark.queries.similarity_queries import (
     pinned_centroid_grid,
 )
@@ -77,7 +77,7 @@ def _reference(ids, X):
 
 
 def test_matches_numpy_reference(spark):
-    fn, _o = PENDING_R10["q_semdedup"]
+    fn = QUERIES["q_semdedup"]  # live since the r15 flip
     got = {
         r["vec_id"]: (r["cell"], r["cent_cos"], r["keep"])
         for r in fn(spark, SF).collect()
@@ -93,7 +93,7 @@ def test_matches_numpy_reference(spark):
     "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
 def test_non_vacuous_planted_and_natural(spark, sf):
-    fn, _o = PENDING_R10["q_semdedup"]
+    fn = QUERIES["q_semdedup"]  # live since the r15 flip
     rows = fn(spark, sf).collect()
     by_id = {r["vec_id"]: r for r in rows}
     planted = [v for v in by_id if v >= 1_000_000]

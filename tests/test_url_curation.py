@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_integration_spark.functions.url import canonicalize_url, url_host
-from data_integration_spark.queries import PENDING_R10, load_all
+from data_integration_spark.queries import QUERIES, load_all
 
 load_all()
 
@@ -67,7 +67,7 @@ def test_host_extraction(spark):
 
 
 def test_manifest_dedup_non_vacuous(spark):
-    fn, _o = PENDING_R10["q_url_canonicalize"]
+    fn = QUERIES["q_url_canonicalize"]  # live since the r15 flip
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         rows = fn(spark, sf).collect()
         n_raw = len(rows)
@@ -85,7 +85,7 @@ def test_frontier_consistency(spark):
     import duckdb
 
     sf = "/root/testdata/sf0.01"
-    fn, _o = PENDING_R10["q_crawl_frontier"]
+    fn = QUERIES["q_crawl_frontier"]  # live since the r15 flip
     rows = fn(spark, sf).collect()
     n_docs = duckdb.sql(
         f"SELECT COUNT(*) FROM '{sf}/documents.parquet'"
