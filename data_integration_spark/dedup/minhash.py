@@ -44,6 +44,7 @@ def minhash_signatures(
     n_gram: int = 2,
     k: int = 64,
     seed: int = 1,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: for each of k hash functions, the min of
     ``xxhash64(shingle, salt_j)`` over the doc's shingles — one groupBy, k
@@ -66,7 +67,11 @@ def minhash_signatures(
     form (with_minhash_signature) accepts that cost because
     dropDuplicates needs a stateless per-row value; the batch path has no
     such constraint."""
-    sh = shingle_df(df, id_col, text_col, n_gram)
+    # ``shingles``: an already-derived (id, shingle) table (r15 — callers
+    # that also run the exact-verify stage materialize ONE shingle table
+    # and feed it to both the signature aggregation and the verifier, so
+    # the corpus is shingled exactly once)
+    sh = shingles if shingles is not None else shingle_df(df, id_col, text_col, n_gram)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed * 1000 + j))).alias(f"h{j}")
         for j in range(k)
@@ -149,30 +154,31 @@ def minhash_lsh_cross_pairs(
     new_df = spread_scan(new_df.select(id_col, text_col))
     if old_df is not None:
         old_df = spread_scan(old_df.select(id_col, text_col))
+    # each freshly-derived side is shingled exactly ONCE (r15): the
+    # materialized table feeds that side's signature aggregation AND its
+    # verify stage; shingle tables stay per-side so same-id docs never
+    # merge. A side loaded from the persisted index is already a parquet
+    # scan and is left lazy.
+    sh_new = shingle_df(new_df, id_col, text_col, n_gram).localCheckpoint()
     b_new = band_buckets(
-        minhash_signatures(new_df, id_col, text_col, n_gram, k, seed),
+        minhash_signatures(
+            new_df, id_col, text_col, n_gram, k, seed, shingles=sh_new
+        ),
         id_col, k, bands,
     ).withColumnRenamed(id_col, "new_id")
+    sh_old = old_shingles
+    if sh_old is None:
+        sh_old = shingle_df(old_df, id_col, text_col, n_gram).localCheckpoint()
     if old_buckets is None:
         old_buckets = band_buckets(
-            minhash_signatures(old_df, id_col, text_col, n_gram, k, seed),
+            minhash_signatures(
+                old_df, id_col, text_col, n_gram, k, seed, shingles=sh_old
+            ),
             id_col, k, bands,
         )
     b_old = old_buckets.withColumnRenamed(id_col, "old_id")
     cand = (
         b_new.join(b_old, ["band", "bh"]).select("new_id", "old_id").distinct()
-    )
-    # exact verification on candidates only (same as the within-corpus path);
-    # shingle long tables stay per-side so same-id docs never merge.
-    # Freshly derived sides are materialized once for their two consumers
-    # (size agg + verify join — the minhash_lsh_pairs r15 fix); a side
-    # loaded from the persisted index is already a parquet scan and is
-    # left lazy.
-    sh_new = shingle_df(new_df, id_col, text_col, n_gram).localCheckpoint()
-    sh_old = (
-        old_shingles
-        if old_shingles is not None
-        else shingle_df(old_df, id_col, text_col, n_gram).localCheckpoint()
     )
     sz_new = sh_new.groupBy(id_col).agg(F.countDistinct("shingle").alias("sz1"))
     sz_old = sh_old.groupBy(id_col).agg(F.countDistinct("shingle").alias("sz2"))
@@ -327,13 +333,18 @@ def minhash_lsh_pairs(
     from data_integration_spark.sources.catalog import spread_scan
 
     df = spread_scan(df.select(id_col, text_col))
-    sig = minhash_signatures(df, id_col, text_col, n_gram, k, seed)
+    # r15 optimization: the corpus is shingled exactly ONCE — the
+    # materialized (id, shingle) table feeds the signature aggregation
+    # here AND the exact-verify stage below (it is one half of the
+    # artifact save_minhash_index persists per release).
+    sh = shingle_df(df, id_col, text_col, n_gram).localCheckpoint()
+    sig = minhash_signatures(df, id_col, text_col, n_gram, k, seed, shingles=sh)
     # r15 optimization: materialize the banded index once — it feeds the
     # bucket-size aggregation AND both candidate join sides, and Catalyst
     # replicated the whole scan→shingle→64-minhash subtree into each
-    # branch. The band table is exactly the artifact
-    # save_minhash_index persists per release (|docs|·bands rows of
-    # (id, band, bh)); localCheckpoint is fresh per invocation.
+    # branch. The band table is the other half of the persisted release
+    # artifact (|docs|·bands rows of (id, band, bh)); localCheckpoint is
+    # fresh per invocation.
     buckets = band_buckets(sig, id_col, k, bands).localCheckpoint()
     join_keys = ["band", "bh"]
     if max_bucket_size is not None:
@@ -355,13 +366,9 @@ def minhash_lsh_pairs(
         .select("d1", "d2")
         .distinct()
     )
-    # exact verification on candidates only. The shingle long table is
-    # materialized once for its three consumers (sizes + both verify join
-    # sides — it was re-derived from the text per branch); it is the
-    # other half of the persisted release index (save_minhash_index
-    # stores buckets AND shingles), so the materialization mirrors what
-    # a 100 TB release job writes anyway.
-    sh = shingle_df(df, id_col, text_col, n_gram).localCheckpoint()
+    # exact verification on candidates only, over the SAME materialized
+    # shingle table the signatures were built from (sizes + both verify
+    # join sides — pre-r15 each branch re-derived it from the text).
     sizes = sh.groupBy(id_col).agg(F.countDistinct("shingle").alias("sz"))
     s1 = sh.select(F.col(id_col).alias("d1"), F.col("shingle"))
     s2 = sh.select(F.col(id_col).alias("d2"), F.col("shingle"))

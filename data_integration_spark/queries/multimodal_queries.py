@@ -1025,10 +1025,6 @@ def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double_array,
         cosine_pairs_vectorized,
     )
-    from data_integration_spark.similarity.crossmodal import (
-        project_phash_features,
-    )
-
     imgs = _phash_bmp_payload_df(spark, sf_dir, max_doc_id=300)
     # ONE decode pass: collect the (≤ 400-row) fingerprint slice, then
     # (a) loud truncation guard (the q_cosine_pairs convention — a
@@ -1056,11 +1052,29 @@ def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{bad_id} — the fixture guarantees every doc_id "
             "< 300 decodes; fix the payload or the decoder, do not filter"
         )
-    ph_small = spark.createDataFrame(
-        ph_pd[["item_id", "phash"]], "item_id long, phash long"
+    # (item_id, y) — integer-exact doubles. r15: the pinned projection of
+    # the ALREADY-COLLECTED ≤400-row hash slice is computed in-process
+    # with the same int64 GEMM the distributed op runs (bit-identical by
+    # exactness — every intermediate is an exact int64); the previous
+    # createDataFrame → mapInPandas → toPandas round-trip cost two jobs
+    # per run just to ferry 400 rows out and back.
+    import numpy as np
+    import pandas as pd
+
+    from data_integration_spark.similarity.crossmodal import (
+        N_FEATURES,
+        pinned_projection,
     )
-    # (item_id, y) — integer-exact doubles
-    proj_pd = project_phash_features(ph_small).toPandas()
+
+    h = ph_pd["phash"].to_numpy(dtype=np.int64)
+    bits = (h[:, None] >> np.arange(N_FEATURES, dtype=np.int64)) & 1
+    y = ((2 * bits - 1).astype(np.int64)) @ pinned_projection()
+    proj_pd = pd.DataFrame(
+        {
+            "item_id": ph_pd["item_id"].to_numpy(),
+            "y": list(y.astype(np.float64)),
+        }
+    )
     q_pd = proj_pd.assign(vec_id=proj_pd["item_id"] + 2_000_000_000)[
         ["vec_id", "y"]
     ].rename(columns={"y": "e"})

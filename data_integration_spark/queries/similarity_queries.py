@@ -2069,13 +2069,19 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_plain = PQIndex(m=m, k_codes=k_codes, seed=13).fit(emb, n_rows=n_vectors)
     pq_opq = PQIndex(m=m, k_codes=k_codes, seed=13).fit(rot, n_rows=n_vectors)
 
-    def mse_of(index: PQIndex, vectors: DataFrame) -> float:
+    # r15: ONE fused pass per corpus computes both the quantization SSE
+    # and the variance moments (was two mapInPandas jobs each — §1.2,
+    # don't re-scan for a second statistic the same batch already held).
+    # The laws consuming these are slack-bounded (≤1.02× MSE ratio, 1e-6
+    # relative variance), so the driver-side partial summation order is
+    # immaterial by design.
+    def mse_var_of(index: PQIndex, vectors: DataFrame) -> tuple[float, float]:
         import pandas as pd
 
         cb = index.codebooks
         mm, dsub = cb.shape[0], cb.shape[2]
 
-        def sse(batches):
+        def part(batches):
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -2087,30 +2093,9 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (sub[:, None, :] - cb[j][None, :, :]) ** 2
                     ).sum(-1)
                     err += float(dists.min(axis=1).sum())
-                yield pd.DataFrame({"sse": [err], "n": [len(X)]})
-
-        agg = (
-            vectors.select("e")
-            .mapInPandas(sse, "sse double, n long")
-            .agg(F.sum("sse").alias("s"), F.sum("n").alias("n"))
-            .collect()[0]
-        )  # 1 row
-        return float(agg["s"]) / float(agg["n"])
-
-    mse_plain = mse_of(pq_plain, emb)
-    mse_opq = mse_of(pq_opq, rot)
-
-    # variance conservation, measured distributed on the rotated corpus
-    def var_total(vectors: DataFrame) -> float:
-        import pandas as pd
-
-        def part(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
                 yield pd.DataFrame(
                     {
+                        "sse": [err],
                         "n": [len(X)],
                         "s": [X.sum(axis=0).tolist()],
                         "ss": [(X * X).sum(axis=0).tolist()],
@@ -2119,15 +2104,20 @@ def q_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         rows = (
             vectors.select("e")
-            .mapInPandas(part, "n long, s array<double>, ss array<double>")
+            .mapInPandas(
+                part, "sse double, n long, s array<double>, ss array<double>"
+            )
             .collect()
-        )  # ≤ one row per partition
+        )  # ≤ one row per batch — bounded driver traffic
         n = sum(r["n"] for r in rows)
         s = np.sum([r["s"] for r in rows], axis=0)
         ss = np.sum([r["ss"] for r in rows], axis=0)
-        return float(((ss - s * s / n) / (n - 1)).sum())
+        mse = sum(r["sse"] for r in rows) / float(n)
+        var = float(((ss - s * s / n) / (n - 1)).sum())
+        return mse, var
 
-    v_orig, v_rot = var_total(emb), var_total(rot)
+    mse_plain, v_orig = mse_var_of(pq_plain, emb)
+    mse_opq, v_rot = mse_var_of(pq_opq, rot)
     emb.unpersist()
     rot.unpersist()
 
