@@ -24,8 +24,13 @@ def _simhash(df: DataFrame, id_col: str, text_col: str, h, bits: int) -> DataFra
     """Shared vote/sign pipeline: tokens vote ±1 on every bit of their
     hash ``h(tok)``; the sign of each per-doc vote sum is the fingerprint
     bit. One groupBy(doc) shuffle with map-side partial sums of ``bits``
-    small ints."""
-    toks = df.select(
+    small ints. The scan is spread first (r15, guide §2.5): the vote
+    stage — ``bits`` hash/shift/when columns per token row — otherwise
+    runs single-core above a single-split input; the exchange carries
+    only (id, text) once and vote sums are integers (order-free)."""
+    from data_integration_spark.sources.catalog import spread_scan
+
+    toks = spread_scan(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     hv = h(F.col("tok"))
@@ -243,6 +248,10 @@ def simhash_near_pairs(
         if base == "xxhash64"
         else simhash_portable(df, id_col, text_col)
     )
+    # r15: materialize the 16-byte fingerprints once — the pigeonhole
+    # join otherwise re-runs the whole token-vote pipeline on BOTH sides
+    # (the q_image_dedup_dhash double-decode fix); fresh per invocation
+    sig = sig.localCheckpoint()
     return hamming_near_pairs(
         sig, bits=bits, max_distance=max_distance, id_col=id_col
     )

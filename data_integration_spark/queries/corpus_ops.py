@@ -1738,9 +1738,15 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         chars_column,
     )
 
-    keys = Catalog(spark, sf_dir)["documents"].select(
-        "doc_id",
-        F.substring(F.md5(F.col("text").cast("binary")), 1, 8).alias("key"),
+    # spread the single-split scan before the 8 in-row aggregate folds
+    # (r15, guide §2.5 — only (doc_id, 8-char key) rows cross, once)
+    keys = spread_scan(
+        Catalog(spark, sf_dir)["documents"].select(
+            "doc_id",
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 8).alias(
+                "key"
+            ),
+        )
     )
     enc = apply_merges(
         keys.withColumn("syms", chars_column("key")), _BPE_PIN_MERGES

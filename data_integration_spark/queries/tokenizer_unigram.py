@@ -328,11 +328,17 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc is an independent O(len·max_piece) DP, no shuffle."""
     from data_integration_spark.operators.unigram_lm import viterbi_encode
 
-    docs = Catalog(spark, sf_dir)["documents"].select(
-        "doc_id",
-        F.substring(F.md5(F.col("text").cast("binary")), 1, _KEY_LEN).alias(
-            "key"
-        ),
+    # spread the single-split scan before the per-doc DP kernel (r15,
+    # guide §2.5 — only (doc_id, 8-char key) rows cross, once)
+    from data_integration_spark.sources.catalog import spread_scan
+
+    docs = spread_scan(
+        Catalog(spark, sf_dir)["documents"].select(
+            "doc_id",
+            F.substring(
+                F.md5(F.col("text").cast("binary")), 1, _KEY_LEN
+            ).alias("key"),
+        )
     )
     enc = viterbi_encode(
         docs,
@@ -374,11 +380,17 @@ def q_unigram_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/root/repo/.scratch/unigram_vocab_{tag}_{os.getpid()}"
     save_unigram_vocab(spark, _pinned_unigram_costs(), path)
     costs, max_len = load_unigram_vocab(spark, path)
-    docs = Catalog(spark, sf_dir)["documents"].select(
-        "doc_id",
-        F.substring(F.md5(F.col("text").cast("binary")), 1, _KEY_LEN).alias(
-            "key"
-        ),
+    # spread the single-split scan before the per-doc DP kernel (r15,
+    # guide §2.5 — only (doc_id, 8-char key) rows cross, once)
+    from data_integration_spark.sources.catalog import spread_scan
+
+    docs = spread_scan(
+        Catalog(spark, sf_dir)["documents"].select(
+            "doc_id",
+            F.substring(
+                F.md5(F.col("text").cast("binary")), 1, _KEY_LEN
+            ).alias("key"),
+        )
     )
     enc = viterbi_encode(
         docs,

@@ -511,6 +511,11 @@ def lsh_cosine_pairs(
     allb = tables[0]
     for b in tables[1:]:
         allb = allb.unionByName(b)
+    # r15: materialize the multi-table bucket index once — the self-join
+    # otherwise re-buckets the corpus on BOTH sides (2 × n_tables scans);
+    # this is the same table a persisted-spec search job rebuilds once
+    # per release. Fresh per invocation (localCheckpoint never caches).
+    allb = allb.localCheckpoint()
     left = allb.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "tbl", "bucket"
     )
@@ -579,6 +584,11 @@ def lsh_topk(
         qall = qall.unionByName(b)
     for b in c_b[1:]:
         call = call.unionByName(b)
+    # r15: materialize the corpus-side multi-table bucket index once per
+    # run — downstream consumption would otherwise re-bucket the corpus
+    # per consumer (the lsh_cosine_pairs fix; the query side is a bounded
+    # probe block and stays lazy)
+    call = call.localCheckpoint()
     left = qall.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "tbl", "bucket"
     )
