@@ -172,20 +172,29 @@ _SIGN_PRIORITY: list[str] = [
 # each, r15: 50 — oldest signature moves r7 → r8.
 
 # Names that HAVE a prior CORRECTNESS row but need a fresh signature anyway
-# because a code change invalidated what the row attests to. Empty for r15:
-# this round's only change to an ALREADY-SIGNED query is the NB filter's
-# token-key dictionary-encode (operators/nb_classifier.py: the shared
-# exchange groups on xxhash64(tok) instead of the token string), which is
-# result-preserving by VERIFICATION, not just argument — outputs pinned
-# bit-identical pre/post refactor at sf0.001+sf0.01, the oracle
-# re-verified at sf0.1, and tests/test_nb_classifier.py pins ZERO hash
-# collisions (and no sentinel-valued real token) on every driver SF's
-# actual vocabulary, so identity-under-the-hash is data-verified. The
-# q_crawl_frontier _politeness_stats extraction is expression-identical
-# (oracle re-verified at sf0.01), and the ivf.train_centroids extraction
-# is verbatim (IVF family oracles re-verified 3/3). Everything else this
-# round lands on queries whose FIRST signature is this round's window or
-# on staged names. (r14's justification is preserved in git history.)
+# because a code change invalidated what the row attests to. Empty for r15.
+#
+# Build-phase changes (the interrupted r15 build session): the only change
+# to an ALREADY-SIGNED query was the NB filter's token-key
+# dictionary-encode (operators/nb_classifier.py) — result-preserving by
+# VERIFICATION: outputs pinned bit-identical pre/post refactor at
+# sf0.001+sf0.01, oracle re-verified at sf0.1, and
+# tests/test_nb_classifier.py pins ZERO hash collisions on every driver
+# SF's actual vocabulary. The q_crawl_frontier _politeness_stats
+# extraction is expression-identical and the ivf.train_centroids
+# extraction verbatim (oracles re-verified).
+#
+# OPTIMIZATION-round changes (r15, OPTIMIZATION_r15.md): every rewrite is
+# result-preserving by verification, not just argument — the full
+# 54-query touched set (multimodal dedups, minhash, winnowing, KMV,
+# linkage certificate, unigram, BPE apply, IVF/PQ/OPQ/LSH, simhash,
+# substring, semdedup) passes its DuckDB oracle at ALL THREE driver SFs
+# on the final tree, and the full registry sweep is 366/366 at sf0.01.
+# The only float-path rewrites (coordinator KMV merge, driver-side F-S
+# pattern rollup, fused OPQ statistic passes) replay the engine
+# expressions term-for-term (incl. BigDecimal-HALF_UP rounding via
+# _np_round_half_up) or feed slack-bounded integer laws — detailed
+# per-query equivalence arguments live in OPTIMIZATION_r15.md.
 _RESIGN: frozenset[str] = frozenset()
 
 
