@@ -120,6 +120,8 @@ def train_bpe(
     aggregation + one in-row transform; the driver holds one row per
     iteration plus the merge list — never the type table.
     """
+    from data_integration_spark.session import bounded_loop_conf
+
     cur = words.select(
         F.col(word_col).alias("word"),
         F.col(freq_col).cast("long").alias("freq"),
@@ -128,15 +130,21 @@ def train_bpe(
     cur = cur.persist()
     merges: list[tuple[int, str, str, int]] = []
     prev = None
+    n_red = max(1, words.rdd.getNumPartitions() // 64)
     for rank in range(1, n_merges + 1):
-        top = (
-            adjacent_pair_counts(cur, "syms", "freq")
-            .orderBy(
-                F.col("pair_count").desc(), F.col("left_sym"), F.col("right_sym")
+        # each iteration's job is one map-side-combined aggregation ending
+        # in a TakeOrdered head (the driver sees ONE row) — AQE
+        # re-planning is pure per-iteration overhead for that shape (see
+        # bounded_loop_conf); the window covers only this collect
+        with bounded_loop_conf(cur.sparkSession, shuffle_partitions=n_red):
+            top = (
+                adjacent_pair_counts(cur, "syms", "freq")
+                .orderBy(
+                    F.col("pair_count").desc(), F.col("left_sym"), F.col("right_sym")
+                )
+                .limit(1)
+                .collect()
             )
-            .limit(1)
-            .collect()
-        )
         if not top or top[0]["pair_count"] < min_count:
             break
         left, right, cnt = (

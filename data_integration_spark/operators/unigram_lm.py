@@ -101,6 +101,164 @@ def _forward_backward(
     return ec, z
 
 
+#: Finite "unreachable" sentinel for the vectorized lattice kernel: any
+#: path through it underflows exp() to exactly 0.0 (e^-1e30 == 0.0 in
+#: float64), so it behaves like -inf without NaN-poisoning the numpy
+#: max/subtract logsumexp. A doc is unparseable iff its z stays below
+#: _UNREACHABLE (mathematically reachable docs have z ≥ -|doc|·|log pmin|,
+#: many orders of magnitude above it).
+_SENTINEL = -1.0e30
+_UNREACHABLE = -1.0e29
+
+
+def _forward_backward_batch(
+    texts: list[str], vocab: dict[str, float], max_piece_len: int
+) -> tuple[dict[str, float], float, int]:
+    """Vectorized lattice forward-backward over a BATCH of docs (r15
+    optimization, guide §4.2: hand whole batches to NumPy instead of
+    per-row Python log-adds — the per-doc results equal
+    ``_forward_backward``'s up to float summation order, which the
+    trainer's determinism contract absorbs; tests/test_unigram*.py pin
+    the values to 1e-9).
+
+    Returns (summed expected counts, summed log-likelihood, count of
+    unparseable docs). Empty strings are the caller's problem (skip
+    them); None must not appear."""
+    import numpy as np
+
+    if not texts:
+        return {}, 0.0, 0
+    if not vocab:
+        return {}, float("-inf"), len(texts)
+    pieces = list(vocab)
+    pidx = {p: t for t, p in enumerate(pieces)}
+    lpv = np.fromiter((vocab[p] for p in pieces), dtype=np.float64)
+    n_docs = len(texts)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64)
+    L = int(lens.max())
+    W = int(max_piece_len)
+
+    # piece-index lattice: IDX[d, i, l-1] = vocab index of texts[d][i:i+l]
+    # (or -1), built with NO per-candidate Python loop: all texts are
+    # concatenated and decoded to codepoints (utf-32-le — exact char
+    # positions for any unicode), codepoints remap to dense alphabet ids
+    # (0 = outside every vocab piece), each length-l window packs its ids
+    # into one integer key positionally (injective: ids < base, real
+    # pieces never contain id 0), and a searchsorted against the packed
+    # vocab keys of that length yields every lattice edge at once.
+    LW = L * W
+    alph = np.array(sorted({ord(c) for p in pieces for c in p}), dtype=np.int64)
+    base = len(alph) + 1
+    if base**W >= 2**62:  # pragma: no cover — alphabets are tiny in practice
+        raise ValueError("alphabet too large for packed lattice keys")
+    codes = np.frombuffer(
+        "".join(texts).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    ins = np.searchsorted(alph, codes)
+    np.minimum(ins, len(alph) - 1, out=ins)
+    ids = np.where(alph[ins] == codes, ins + 1, 0)
+    # per-char doc id / in-doc position / chars remaining in the doc
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    pos_in_doc = np.arange(offs[-1], dtype=np.int64) - offs[doc_of]
+    remaining = lens[doc_of] - pos_in_doc
+    # packed piece keys per length, sorted, with their vocab indices
+    by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for l in range(1, W + 1):
+        keys = [
+            (
+                sum(
+                    (int(np.searchsorted(alph, ord(c))) + 1) * base ** (l - 1 - t)
+                    for t, c in enumerate(p)
+                ),
+                idx,
+            )
+            for p, idx in pidx.items()
+            if len(p) == l
+        ]
+        if keys:
+            keys.sort()
+            by_len[l] = (
+                np.array([k for k, _ in keys], dtype=np.int64),
+                np.array([i for _, i in keys], dtype=np.int32),
+            )
+    IDX = np.full(n_docs * LW, -1, dtype=np.int32)
+    n_chars = int(offs[-1])
+    packed = np.zeros(n_chars, dtype=np.int64)
+    for l in range(1, W + 1):
+        m = n_chars - l + 1  # number of length-l windows in the buffer
+        if m <= 0:
+            break
+        # packed[i] extends the length-(l-1) key at i by the id at i+l-1;
+        # windows crossing a doc boundary are masked out via `remaining`
+        packed[:m] = packed[:m] * base + ids[l - 1 :]
+        vk_vi = by_len.get(l)
+        if vk_vi is None:
+            continue
+        vk, vi = vk_vi
+        valid = np.nonzero(remaining >= l)[0]
+        pv = packed[valid]
+        ins = np.searchsorted(vk, pv)
+        np.minimum(ins, len(vk) - 1, out=ins)
+        hit = vk[ins] == pv
+        hv = valid[hit]
+        IDX[doc_of[hv] * LW + pos_in_doc[hv] * W + (l - 1)] = vi[ins[hit]]
+    IDX = IDX.reshape(n_docs, L, W)
+    edge_mask = IDX >= 0
+    LP = np.full((n_docs, L, W), _SENTINEL)
+    LP[edge_mask] = lpv[IDX[edge_mask]]
+
+    # forward: alpha[d, j] = logsumexp_l(alpha[d, j-l] + LP[d, j-l, l-1]).
+    # Positions nothing reaches sink toward ~k·_SENTINEL (or -inf when
+    # the exp-sum underflows to 0 entirely) — both behave as
+    # "unreachable" downstream, and the divide warnings log(0) would
+    # raise are suppressed here (they are the sentinel design working).
+    with np.errstate(divide="ignore"):
+        alpha = np.full((n_docs, L + 1), _SENTINEL)
+        alpha[:, 0] = 0.0
+        for j in range(1, L + 1):
+            lmax = min(W, j)
+            M = np.empty((n_docs, lmax))
+            for l in range(1, lmax + 1):
+                M[:, l - 1] = alpha[:, j - l] + LP[:, j - l, l - 1]
+            m = M.max(axis=1)
+            np.maximum(m, _SENTINEL, out=m)
+            alpha[:, j] = m + np.log(np.exp(M - m[:, None]).sum(axis=1))
+        z = alpha[np.arange(n_docs), lens]
+        n_bad = int((z < _UNREACHABLE).sum())
+        if n_bad:
+            return {}, float("-inf"), n_bad
+
+        # backward: beta[d, i] = logsumexp_l(LP[d, i, l-1] + beta[d, i+l])
+        beta = np.full((n_docs, L + 1), _SENTINEL)
+        beta[np.arange(n_docs), lens] = 0.0
+        for i in range(L - 1, -1, -1):
+            lmax = min(W, L - i)
+            M = np.empty((n_docs, lmax))
+            for l in range(1, lmax + 1):
+                M[:, l - 1] = LP[:, i, l - 1] + beta[:, i + l]
+            m = M.max(axis=1)
+            np.maximum(m, _SENTINEL, out=m)
+            b = m + np.log(np.exp(M - m[:, None]).sum(axis=1))
+            # keep the exact 0.0 base at each doc's own end position
+            np.maximum(beta[:, i], b, out=beta[:, i])
+
+    # posterior per edge: exp(alpha[i] + lp + beta[i+l] - z); sentinel
+    # paths underflow to exactly 0.0, so non-edges and unreachable
+    # endpoints contribute nothing (the per-edge skip of the scalar path)
+    B3 = np.full((n_docs, L, W), _SENTINEL)
+    for l in range(1, min(W, L) + 1):
+        B3[:, : L - l + 1, l - 1] = beta[:, l:]
+    expo = alpha[:, :L, None] + LP + B3 - z[:, None, None]
+    post = np.exp(expo)
+    idx_flat = IDX[edge_mask]
+    ec_vec = np.bincount(idx_flat, weights=post[edge_mask], minlength=len(pieces))
+    present = np.bincount(idx_flat, minlength=len(pieces)) > 0
+    ec = {pieces[t]: float(ec_vec[t]) for t in np.nonzero(present)[0]}
+    return ec, float(z.sum()), 0
+
+
 def seed_vocab(
     docs: DataFrame,
     text_col: str = "text",
@@ -173,21 +331,29 @@ def _estep(
     import pandas as pd
 
     def expect_batch(batches):
+        # r15 optimization (guide §4.2): the per-doc pure-Python lattice
+        # log-adds were the E-step's whole cost — the vectorized batch
+        # kernel runs the forward/backward/posterior recurrences as NumPy
+        # ops over every doc in the chunk at once. Chunked so the padded
+        # (docs × max_len × max_piece_len) lattice arrays stay small.
+        chunk_docs = 1024
         for pdf in batches:
             ec: dict[str, float] = {}
             ll = 0.0
-            for text in pdf[text_col]:
-                if text is None or not len(text):
-                    continue
-                doc_ec, doc_ll = _forward_backward(text, vocab, max_piece_len)
-                if doc_ll == _NEG:
+            texts = [t for t in pdf[text_col] if t is not None and len(t)]
+            for lo in range(0, len(texts), chunk_docs):
+                chunk = texts[lo : lo + chunk_docs]
+                c_ec, c_ll, n_bad = _forward_backward_batch(
+                    chunk, vocab, max_piece_len
+                )
+                if n_bad:
                     raise ValueError(
                         "unparseable doc under the current vocab (a char "
                         "left the vocabulary) — the trainer keeps all "
                         "single chars precisely to prevent this"
                     )
-                ll += doc_ll
-                for piece, c in doc_ec.items():
+                ll += c_ll
+                for piece, c in c_ec.items():
                     ec[piece] = ec.get(piece, 0.0) + c
             yield pd.DataFrame(
                 {
@@ -262,11 +428,7 @@ def em_train(
 
     ``docs`` must be the bounded training sample (cache it — the loop
     re-scans it 2·iters_per_phase+1 times)."""
-    seeds = seed_vocab(
-        docs, text_col, max_piece_len, min_count, seed_size
-    )
-    total = sum(c for _p, c in seeds)
-    vocab = {p: math.log(c) - math.log(total) for p, c in seeds}
+    from data_integration_spark.session import bounded_loop_conf
 
     def run_phase(vocab: dict[str, float]) -> tuple[dict[str, float], list[float], dict[str, float]]:
         lls: list[float] = []
@@ -277,9 +439,21 @@ def em_train(
             vocab = _mstep(ec)
         return vocab, lls, ec
 
-    vocab, lls1, ec = run_phase(vocab)
-    vocab = _prune(vocab, ec, vocab_target)
-    vocab, lls2, _ec = run_phase(vocab)
+    # every job in the fit is a bounded aggregation (seed: TakeOrdered
+    # head; E-step: ≤|vocab|+1 keys per map task) — AQE re-planning is
+    # pure per-iteration overhead here, and the reduce side needs ~one
+    # task per 64 map tasks' worth of bounded partials (see
+    # bounded_loop_conf)
+    n_red = max(1, docs.rdd.getNumPartitions() // 64)
+    with bounded_loop_conf(docs.sparkSession, shuffle_partitions=n_red):
+        seeds = seed_vocab(
+            docs, text_col, max_piece_len, min_count, seed_size
+        )
+        total = sum(c for _p, c in seeds)
+        vocab = {p: math.log(c) - math.log(total) for p, c in seeds}
+        vocab, lls1, ec = run_phase(vocab)
+        vocab = _prune(vocab, ec, vocab_target)
+        vocab, lls2, _ec = run_phase(vocab)
     return vocab, lls1, lls2
 
 

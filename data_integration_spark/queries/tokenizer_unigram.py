@@ -58,7 +58,12 @@ def _train_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to float summation order (the groupBy already summed per-batch
     # partials in arbitrary order); the trainer's determinism contract
     # (9-dp tie-breaks, per the partition-invariance test) absorbs that.
-    n_sample = docs.count() // 10  # doc_id % 10 == 3 keeps ~a tenth
+    # r15b: the sizing count comes from parquet FOOTER metadata (no
+    # Spark job — catalog.table_rowcount), replacing a per-pass
+    # docs.count() job that existed only to size this partitioning
+    from data_integration_spark.sources.catalog import table_rowcount
+
+    n_sample = table_rowcount(sf_dir, "documents") // 10  # doc_id % 10 == 3
     parts = max(
         1,
         min(spark.sparkContext.defaultParallelism, -(-n_sample // 128)),

@@ -15,6 +15,7 @@ same code runs unchanged on a 1000-executor cluster against ~100 TB:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -75,3 +76,48 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+@contextmanager
+def bounded_loop_conf(spark: SparkSession, shuffle_partitions: int | None = None):
+    """Suspend AQE — and optionally pin the reduce-partition count — for
+    the duration of a bounded-collect iteration loop (r15 optimization,
+    guide §1.2 step 3 — config only after the algorithm is right).
+
+    AQE re-optimizes at every exchange, which costs a measured ~0.2 s of
+    driver-side planning per query — pure overhead for the iterative
+    trainers (unigram EM, BPE merge learning) whose per-iteration job is
+    a tiny aggregation bounded BY CONSTRUCTION at any corpus scale
+    (map-side combine keeps the exchange at ≤|vocab| distinct keys per
+    map task, and the driver collects ≤|vocab|+1 rows). With AQE off the
+    session's shuffle-partition default would fan those few thousand
+    partial rows over dozens of tiny reduce tasks, so callers pass a
+    SCALE-ADAPTIVE count derived from their input partitioning (e.g.
+    ``max(1, input_parts // 64)`` — one reduce task per 64 map tasks'
+    worth of bounded partials; grows with the cluster, 1 locally). This
+    is scale-honest: the bounds are algebraic, not local-mode artifacts,
+    so AQE's runtime coalescing/skew handling has nothing to improve at
+    100 TB either — measured locally it costs ~0.2 s/iteration.
+
+    Session-global runtime conf: the window is kept to the loop itself
+    and restored in ``finally``. Callers are the engine's iterative
+    trainers, which own their session for the duration of the fit (the
+    driver/bench/tests all run queries sequentially)."""
+    keys = {"spark.sql.adaptive.enabled": "false"}
+    if shuffle_partitions is not None:
+        keys["spark.sql.shuffle.partitions"] = str(max(1, shuffle_partitions))
+    old: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # pragma: no cover — both keys readable in 3.5/4.x
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, prev in old.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)

@@ -125,6 +125,38 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Parquet-footer row counts keyed (sf_dir, name) — pure file metadata
+#: (the parquet footer records num_rows), read once per table via
+#: pyarrow with no Spark job. Queries that size a partitioning or a
+#: training bound off a FULL-table row count use this instead of a
+#: ``df.count()`` job (guide §6: table metadata is what manifests give
+#: you for free). The testdata directories are immutable by contract.
+_ROWCOUNT_MEMO: dict[tuple[str, str], int] = {}
+
+
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Exact row count of one catalog table from parquet footer metadata
+    (no Spark job; supports both a flat file and a directory of part
+    files)."""
+    key = (sf_dir, name)
+    cached = _ROWCOUNT_MEMO.get(key)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        total = sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        total = pq.ParquetFile(path).metadata.num_rows
+    _ROWCOUNT_MEMO[key] = int(total)
+    return int(total)
+
+
 #: Session-scoped lazy-DataFrame memo keyed (applicationId, sf_dir, name).
 #: ``spark.read.parquet`` re-lists the directory and re-reads footers on
 #: EVERY call (~150-250 ms of driver-side metadata work + py4j), and the
