@@ -72,8 +72,12 @@ def minhash_signatures(
     # and feed it to both the signature aggregation and the verifier, so
     # the corpus is shingled exactly once)
     sh = shingles if shingles is not None else shingle_df(df, id_col, text_col, n_gram)
+    # r15b: each agg is ONE SQL string (k parser calls) instead of ~4k
+    # py4j Column constructions — measured 0.53 s → 0.15 s of driver
+    # build time per call at k=64. The int literal types as INT exactly
+    # like the previous F.lit(int), so every hash is bit-identical.
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed * 1000 + j))).alias(f"h{j}")
+        F.expr(f"min(xxhash64(shingle, {seed * 1000 + j})) as h{j}")
         for j in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -89,18 +93,20 @@ def band_buckets(
     so later incremental-dedup jobs never re-shingle the old side."""
     assert k % bands == 0
     rows = k // bands
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
-                    "bh"
-                ),
-            )
-            for b in range(bands)
-        ]
+    # r15b: one parsed SQL string instead of ~6·bands py4j Column
+    # constructions (same build-chatter fix as minhash_signatures); the
+    # int literal and xxhash64 arity match the previous Column form
+    # bit-for-bit
+    structs = ", ".join(
+        "struct({b} as band, xxhash64({cols}) as bh)".format(
+            b=b,
+            cols=", ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
     )
-    return sig.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
+    return sig.select(
+        F.col(id_col), F.expr(f"explode(array({structs}))").alias("bb")
+    ).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
 

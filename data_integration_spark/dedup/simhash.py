@@ -33,27 +33,34 @@ def _simhash(df: DataFrame, id_col: str, text_col: str, h, bits: int) -> DataFra
     toks = spread_scan(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
-    hv = h(F.col("tok"))
-    votes = toks.select(
+    # r15b: each per-bit expression is ONE parsed SQL string instead of
+    # ~6 py4j Column constructions (the minhash_signatures build-chatter
+    # fix) — expressions are the exact SQL the Column form compiled to
+    hv = h(F.col("tok")).alias("_hv")
+    votes = toks.select(F.col(id_col), hv).select(
         F.col(id_col),
         *[
-            F.when(F.shiftrightunsigned(hv, b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{b}")
+            F.expr(
+                f"if((shiftrightunsigned(_hv, {b}) & 1) = 1, 1, -1) as b{b}"
+            )
             for b in range(bits)
         ],
     )
     sums = votes.groupBy(id_col).agg(
-        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(bits)]
+        *[F.expr(f"sum(b{b}) as b{b}") for b in range(bits)]
     )
-    sim = F.lit(0).cast("long")
+    terms = []
     for b in range(bits):
         # bit 63 of a signed 64-bit value is the sign bit: -(2^63)
         bit_val = (1 << b) if b < 63 else -(1 << 63)
-        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(bit_val).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        terms.append(
+            f"if(b{b} > 0, cast({bit_val} as bigint), cast(0 as bigint))"
         )
-    return sums.select(F.col(id_col), sim.alias("simhash"))
+    # left-associated chain, exactly the previous Column `+` fold
+    sim_sql = "cast(0 as bigint)"
+    for t in terms:
+        sim_sql = f"({sim_sql} + {t})"
+    return sums.select(F.col(id_col), F.expr(f"{sim_sql} as simhash"))
 
 
 def simhash64(

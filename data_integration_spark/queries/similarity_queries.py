@@ -17,7 +17,7 @@ from data_integration_spark.similarity.ann import (
     cosine_topk,
     lsh_cosine_pairs,
 )
-from data_integration_spark.sources.catalog import Catalog
+from data_integration_spark.sources.catalog import Catalog, table_rowcount
 
 # hard bound on driver-side query collection in the vectorized ANN path —
 # guards the only .toPandas() in a registered query's hot path (VERDICT r1 #2)
@@ -665,7 +665,11 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir)["embeddings"].select(
         "vec_id", as_double_array("embedding", "e")
     )
-    index = PQIndex(m=16, k_codes=64, seed=13).fit(emb)
+    # r15b: the corpus count that bounds the trainer sample comes from
+    # parquet footer metadata (catalog.table_rowcount) — no count job
+    index = PQIndex(m=16, k_codes=64, seed=13).fit(
+        emb, n_rows=table_rowcount(sf_dir, "embeddings")
+    )
     q_pd = (
         emb.filter(F.col("vec_id") < 20)
         .limit(_MAX_VECTORIZED_QUERIES + 1)
@@ -725,7 +729,11 @@ def q_ann_pq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir)["embeddings"].select(
         "vec_id", as_double_array("embedding", "e")
     )
-    index = PQIndex(m=16, k_codes=64, seed=13).fit(emb)
+    # r15b: the corpus count that bounds the trainer sample comes from
+    # parquet footer metadata (catalog.table_rowcount) — no count job
+    index = PQIndex(m=16, k_codes=64, seed=13).fit(
+        emb, n_rows=table_rowcount(sf_dir, "embeddings")
+    )
     codes = index.codes.cache()
 
     n_vectors = codes.count()
@@ -808,7 +816,10 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir)["embeddings"].select(
         "vec_id", as_double_array("embedding", "e")
     )
-    index = IVFPQIndex(n_cells=8, m=16, k_codes=16, seed=17).fit(emb)
+    # r15b: footer-metadata corpus count — no count job (see q_ann_pq)
+    index = IVFPQIndex(n_cells=8, m=16, k_codes=16, seed=17).fit(
+        emb, n_rows=table_rowcount(sf_dir, "embeddings")
+    )
     q_pd = (
         emb.filter(F.col("vec_id") < 20)
         .limit(_MAX_VECTORIZED_QUERIES + 1)
@@ -880,7 +891,10 @@ def q_ann_ivfpq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_array("embedding", "e")
     )
     nprobe = 4
-    index = IVFPQIndex(n_cells=8, m=16, k_codes=16, seed=17).fit(emb)
+    # r15b: footer-metadata corpus count — no count job (see q_ann_pq)
+    index = IVFPQIndex(n_cells=8, m=16, k_codes=16, seed=17).fit(
+        emb, n_rows=table_rowcount(sf_dir, "embeddings")
+    )
     codes = index.codes.cache()
 
     n_vectors = codes.count()

@@ -64,6 +64,12 @@ def get_spark(
         # reader rejects; read as long and convert in the catalog (µs truncation,
         # matching DuckDB's nanos→micros narrowing).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # one BLAS thread per Python worker: task-level parallelism owns the
+        # cores; a per-tiny-GEMM 32-thread OpenBLAS spin barrier measured
+        # 25-60× slower + wildly variable (see __init__
+        # _limit_native_blas_threads, which also covers foreign sessions)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

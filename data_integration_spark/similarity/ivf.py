@@ -25,16 +25,27 @@ from data_integration_spark.similarity.ann import (
 )
 
 
-def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+def _sq_dists(
+    X: np.ndarray, C: np.ndarray, xx: np.ndarray | None = None
+) -> np.ndarray:
     """(n, k) squared distances via the BLAS path (‖x‖²+‖c‖²−2x·c) —
     one GEMM instead of an (n, k, d) broadcast allocation; negatives
-    from float cancellation clip to 0."""
-    d = (
-        (X * X).sum(axis=1)[:, None]
-        + (C * C).sum(axis=1)[None, :]
-        - 2.0 * (X @ C.T)
-    )
-    return np.maximum(d, 0.0)
+    from float cancellation clip to 0.
+
+    r15b: in-place update chain — each element is still computed as
+    ``(xx + cc) - 2·(x·c)`` in exactly that order, so values are
+    BIT-IDENTICAL to the previous expression form; the rewrite only
+    drops two (n, k) temporaries (the allocations dominated the call at
+    Lloyd-loop sizes). ``xx`` optionally passes the precomputed row
+    norms (identical values every iteration — the caller's loop was
+    recomputing them per call)."""
+    if xx is None:
+        xx = (X * X).sum(axis=1)
+    d = xx[:, None] + (C * C).sum(axis=1)[None, :]
+    t = X @ C.T
+    t *= 2.0
+    d -= t
+    return np.maximum(d, 0.0, out=d)
 
 
 def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 25,
@@ -73,7 +84,7 @@ def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 25,
         )
     C = np.asarray(centroids, dtype=np.float64)
     for _ in range(n_iter):
-        a = _sq_dists(X, C).argmin(axis=1)
+        a = _sq_dists(X, C, xx).argmin(axis=1)
         # grouped mean via sort + add.reduceat (one C-speed pass) — the
         # per-cell boolean-mask loop was O(n·k) python/numpy scans per
         # iteration and dominated the whole fit at k≈450 (measured 31.6 s

@@ -64,6 +64,7 @@ class IVFPQIndex:
         id_col: str = "vec_id",
         vec_col: str = "e",
         train_per_code: int | None = 64,
+        n_rows: int | None = None,
     ) -> "IVFPQIndex":
         """Coarse quantizer via ``IVFIndex.fit`` (bounded-sample driver
         Lloyd — the r7 FAISS-style shape), then residual codebooks on a
@@ -74,12 +75,15 @@ class IVFPQIndex:
         (``pmod(xxhash64(id), 1e6)``), collected SORTED, so refits
         reproduce on any partitioning and stay a few MB at any corpus
         size."""
-        self.ivf.fit(corpus, id_col=id_col, vec_col=vec_col)
+        # n_rows: caller-supplied corpus count (r15 — one count serves the
+        # coarse fit, the residual sample bound, and nothing else; callers
+        # over a whole catalog table pass the parquet-footer count)
+        n = corpus.count() if n_rows is None else n_rows
+        self.ivf.fit(corpus, id_col=id_col, vec_col=vec_col, n_rows=n)
         self._pull_centroids()
         assigned = self.ivf.assigned  # (mid, me, cell)
 
         target = self.k_codes * (train_per_code or 256)
-        n = corpus.count()
         train = assigned
         if train_per_code is not None and n > target:
             frac_ppm = int(target * 1_000_000 / n)
