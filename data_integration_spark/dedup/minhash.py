@@ -45,6 +45,7 @@ def minhash_signatures(
     k: int = 64,
     seed: int = 1,
     shingles: DataFrame | None = None,
+    with_size: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature: for each of k hash functions, the min of
     ``xxhash64(shingle, salt_j)`` over the doc's shingles — one groupBy, k
@@ -80,6 +81,12 @@ def minhash_signatures(
         F.expr(f"min(xxhash64(shingle, {seed * 1000 + j})) as h{j}")
         for j in range(k)
     ]
+    if with_size:
+        # per-doc shingle-set size in the SAME aggregation pass:
+        # shingle_df emits array_distinct'd shingles, so count(*) here
+        # equals the verify stage's countDistinct — callers that need
+        # sizes skip a whole extra scan+agg of the shingle table
+        aggs.append(F.expr("count(*) as sz"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -344,14 +351,17 @@ def minhash_lsh_pairs(
     # here AND the exact-verify stage below (it is one half of the
     # artifact save_minhash_index persists per release).
     sh = shingle_df(df, id_col, text_col, n_gram).localCheckpoint()
-    sig = minhash_signatures(df, id_col, text_col, n_gram, k, seed, shingles=sh)
-    # r15 optimization: materialize the banded index once — it feeds the
-    # bucket-size aggregation AND both candidate join sides, and Catalyst
-    # replicated the whole scan→shingle→64-minhash subtree into each
-    # branch. The band table is the other half of the persisted release
-    # artifact (|docs|·bands rows of (id, band, bh)); localCheckpoint is
-    # fresh per invocation.
-    buckets = band_buckets(sig, id_col, k, bands).localCheckpoint()
+    # r15b: materialize the SIGNATURE table (one narrow row per doc,
+    # k+1 longs) instead of the exploded band table — its three band
+    # consumers below re-derive the bands lazily (16 xxhash64 + explode
+    # over the checkpointed rows, no shuffle, no scan), and the fused
+    # per-doc `sz` column replaces a whole extra scan+agg of the shingle
+    # table in the verify stage. The 64-minhash aggregation still runs
+    # exactly once.
+    sig = minhash_signatures(
+        df, id_col, text_col, n_gram, k, seed, shingles=sh, with_size=True
+    ).localCheckpoint()
+    buckets = band_buckets(sig, id_col, k, bands)
     join_keys = ["band", "bh"]
     if max_bucket_size is not None:
         sizes_b = buckets.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
@@ -373,9 +383,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification on candidates only, over the SAME materialized
-    # shingle table the signatures were built from (sizes + both verify
-    # join sides — pre-r15 each branch re-derived it from the text).
-    sizes = sh.groupBy(id_col).agg(F.countDistinct("shingle").alias("sz"))
+    # shingle table the signatures were built from (both verify join
+    # sides — pre-r15 each branch re-derived it from the text). Sizes
+    # ride the signature aggregation (count(*) over the array_distinct'd
+    # shingles == the retired per-branch countDistinct, value for value).
+    sizes = sig.select(F.col(id_col), F.col("sz"))
     s1 = sh.select(F.col(id_col).alias("d1"), F.col("shingle"))
     s2 = sh.select(F.col(id_col).alias("d2"), F.col("shingle"))
     inter = (
