@@ -24,16 +24,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _truncate_lineage(df: DataFrame) -> DataFrame:
+def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut the iterative plan's lineage. Prefers a RELIABLE ``checkpoint()``
     when the context has a checkpoint dir configured (cluster setting:
     ``localCheckpoint`` blocks are executor-local, so an executor loss
     mid-loop kills the job); falls back to ``localCheckpoint`` otherwise
-    (local mode / tests, where there is no executor to lose)."""
+    (local mode / tests, where there is no executor to lose).
+
+    ``eager=False`` (r15 optimization, guide §1.2 "don't compute things
+    you throw away"): the returned frame's plan is already the truncated
+    LogicalRDD either way — laziness only moves the MATERIALIZATION out
+    of its own dedicated job and into the consumer's first action (the
+    RDD is persisted at first compute, then read back like the eager
+    form). Opt in ONLY where the next action's DAG references the
+    checkpoint exactly once (the iterative trainers' per-round tables):
+    there it deletes one scheduled job per checkpoint, and a checkpoint
+    that is never consumed (train_bpe's final-rank table in q_bpe_train,
+    which returns only the merge list) is never computed at all. Keep
+    the eager default where several branches of ONE downstream job read
+    the checkpoint (triangle/pagerank shapes): un-materialized, those
+    branches' stages can compute the shared subtree CONCURRENTLY before
+    the first partition lands in the block store — measured +18% on
+    q_triangle_count when this was tried lazily. Values are unchanged
+    either way: the subtrees are deterministic and a partition is
+    persisted the first time it is computed."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint()
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def connected_components(
@@ -56,6 +74,14 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # materialize the edge list ONCE (r15, guide §1.2): every round's job
+    # joins against `sym`, and an un-materialized sym re-runs the whole
+    # upstream pair-generation pipeline (banded LSH, IVF pruning, n-gram
+    # Jaccard — whatever produced the edges) inside every round. The
+    # checkpoint is |edges|-sized — the same near-dup-density magnitude a
+    # single round already shuffles. Lazy: the labels-init job below is
+    # its first (single-reference) consumer and materializes it.
+    sym = _truncate_lineage(sym, eager=False)
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = _truncate_lineage(nodes.withColumn("label", F.col("node")))
     converged = False
@@ -74,7 +100,10 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        new_labels = _truncate_lineage(new_labels)  # each round is one join
+        # lazy: the `changed` count below references new_labels ONCE and
+        # materializes the checkpoint inside its own job — an eager
+        # checkpoint here was a second scheduled job per round
+        new_labels = _truncate_lineage(new_labels, eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -155,7 +155,12 @@ def train_bpe(
         merges.append((rank, left, right, cnt))
         nxt = cur.withColumn("syms", merge_pair_column("syms", left, right))
         if rank % checkpoint_every == 0:
-            nxt = _truncate_lineage(nxt)
+            # lazy: the next iteration's single aggregation job (or the
+            # caller's first action) materializes the checkpoint; when
+            # the FINAL rank lands on a checkpoint boundary and the
+            # caller only wants the merge list (q_bpe_train), the table
+            # materialization is skipped entirely
+            nxt = _truncate_lineage(nxt, eager=False)
         nxt = nxt.persist()
         prev_to_drop, prev = prev, cur
         cur = nxt
@@ -184,5 +189,7 @@ def apply_merges(
     ):
         out = out.withColumn(syms_col, merge_pair_column(syms_col, left, right))
         if i % checkpoint_every == 0:
-            out = _truncate_lineage(out)
+            # lazy: encode output flows into exactly one downstream
+            # consumer; its first action materializes the checkpoint
+            out = _truncate_lineage(out, eager=False)
     return out

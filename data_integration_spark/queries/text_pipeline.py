@@ -1101,29 +1101,42 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     n_docs = labeled.count()
 
-    xs = [F.lit(1.0)] + [F.col(f"x{d}") for d in range(D)]
-    P = len(xs)
+    P = D + 1
+    # r15b: each (f, grad, Hessian) evaluation builds its 55 aggregate
+    # expressions as parsed SQL strings — the Column form cost ~0.5 s of
+    # py4j round-trips PER NEWTON ITERATION (measured; same build-chatter
+    # fix as the minhash signatures and hyperplane buckets). Bit-identity
+    # of all 55 sums against the retired Column form was verified on the
+    # live table for three β vectors (repr() round-trips each double;
+    # the parsed trees are structurally identical, so codegen matches).
+    xstr = ["1.0D"] + [f"x{d}" for d in range(D)]
 
     def fgh(b: np.ndarray):
-        xb = F.lit(float(b[0]))
+        xb = f"{float(b[0])!r}D"
         for j in range(1, P):
-            xb = xb + xs[j] * F.lit(float(b[j]))
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-xb))
-        sp_pos = F.when(xb > 30, xb).otherwise(
-            F.log1p(F.exp(F.least(xb, F.lit(30.0))))
+            xb = f"({xb} + (x{j - 1} * {float(b[j])!r}D))"
+        p = f"(1.0D / (1.0D + exp(-({xb}))))"
+        sp_pos = (
+            f"(CASE WHEN ({xb} > 30) THEN {xb}"
+            f" ELSE log1p(exp(least({xb}, 30.0D))) END)"
         )
-        sp_neg = F.when(-xb > 30, -xb).otherwise(
-            F.log1p(F.exp(F.least(-xb, F.lit(30.0))))
+        sp_neg = (
+            f"(CASE WHEN ((-({xb})) > 30) THEN (-({xb}))"
+            f" ELSE log1p(exp(least(-({xb}), 30.0D))) END)"
         )
-        nll = F.col("y") * sp_neg + (1 - F.col("y")) * sp_pos
-        resid = p - F.col("y")
-        curv = p * (F.lit(1.0) - p)
-        aggs = [F.sum(nll).alias("f")]
+        nll = f"((y * {sp_neg}) + ((1 - y) * {sp_pos}))"
+        resid = f"({p} - y)"
+        curv = f"({p} * (1.0D - {p}))"
+        aggs = [F.expr(f"sum({nll}) AS f")]
         for j in range(P):
-            aggs.append(F.sum(resid * xs[j]).alias(f"g{j}"))
+            aggs.append(F.expr(f"sum(({resid} * {xstr[j]})) AS g{j}"))
         for j in range(P):
             for l in range(j, P):
-                aggs.append(F.sum(curv * xs[j] * xs[l]).alias(f"h{j}_{l}"))
+                aggs.append(
+                    F.expr(
+                        f"sum((({curv} * {xstr[j]}) * {xstr[l]})) AS h{j}_{l}"
+                    )
+                )
         row = labeled.agg(*aggs).collect()[0]
         g = np.array([row[f"g{j}"] for j in range(P)])
         H = np.zeros((P, P))
@@ -1132,8 +1145,17 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 H[j, l] = H[l, j] = row[f"h{j}_{l}"]
         return float(row["f"]), g, H
 
-    beta = newton_minimize(fgh, np.zeros(P))
-    _, g_final, _ = fgh(beta)
+    # every Newton evaluation is one map-side-combined GLOBAL aggregation
+    # to a SINGLE row (1+P+P(P+1)/2 sums; Spark plans a single-partition
+    # final stage for ungrouped aggs at any scale) — AQE re-planning per
+    # iteration is pure overhead (r15, same rationale as the unigram/BPE
+    # trainer loops; no shuffle_partitions pin needed, no grouped
+    # exchange in the window)
+    from data_integration_spark.session import bounded_loop_conf
+
+    with bounded_loop_conf(spark):
+        beta = newton_minimize(fgh, np.zeros(P))
+        _, g_final, _ = fgh(beta)
     score_inf_norm = float(np.max(np.abs(g_final))) / n_docs
     labeled.unpersist()
 

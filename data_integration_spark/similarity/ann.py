@@ -465,19 +465,29 @@ def hyperplane_lsh_buckets(
     """
     if planes is None:
         planes = make_planes(dim, n_planes, seed)
-    bucket: Column = F.lit(0).cast("long")
+    # r15b: the whole sign-pattern bucket as ONE parsed SQL string — the
+    # Column form cost ~n_planes·dim py4j round-trips per call (measured
+    # 3.6-6 s of DRIVER build time per q_ann_lsh pass at 4 tables ×
+    # 8 planes × dim 64, vs 0.5 s of execution; same build-chatter fix
+    # as the minhash/simhash signatures). Bit-identical: repr() is the
+    # shortest decimal that round-trips each IEEE double and Spark's
+    # parser converts it correctly-rounded, the 'D' suffix types it
+    # DOUBLE exactly like F.lit(float), the fold is the same 3-arg
+    # aggregate over the same zip_with, and the original's `proj >= 0`
+    # int comparand was cast to 0.0D anyway.
+    terms = []
     for p, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(c) for c in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = ", ".join(f"{c!r}D" for c in plane)
+        proj = (
+            f"aggregate(zip_with({vec_col}, array({arr}),"
+            f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
         )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+        terms.append(f"if({proj} >= 0.0D, {1 << p}L, 0L)")
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(" + ".join(terms)).cast("long").alias("bucket"),
+    )
 
 
 def lsh_cosine_pairs(
