@@ -32,25 +32,33 @@ def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     (local mode / tests, where there is no executor to lose).
 
     ``eager=False`` (r15 optimization, guide §1.2 "don't compute things
-    you throw away"): the returned frame's plan is already the truncated
-    LogicalRDD either way — laziness only moves the MATERIALIZATION out
-    of its own dedicated job and into the consumer's first action (the
-    RDD is persisted at first compute, then read back like the eager
-    form). Opt in ONLY where the next action's DAG references the
-    checkpoint exactly once (the iterative trainers' per-round tables):
-    there it deletes one scheduled job per checkpoint, and a checkpoint
-    that is never consumed (train_bpe's final-rank table in q_bpe_train,
-    which returns only the merge list) is never computed at all. Keep
-    the eager default where several branches of ONE downstream job read
-    the checkpoint (triangle/pagerank shapes): un-materialized, those
+    you throw away") applies to the LOCAL branch only: a lazy
+    localCheckpoint's RDD is persisted at first compute and read back
+    like the eager form, so laziness only moves the materialization out
+    of its own dedicated job and into the consumer's first action. Opt
+    in ONLY where the next action's DAG references the checkpoint
+    exactly once (the iterative trainers' per-round tables): there it
+    deletes one scheduled job per checkpoint, and a checkpoint that is
+    never consumed (train_bpe's final-rank table in q_bpe_train, which
+    returns only the merge list) is never computed at all. Keep the
+    eager default where several branches of ONE downstream job read the
+    checkpoint (triangle/pagerank shapes): un-materialized, those
     branches' stages can compute the shared subtree CONCURRENTLY before
     the first partition lands in the block store — measured +18% on
     q_triangle_count when this was tried lazily. Values are unchanged
     either way: the subtrees are deterministic and a partition is
-    persisted the first time it is computed."""
+    persisted the first time it is computed.
+
+    The RELIABLE branch is ALWAYS eager, regardless of the flag: a lazy
+    ``checkpoint(eager=False)`` never persists the RDD and Spark's
+    doCheckpoint stops at the first checkpoint-marked descendant
+    (``spark.checkpoint.checkpointAllMarkedAncestors`` defaults false),
+    so the checkpoint file is simply never written and every consumer
+    silently recomputes the full lineage — verified empirically (r15
+    review finding). The one-job saving is a local-mode win only."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=eager)
 
 
@@ -80,7 +88,8 @@ def connected_components(
     # Jaccard — whatever produced the edges) inside every round. The
     # checkpoint is |edges|-sized — the same near-dup-density magnitude a
     # single round already shuffles. Lazy: the labels-init job below is
-    # its first (single-reference) consumer and materializes it.
+    # its first (single-reference) consumer and materializes it (on the
+    # reliable branch the helper forces eager — see its docstring).
     sym = _truncate_lineage(sym, eager=False)
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = _truncate_lineage(nodes.withColumn("label", F.col("node")))

@@ -173,28 +173,41 @@ def minhash_lsh_cross_pairs(
     # merge. A side loaded from the persisted index is already a parquet
     # scan and is left lazy.
     sh_new = shingle_df(new_df, id_col, text_col, n_gram).localCheckpoint()
-    b_new = band_buckets(
-        minhash_signatures(
-            new_df, id_col, text_col, n_gram, k, seed, shingles=sh_new
-        ),
-        id_col, k, bands,
-    ).withColumnRenamed(id_col, "new_id")
+    # r15b (same shape as minhash_lsh_pairs): materialize the new side's
+    # SIGNATURE table with the per-doc size fused into the one 64-hash
+    # aggregation — its two consumers (band derivation, verify sizes)
+    # would otherwise replicate the aggregation subtree, and the
+    # separate countDistinct pass over the shingle table disappears.
+    sig_new = minhash_signatures(
+        new_df, id_col, text_col, n_gram, k, seed, shingles=sh_new,
+        with_size=True,
+    ).localCheckpoint()
+    b_new = band_buckets(sig_new, id_col, k, bands).withColumnRenamed(
+        id_col, "new_id"
+    )
+    sz_new = sig_new.select(F.col(id_col), F.col("sz").alias("sz1"))
     sh_old = old_shingles
     if sh_old is None:
         sh_old = shingle_df(old_df, id_col, text_col, n_gram).localCheckpoint()
     if old_buckets is None:
-        old_buckets = band_buckets(
-            minhash_signatures(
-                old_df, id_col, text_col, n_gram, k, seed, shingles=sh_old
-            ),
-            id_col, k, bands,
+        # freshly-derived old side: same fused materialization
+        sig_old = minhash_signatures(
+            old_df, id_col, text_col, n_gram, k, seed, shingles=sh_old,
+            with_size=True,
+        ).localCheckpoint()
+        old_buckets = band_buckets(sig_old, id_col, k, bands)
+        sz_old = sig_old.select(F.col(id_col), F.col("sz").alias("sz2"))
+    else:
+        # persisted-index old side: the release artifact stores buckets +
+        # shingles (no signature table), so sizes come from the shingle
+        # scan exactly as before
+        sz_old = sh_old.groupBy(id_col).agg(
+            F.countDistinct("shingle").alias("sz2")
         )
     b_old = old_buckets.withColumnRenamed(id_col, "old_id")
     cand = (
         b_new.join(b_old, ["band", "bh"]).select("new_id", "old_id").distinct()
     )
-    sz_new = sh_new.groupBy(id_col).agg(F.countDistinct("shingle").alias("sz1"))
-    sz_old = sh_old.groupBy(id_col).agg(F.countDistinct("shingle").alias("sz2"))
     s1 = sh_new.select(F.col(id_col).alias("new_id"), F.col("shingle"))
     s2 = sh_old.select(F.col(id_col).alias("old_id"), F.col("shingle"))
     inter = (

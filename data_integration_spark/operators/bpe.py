@@ -110,6 +110,7 @@ def train_bpe(
     freq_col: str = "freq",
     min_count: int = 2,
     checkpoint_every: int = 4,
+    materialize_final: bool = True,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from a (word, freq) type table.
 
@@ -119,7 +120,16 @@ def train_bpe(
     singletons is noise). Each iteration costs one distributed
     aggregation + one in-row transform; the driver holds one row per
     iteration plus the merge list — never the type table.
-    """
+
+    ``materialize_final=False`` (r15): a caller that consumes only the
+    MERGE LIST (q_bpe_train's contract output) skips the final-rank
+    checkpoint materialization — a full fold pass over the type table
+    whose result would be thrown away. Callers that aggregate the
+    returned table (q_bpe_invariants) keep the default: the final-rank
+    checkpoint then materializes EAGERLY, while its parent's cache is
+    still alive — a lazy one would be recomputed from the previous
+    checkpoint at first consumer action, AFTER the loop has unpersisted
+    that cache (r15 review finding)."""
     from data_integration_spark.session import bounded_loop_conf
 
     cur = words.select(
@@ -155,12 +165,18 @@ def train_bpe(
         merges.append((rank, left, right, cnt))
         nxt = cur.withColumn("syms", merge_pair_column("syms", left, right))
         if rank % checkpoint_every == 0:
-            # lazy: the next iteration's single aggregation job (or the
-            # caller's first action) materializes the checkpoint; when
-            # the FINAL rank lands on a checkpoint boundary and the
-            # caller only wants the merge list (q_bpe_train), the table
-            # materialization is skipped entirely
-            nxt = _truncate_lineage(nxt, eager=False)
+            # mid-loop boundaries: lazy — the NEXT iteration's single
+            # aggregation job materializes the checkpoint while this
+            # rank's parent cache is still alive (one scheduled job
+            # saved per boundary). Final-rank boundary: eager when the
+            # caller consumes the table (its parent's cache is dropped
+            # right after the loop, so a lazy checkpoint would replay
+            # checkpoint_every folds at first use); skipped-by-laziness
+            # when the caller wants only the merge list.
+            final_rank = rank == n_merges
+            nxt = _truncate_lineage(
+                nxt, eager=final_rank and materialize_final
+            )
         nxt = nxt.persist()
         prev_to_drop, prev = prev, cur
         cur = nxt

@@ -984,7 +984,10 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_integration_spark.operators.bpe import train_bpe
 
     words = _bpe_word_table(spark, sf_dir)
-    merges, final = train_bpe(words, _BPE_MERGES)
+    # materialize_final=False: this query's output is the merge LIST;
+    # the final symbolized table is dropped unread (r15 — skips a full
+    # fold pass over the type table at any scale)
+    merges, final = train_bpe(words, _BPE_MERGES, materialize_final=False)
     final.unpersist()
     return spark.createDataFrame(
         [

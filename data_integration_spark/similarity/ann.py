@@ -16,6 +16,7 @@ stability.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -465,6 +466,21 @@ def hyperplane_lsh_buckets(
     """
     if planes is None:
         planes = make_planes(dim, n_planes, seed)
+    # the SQL-string form below interpolates vec_col verbatim: accept
+    # exactly the (possibly dotted) identifier paths the previous
+    # F.col(vec_col) resolved, and fail LOUDLY on anything the parser
+    # would mangle (spaces, operators, backticks)
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*", vec_col):
+        raise ValueError(
+            f"vec_col {vec_col!r} is not a plain (dotted) identifier; "
+            "rename the column before bucketing"
+        )
+    if not planes:
+        # degenerate single-bucket LSH: the retired fold started from
+        # lit(0) and added nothing
+        return df.select(
+            F.col(id_col), F.col(vec_col), F.lit(0).cast("long").alias("bucket")
+        )
     # r15b: the whole sign-pattern bucket as ONE parsed SQL string — the
     # Column form cost ~n_planes·dim py4j round-trips per call (measured
     # 3.6-6 s of DRIVER build time per q_ann_lsh pass at 4 tables ×
