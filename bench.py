@@ -166,32 +166,38 @@ def main() -> None:
         spreads[name] = round(max(passes) - min(passes), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                # "value" = the SAME 15-query set every round (baseline
-                # comparability); the LLM-ops stack is tracked alongside
-                # under its own keys
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "llm_ops": llm_times,
-                "llm_ops_total": round(sum(llm_times.values()), 3),
-                # fixed-cost reference job + box-drift-normalized headline:
-                # compare calibrated_ratio across rounds, not raw seconds
-                "calibration_sec": calibration,
-                "calibrated_ratio": round(
-                    sum(times.values()) / calibration, 2
-                )
-                if calibration > 0
-                else None,
-                "spread": spreads,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # r16 (VERDICT r15 #1): the driver's capture of BENCH_r14's stdout was
+    # truncated and the round-over-round comparison was lost. Defend the
+    # contract line: per-query SPREAD diagnostics move to stderr (halving
+    # the line), and the one-line JSON is printed LAST — after spark.stop(),
+    # so no late JVM output can land after it — followed by an explicit
+    # flush. The parsed schema is otherwise identical to r15 minus the
+    # "spread" key (a diagnostic the driver never consumed; VERDICT r15
+    # explicitly asked for it to move out of the line).
+    print(json.dumps({"spread": spreads}), file=sys.stderr)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            # "value" = the SAME 15-query set every round (baseline
+            # comparability); the LLM-ops stack is tracked alongside
+            # under its own keys
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": times,
+            "llm_ops": llm_times,
+            "llm_ops_total": round(sum(llm_times.values()), 3),
+            # fixed-cost reference job + box-drift-normalized headline:
+            # compare calibrated_ratio across rounds, not raw seconds
+            "calibration_sec": calibration,
+            "calibrated_ratio": round(sum(times.values()) / calibration, 2)
+            if calibration > 0
+            else None,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
     spark.stop()
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -19,9 +19,31 @@ rounds is typical). ``max_iter`` bounds pathological chains.
 from __future__ import annotations
 
 import warnings
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: When a capture list is installed (see ``capture_truncated_subtrees``),
+#: every ``_truncate_lineage`` call appends its PRE-truncation DataFrame
+#: here. r16 (VERDICT r15 #2): checkpointed subtrees vanish from final
+#: query plans, so the registry-wide plan lints (CartesianProduct /
+#: unbounded-window walkers) were blind inside them — the lints now run
+#: inside this capture and walk each subtree plan too.
+_SUBTREE_CAPTURE: list[DataFrame] | None = None
+
+
+@contextmanager
+def capture_truncated_subtrees():
+    """Collect the pre-truncation DataFrame of every lineage cut made
+    while the context is active (lint/observability hook — does not
+    change what ``_truncate_lineage`` returns or materializes)."""
+    global _SUBTREE_CAPTURE
+    prev, _SUBTREE_CAPTURE = _SUBTREE_CAPTURE, []
+    try:
+        yield _SUBTREE_CAPTURE
+    finally:
+        _SUBTREE_CAPTURE = prev
 
 
 def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -56,6 +78,8 @@ def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     so the checkpoint file is simply never written and every consumer
     silently recomputes the full lineage — verified empirically (r15
     review finding). The one-job saving is a local-mode win only."""
+    if _SUBTREE_CAPTURE is not None:
+        _SUBTREE_CAPTURE.append(df)
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)

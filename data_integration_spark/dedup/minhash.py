@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_integration_spark.dedup.components import _truncate_lineage
+
 
 def shingle_df(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
@@ -85,7 +87,12 @@ def minhash_signatures(
         # per-doc shingle-set size in the SAME aggregation pass:
         # shingle_df emits array_distinct'd shingles, so count(*) here
         # equals the verify stage's countDistinct — callers that need
-        # sizes skip a whole extra scan+agg of the shingle table
+        # sizes skip a whole extra scan+agg of the shingle table.
+        # PRECONDITION (ADVICE r15): each doc id must appear in exactly
+        # ONE input row (array_distinct dedupes within a row, not across
+        # rows) — true for every caller here, whose ids are primary keys
+        # of the scanned table. A duplicate-id input would inflate sz
+        # (and the verify stage's intersection counts) either way.
         aggs.append(F.expr("count(*) as sz"))
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -172,29 +179,29 @@ def minhash_lsh_cross_pairs(
     # verify stage; shingle tables stay per-side so same-id docs never
     # merge. A side loaded from the persisted index is already a parquet
     # scan and is left lazy.
-    sh_new = shingle_df(new_df, id_col, text_col, n_gram).localCheckpoint()
+    sh_new = _truncate_lineage(shingle_df(new_df, id_col, text_col, n_gram))
     # r15b (same shape as minhash_lsh_pairs): materialize the new side's
     # SIGNATURE table with the per-doc size fused into the one 64-hash
     # aggregation — its two consumers (band derivation, verify sizes)
     # would otherwise replicate the aggregation subtree, and the
     # separate countDistinct pass over the shingle table disappears.
-    sig_new = minhash_signatures(
+    sig_new = _truncate_lineage(minhash_signatures(
         new_df, id_col, text_col, n_gram, k, seed, shingles=sh_new,
         with_size=True,
-    ).localCheckpoint()
+    ))
     b_new = band_buckets(sig_new, id_col, k, bands).withColumnRenamed(
         id_col, "new_id"
     )
     sz_new = sig_new.select(F.col(id_col), F.col("sz").alias("sz1"))
     sh_old = old_shingles
     if sh_old is None:
-        sh_old = shingle_df(old_df, id_col, text_col, n_gram).localCheckpoint()
+        sh_old = _truncate_lineage(shingle_df(old_df, id_col, text_col, n_gram))
     if old_buckets is None:
         # freshly-derived old side: same fused materialization
-        sig_old = minhash_signatures(
+        sig_old = _truncate_lineage(minhash_signatures(
             old_df, id_col, text_col, n_gram, k, seed, shingles=sh_old,
             with_size=True,
-        ).localCheckpoint()
+        ))
         old_buckets = band_buckets(sig_old, id_col, k, bands)
         sz_old = sig_old.select(F.col(id_col), F.col("sz").alias("sz2"))
     else:
@@ -363,7 +370,7 @@ def minhash_lsh_pairs(
     # materialized (id, shingle) table feeds the signature aggregation
     # here AND the exact-verify stage below (it is one half of the
     # artifact save_minhash_index persists per release).
-    sh = shingle_df(df, id_col, text_col, n_gram).localCheckpoint()
+    sh = _truncate_lineage(shingle_df(df, id_col, text_col, n_gram))
     # r15b: materialize the SIGNATURE table (one narrow row per doc,
     # k+1 longs) instead of the exploded band table — its three band
     # consumers below re-derive the bands lazily (16 xxhash64 + explode
@@ -371,9 +378,9 @@ def minhash_lsh_pairs(
     # per-doc `sz` column replaces a whole extra scan+agg of the shingle
     # table in the verify stage. The 64-minhash aggregation still runs
     # exactly once.
-    sig = minhash_signatures(
+    sig = _truncate_lineage(minhash_signatures(
         df, id_col, text_col, n_gram, k, seed, shingles=sh, with_size=True
-    ).localCheckpoint()
+    ))
     buckets = band_buckets(sig, id_col, k, bands)
     join_keys = ["band", "bh"]
     if max_bucket_size is not None:
@@ -395,14 +402,31 @@ def minhash_lsh_pairs(
         .select("d1", "d2")
         .distinct()
     )
+    # r16 (VERDICT r15 #6, guide §3.2): materialize the candidate-pair
+    # table once (it now has three consumers: the id semi-join below and
+    # both verify joins — un-materialized, the bucket join + distinct
+    # would replicate into each) and semi-join the shingle table down to
+    # DOCS THAT APPEAR IN SOME CANDIDATE PAIR before the verify-side
+    # shuffles. Docs outside every candidate pair contribute nothing to
+    # the intersection counts, so the output is value-identical; at scale
+    # the verify exchanges carry |candidate docs| shingle rows instead of
+    # the whole corpus's. ``cand`` is near-dup-density-sized — the same
+    # magnitude the verify stage already shuffles.
+    cand = _truncate_lineage(cand)
+    cand_ids = (
+        cand.select(F.col("d1").alias(id_col))
+        .union(cand.select(F.col("d2").alias(id_col)))
+        .distinct()
+    )
+    sh_v = sh.join(cand_ids, id_col, "left_semi")
     # exact verification on candidates only, over the SAME materialized
     # shingle table the signatures were built from (both verify join
     # sides — pre-r15 each branch re-derived it from the text). Sizes
     # ride the signature aggregation (count(*) over the array_distinct'd
     # shingles == the retired per-branch countDistinct, value for value).
     sizes = sig.select(F.col(id_col), F.col("sz"))
-    s1 = sh.select(F.col(id_col).alias("d1"), F.col("shingle"))
-    s2 = sh.select(F.col(id_col).alias("d2"), F.col("shingle"))
+    s1 = sh_v.select(F.col(id_col).alias("d1"), F.col("shingle"))
+    s2 = sh_v.select(F.col(id_col).alias("d2"), F.col("shingle"))
     inter = (
         cand.join(s1, "d1")
         .join(s2, ["d2", "shingle"])

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_integration_spark.dedup.components import _truncate_lineage
+
 
 def _simhash(df: DataFrame, id_col: str, text_col: str, h, bits: int) -> DataFrame:
     """Shared vote/sign pipeline: tokens vote ±1 on every bit of their
@@ -258,7 +260,7 @@ def simhash_near_pairs(
     # r15: materialize the 16-byte fingerprints once — the pigeonhole
     # join otherwise re-runs the whole token-vote pipeline on BOTH sides
     # (the q_image_dedup_dhash double-decode fix); fresh per invocation
-    sig = sig.localCheckpoint()
+    sig = _truncate_lineage(sig)
     return hamming_near_pairs(
         sig, bits=bits, max_distance=max_distance, id_col=id_col
     )

@@ -140,6 +140,7 @@ def train_bpe(
     cur = cur.persist()
     merges: list[tuple[int, str, str, int]] = []
     prev = None
+    final_materialized = False
     n_red = max(1, words.rdd.getNumPartitions() // 64)
     for rank in range(1, n_merges + 1):
         # each iteration's job is one map-side-combined aggregation ending
@@ -177,11 +178,20 @@ def train_bpe(
             nxt = _truncate_lineage(
                 nxt, eager=final_rank and materialize_final
             )
+            final_materialized = final_rank and materialize_final
         nxt = nxt.persist()
         prev_to_drop, prev = prev, cur
         cur = nxt
         if prev_to_drop is not None:
             prev_to_drop.unpersist()
+    if materialize_final and prev is not None and not final_materialized:
+        # r16 (ADVICE r15): on min_count early-stop, or when n_merges is
+        # not a checkpoint_every multiple, the loop never hit the eager
+        # final-rank boundary — materialize cur's persist() cache NOW,
+        # while prev's cache is still alive, or the caller's first action
+        # replays up to checkpoint_every folds from the last checkpoint
+        # (perf-only; values were always correct)
+        cur.count()
     if prev is not None:
         prev.unpersist()
     return merges, cur

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_integration_spark.dedup.components import _truncate_lineage
 from data_integration_spark.queries import register, register_pending
 from data_integration_spark.similarity.ann import as_double_array, with_norm
 from data_integration_spark.sources.catalog import Catalog, spread_scan
@@ -1499,7 +1500,7 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the artifact a 100 TB run materializes per release
     # (q_winnowing_registry_persist persists this very table); fresh per
     # invocation (localCheckpoint never caches across runs).
-    fpd = winnow_fingerprints(docs, k=K, w=W).localCheckpoint()
+    fpd = _truncate_lineage(winnow_fingerprints(docs, k=K, w=W))
     hot = (
         fpd.groupBy("h")
         .agg(F.count("*").alias("_df"))
@@ -1585,7 +1586,7 @@ def q_winnowing_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_scan(
         Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
     )
-    fpd = winnow_fingerprints(docs, k=K, w=W).localCheckpoint()
+    fpd = _truncate_lineage(winnow_fingerprints(docs, k=K, w=W))
     hot = (
         fpd.groupBy("h")
         .agg(F.count("*").alias("_df"))
@@ -1773,6 +1774,79 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the oracle reproduces the ESTIMATES value-exactly, not just their
 # error bounds.
 _KMV_K = 256
+
+#: Coordinator-merge bound for q_overlap_kmv (≈ 7.8k sources at K=256):
+#: below it the per-source sketches merge on the driver (one bounded
+#: collect — the DataSketches design point); above it the query falls
+#: back to the distributed engine-side pair merge instead of failing.
+_KMV_MAX_COORD_ROWS = 2_000_000
+
+
+def _kmv_engine_merge(sk: DataFrame, k: int, two60: float) -> DataFrame:
+    """Distributed KMV pair merge over a MATERIALIZED (source, h, rn)
+    sketch table — the graceful-degradation branch of q_overlap_kmv when
+    |sources|·K exceeds the coordinator bound (VERDICT r15 #7). Value-
+    identical to the coordinator replay: same kmv_est expression, the
+    same left-associated inclusion–exclusion, the same F.round."""
+    from pyspark.sql import Window
+
+    def kmv_est(cnt, hk):
+        return F.when(cnt < k, cnt.cast("double")).otherwise(
+            (k - 1) * two60 / hk
+        )
+
+    est = sk.groupBy("source").agg(
+        kmv_est(
+            F.count("*"), F.max(F.when(F.col("rn") == k, F.col("h")))
+        ).alias("d_est")
+    )
+    srcs = est.select("source")
+    prs = srcs.select(F.col("source").alias("src_a")).join(
+        srcs.select(F.col("source").alias("src_b")),
+        F.col("src_a") < F.col("src_b"),
+    )
+    mh = sk.select("source", "h")
+    merged = (
+        prs.join(mh.withColumnRenamed("source", "src_a"), "src_a")
+        .select("src_a", "src_b", "h")
+        .unionByName(
+            prs.join(
+                mh.withColumnRenamed("source", "src_b"), "src_b"
+            ).select("src_a", "src_b", "h")
+        )
+        .distinct()
+    )
+    w_pair = Window.partitionBy("src_a", "src_b").orderBy("h")
+    uni = (
+        merged.withColumn("rn", F.row_number().over(w_pair))
+        .filter(F.col("rn") <= k)
+        .groupBy("src_a", "src_b")
+        .agg(
+            kmv_est(
+                F.count("*"), F.max(F.when(F.col("rn") == k, F.col("h")))
+            ).alias("u_est")
+        )
+    )
+    ea = est.select(F.col("source").alias("src_a"), F.col("d_est").alias("a_est"))
+    eb = est.select(F.col("source").alias("src_b"), F.col("d_est").alias("b_est"))
+    inter = F.greatest(
+        F.col("a_est") + F.col("b_est") - F.col("u_est"), F.lit(0.0)
+    )
+    return (
+        uni.join(ea, "src_a")
+        .join(eb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round("a_est", 6).alias("kmv_a"),
+            F.round("b_est", 6).alias("kmv_b"),
+            F.round("u_est", 6).alias("kmv_union"),
+            F.round(inter, 6).alias("kmv_inter"),
+            F.round(inter / F.col("u_est"), 6).alias("kmv_jaccard"),
+        )
+    )
+
+
 _KMV_ORACLE = f"""
 WITH tok AS (
   SELECT source, STRING_SPLIT(text, ' ') AS ts FROM documents
@@ -1909,12 +1983,17 @@ def q_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_integration_spark.similarity.ann import _np_round_half_up
 
-    max_sketch_rows = 2_000_000  # ≈ 7.8k sources at K=256
-    rows = sk.select("source", "h").limit(max_sketch_rows + 1).collect()
-    if len(rows) > max_sketch_rows:  # not assert: survives python -O
-        raise ValueError(
-            f"q_overlap_kmv sketch exceeds {max_sketch_rows} rows; merge "
-            "sketches hierarchically instead of on the coordinator"
+    rows = sk.select("source", "h").limit(_KMV_MAX_COORD_ROWS + 1).collect()
+    if len(rows) > _KMV_MAX_COORD_ROWS:  # not assert: survives python -O
+        # r16 (VERDICT r15 #3/#7): past the coordinator bound the query
+        # DEGRADES instead of fail-stopping — the engine-side pair merge
+        # over the checkpointed sketch (bit-identical values: same
+        # expressions, verified by tests/test_overlap_kmv.py with the
+        # bound forced to 1). The checkpoint keeps the corpus-scale
+        # explode→distinct→K-min subtree from replicating into the four
+        # consumers (the r15 plan pathology this fast path replaced).
+        return _kmv_engine_merge(
+            _truncate_lineage(sk.select("source", "h", "rn")), k, two60
         )
     by_src: dict[str, list[int]] = {}
     for r in rows:

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_integration_spark.dedup.components import _truncate_lineage
 from data_integration_spark.dedup.simhash import hamming_near_pairs
 from data_integration_spark.multimodal.binary_ops import (
     attach_binary_metadata,
@@ -499,10 +500,8 @@ def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole synth→decode→hash lineage on BOTH sides (the corpus was
     # decoded twice per run; guide §8: decide on small rows). Fresh per
     # invocation (localCheckpoint never caches across runs).
-    fp = (
-        sig.filter(F.col("ok"))
-        .select(F.col("item_id"), F.col("dhash"))
-        .localCheckpoint()
+    fp = _truncate_lineage(
+        sig.filter(F.col("ok")).select(F.col("item_id"), F.col("dhash"))
     )
     pairs = hamming_near_pairs(
         fp,
@@ -640,10 +639,8 @@ def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = image_phash(_phash_bmp_payload_df(spark, sf_dir))
     # decode once, self-join the materialized 16-byte rows (see
     # q_image_dedup_dhash — the same r15 double-decode fix)
-    fp = (
-        sig.filter(F.col("ok"))
-        .select(F.col("item_id"), F.col("phash"))
-        .localCheckpoint()
+    fp = _truncate_lineage(
+        sig.filter(F.col("ok")).select(F.col("item_id"), F.col("phash"))
     )
     pairs = hamming_near_pairs(
         fp,
@@ -755,10 +752,8 @@ def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # decode once, self-join the materialized 16-byte rows (see
     # q_image_dedup_dhash — the same r15 double-decode fix)
-    fp = (
-        sig.filter(F.col("ok"))
-        .select(F.col("item_id"), F.col("afp"))
-        .localCheckpoint()
+    fp = _truncate_lineage(
+        sig.filter(F.col("ok")).select(F.col("item_id"), F.col("afp"))
     )
     pairs = hamming_near_pairs(
         fp,

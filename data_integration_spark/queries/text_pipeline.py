@@ -1112,6 +1112,13 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     xstr = ["1.0D"] + [f"x{d}" for d in range(D)]
 
     def fgh(b: np.ndarray):
+        # r16 (ADVICE r15): a non-finite iterate would render 'infD'/'nanD'
+        # and fail SQL parsing where the retired F.lit produced a valid
+        # literal — fail with a diagnosable message instead of a parse error
+        if not np.isfinite(b).all():
+            raise ValueError(
+                f"newton iterate has non-finite coefficients: {b.tolist()!r}"
+            )
         xb = f"{float(b[0])!r}D"
         for j in range(1, P):
             xb = f"({xb} + (x{j - 1} * {float(b[j])!r}D))"

@@ -21,6 +21,8 @@ import re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_integration_spark.dedup.components import _truncate_lineage
+
 
 def _np_round_half_up(arr, decimals: int):
     """Vectorized rounding that matches Spark ``F.round`` on doubles.
@@ -491,11 +493,18 @@ def hyperplane_lsh_buckets(
     # DOUBLE exactly like F.lit(float), the fold is the same 3-arg
     # aggregate over the same zip_with, and the original's `proj >= 0`
     # int comparand was cast to 0.0D anyway.
+    # backtick-quote each dotted segment (r16, ADVICE r15): reserved-word
+    # column names ('order', 'select') pass the identifier gate but fail
+    # bare-interpolated parsing where the old F.col resolved them
+    vec_sql = ".".join(f"`{seg}`" for seg in vec_col.split("."))
     terms = []
     for p, plane in enumerate(planes):
-        arr = ", ".join(f"{c!r}D" for c in plane)
+        # float(c) (r16, ADVICE r15): numpy scalars repr as
+        # 'np.float64(...)' under numpy>=2 and would fail parsing where
+        # the old F.lit accepted them
+        arr = ", ".join(f"{float(c)!r}D" for c in plane)
         proj = (
-            f"aggregate(zip_with({vec_col}, array({arr}),"
+            f"aggregate(zip_with({vec_sql}, array({arr}),"
             f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
         )
         terms.append(f"if({proj} >= 0.0D, {1 << p}L, 0L)")
@@ -541,7 +550,7 @@ def lsh_cosine_pairs(
     # otherwise re-buckets the corpus on BOTH sides (2 × n_tables scans);
     # this is the same table a persisted-spec search job rebuilds once
     # per release. Fresh per invocation (localCheckpoint never caches).
-    allb = allb.localCheckpoint()
+    allb = _truncate_lineage(allb)
     left = allb.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "tbl", "bucket"
     )
@@ -614,7 +623,7 @@ def lsh_topk(
     # run — downstream consumption would otherwise re-bucket the corpus
     # per consumer (the lsh_cosine_pairs fix; the query side is a bounded
     # probe block and stays lazy)
-    call = call.localCheckpoint()
+    call = _truncate_lineage(call)
     left = qall.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "tbl", "bucket"
     )

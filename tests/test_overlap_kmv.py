@@ -61,6 +61,29 @@ def test_kmv_accuracy_within_theory_band(spark):
         assert abs(r["kmv_jaccard"] - ii / uni) < 0.15, (sa, sb)
 
 
+def test_kmv_engine_merge_fallback_matches_coordinator(spark, monkeypatch):
+    """r16 (VERDICT r15 #7): past the coordinator bound the query falls
+    back to the distributed engine-side pair merge instead of raising.
+    Forcing the bound to 1 row makes sf0.01 take the fallback — every
+    emitted value must equal the coordinator path's bit-for-bit."""
+    from data_integration_spark.queries import corpus_ops
+
+    fast = {
+        (r["src_a"], r["src_b"]): r
+        for r in QUERIES["q_overlap_kmv"](spark, SF).collect()
+    }
+    monkeypatch.setattr(corpus_ops, "_KMV_MAX_COORD_ROWS", 1)
+    slow = {
+        (r["src_a"], r["src_b"]): r
+        for r in QUERIES["q_overlap_kmv"](spark, SF).collect()
+    }
+    assert set(fast) == set(slow) and len(fast) == 190
+    for key, rf in fast.items():
+        rs = slow[key]
+        for c in ("kmv_a", "kmv_b", "kmv_union", "kmv_inter", "kmv_jaccard"):
+            assert rf[c] == rs[c], (key, c, rf[c], rs[c])
+
+
 def test_kmv_small_sets_are_exact(spark):
     """Two tiny sources (far below K=256 distinct bigrams): the sketch
     holds the whole set, so the 'estimates' must be exactly the true

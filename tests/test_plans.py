@@ -351,6 +351,10 @@ _BNLJ_ALLOWED = {
                                 # (the guarded cosine_topk brute path x2)
     "q_semantic_threshold_sweep",  # bounded 100-probe block x corpus
     "q_quality_nb_filter",  # 1-row vocab-totals + 1-row prior scalar crosses
+    # bounded 200-vector slice brute cosine pair stage (qid != mid
+    # broadcast) feeding components — surfaced by the r16 subtree capture
+    # (it was visible pre-r15 too, before the edge list was checkpointed)
+    "q_semantic_dedup_clusters",
     "q_overlap_kmv",  # |sources|² pairing joins on a 20-row source list
     "q_survey_covmat",  # |domains|² matrix assembly + 1-row n cross
     # inherits the NB filter's two scalar crosses + a 7-row literal
@@ -393,24 +397,65 @@ def test_no_unexpected_nested_loop_joins(spark):
     # r10-staged queries (PENDING_R10) are linted under the SAME per-name
     # allowlist they will register with — plan discipline is part of what
     # the staging gate pre-verifies
+    from data_integration_spark.dedup.components import (
+        capture_truncated_subtrees,
+    )
+
     staged = [(f"{n} [staged]", n, fn) for n, (fn, _o) in PENDING_R10.items()]
     live = [(n, n, fn) for n, fn in QUERIES.items()]
     for label, name, fn in sorted(staged + live):
         if name in _PLAN_LINT_EXCLUDED:
             continue
+        # r16 (VERDICT r15 #2): checkpointed subtrees are invisible in the
+        # final plan, so each lineage cut's PRE-truncation plan is captured
+        # and linted too — a CartesianProduct hidden behind a checkpoint
+        # fails by name (tests/test_components.py proves the mechanism)
         try:
-            plan = formatted_plan(fn(spark, SF))
+            with capture_truncated_subtrees() as subtrees:
+                plans = [(label, formatted_plan(fn(spark, SF)))]
+            plans += [
+                (f"{label} [subtree {i}]", formatted_plan(sub))
+                for i, sub in enumerate(subtrees)
+            ]
         except Exception as exc:  # noqa: BLE001 — reported below, not swallowed
             errored[label] = f"{type(exc).__name__}: {exc}"[:200]
             continue
-        if "CartesianProduct" in plan:
-            failures.append(f"{label}: CartesianProduct")
-        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
-            failures.append(f"{label}: BroadcastNestedLoopJoin not allowlisted")
+        for plabel, plan in plans:
+            if "CartesianProduct" in plan:
+                failures.append(f"{plabel}: CartesianProduct")
+            elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+                failures.append(
+                    f"{plabel}: BroadcastNestedLoopJoin not allowlisted"
+                )
     assert not failures, failures
     assert not errored, (
         "query builders errored during plan lint — fix them or add to "
         f"_PLAN_LINT_EXCLUDED deliberately: {errored}"
+    )
+
+
+def test_lint_sees_through_checkpoint_boundaries(spark):
+    """The r16 capture mechanism's positive proof (VERDICT r15 #2): an
+    all-pairs join hidden behind a lineage cut is INVISIBLE in the final
+    plan (the r15 blind spot) but visible in the captured subtree plan —
+    exactly what the registry-wide lints now walk."""
+    from data_integration_spark.dedup.components import (
+        _truncate_lineage,
+        capture_truncated_subtrees,
+    )
+
+    a = spark.range(3)
+    b = spark.range(3).withColumnRenamed("id", "id2")
+    with capture_truncated_subtrees() as subtrees:
+        hidden = _truncate_lineage(a.crossJoin(b))
+    is_all_pairs = lambda p: (  # noqa: E731
+        "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
+    )
+    final = formatted_plan(hidden.groupBy().count())
+    assert not is_all_pairs(final), "blind spot gone? update the lint docs"
+    assert len(subtrees) == 1
+    assert is_all_pairs(formatted_plan(subtrees[0])), formatted_plan(
+        subtrees[0]
     )
 
 
@@ -880,18 +925,33 @@ def test_no_unbounded_global_windows(spark):
 
     failures = []
     errored: dict[str, str] = {}
+    from data_integration_spark.dedup.components import (
+        capture_truncated_subtrees,
+    )
+
     staged = [(f"{n} [staged]", n, fn) for n, (fn, _o) in PENDING_R10.items()]
     live = [(n, n, fn) for n, fn in QUERIES.items()]
     for label, name, fn in sorted(staged + live):
         if name in _PLAN_LINT_EXCLUDED or name in _GLOBAL_WINDOW_BOUNDED:
             continue
+        # r16 (VERDICT r15 #2): also walk each checkpointed subtree's
+        # pre-truncation plan — see test_no_unexpected_nested_loop_joins
         try:
-            hits = unbounded_global_windows(fn(spark, SF))
+            with capture_truncated_subtrees() as subtrees:
+                hits = [
+                    (label, h)
+                    for h in unbounded_global_windows(fn(spark, SF))
+                ]
+            for i, sub in enumerate(subtrees):
+                hits += [
+                    (f"{label} [subtree {i}]", h)
+                    for h in unbounded_global_windows(sub)
+                ]
         except Exception as exc:  # noqa: BLE001 — reported below, not swallowed
             errored[label] = f"{type(exc).__name__}: {exc}"[:200]
             continue
         if hits:
-            failures.append(f"{label}: {hits[0][:120]}")
+            failures.append(f"{hits[0][0]}: {hits[0][1][:120]}")
     assert not failures, failures
     assert not errored, (
         "query builders errored during the global-window lint — fix them "
